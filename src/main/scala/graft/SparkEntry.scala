@@ -1,13 +1,723 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.profile.Profiler
+import graft.quality.{Detector, Rule, Validators}
+import graft.corrector.{Corrector, Enrich}
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.text.TextAnalysis
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔
+  * query mapping. Every query has a DuckDB oracle in [[oracleSql]]
+  * with byte-identical column names and deterministic ordering.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with deterministically injected nulls, used by the DQ
+    * queries (the synthetic tables are clean; the doctoring is
+    * mirrored verbatim in the oracle SQL).
+    */
+  private def doctoredEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.select(
+      col("event_id"),
+      when(col("event_type") === "error" && col("user_id") % 2 === 0, lit(null))
+        .otherwise(col("ts")).as("ts"),
+      when(col("event_type") === "error" && col("user_id") % 2 === 0, lit(null))
+        .otherwise(col("user_id")).as("user_id"),
+      col("event_type"),
+      when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("value"),
+      when(col("event_type") === "error", lit(null)).otherwise(col("props")).as("props"))
+  }
+  private val doctoredEventsSql =
+    """SELECT event_id,
+      | CASE WHEN event_type='error' AND user_id%2=0 THEN NULL ELSE ts END AS ts,
+      | CASE WHEN event_type='error' AND user_id%2=0 THEN NULL ELSE user_id END AS user_id,
+      | event_type,
+      | CASE WHEN event_type='error' THEN NULL ELSE value END AS value,
+      | CASE WHEN event_type='error' THEN NULL ELSE props END AS props
+      |FROM events""".stripMargin
+
+  /** Synthetic e-mail column derived from customer (mirrored in SQL). */
+  private def emailCol: Column = {
+    val local = lower(regexp_replace(col("c_name"), "#", "."))
+    val domain = when(col("c_custkey") % 5 === 0, "gmail.com")
+      .when(col("c_custkey") % 5 === 1, "hotmail.com")
+      .when(col("c_custkey") % 5 === 2, "example.org")
+      .when(col("c_custkey") % 5 === 3, "gamil.com")
+      .otherwise("mail.co.")
+    val email0 = concat(local, lit("@"), domain)
+    when(col("c_custkey") % 11 === 0, regexp_replace(email0, "@", ""))
+      .when(col("c_custkey") % 13 === 0, concat(lit("yok@"), domain))
+      .when(col("c_custkey") % 17 === 0, upper(email0))
+      .otherwise(email0)
+  }
+  private val emailSql =
+    """SELECT CASE
+      | WHEN c_custkey%11=0 THEN replace(e0,'@','')
+      | WHEN c_custkey%13=0 THEN 'yok@' || d
+      | WHEN c_custkey%17=0 THEN upper(e0)
+      | ELSE e0 END AS email
+      |FROM (SELECT c_custkey, lower(replace(c_name,'#','.')) || '@' || d AS e0, d FROM (
+      | SELECT c_custkey, c_name, CASE c_custkey%5
+      |  WHEN 0 THEN 'gmail.com' WHEN 1 THEN 'hotmail.com'
+      |  WHEN 2 THEN 'example.org' WHEN 3 THEN 'gamil.com'
+      |  ELSE 'mail.co.' END AS d FROM customer))""".stripMargin
+
+  /** emailViolation mirrored for DuckDB (same rule union as
+    * Validators.emailViolation).
+    */
+  private val emailViolationSql =
+    """(regexp_matches(email, '[~`!#$%^&*()+={}\[\]|/:;"''<>?,\\ ]')
+      | OR length(email) <= 6
+      | OR strpos(email,'@') = 0 OR strpos(email,'.') = 0
+      | OR length(email)-length(replace(email,'@','')) <> 1
+      | OR regexp_matches(email, '^(@|yok@|YOK@|www|bbb@|girilecek@|deneme@|Mailadresi@|dummy@|ingo@)')
+      | OR regexp_matches(email, '(@\.|\.@|@-)')
+      | OR regexp_matches(email, '(@gmail|@yahoo|@hotmail|@msn|@live|@yandex|@outlook|@windowslive)$')
+      | OR regexp_matches(email, '(\.com\.t|\.o|\.cm|\.ocom|\.ney|\.co\.|\.cvom|\.comtr|\.com\.|\.comom|\.c|\.r|\.com\.tr''|\.com\.tr/)$')
+      | OR regexp_matches(email, '(windowlive|hotmil|hatmail|hotmial|gamil|gmmail|outlok|yaaho)')
+      | OR regexp_matches(email, '[A-ZıİçÇşŞğĞüÜöÖ]'))""".stripMargin
+
+  /** Deterministic synthetic phone number in the canonical
+    * 99-999-999-9999 mask (the testdata customer table carries no
+    * phone column), plus doctored bad variants — mirrored in SQL.
+    */
+  private def phoneBase: Column = format_string("%02d-%03d-%03d-%04d",
+    col("c_custkey") % 90 + 10, col("c_custkey") * 7 % 1000,
+    col("c_custkey") * 13 % 1000, col("c_custkey") * 17 % 10000)
+  private def phoneCol: Column =
+    when(col("c_custkey") % 7 === 0, regexp_replace(phoneBase, "-", " "))
+      .when(col("c_custkey") % 7 === 1, substring(phoneBase, 4, 100))
+      .when(col("c_custkey") % 7 === 2, concat(lit("12345"), substring(phoneBase, 6, 100)))
+      .otherwise(phoneBase)
+  private val phoneBaseSql =
+    "printf('%02d-%03d-%03d-%04d', c_custkey%90+10, c_custkey*7%1000, c_custkey*13%1000, c_custkey*17%10000)"
+  private val phoneSql =
+    s"""SELECT CASE
+       | WHEN c_custkey%7=0 THEN replace($phoneBaseSql,'-',' ')
+       | WHEN c_custkey%7=1 THEN substr($phoneBaseSql,4,100)
+       | WHEN c_custkey%7=2 THEN '12345' || substr($phoneBaseSql,6,100)
+       | ELSE $phoneBaseSql END AS phone
+       |FROM customer""".stripMargin
+
+  /** Flagship: multi-column DQ summary over customer at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Detector.dqSummary(t(spark, dir, "customer"), Seq(
+      "c_acctbal" -> Seq(Rule.NumBetween(-1000, 10000)),
+      "c_mktsegment" -> Seq(Rule.NoDigits, Rule.NoSpaces),
+      "c_name" -> Seq(Rule.LenBetween(10, 30))))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. profiling
+    "q_a1_summary" -> ((s, d) => Profiler.summary(t(s, d, "customer"))),
+    "q_a2_null_profile" -> ((s, d) => Profiler.nullProfile(t(s, d, "customer"))),
+    "q_a3_numeric_stats" -> ((s, d) => Profiler.numericStats(
+      t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    "q_a4_strlen_stats" -> ((s, d) => Profiler.stringLengthStats(t(s, d, "part"), "p_name")),
+    "q_a5_freq_table" -> ((s, d) => Profiler.frequencyTable(t(s, d, "customer"), "c_mktsegment")),
+    "q_a6_topk_values" -> ((s, d) => Profiler.topK(t(s, d, "part"), "p_brand", 5)),
+    "q_a7_pattern_profile" -> ((s, d) => Profiler.patternProfile(t(s, d, "customer"), "c_name")),
+    "q_a8_unexpected" -> ((s, d) => Profiler.unexpectedValues(t(s, d, "part"), "p_type", 1.0)),
+    "q_a9_sign_counts" -> ((s, d) => Profiler.signCounts(t(s, d, "customer"), "c_acctbal")),
+    "q_a10_distinct" -> ((s, d) => Profiler.distinctProfile(
+      t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .drop("approx_distinct")),
+    "q_a11_corr" -> ((s, d) => Profiler.correlationMatrix(
+      t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    "q_a12_histogram" -> ((s, d) => Profiler.histogram(t(s, d, "lineitem"), "l_quantity", 5.0)),
+
+    // ---- B. quality detection
+    "q_b1_useless_rows" -> ((s, d) =>
+      Detector.uselessRows(doctoredEvents(s, d))
+        .withColumn("ts", col("ts").cast("string")).orderBy("event_id")),
+    "q_b2_dup_rows" -> ((s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "props")
+      Detector.duplicateRows(ev.union(ev.filter(col("event_type") === "click")))
+        .orderBy("event_id")
+    }),
+    "q_b3_dup_by_key" -> ((s, d) => Detector.duplicatesByKey(t(s, d, "orders"), "o_custkey")),
+    "q_b5_rule_numeric" -> ((s, d) => t(s, d, "lineitem")
+      .filter(col("l_quantity").isNotNull && Rule.NumBetween(5, 45).violation(col("l_quantity")))
+      .select(col("l_quantity").as("value")).distinct().orderBy("value")),
+    "q_b6_rule_date" -> ((s, d) => t(s, d, "orders")
+      .filter(col("o_orderdate").isNotNull && Rule.DateGte("1995-01-01").violation(col("o_orderdate")))
+      .groupBy(year(col("o_orderdate").cast("date")).as("yr"))
+      .agg(count(lit(1)).as("cnt")).orderBy("yr")),
+    "q_b7_rule_length" -> ((s, d) => t(s, d, "part")
+      .agg(
+        count(when(Rule.LenBetween(10, 30).violation(col("p_name")), 1)).as("viol_cnt"),
+        min(length(col("p_name"))).as("min_len"),
+        max(length(col("p_name"))).as("max_len"))),
+    "q_b8_rule_specchars" -> ((s, d) => t(s, d, "customer")
+      .agg(
+        count(when(Rule.NoSpecialChars().violation(col("c_name")), 1)).as("viol_all"),
+        count(when(Rule.NoSpecialChars(Seq("#")).violation(col("c_name")), 1)).as("viol_excl"))),
+    "q_b10_rule_combo" -> ((s, d) => t(s, d, "orders")
+      .agg(
+        count(when(Rule.NoDigits.violation(col("o_orderpriority")), 1)).as("digit_viol"),
+        count(when(Rule.NoSpaces.violation(col("o_orderpriority")), 1)).as("space_viol"),
+        count(when(Rule.DenyList(Seq("3-MEDIUM")).violation(col("o_orderpriority")), 1)).as("deny_viol"),
+        count(when(Rule.anyViolation(col("o_orderpriority"),
+          Seq(Rule.NoDigits, Rule.NoSpaces, Rule.DenyList(Seq("3-MEDIUM")))), 1)).as("any_viol"))),
+    "q_b11_email" -> ((s, d) => t(s, d, "customer")
+      .select(emailCol.as("email"))
+      .groupBy(Validators.emailValid(col("email")).as("email_valid"))
+      .agg(count(lit(1)).as("cnt")).orderBy("email_valid")),
+    "q_b12_tckn" -> ((s, d) => t(s, d, "customer")
+      .select((lit(10000000000L) + col("c_custkey") * 7919).cast("string").as("tckn"))
+      .groupBy(Validators.tcknValid(col("tckn")).as("tckn_valid"))
+      .agg(count(lit(1)).as("cnt")).orderBy("tckn_valid")),
+    "q_b13_taxnum" -> ((s, d) => t(s, d, "supplier")
+      .select((lit(1000000000L) + col("s_suppkey") * 104729).cast("string").as("tax"))
+      .groupBy(Validators.taxNumValid(col("tax")).as("tax_valid"))
+      .agg(count(lit(1)).as("cnt")).orderBy("tax_valid")),
+    "q_b14_domain" -> ((s, d) => t(s, d, "nation")
+      .select(col("n_name"), Validators.inDomain(col("n_name"), Seq(
+        "BRAZIL", "CANADA", "CHINA", "FRANCE", "GERMANY", "INDIA", "JAPAN",
+        "RUSSIA", "UNITED KINGDOM", "UNITED STATES")).as("in_domain"))
+      .orderBy("n_name")),
+    "q_b15_phone" -> ((s, d) => t(s, d, "customer")
+      .select(phoneCol.as("phone"))
+      .groupBy(
+        Validators.phoneMask(col("phone")).as("phone_class"),
+        Validators.phoneValid(col("phone"), Seq("99-999-999-9999")).as("phone_valid"))
+      .agg(count(lit(1)).as("cnt")).orderBy("phone_class", "phone_valid")),
+    "q_b16_dq_score" -> ((s, d) =>
+      Detector.dqReport(doctoredEvents(s, d), "value", Seq(Rule.NumBetween(10, 90)))),
+    "q_b17_dq_summary" -> ((s, d) => {
+      val before = doctoredEvents(s, d)
+      val specs = Seq(
+        "value" -> Seq(Rule.NumBetween(10, 90): Rule),
+        "props" -> Seq(Rule.NoSpaces: Rule))
+      val after = before
+        .withColumn("value", least(greatest(coalesce(col("value"), lit(50.0)), lit(10.0)), lit(90.0)))
+        .withColumn("props", regexp_replace(coalesce(col("props"), lit("{}")), " ", ""))
+      Detector.beforeAfter(
+        Detector.dqSummary(before, specs), Detector.dqSummary(after, specs))
+    }),
+
+    // ---- C. correction
+    "q_c1_search" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(Corrector.search.between(col("value"), 50.0, 60.0) &&
+          Corrector.search.equals(col("event_type"), "purchase"))
+        .select("event_id", "user_id", "value").orderBy("event_id")
+    }),
+    "q_c2_drop" -> ((s, d) => {
+      val kept = Corrector.dropRowsWhere(
+        Corrector.dropColumns(t(s, d, "events"), "props", "ts"),
+        col("event_type") === "error")
+      kept.orderBy("event_id")
+    }),
+    "q_c3_edit_value" -> ((s, d) => {
+      val fixed = Corrector.nullifyValue(
+        Corrector.replaceValue(t(s, d, "orders"), "o_orderstatus", "P", "PENDING"),
+        "o_orderpriority", "5-LOW")
+      fixed.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+    "q_c5_case" -> ((s, d) => {
+      val base = t(s, d, "customer").select(col("c_mktsegment").as("orig")).distinct()
+      Corrector.toTitleCase(base.withColumn("title_seg", col("orig")), "title_seg")
+        .withColumn("lower_seg", lower(col("orig")))
+        .withColumn("upper_seg", upper(col("orig")))
+        .orderBy("orig")
+    }),
+    "q_c6_whitespace" -> ((s, d) => {
+      val messy = t(s, d, "customer").select(col("c_mktsegment").as("seg")).distinct()
+        .withColumn("messy", concat(lit("  "), col("seg"), lit("   "), col("seg"), lit(" ")))
+      val cleaned = Corrector.strip(
+        Corrector.collapseSpaces(messy.withColumn("cleaned", col("messy")), "cleaned"), "cleaned")
+      Corrector.replaceSubstring(cleaned, "cleaned", "ING", "_")
+        .select("seg", "cleaned").orderBy("seg")
+    }),
+    "q_c8_phone_norm" -> ((s, d) => t(s, d, "customer")
+      .select(col("c_custkey"), Corrector.normalizePhone(phoneBase).as("phone_norm"))
+      .orderBy("c_custkey")),
+    "q_c9_cast" -> ((s, d) => t(s, d, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").cast("string").as("ship_date_str"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_orderkey").cast("string").as("okey_str"))
+      .orderBy("l_orderkey", "l_linenumber")),
+    "q_c10_date_parts" -> ((s, d) => Enrich.dateParts(
+        t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od")), "od")
+      .drop("od").orderBy("o_orderkey")),
+    "q_c11_age" -> ((s, d) => t(s, d, "orders")
+      .select(Enrich.yearsSince(col("o_orderdate"), "2026-01-01").as("age"))
+      .groupBy("age").agg(count(lit(1)).as("cnt")).orderBy("age")),
+    "q_c12_gender" -> ((s, d) => {
+      val names = Seq("Ahmet", "Ayşe", "Mehmet", "Fatma", "Mustafa", "Zeynep", "Ali", "Elif")
+      val withName = t(s, d, "customer")
+        .withColumn("name", element_at(
+          array(names.map(lit(_)): _*), (col("c_custkey") % 8 + 1).cast("int")))
+      Enrich.gender(withName, "name")
+        .groupBy("gender").agg(count(lit(1)).as("cnt")).orderBy("gender")
+    }),
+    "q_c14_sort" -> ((s, d) => Corrector.sortBy(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true))
+      .limit(100)),
+    "q_c15_reorder" -> ((s, d) => Corrector.reorder(
+        t(s, d, "customer").filter(col("c_custkey") <= 50),
+        Seq("c_mktsegment", "c_name", "c_custkey"))
+      .orderBy("c_custkey")),
+    "q_c16_fillna" -> ((s, d) => {
+      val dv = doctoredEvents(s, d)
+      val filled0 = Corrector.fillNulls(dv.withColumn("v0", col("value")), "v0", 0.0)
+      val filledMean = Corrector.fillNullsWithMean(
+        filled0.withColumn("vm", col("value")), "vm", 4)
+      filledMean.agg(
+        round(avg(col("v0")), 2).as("avg_fill_zero"),
+        round(avg(col("vm")), 2).as("avg_fill_mean"),
+        count(when(col("value").isNull, 1)).as("filled_cnt"))
+    }),
+
+    // ---- D. scale extensions
+    "q_d1_exact_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.exactDedupStats(
+        docs.select("doc_id", "text")
+          .union(docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")), "text")
+    }),
+    "q_d2_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "text", "doc_id", 0.9)
+        .orderBy("id_a", "id_b")),
+    "q_d3_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", 3)
+        .orderBy("id_a", "id_b")),
+    "q_d4_jaccard" -> ((s, d) =>
+      Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", 0.8)
+        .orderBy("id_a", "id_b")),
+    "q_d5_embed_dup" -> ((s, d) =>
+      Ann.cosinePairs(t(s, d, "embeddings"), "embedding", "vec_id", 0.98)
+        .orderBy("id_a", "id_b")),
+    "q_d6_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Ann.cosineTopK(emb, "embedding", "vec_id", q, 20)
+    }),
+    "q_d7_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Ann.lshTopK(emb, "embedding", "vec_id", q, 10)
+    }),
+    "q_d9_langid" -> ((s, d) => t(s, d, "documents")
+      .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("cnt")).orderBy("lang_pred")),
+    "q_d10_quality" -> ((s, d) =>
+      TextAnalysis.profile(t(s, d, "documents"), "text", "doc_id")
+        .drop("lang_pred", "fingerprint").orderBy("doc_id")),
+    "q_d11_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wordCount(col("text")).as("ws_tokens"),
+        TextAnalysis.tokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")),
+    "q_d12_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q_a1_summary" ->
+      """SELECT count(*) AS row_count, 5 AS column_count,
+        | 2 AS nominal_column_count, 3 AS numeric_column_count FROM customer""".stripMargin,
+
+    "q_a2_null_profile" -> {
+      val cols = Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count($c) AS non_null,
+           | count(*)-count($c) AS null_count,
+           | round(count($c)*100.0/count(*),2) AS fill_pct FROM customer""".stripMargin)
+        .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    "q_a3_numeric_stats" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count($c) AS cnt,
+           | round(avg($c),4) AS mean, round(stddev_samp($c),4) AS std,
+           | round(min($c),4) AS min, round(quantile_cont($c,0.25),4) AS q1,
+           | round(quantile_cont($c,0.5),4) AS median,
+           | round(quantile_cont($c,0.75),4) AS q3, round(max($c),4) AS max
+           |FROM lineitem""".stripMargin)
+        .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    "q_a4_strlen_stats" ->
+      """SELECT 'p_name' AS "column",
+        | CAST((SELECT min(length(p_name)) FROM part) AS INT) AS min_len,
+        | (SELECT p_name FROM part WHERE length(p_name)=(SELECT min(length(p_name)) FROM part) ORDER BY p_name LIMIT 1) AS value_at_min_len,
+        | CAST((SELECT max(length(p_name)) FROM part) AS INT) AS max_len,
+        | (SELECT p_name FROM part WHERE length(p_name)=(SELECT max(length(p_name)) FROM part) ORDER BY p_name LIMIT 1) AS value_at_max_len,
+        | (SELECT min(p_name) FROM part) AS min_alpha,
+        | (SELECT max(p_name) FROM part) AS max_alpha""".stripMargin,
+
+    "q_a5_freq_table" ->
+      """SELECT c_mktsegment AS value, count(*) AS cnt,
+        | round(count(*)*100.0/(SELECT count(*) FROM customer),1) AS pct
+        |FROM customer GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin,
+
+    "q_a6_topk_values" ->
+      """SELECT p_brand AS value, count(*) AS cnt FROM part
+        |GROUP BY 1 ORDER BY cnt DESC, value LIMIT 5""".stripMargin,
+
+    "q_a7_pattern_profile" ->
+      """WITH m AS (SELECT regexp_replace(regexp_replace(c_name,'[A-Za-zÖÇĞİŞÜöçğışü]','A','g'),'[0-9]','9','g') AS pattern
+        | FROM customer WHERE c_name IS NOT NULL)
+        |SELECT pattern, count(*) AS cnt,
+        | round(count(*)*100.0/(SELECT count(*) FROM m),1) AS pct
+        |FROM m GROUP BY 1 ORDER BY cnt DESC, pattern""".stripMargin,
+
+    "q_a8_unexpected" ->
+      """SELECT p_type AS value, count(*) AS cnt FROM part WHERE p_type IS NOT NULL
+        |GROUP BY 1 HAVING count(*)*100.0/(SELECT count(*) FROM part) < 1.0
+        |ORDER BY value""".stripMargin,
+
+    "q_a9_sign_counts" ->
+      """SELECT 'c_acctbal' AS "column",
+        | count(CASE WHEN c_acctbal>0 THEN 1 END) AS positive,
+        | count(CASE WHEN c_acctbal=0 THEN 1 END) AS zero,
+        | count(CASE WHEN c_acctbal<0 THEN 1 END) AS negative,
+        | round(count(CASE WHEN c_acctbal>0 THEN 1 END)*100.0/count(*),1) AS positive_pct,
+        | round(count(CASE WHEN c_acctbal=0 THEN 1 END)*100.0/count(*),1) AS zero_pct,
+        | round(count(CASE WHEN c_acctbal<0 THEN 1 END)*100.0/count(*),1) AS negative_pct
+        |FROM customer""".stripMargin,
+
+    "q_a10_distinct" -> {
+      val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(DISTINCT $c) AS distinct_cnt FROM orders""")
+        .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    "q_a11_corr" ->
+      """SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, round(corr(l_extendedprice,l_discount),4) AS pearson FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity,l_discount),4) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', 'l_extendedprice', round(corr(l_quantity,l_extendedprice),4) FROM lineitem
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q_a12_histogram" ->
+      """SELECT floor(l_quantity/5.0)*5.0 AS bucket_start, count(*) AS cnt
+        |FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_b1_useless_rows" ->
+      s"""WITH d AS ($doctoredEventsSql)
+         |SELECT event_id, CAST(ts AS VARCHAR) AS ts, user_id, event_type, value, props,
+         | (CASE WHEN ts IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_col_count
+         |FROM d
+         |WHERE (CASE WHEN ts IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN value IS NULL THEN 1 ELSE 0 END
+         | + CASE WHEN props IS NULL THEN 1 ELSE 0 END) > 3
+         |ORDER BY event_id""".stripMargin,
+
+    "q_b2_dup_rows" ->
+      """SELECT event_id, user_id, event_type, value, props, count(*) AS dup_count
+        |FROM (SELECT event_id,user_id,event_type,value,props FROM events
+        |      UNION ALL
+        |      SELECT event_id,user_id,event_type,value,props FROM events WHERE event_type='click')
+        |GROUP BY 1,2,3,4,5 HAVING count(*) > 1 ORDER BY event_id""".stripMargin,
+
+    "q_b3_dup_by_key" ->
+      """SELECT o_custkey, count(*) AS dup_count FROM orders
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_count DESC, o_custkey""".stripMargin,
+
+    "q_b5_rule_numeric" ->
+      """SELECT DISTINCT l_quantity AS value FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 5 AND l_quantity <= 45)
+        |ORDER BY value""".stripMargin,
+
+    "q_b6_rule_date" ->
+      """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr, count(*) AS cnt FROM orders
+        |WHERE o_orderdate IS NOT NULL AND NOT (CAST(o_orderdate AS DATE) >= DATE '1995-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_b7_rule_length" ->
+      """SELECT count(CASE WHEN NOT (length(p_name) >= 10 AND length(p_name) <= 30) THEN 1 END) AS viol_cnt,
+        | CAST(min(length(p_name)) AS INT) AS min_len, CAST(max(length(p_name)) AS INT) AS max_len FROM part""".stripMargin,
+
+    "q_b8_rule_specchars" ->
+      """SELECT
+        | count(CASE WHEN regexp_matches(c_name, '[@_.,~`!#$%^&*()+={}\[\]|/:;"''<>?-]') THEN 1 END) AS viol_all,
+        | count(CASE WHEN regexp_matches(c_name, '[@_.,~`!$%^&*()+={}\[\]|/:;"''<>?-]') THEN 1 END) AS viol_excl
+        |FROM customer""".stripMargin,
+
+    "q_b10_rule_combo" ->
+      """SELECT
+        | count(CASE WHEN regexp_matches(o_orderpriority,'[0-9]') THEN 1 END) AS digit_viol,
+        | count(CASE WHEN strpos(o_orderpriority,' ') > 0 THEN 1 END) AS space_viol,
+        | count(CASE WHEN o_orderpriority IN ('3-MEDIUM') THEN 1 END) AS deny_viol,
+        | count(CASE WHEN regexp_matches(o_orderpriority,'[0-9]') OR strpos(o_orderpriority,' ') > 0
+        |   OR o_orderpriority IN ('3-MEDIUM') THEN 1 END) AS any_viol
+        |FROM orders""".stripMargin,
+
+    "q_b11_email" ->
+      s"""WITH e AS ($emailSql)
+         |SELECT NOT $emailViolationSql AS email_valid, count(*) AS cnt
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_b12_tckn" ->
+      """WITH t AS (SELECT CAST(10000000000 + c_custkey*7919 AS VARCHAR) AS s FROM customer),
+        |d AS (SELECT s,
+        | CAST(substr(s,1,1) AS INT) AS d1, CAST(substr(s,2,1) AS INT) AS d2,
+        | CAST(substr(s,3,1) AS INT) AS d3, CAST(substr(s,4,1) AS INT) AS d4,
+        | CAST(substr(s,5,1) AS INT) AS d5, CAST(substr(s,6,1) AS INT) AS d6,
+        | CAST(substr(s,7,1) AS INT) AS d7, CAST(substr(s,8,1) AS INT) AS d8,
+        | CAST(substr(s,9,1) AS INT) AS d9, CAST(substr(s,10,1) AS INT) AS d10,
+        | CAST(substr(s,11,1) AS INT) AS d11 FROM t)
+        |SELECT (((7*(d1+d3+d5+d7+d9)-(d2+d4+d6+d8)) % 10 + 10) % 10 = d10
+        |  AND (d1+d2+d3+d4+d5+d6+d7+d8+d9+d10) % 10 = d11) AS tckn_valid,
+        | count(*) AS cnt
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_b13_taxnum" -> {
+      val terms = (0 to 8).map { x =>
+        val p = 1 << (9 - x)
+        s"""(CASE WHEN (d${x + 1}+${9 - x})%10 <> 0 AND ((d${x + 1}+${9 - x})%10)*$p%9 = 0 THEN 9
+           | ELSE ((d${x + 1}+${9 - x})%10)*$p%9 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT CAST(1000000000 + s_suppkey*104729 AS VARCHAR) AS s FROM supplier),
+         |d AS (SELECT s,
+         | CAST(substr(s,1,1) AS INT) AS d1, CAST(substr(s,2,1) AS INT) AS d2,
+         | CAST(substr(s,3,1) AS INT) AS d3, CAST(substr(s,4,1) AS INT) AS d4,
+         | CAST(substr(s,5,1) AS INT) AS d5, CAST(substr(s,6,1) AS INT) AS d6,
+         | CAST(substr(s,7,1) AS INT) AS d7, CAST(substr(s,8,1) AS INT) AS d8,
+         | CAST(substr(s,9,1) AS INT) AS d9, CAST(substr(s,10,1) AS INT) AS d10 FROM t)
+         |SELECT ((10 - ($terms) % 10) % 10 = d10) AS tax_valid, count(*) AS cnt
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_b14_domain" ->
+      """SELECT n_name, n_name IN ('BRAZIL','CANADA','CHINA','FRANCE','GERMANY','INDIA','JAPAN','RUSSIA','UNITED KINGDOM','UNITED STATES') AS in_domain
+        |FROM nation ORDER BY n_name""".stripMargin,
+
+    "q_b15_phone" ->
+      s"""WITH p AS ($phoneSql)
+         |SELECT regexp_replace(phone,'[0-9]','9','g') AS phone_class,
+         | (phone IS NOT NULL AND regexp_replace(phone,'[0-9]','9','g') = '99-999-999-9999'
+         |  AND NOT regexp_matches(phone,'(000 00 00|111 11 11|222 22 22|333 33 33|444 44 44|555 55 55|666 66 66|777 77 77|888 88 88|999 99 99|000000|111111|222222|333333|444444|555555|666666|777777|888888|999999|12345|23456|34567|45678|56789|67890|09876|98765|87654|76543|65432|54321)')
+         |  AND NOT regexp_matches(phone,'[A-Za-z]')) AS phone_valid,
+         | count(*) AS cnt
+         |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q_b16_dq_score" ->
+      s"""WITH d AS ($doctoredEventsSql)
+         |SELECT 'value' AS "column",
+         | count(CASE WHEN value IS NULL THEN 1 END) AS null_records,
+         | count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END) AS out_of_format_records,
+         | count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END) AS proper_format_records,
+         | round((count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*),2) AS dq_score,
+         | CASE WHEN (count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*) <= 25 THEN 'VERY LOW'
+         |  WHEN (count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*) <= 50 THEN 'LOW'
+         |  WHEN (count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*) <= 75 THEN 'MEDIUM'
+         |  ELSE 'HIGH' END AS dq_band
+         |FROM d""".stripMargin,
+
+    "q_b17_dq_summary" ->
+      s"""WITH d AS ($doctoredEventsSql),
+         |aft AS (SELECT event_id, ts, user_id, event_type,
+         |  least(greatest(coalesce(value, 50.0), 10.0), 90.0) AS value,
+         |  replace(coalesce(props,'{}'),' ','') AS props FROM d),
+         |bs AS (
+         |  SELECT 'props' AS "column", round((count(*) - count(CASE WHEN props IS NULL THEN 1 END)
+         |    - count(CASE WHEN props IS NOT NULL AND strpos(props,' ') > 0 THEN 1 END))*100.0/count(*),2) AS before_score FROM d
+         |  UNION ALL
+         |  SELECT 'value', round((count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |    - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*),2) FROM d),
+         |as_ AS (
+         |  SELECT 'props' AS "column", round((count(*) - count(CASE WHEN props IS NULL THEN 1 END)
+         |    - count(CASE WHEN props IS NOT NULL AND strpos(props,' ') > 0 THEN 1 END))*100.0/count(*),2) AS after_score FROM aft
+         |  UNION ALL
+         |  SELECT 'value', round((count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |    - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*),2) FROM aft)
+         |SELECT bs."column" AS "column", bs.before_score, as_.after_score,
+         | round(as_.after_score - bs.before_score, 2) AS delta
+         |FROM bs JOIN as_ ON bs."column" = as_."column" ORDER BY "column"""".stripMargin,
+
+    "q_c1_search" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 50.0 AND value <= 60.0 AND event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_c2_drop" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE NOT (event_type = 'error') ORDER BY event_id""".stripMargin,
+
+    "q_c3_edit_value" ->
+      """SELECT CASE WHEN o_orderstatus='P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
+        | CASE WHEN o_orderpriority='5-LOW' THEN NULL ELSE o_orderpriority END AS o_orderpriority,
+        | count(*) AS cnt
+        |FROM orders GROUP BY 1,2
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_c5_case" ->
+      """SELECT DISTINCT c_mktsegment AS orig,
+        | upper(substr(lower(c_mktsegment),1,1)) || substr(lower(c_mktsegment),2) AS title_seg,
+        | lower(c_mktsegment) AS lower_seg, upper(c_mktsegment) AS upper_seg
+        |FROM customer ORDER BY orig""".stripMargin,
+
+    "q_c6_whitespace" ->
+      """SELECT seg, replace(trim(regexp_replace(messy,' +',' ','g')),'ING','_') AS cleaned
+        |FROM (SELECT DISTINCT c_mktsegment AS seg,
+        |  '  ' || c_mktsegment || '   ' || c_mktsegment || ' ' AS messy FROM customer)
+        |ORDER BY seg""".stripMargin,
+
+    "q_c8_phone_norm" ->
+      s"""SELECT c_custkey,
+         | CASE WHEN length(regexp_replace($phoneBaseSql,'[^0-9]','','g')) >= 10
+         |  THEN right(regexp_replace($phoneBaseSql,'[^0-9]','','g'),10)
+         |  ELSE regexp_replace($phoneBaseSql,'[^0-9]','','g') END AS phone_norm
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_c9_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date_str,
+        | CAST(l_quantity AS INT) AS qty_int,
+        | CAST(l_orderkey AS VARCHAR) AS okey_str
+        |FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_c10_date_parts" ->
+      """SELECT o_orderkey,
+        | CAST(dayofmonth(CAST(o_orderdate AS DATE)) AS INT) AS od_day,
+        | dayname(CAST(o_orderdate AS DATE)) AS od_weekday,
+        | CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS od_month,
+        | CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS od_year,
+        | CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS od_quarter,
+        | CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS od_weekofyear
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q_c11_age" ->
+      """SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01')/365.25) AS INT) AS age,
+        | count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_c12_gender" ->
+      """WITH named AS (SELECT list_value('Ahmet','Ayşe','Mehmet','Fatma','Mustafa','Zeynep','Ali','Elif')[CAST(c_custkey%8+1 AS INT)] AS name FROM customer),
+        |dim AS (SELECT * FROM (VALUES ('Ahmet','E'),('Mehmet','E'),('Mustafa','E'),('Ali','E'),
+        | ('Ayşe','K'),('Fatma','K'),('Zeynep','K'),('Elif','K')) AS t(name, gender))
+        |SELECT dim.gender AS gender, count(*) AS cnt
+        |FROM named LEFT JOIN dim ON named.name = dim.name
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_c14_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_c15_reorder" ->
+      """SELECT c_mktsegment, c_name, c_custkey FROM customer
+        |WHERE c_custkey <= 50 ORDER BY c_custkey""".stripMargin,
+
+    "q_c16_fillna" ->
+      s"""WITH d AS ($doctoredEventsSql)
+         |SELECT round(avg(coalesce(value, 0.0)), 2) AS avg_fill_zero,
+         | round(avg(coalesce(value, (SELECT round(avg(value),4) FROM d))), 2) AS avg_fill_mean,
+         | count(CASE WHEN value IS NULL THEN 1 END) AS filled_cnt
+         |FROM d""".stripMargin,
+
+    "q_d1_exact_dedup" ->
+      """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs,
+        | count(*) - count(DISTINCT md5(text)) AS removed
+        |FROM (SELECT text FROM documents
+        |      UNION ALL SELECT text FROM documents WHERE doc_id%10=0)""".stripMargin,
+
+    "q_d2_minhash" ->
+      """WITH docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) AS jaccard
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_d4_jaccard" ->
+      """WITH docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        | FROM documents WHERE doc_id%10=0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) AS jaccard
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_d6_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        | round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q))
+        |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 4) AS cosine_sim
+        |FROM embeddings ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_d9_langid" ->
+      """WITH s AS (SELECT
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS en,
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('el','la','de','que','y','los','las','un','una','es'))) AS es,
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('der','die','das','und','ist','nicht','ein','eine','mit','von'))) AS de,
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('le','la','les','et','est','une','des','du','que','pour'))) AS fr,
+        |  length(text) - length(regexp_replace(text,'[\x{4e00}-\x{9fff}]','','g')) AS zh
+        | FROM documents)
+        |SELECT CASE WHEN greatest(en,es,de,fr,zh) <= 0 THEN 'und'
+        |  WHEN zh = greatest(en,es,de,fr,zh) THEN 'zh'
+        |  WHEN fr = greatest(en,es,de,fr) THEN 'fr'
+        |  WHEN es = greatest(en,es,de) THEN 'es'
+        |  WHEN en = greatest(en,de) THEN 'en'
+        |  ELSE 'de' END AS lang_pred, count(*) AS cnt
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_d10_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(regexp_split_to_array(trim(text),' +')) AS INT) AS n_words,
+        | round(length(replace(text,' ',''))*1.0/len(regexp_split_to_array(trim(text),' +')),4) AS avg_word_len,
+        | round((length(text)-length(regexp_replace(text,'[[:punct:]]','','g')))*1.0/length(text),4) AS punct_ratio,
+        | round((length(text)-length(regexp_replace(text,'[0-9]','','g')))*1.0/length(text),4) AS digit_ratio,
+        | round((length(text)-length(regexp_replace(text,'[A-Z]','','g')))*1.0/length(text),4) AS upper_ratio,
+        | round(len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('the','a','an','and','of','to','in','is','it','that')))*1.0/len(regexp_split_to_array(trim(text),' +')),4) AS stopword_ratio,
+        | round(len(list_distinct(regexp_split_to_array(trim(text),' +')))*1.0/len(regexp_split_to_array(trim(text),' +')),4) AS distinct_word_ratio,
+        | round((CASE WHEN len(list_distinct(regexp_split_to_array(trim(text),' +')))*1.0/len(regexp_split_to_array(trim(text),' +')) >= 0.3 THEN 0.4 ELSE 0.0 END
+        |  + CASE WHEN (length(text)-length(regexp_replace(text,'[[:punct:]]','','g')))*1.0/length(text) <= 0.2 THEN 0.3 ELSE 0.0 END
+        |  + CASE WHEN len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('the','a','an','and','of','to','in','is','it','that')))*1.0/len(regexp_split_to_array(trim(text),' +')) >= 0.02 THEN 0.2 ELSE 0.0 END
+        |  + CASE WHEN len(regexp_split_to_array(trim(text),' +')) >= 5 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_d11_tokens" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(regexp_split_to_array(trim(text),' +')) AS INT) END AS ws_tokens,
+        | CAST(length(regexp_replace(regexp_replace(text,'[A-Za-z0-9_]+','x','g'),'\s+','','g')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_d12_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,135 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Scale design: the query vector is a literal (broadcast with the
+  * plan — no join); cosine is a strict left-fold over zipped arrays
+  * (deterministic summation order, double precision); top-k is
+  * `orderBy().limit(k)`, which Spark executes as per-partition
+  * TakeOrderedAndProject — no global sort, no full shuffle. LSH and
+  * IVF variants shrink the candidate set before exact scoring.
+  */
+object Ann {
+
+  /** Deterministic dot product: left-to-right fold in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def litVec(q: Array[Double]): Column =
+    array(q.map(lit(_)).toIndexedSeq: _*)
+
+  /** Brute-force cosine top-k against a literal query vector —
+    * the exact baseline (one scan + TakeOrdered).
+    */
+  def cosineTopK(emb: DataFrame, vecCol: String, idCol: String,
+                 query: Array[Double], k: Int, scale: Int = 4): DataFrame =
+    emb.select(col(idCol),
+        round(cosine(col(vecCol), litVec(query)), scale).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), asc(idCol))
+      .limit(k)
+
+  /** Sign-bit key of random-hyperplane LSH: `planes` fixed
+    * pseudo-random hyperplanes (deterministic from the seed), each
+    * contributing one bit. Vectors in the same bucket are likely
+    * angular neighbors.
+    */
+  def hyperplaneKey(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val bits = (0 until planes).map { p =>
+      val plane = Array.fill(dim)(rnd.nextGaussian())
+      when(dot(vec, litVec(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed ANN top-k: score only the vectors falling in the
+    * query's bucket (and optionally neighboring buckets via fewer
+    * planes). Recall < 1 by construction; candidates shrink ~2^planes.
+    */
+  def lshTopK(emb: DataFrame, vecCol: String, idCol: String,
+              query: Array[Double], k: Int, planes: Int = 6,
+              seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val qKey = { // query key computed with the same plane family
+      val rnd = new scala.util.Random(seed)
+      (0 until planes).map { p =>
+        val plane = Array.fill(dim)(rnd.nextGaussian())
+        val d = query.zip(plane).map { case (x, y) => x * y }.sum
+        if (d >= 0) 1L << p else 0L
+      }.reduce(_ | _)
+    }
+    emb.withColumn("_bucket", hyperplaneKey(col(vecCol), dim, planes, seed))
+      .filter(col("_bucket") === qKey)
+      .select(col(idCol),
+        round(cosine(col(vecCol), litVec(query)), 4).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest centroid
+    * (centroids = a small literal table, broadcast), then scan only
+    * the `nprobe` centroids nearest to the query. Centroids can come
+    * from any upstream clustering; `trainCentroidsBySample` gives a
+    * deterministic seeding (first `k` ids — stand-in for k-means at
+    * this corpus size).
+    */
+  def trainCentroidsBySample(emb: DataFrame, vecCol: String, idCol: String,
+                             nCentroids: Int): Array[Array[Double]] =
+    emb.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
+              centroids: Array[Array[Double]], query: Array[Double],
+              k: Int, nprobe: Int = 2): DataFrame = {
+    // nearest-centroid id as a nested CASE over literal centroids
+    def nearest(vec: Column): Column = {
+      val sims = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosine(vec, litVec(c)).as("s"), lit(i).as("i"))
+      }
+      greatest(sims.toIndexedSeq: _*).getField("i")
+    }
+    val qTop = centroids.zipWithIndex.map { case (c, i) =>
+      val d = {
+        val dq = query.zip(c).map { case (x, y) => x * y }.sum
+        val nq = math.sqrt(query.map(x => x * x).sum)
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        dq / (nq * nc)
+      }
+      (d, i)
+    }.sortBy(-_._1).take(nprobe).map(_._2).toSet
+    emb.withColumn("_cid", nearest(col(vecCol)))
+      .filter(col("_cid").isin(qTop.toSeq: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol), litVec(query)), 4).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket by hyperplane key
+    * (self-join on the key — linear + output-sized, not corpus²),
+    * verify exact cosine ≥ threshold within buckets.
+    */
+  def cosinePairs(emb: DataFrame, vecCol: String, idCol: String,
+                  threshold: Double, planes: Int = 4, seed: Long = 42L,
+                  dim: Int = 64): DataFrame = {
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_bucket", hyperplaneKey(col("v"), dim, planes, seed))
+    val a = keyed.select(col("_bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = keyed.select(col("_bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, "_bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 4).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+      .distinct()
+  }
+}

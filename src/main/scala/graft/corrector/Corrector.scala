@@ -1,0 +1,102 @@
+package graft.corrector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Repair operations (reference: home.py:1196-2076 "Data
+  * Corrector"). Each is a narrow transformation (scan-local Column
+  * rewrite) or a pruned filter — no shuffles, fully codegen'd; the
+  * interactive pandas mutations become declarative rewrites Spark can
+  * pipeline with the surrounding plan.
+  */
+object Corrector {
+
+  /** Search engine (home.py:1200-1371): predicate builders. */
+  object search {
+    def equals(c: Column, v: Any): Column = c === v
+    def gte(c: Column, v: Any): Column = c >= v
+    def lt(c: Column, v: Any): Column = c < v
+    def between(c: Column, lo: Any, hi: Any): Column = c >= lo && c <= hi
+    def isNullSearch(c: Column): Column = c.isNull
+  }
+
+  /** home.py:1384-1389 drop the column. */
+  def dropColumns(df: DataFrame, cols: String*): DataFrame = df.drop(cols: _*)
+
+  /** home.py:1502-1579 drop rows matching a value predicate. */
+  def dropRowsWhere(df: DataFrame, pred: Column): DataFrame = df.filter(!pred)
+
+  /** home.py:1494-1568 "Alter the Cell" by value: conditional
+    * replace across the whole column.
+    */
+  def replaceValue(df: DataFrame, column: String, from: Any, to: Any): DataFrame =
+    df.withColumn(column, when(col(column) === from, to).otherwise(col(column)))
+
+  /** home.py:1498-1572 "Fill with NaN" by value. */
+  def nullifyValue(df: DataFrame, column: String, v: Any): DataFrame =
+    df.withColumn(column,
+      when(col(column) === v, lit(null)).otherwise(col(column)))
+
+  /** home.py:1590-1619 case conversions. */
+  def toTitleCase(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, initcap(lower(col(column))))
+  def toLowerCase(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, lower(col(column)))
+  def toUpperCase(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, upper(col(column)))
+
+  /** home.py:1621-1630 "Remove multiple spaces" + 1632-1641 strip. */
+  def collapseSpaces(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, regexp_replace(col(column), " +", " "))
+  def strip(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, trim(col(column)))
+
+  /** home.py:1643-1698 substring replace. */
+  def replaceSubstring(df: DataFrame, column: String, from: String, to: String): DataFrame =
+    df.withColumn(column, regexp_replace(col(column),
+      java.util.regex.Pattern.quote(from), java.util.regex.Matcher.quoteReplacement(to)))
+
+  /** home.py:1700-1708 phone normalizer: strip every non-digit, keep
+    * the last 10 digits (drops 0 / 90 / +90 country prefixes).
+    */
+  def normalizePhone(c: Column): Column = {
+    val digits = regexp_replace(c.cast("string"), "[^0-9]", "")
+    when(length(digits) >= 10, substring(digits, -10, 10)).otherwise(digits)
+  }
+  def normalizePhone(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, normalizePhone(col(column)))
+
+  /** Type casting repairs (string↔date↔numeric). */
+  def castColumn(df: DataFrame, column: String, to: String): DataFrame =
+    df.withColumn(column, col(column).cast(to))
+
+  /** Fill nulls with a constant. */
+  def fillNulls(df: DataFrame, column: String, value: Any): DataFrame =
+    df.withColumn(column, coalesce(col(column), lit(value)))
+
+  /** Fill numeric nulls with the column mean (single extra agg job,
+    * joined back as a broadcast scalar — no driver collect of data).
+    */
+  def fillNullsWithMean(df: DataFrame, column: String, scale: Int = 4): DataFrame = {
+    val m = df.agg(round(avg(col(column)), scale).as("_mean"))
+    df.crossJoin(broadcast(m))
+      .withColumn(column, coalesce(col(column), col("_mean")))
+      .drop("_mean")
+  }
+
+  /** home.py:1966-1990 sorting transformation. */
+  def sortBy(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    df.orderBy(cols.map { case (c, asc_) => if (asc_) asc(c) else desc(c) }.toIndexedSeq: _*)
+
+  /** home.py:2026-2035 reorder / eliminate columns for export. */
+  def reorder(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col).toIndexedSeq: _*)
+
+  /** Sinks (downloader.py equivalent — distributed writers, not a
+    * driver-side XLSX export).
+    */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

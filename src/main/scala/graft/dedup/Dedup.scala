@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, exact n-gram Jaccard join, embedding-cosine
+  * near-dup.
+  *
+  * Scale design: nothing here is O(n²) in the corpus —
+  *  - exact dedup is a hash group-by on a 128-bit content hash;
+  *  - MinHash signatures are pure array expressions (codegen) and
+  *    candidate generation is a self-join keyed on (band, bandHash),
+  *    i.e. a shuffle on the band key, linear + output-sized;
+  *  - the Jaccard join is an inverted-index join keyed on token with
+  *    a document-frequency cap to kill stop-token skew;
+  *  - verification always recomputes the exact measure on candidate
+  *    pairs only.
+  */
+object Dedup {
+
+  /** Normalized word-set of a text column (order/count-insensitive —
+    * the right granule for shuffled-word near-dups).
+    */
+  def wordSet(c: Column): Column = array_distinct(split(c, " +"))
+
+  /** Canonical 128-bit content hash for exact dedup. */
+  def contentKey(c: Column): Column = md5(c.cast("string"))
+
+  /** Exact dedup stats: total vs distinct-by-content, single agg. */
+  def exactDedupStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+        count(lit(1)).as("total_docs"),
+        countDistinct(contentKey(col(textCol))).as("distinct_docs"))
+      .withColumn("removed", col("total_docs") - col("distinct_docs"))
+
+  /** Exact dedup: keep one row per content hash (min doc id wins —
+    * deterministic). Aggregation, not window, so it map-side
+    * combines.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df.groupBy(contentKey(col(textCol)).as("_ck"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("_ck")
+    df.join(keep, idCol)
+  }
+
+  /** MinHash signature of a token-set column: k independent hash
+    * functions (xxhash64 with the slot index as seed), each minimized
+    * over the set. Pure expressions — whole-stage codegen, no UDF,
+    * and ANSI-safe (no overflow arithmetic).
+    */
+  def minhashSignature(tokens: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(tokens, t => xxhash64(lit(i), t)))
+    }
+    array(sigs.toIndexedSeq: _*)
+  }
+
+  /** LSH band keys from a signature: `bands` hashes of `rowsPerBand`
+    * consecutive signature slots each.
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { bnd =>
+      val sl = slice(sig, bnd * rowsPerBand + 1, rowsPerBand)
+      struct(lit(bnd).as("band"), xxhash64(sl).as("bh"))
+    }
+    array(keys.toIndexedSeq: _*)
+  }
+
+  /** Exact Jaccard on two set columns (used for candidate
+    * verification).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact verification:
+    * shingle → minhash → band → bucket self-join → exact Jaccard ≥
+    * `threshold`. Emits (id_a < id_b, jaccard). The only shuffles are
+    * the band-key exchange and the final distinct — both linear in
+    * candidates, never corpus².
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
+    val keyed = docs
+      .withColumn("bk", explode(bandKeys(minhashSignature(col("ws"), bands * rowsPerBand), bands, rowsPerBand)))
+      .select("bk", "id")
+    // candidate ids deduped FIRST (narrow 2-column shuffle), so the
+    // exact verification below runs once per pair, not once per
+    // colliding band
+    val cands = keyed.select(col("bk"), col("id").as("id_a"))
+      .join(keyed.select(col("bk"), col("id").as("id_b")), "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("ws_a"), col("ws_b")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of a token-set: per-bit majority vote of token
+    * hashes, built from 64 bit-test expressions (codegen; no UDF).
+    */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val n = size(hashes)
+    val bits = (0 until 64).map { i =>
+      // count of tokens with bit i set; majority => bit set in sketch
+      val cnt = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L).cast("int"))
+      when(cnt * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit sketch into 4×16-bit
+    * chunks (any pair within Hamming ≤ 3 shares ≥ 1 exact chunk —
+    * pigeonhole), bucket-join on chunk, verify Hamming ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("id"), simhash(wordSet(col(textCol))).as("sh"))
+    val chunkArr = array((0 until 4).map(i => struct(
+      lit(i).as("chunk_id"),
+      shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
+    val chunks = sk.withColumn("ck", explode(chunkArr))
+      .select(col("id"), col("sh"),
+        col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
+    val a = chunks.select(col("chunk_id"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunks.select(col("chunk_id"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram (token-set) Jaccard similarity join via inverted
+    * index: explode tokens → self-join on token → pair-count =
+    * |intersection| → Jaccard from set sizes. `dfCap` drops tokens
+    * present in more than that many documents (stop-token skew
+    * guard; candidate-complete as long as a qualifying pair shares at
+    * least one sub-cap token).
+    */
+  def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
+                  threshold: Double, dfCap: Long = Long.MaxValue): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
+      .withColumn("sz", size(col("ws")))
+    val inv = docs.select(col("id"), col("sz"), explode(col("ws")).as("tok"))
+    val filtered =
+      if (dfCap == Long.MaxValue) inv
+      else {
+        val keep = inv.groupBy("tok").agg(count(lit(1)).as("df_")).filter(col("df_") <= dfCap)
+        inv.join(keep.select("tok"), "tok")
+      }
+    val a = filtered.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = filtered.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, "tok")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column/dataset profiling (reference: home.py:84-251 — pandas
+  * describe/value_counts/pattern analysis, recomputed per UI click).
+  *
+  * Spark-first design: every multi-column profile is computed in ONE
+  * `agg(...)` over the table — a single shared scan with map-side
+  * partial aggregation — then unpivoted by exploding an array of
+  * structs. At 100 TB that is one pass over the data regardless of
+  * column count, where the reference does one pandas pass per column
+  * per interaction. All expressions are built-ins (whole-stage
+  * codegen, vectorized parquet reader, column pruning intact).
+  */
+object Profiler {
+
+  private def isNumericish(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType | DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  /** Dataset shape: rows, columns, nominal vs numeric split
+    * (home.py:88-92: select_dtypes(number/bool/datetime)).
+    */
+  def summary(df: DataFrame): DataFrame = {
+    val numeric = df.schema.fields.count(f => isNumericish(f.dataType))
+    df.agg(count(lit(1)).as("row_count"))
+      .withColumn("column_count", lit(df.schema.size))
+      .withColumn("nominal_column_count", lit(df.schema.size - numeric))
+      .withColumn("numeric_column_count", lit(numeric))
+  }
+
+  /** Per-column null/fill profile (home.py:146-152), one scan for all
+    * columns.
+    */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val perCol = df.columns.map { c =>
+      struct(lit(c).as("column"), count(col(c)).as("non_null"))
+    }
+    df.agg(count(lit(1)).as("_n"), array(perCol.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"), col("_n"))
+      .select(
+        col("c.column").as("column"),
+        col("c.non_null").as("non_null"),
+        (col("_n") - col("c.non_null")).as("null_count"),
+        round(col("c.non_null") * 100.0 / col("_n"), 2).as("fill_pct"))
+      .orderBy("column")
+  }
+
+  /** describe() equivalent for numeric columns (home.py:167-170):
+    * count/mean/std/min/max/q1/median/q3, one scan for all columns.
+    * Quantiles use exact `percentile` (interpolated, matches
+    * quantile_cont semantics); doubles rounded for stable comparison.
+    */
+  def numericStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val perCol = cols.map { c =>
+      val v = col(c).cast(DoubleType)
+      struct(
+        lit(c).as("column"),
+        count(v).as("cnt"),
+        round(avg(v), 4).as("mean"),
+        round(stddev_samp(v), 4).as("std"),
+        round(min(v), 4).as("min"),
+        round(percentile(v, lit(0.25)), 4).as("q1"),
+        round(percentile(v, lit(0.5)), 4).as("median"),
+        round(percentile(v, lit(0.75)), 4).as("q3"),
+        round(max(v), 4).as("max"))
+    }
+    df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("column")
+  }
+
+  /** String length + alphabetic extrema (home.py:133-144). The
+    * "value at min/max length" is made deterministic: among the
+    * shortest (longest) values, the lexicographically smallest wins.
+    */
+  def stringLengthStats(df: DataFrame, c: String): DataFrame = {
+    val s = col(c)
+    df.filter(s.isNotNull)
+      .agg(
+        min(length(s)).as("min_len"),
+        min(struct(length(s).as("l"), s.as("v"))).as("_minlv"),
+        max(length(s)).as("max_len"),
+        min(struct((-length(s)).as("l"), s.as("v"))).as("_maxlv"),
+        min(s).as("min_alpha"),
+        max(s).as("max_alpha"))
+      .select(
+        lit(c).as("column"),
+        col("min_len"), col("_minlv.v").as("value_at_min_len"),
+        col("max_len"), col("_maxlv.v").as("value_at_max_len"),
+        col("min_alpha"), col("max_alpha"))
+  }
+
+  /** Frequency table: value counts + percentage (home.py:172-191). */
+  def frequencyTable(df: DataFrame, c: String): DataFrame = {
+    val n = df.count() // single count job; reused as literal below
+    df.groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(col("cnt") * 100.0 / lit(n.toDouble), 1))
+      .orderBy(desc("cnt"), asc("value"))
+  }
+
+  /** Top-k most frequent values, deterministic tie-break
+    * (home.py:177-185 "5 most frequent values").
+    */
+  def topK(df: DataFrame, c: String, k: Int): DataFrame =
+    df.groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("value"))
+      .limit(k)
+
+  /** Character-class mask used by the pattern profile: letters -> A,
+    * digits -> 9 (home.py:229-231; Turkish letter classes included as
+    * in the reference).
+    */
+  def patternMask(c: Column): Column =
+    regexp_replace(regexp_replace(c, "[A-Za-zÖÇĞİŞÜöçğışü]", "A"), "[0-9]", "9")
+
+  /** Pattern profile: mask frequency table (home.py:229-251). */
+  def patternProfile(df: DataFrame, c: String): DataFrame = {
+    val masked = df.filter(col(c).isNotNull)
+      .select(patternMask(col(c)).as("pattern"))
+    val n = masked.count()
+    masked.groupBy("pattern")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(col("cnt") * 100.0 / lit(n.toDouble), 1))
+      .orderBy(desc("cnt"), asc("pattern"))
+  }
+
+  /** Values rarer than `maxPct` percent (home.py:193-209 "Unexpected
+    * Value Graph", threshold 0.1%).
+    */
+  def unexpectedValues(df: DataFrame, c: String, maxPct: Double): DataFrame = {
+    val n = df.count()
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 100.0 / lit(n.toDouble) < maxPct)
+      .orderBy(asc("value"))
+  }
+
+  /** Positive / zero / negative split (home.py:216-227 "Show p-0-n"). */
+  def signCounts(df: DataFrame, c: String): DataFrame = {
+    val v = col(c)
+    df.agg(
+        count(when(v > 0, 1)).as("positive"),
+        count(when(v === 0, 1)).as("zero"),
+        count(when(v < 0, 1)).as("negative"),
+        count(lit(1)).as("_n"))
+      .select(
+        lit(c).as("column"),
+        col("positive"), col("zero"), col("negative"),
+        round(col("positive") * 100.0 / col("_n"), 1).as("positive_pct"),
+        round(col("zero") * 100.0 / col("_n"), 1).as("zero_pct"),
+        round(col("negative") * 100.0 / col("_n"), 1).as("negative_pct"))
+  }
+
+  /** Exact + approximate (HLL) distinct counts per column, one scan.
+    * The approximate path is the 100 TB default; exact is kept for
+    * oracle checks and small dims.
+    */
+  def distinctProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val perCol = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        countDistinct(col(c)).as("distinct_cnt"),
+        approx_count_distinct(col(c)).as("approx_distinct"))
+    }
+    // countDistinct of several columns in one agg => Spark expands to
+    // a single multi-distinct aggregate (one shuffle, AQE-planned).
+    df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("column")
+  }
+
+  /** Pearson correlation for each column pair, one scan. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield struct(
+      lit(a).as("col_a"), lit(b).as("col_b"),
+      round(corr(col(a), col(b)), 4).as("pearson"))
+    df.agg(array(pairs.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Equi-width histogram with an explicit bucket width anchored at 0
+    * (deterministic, no extra min/max pass; pandas_profiling
+    * histogram equivalent).
+    */
+  def histogram(df: DataFrame, c: String, width: Double): DataFrame =
+    df.filter(col(c).isNotNull)
+      .groupBy((floor(col(c) / width) * width).cast(DoubleType).as("bucket_start"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket_start")
+}

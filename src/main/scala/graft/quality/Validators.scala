@@ -1,0 +1,119 @@
+package graft.quality
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Format validators, each a pure `Column` expression (no UDFs): the
+  * checksum arithmetic and regex rules compile into whole-stage
+  * codegen and stay pushdown/prune-friendly at any scale.
+  *
+  * Reference behaviors: TRnoChecker.py:1-51 (TCKN + tax-number
+  * checksums), home.py:476-563 (e-mail rules), home.py:603-1130
+  * (phone format classes), home.py:579-601 (city domain).
+  */
+object Validators {
+
+  private def dig(s: Column, i: Int): Column = substring(s, i, 1).cast("int")
+
+  /** TR national ID (TCKN) checksum (TRnoChecker.py:1-21):
+    * 11 digits, first nonzero,
+    * d10 == (7*(d1+d3+d5+d7+d9) - (d2+d4+d6+d8)) mod 10,
+    * d11 == (d1+..+d10) mod 10.
+    */
+  def tcknValid(c: Column): Column = {
+    val s = c.cast("string")
+    val d = (1 to 10).map(i => dig(s, i))
+    val odd = d(0) + d(2) + d(4) + d(6) + d(8)
+    val even = d(1) + d(3) + d(5) + d(7)
+    s.rlike("^[1-9][0-9]{10}$") &&
+      dig(s, 10) === pmod(odd * 7 - even, lit(10)) &&
+      dig(s, 11) === pmod(d.reduce(_ + _), lit(10))
+  }
+
+  /** TR tax number checksum (TRnoChecker.py:24-48). For x in 0..8:
+    * tmp1=(d[x]+(9-x))%10; tmp2=(tmp1*2^(9-x))%9, but 9 when tmp1!=0
+    * and tmp2==0; check digit = (10 - total%10)%10 == d[9].
+    * 11-digit inputs fall back to the TCKN rule (TRnoChecker.py:50-51).
+    */
+  def taxNumValid(c: Column): Column = {
+    val s = c.cast("string")
+    val terms = (0 to 8).map { x =>
+      val t1 = pmod(dig(s, x + 1) + lit(9 - x), lit(10))
+      val t2 = pmod(t1 * lit(1 << (9 - x)), lit(9))
+      when(t1 =!= 0 && t2 === 0, lit(9)).otherwise(t2)
+    }
+    val total = terms.reduce(_ + _)
+    val check = pmod(lit(10) - pmod(total, lit(10)), lit(10))
+    val ten = s.rlike("^[0-9]{10}$") && dig(s, 10) === check
+    when(length(s) === 11, tcknValid(s)).otherwise(ten)
+  }
+
+  /** E-mail rules distilled from home.py:476-563 (union of f1-f6 +
+    * v1-v4 filters): forbidden characters, length, exactly one '@'
+    * with a dot, no '@.'/'.@'/'@-', placeholder prefixes, TLD-less /
+    * typo'd domains, uppercase and Turkish characters flagged.
+    * Returns true when the value violates at least one rule.
+    */
+  def emailViolation(c: Column): Column = {
+    val s = c.cast("string")
+    val atCount = length(s) - length(regexp_replace(s, "@", ""))
+    val badChars = s.rlike("""[~`!#$%^&*()+={}\[\]|/:;"'<>?,\\ ]""")
+    val dummyPrefix = s.rlike("^(@|yok@|YOK@|www|bbb@|girilecek@|deneme@|Mailadresi@|dummy@|ingo@)")
+    val badShape = s.rlike("""(@\.|\.@|@-)""")
+    val badSuffix = s.rlike("""(@gmail|@yahoo|@hotmail|@msn|@live|@yandex|@outlook|@windowslive)$""") ||
+      s.rlike("""(\.com\.t|\.o|\.cm|\.ocom|\.ney|\.co\.|\.cvom|\.comtr|\.com\.|\.comom|\.c|\.r|\.com\.tr'|\.com\.tr/)$""")
+    val typoDomain = s.rlike("(windowlive|hotmil|hatmail|hotmial|gamil|gmmail|outlok|yaaho)")
+    val turkishOrUpper = s.rlike("[A-ZıİçÇşŞğĞüÜöÖ]")
+    badChars || length(s) <= 6 || !s.contains("@") || !s.contains(".") ||
+      atCount =!= 1 || dummyPrefix || badShape || badSuffix || typoDomain ||
+      turkishOrUpper
+  }
+
+  def emailValid(c: Column): Column = c.isNotNull && !emailViolation(c)
+
+  /** Digit-mask for phone classification: every digit -> 9,
+    * separators kept (abstraction of home.py:603-1130's ~90
+    * length+separator masks: each mask string IS one class).
+    */
+  def phoneMask(c: Column): Column = regexp_replace(c.cast("string"), "[0-9]", "9")
+
+  /** Dummy/sequential fragments flagged by the reference
+    * (home.py:1092-1099).
+    */
+  def phoneDummy(c: Column): Column =
+    c.rlike("(000 00 00|111 11 11|222 22 22|333 33 33|444 44 44|555 55 55|666 66 66|777 77 77|888 88 88|999 99 99|000000|111111|222222|333333|444444|555555|666666|777777|888888|999999|12345|23456|34567|45678|56789|67890|09876|98765|87654|76543|65432|54321)")
+
+  /** Phone validity against a set of allowed masks + dummy/letter
+    * checks (home.py:603-1130 distilled: a value is in-format iff its
+    * digit-mask is an allowed class and it carries no dummy sequence
+    * or letters).
+    */
+  def phoneValid(c: Column, allowedMasks: Seq[String]): Column = {
+    val s = c.cast("string")
+    s.isNotNull && phoneMask(s).isin(allowedMasks: _*) && !phoneDummy(s) &&
+      !s.rlike("[A-Za-z]")
+  }
+
+  /** Membership domain check (home.py:579-601 — TR city list). */
+  def inDomain(c: Column, domain: Seq[String]): Column =
+    c.isin(domain.map(_.asInstanceOf[Any]): _*)
+
+  /** TR province list from the reference (home.py:580-598), exposed
+    * as a ready-made domain.
+    */
+  val trProvinces: Seq[String] = Seq(
+    "Adana", "Adıyaman", "Afyon", "Ağrı", "Amasya", "Ankara", "Antalya",
+    "Artvin", "Aydın", "Balıkesir", "Bilecik", "Bingöl", "Bitlis", "Bolu",
+    "Burdur", "Bursa", "Çanakkale", "Çankırı", "Çorum", "Denizli",
+    "Diyarbakır", "Edirne", "Elazığ", "Erzincan", "Erzurum", "Eskişehir",
+    "Gaziantep", "Giresun", "Gümüşhane", "Hakkari", "Hatay", "Isparta",
+    "İçel", "İstanbul", "İstanbul-Avrupa", "İstanbul-Anadolu", "İzmir",
+    "Kars", "Kastamonu", "Kayseri", "Kırklareli", "Kırşehir", "Kocaeli",
+    "Konya", "Kütahya", "Malatya", "Manisa", "Kahramanmaraş", "Mardin",
+    "Muğla", "Muş", "Nevşehir", "Niğde", "Ordu", "Rize", "Sakarya",
+    "Samsun", "Siirt", "Sinop", "Sivas", "Tekirdağ", "Tokat", "Trabzon",
+    "Tunceli", "Şanlıurfa", "Uşak", "Van", "Yozgat", "Zonguldak",
+    "Aksaray", "Bayburt", "Karaman", "Kırıkkale", "Batman", "Şırnak",
+    "Bartın", "Ardahan", "Iğdır", "Yalova", "Karabük", "Kilis",
+    "Osmaniye", "Düzce")
+}

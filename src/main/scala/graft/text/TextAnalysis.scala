@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID heuristic,
+  * quality scoring, token counting, fingerprinting. Everything is a
+  * scan-local Column expression (regex + length arithmetic) — zero
+  * shuffle, codegen'd, linear at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wordCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(split(trim(c), " +")))
+
+  /** BPE-ish token count: count of `\w+|[^\w\s]` matches (words +
+    * standalone punctuation), the classic pre-tokenizer granule.
+    */
+  def tokenCount(c: Column): Column = {
+    val collapsed = regexp_replace(regexp_replace(c, "[A-Za-z0-9_]+", "x"), "\\s+", "")
+    // after collapsing each word to one char and dropping whitespace,
+    // every remaining char is exactly one token
+    length(collapsed)
+  }
+
+  /** Distinct-word ratio (repetition signal; 1.0 = no repetition). */
+  def distinctWordRatio(c: Column): Column =
+    round(size(array_distinct(split(trim(c), " +")))
+      / wordCount(c).cast("double"), 4)
+
+  private def ratio(num: Column, den: Column): Column =
+    round(num / den.cast("double"), 4)
+
+  /** Quality-score feature struct (length / punctuation / digit /
+    * uppercase / stopword / repetition ratios). A downstream filter
+    * picks thresholds; this computes the features in one projection.
+    */
+  def qualityFeatures(c: Column): Column = {
+    val n = length(c).cast("double")
+    val words = wordCount(c)
+    val punct = n - length(regexp_replace(c, """[\p{Punct}]""", ""))
+    val digits = n - length(regexp_replace(c, "[0-9]", ""))
+    val uppers = n - length(regexp_replace(c, "[A-Z]", ""))
+    val stops = size(filter(split(lower(c), " +"),
+      w => w.isin("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")))
+    struct(
+      n.cast("long").as("n_chars"),
+      words.as("n_words"),
+      ratio(length(regexp_replace(c, " ", "")), words).as("avg_word_len"),
+      ratio(punct, n).as("punct_ratio"),
+      ratio(digits, n).as("digit_ratio"),
+      ratio(uppers, n).as("upper_ratio"),
+      ratio(stops, words).as("stopword_ratio"),
+      distinctWordRatio(c).as("distinct_word_ratio"))
+  }
+
+  /** Simple composite quality score in [0,1]: penalize extreme
+    * repetition, punctuation soup, and missing stopwords.
+    */
+  def qualityScore(c: Column): Column = {
+    val f = qualityFeatures(c)
+    round(
+      (when(f.getField("distinct_word_ratio") >= 0.3, 0.4).otherwise(0.0)
+        + when(f.getField("punct_ratio") <= 0.2, 0.3).otherwise(0.0)
+        + when(f.getField("stopword_ratio") >= 0.02, 0.2).otherwise(0.0)
+        + when(f.getField("n_words") >= 5, 0.1).otherwise(0.0)), 2)
+  }
+
+  /** N-gram-free language-ID heuristic: score per language =
+    * stopword hits + script hits; argmax wins, 'und' if no signal.
+    * Deliberately simple and deterministic (same arithmetic is
+    * SQL-expressible for the oracle).
+    */
+  def languageId(c: Column): Column = {
+    val words = split(lower(c), " +")
+    def hits(stop: Seq[String]): Column =
+      size(filter(words, w => w.isin(stop: _*)))
+    val scores = Seq(
+      "en" -> hits(Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")),
+      "es" -> hits(Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "es")),
+      "de" -> hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von")),
+      "fr" -> hits(Seq("le", "la", "les", "et", "est", "une", "des", "du", "que", "pour")),
+      "zh" -> (length(c) - length(regexp_replace(c, "[\\x{4e00}-\\x{9fff}]", ""))))
+    val best = scores.map { case (lang, s) =>
+      struct(s.as("score"), lit(lang).as("lang"))
+    }
+    val top = greatest(best.toIndexedSeq: _*)
+    when(top.getField("score") > 0, top.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit content fingerprint of normalized text (lower, collapsed
+    * whitespace): stable across formatting-only edits.
+    */
+  def fingerprint(c: Column): Column =
+    xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Hex MD5 fingerprint (128-bit, collision-safe for exact dedup). */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  def profile(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), qualityFeatures(col(textCol)).as("f"),
+        qualityScore(col(textCol)).as("quality_score"),
+        languageId(col(textCol)).as("lang_pred"),
+        fingerprintMd5(col(textCol)).as("fingerprint"))
+      .select(col(idCol), col("f.*"), col("quality_score"), col("lang_pred"), col("fingerprint"))
+}

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query in
+outDir, load the Spark parquet result and the DuckDB oracle result,
+sort columns by name and rows by all columns, and compare values.
+Usage: check_oracle.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+ok, bad = [], []
+for name in sorted(os.listdir(outdir)):
+    qdir = os.path.join(outdir, name)
+    if not os.path.isdir(qdir):
+        continue
+    files = glob.glob(os.path.join(qdir, "*.parquet"))
+    if not files:
+        bad.append((name, "no spark output")); continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    if name not in oracle:
+        ok.append((name, f"rows-only ({len(spark_df)} rows)")); continue
+    try:
+        duck_df = con.execute(oracle[name]).df()
+    except Exception as e:
+        bad.append((name, f"oracle SQL error: {e}")); continue
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
+        return df.reset_index(drop=True)
+    s, d = norm(spark_df), norm(duck_df)
+    if list(s.columns) != list(d.columns):
+        bad.append((name, f"columns differ: spark={list(s.columns)} duck={list(d.columns)}")); continue
+    if len(s) != len(d):
+        bad.append((name, f"row count differ: spark={len(s)} duck={len(d)}")); continue
+    mism = None
+    for c in s.columns:
+        a, b = s[c], d[c]
+        try:
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                import numpy as np
+                eq = (a.isna() & b.isna()) | np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+            else:
+                eq = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
+        except Exception as e:
+            mism = f"col {c}: compare error {e}"; break
+        if not eq.all():
+            i = eq.idxmin()
+            mism = f"col {c} row {i}: spark={a[i]!r} duck={b[i]!r}"; break
+    if mism: bad.append((name, mism))
+    else: ok.append((name, f"MATCH ({len(s)} rows)"))
+
+for n, m in ok: print(f"OK   {n}: {m}")
+for n, m in bad: print(f"FAIL {n}: {m}")
+print(f"\n{len(ok)} ok, {len(bad)} fail")
+sys.exit(1 if bad else 0)
