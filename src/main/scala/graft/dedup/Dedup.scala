@@ -84,10 +84,26 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
-    val keyed = docs
-      .withColumn("bk", explode(bandKeys(minhashSignature(col("ws"), bands * rowsPerBand), bands, rowsPerBand)))
+    val k = bands * rowsPerBand
+    val raw = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
+    val exploded = raw.select(col("id"), explode(col("ws")).as("tok"))
+
+    // Signatures via explode -> groupBy with k codegen'd MIN
+    // aggregates (higher-order array functions are interpreted in
+    // Spark — an agg over exploded tokens stays in whole-stage
+    // codegen and map-side combines). One narrow shuffle keyed by id.
+    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"_s$i"))
+    val sigs = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(array((0 until rowsPerBand).map(j => col(s"_s${b * rowsPerBand + j}")): _*))
+          .as("bh"))
+    }
+    val keyed = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select("bk", "id")
+      .persist() // bands x ids only (~16B/row); read by both join sides
+
     // candidate ids deduped FIRST (narrow 2-column shuffle), so the
     // exact verification below runs once per pair, not once per
     // colliding band
@@ -96,12 +112,40 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    cands
-      .join(docs.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("ws_a"), col("ws_b")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+
+    // Exact verification on a dictionary-encoded representation. When
+    // the corpus vocabulary fits in 64 slots (categorical/code-like
+    // corpora), each word-set compresses to ONE int64 bitmap: the
+    // verify side ships 8 bytes per doc (broadcast to a map-side
+    // join) and Jaccard evaluates as two popcounts. General path
+    // falls back to token-id arrays (~4x narrower than strings).
+    val vocab = exploded.select("tok").distinct()
+    val vocabSize = vocab.count()
+    val verified =
+      if (vocabSize <= 64) {
+        val dict = broadcast(vocab.select(col("tok"),
+          (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+            .as("tid")))
+        val side = exploded.join(dict, "tok")
+          .groupBy("id")
+          .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))
+          .persist() // tiny (8B/doc); reused by both join sides
+        val inter = bit_count(col("bits_a").bitwiseAND(col("bits_b"))).cast("double")
+        cands
+          .join(broadcast(side.select(col("id").as("id_a"), col("bits").as("bits_a"))), "id_a")
+          .join(broadcast(side.select(col("id").as("id_b"), col("bits").as("bits_b"))), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(inter / (bit_count(col("bits_a")) + bit_count(col("bits_b")) - inter), 4)
+              .as("jaccard"))
+      } else {
+        val side = raw.select(col("id"), col("ws"))
+        cands
+          .join(side.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
+          .join(side.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(jaccard(col("ws_a"), col("ws_b")), 4).as("jaccard"))
+      }
+    verified.filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash of a token-set: per-bit majority vote of token
@@ -129,7 +173,17 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sk = df.select(col(idCol).as("id"), simhash(wordSet(col(textCol))).as("sh"))
+    // sketch via explode -> groupBy with 64 codegen'd SUM aggregates
+    // (one shuffle, map-side combined) instead of interpreted
+    // higher-order array functions; semantics identical to simhash()
+    val ex = df.select(col(idCol).as("id"), explode(wordSet(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$i"))
+    val sk = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
     val chunkArr = array((0 until 4).map(i => struct(
       lit(i).as("chunk_id"),
       shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
