@@ -385,10 +385,12 @@ object SparkEntry {
     "q_a5_freq_table" ->
       """SELECT c_mktsegment AS value, count(*) AS cnt,
         | round(count(*)*100.0/(SELECT count(*) FROM customer),1) AS pct
-        |FROM customer GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin,
+        |FROM customer WHERE c_mktsegment IS NOT NULL
+        |GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin,
 
     "q_a6_topk_values" ->
       """SELECT p_brand AS value, count(*) AS cnt FROM part
+        |WHERE p_brand IS NOT NULL
         |GROUP BY 1 ORDER BY cnt DESC, value LIMIT 5""".stripMargin,
 
     "q_a7_pattern_profile" ->

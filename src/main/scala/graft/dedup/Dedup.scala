@@ -211,20 +211,37 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("sz", size(col("ws")))
     val inv = docs.select(col("id"), col("sz"), explode(col("ws")).as("tok"))
-    val filtered =
-      if (dfCap == Long.MaxValue) inv
-      else {
-        val keep = inv.groupBy("tok").agg(count(lit(1)).as("df_")).filter(col("df_") <= dfCap)
-        inv.join(keep.select("tok"), "tok")
-      }
-    val a = filtered.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = filtered.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, "tok")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("inter"))
-      .select(col("id_a"), col("id_b"),
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    if (dfCap == Long.MaxValue) {
+      // exact path: pair-count over the full inverted index IS the
+      // intersection size — no second pass needed
+      val a = inv.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val b = inv.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+      a.join(b, "tok")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(count(lit(1)).as("inter"))
+        .select(col("id_a"), col("id_b"),
+          round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else {
+      // capped path: stop-tokens (document frequency > dfCap) are
+      // dropped from CANDIDATE GENERATION only — they are the skew
+      // source and contribute no selectivity. The Jaccard itself is
+      // then recomputed exactly on the full sets, so a surviving pair
+      // is never mis-scored; recall requires sharing >= 1 rare token.
+      val keep = inv.groupBy("tok").agg(count(lit(1)).as("df_")).filter(col("df_") <= dfCap)
+      val capped = inv.join(keep.select("tok"), "tok")
+      val cands = capped.select(col("tok"), col("id").as("id_a"))
+        .join(capped.select(col("tok"), col("id").as("id_b")), "tok")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+      cands
+        .join(docs.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
+        .join(docs.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(jaccard(col("ws_a"), col("ws_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 }

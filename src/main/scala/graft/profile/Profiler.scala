@@ -96,20 +96,25 @@ object Profiler {
         col("min_alpha"), col("max_alpha"))
   }
 
-  /** Frequency table: value counts + percentage (home.py:172-191). */
+  /** Frequency table: value counts + percentage (home.py:172-191;
+    * like pandas value_counts, nulls are excluded — the null share
+    * lives in [[nullProfile]]).
+    */
   def frequencyTable(df: DataFrame, c: String): DataFrame = {
     val n = df.count() // single count job; reused as literal below
-    df.groupBy(col(c).as("value"))
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("value"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("pct", round(col("cnt") * 100.0 / lit(n.toDouble), 1))
       .orderBy(desc("cnt"), asc("value"))
   }
 
-  /** Top-k most frequent values, deterministic tie-break
+  /** Top-k most frequent (non-null) values, deterministic tie-break
     * (home.py:177-185 "5 most frequent values").
     */
   def topK(df: DataFrame, c: String, k: Int): DataFrame =
-    df.groupBy(col(c).as("value"))
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("value"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("value"))
       .limit(k)

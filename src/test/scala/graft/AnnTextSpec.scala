@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.text.TextAnalysis
+
+class AnnTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vectors: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(11)
+    (0L until 100L).map(i => i -> Array.fill(16)(rnd.nextGaussian().toFloat))
+  }
+
+  private def bruteCos(q: Array[Double]): Seq[(Long, Double)] = {
+    def cos(a: Array[Float]): Double = {
+      val dot = a.zip(q).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nq = math.sqrt(q.map(x => x * x).sum)
+      dot / (na * nq)
+    }
+    vectors.map { case (id, v) =>
+      id -> BigDecimal(cos(v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, c) => (-c, id) }
+  }
+
+  test("cosineTopK equals brute-force ranking") {
+    val df = vectors.toDF("vec_id", "embedding")
+    val q = vectors.head._2.map(_.toDouble)
+    val got = Ann.cosineTopK(df, "embedding", "vec_id", q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == bruteCos(q).take(10))
+    assert(got.head._1 == 0L && got.head._2 == 1.0) // self-match first
+  }
+
+  test("lshTopK returns a subset of true neighbors with exact scores") {
+    val df = vectors.toDF("vec_id", "embedding")
+    val q = vectors.head._2.map(_.toDouble)
+    val brute = bruteCos(q).toMap
+    val got = Ann.lshTopK(df, "embedding", "vec_id", q, 10, planes = 3).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("ivfTopK probes nearest centroids and scores exactly") {
+    val df = vectors.toDF("vec_id", "embedding")
+    val q = vectors.head._2.map(_.toDouble)
+    val cents = Ann.trainCentroidsBySample(df, "embedding", "vec_id", 8)
+    val brute = bruteCos(q).toMap
+    val got = Ann.ivfTopK(df, "embedding", "vec_id", cents, q, 5, nprobe = 3).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("cosinePairs finds duplicate vectors (recall 1 for identical)") {
+    val dup = vectors ++ vectors.take(4).map { case (id, v) => (id + 1000) -> v }
+    val df = dup.toDF("vec_id", "embedding")
+    val got = Ann.cosinePairs(df, "embedding", "vec_id", 0.999, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 4L).foreach(i => assert(got.contains((i, i + 1000)), s"dup $i"))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val r = Seq("Hello, world! It's 42.").toDF("t")
+      .select(TextAnalysis.wordCount(col("t")).as("w"),
+        TextAnalysis.tokenCount(col("t")).as("b")).collect()(0)
+    assert(r.getAs[Int]("w") == 4)
+    // tokens: Hello , world ! It ' s 42 . => 9
+    assert(r.getAs[Int]("b") == 9)
+  }
+
+  test("languageId identifies simple sentences by stopwords/script") {
+    val cases = Seq(
+      "the cat sat on the mat and it is happy" -> "en",
+      "el perro y la casa de los niños es una maravilla" -> "es",
+      "der hund und die katze ist nicht ein problem mit von" -> "de",
+      "le chat et la maison est une merveille pour les enfants du pays" -> "fr",
+      "这是一个中文句子" -> "zh",
+      "xyzzy qwerty" -> "und")
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), TextAnalysis.languageId(col("t")).as("l")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (t, exp) => assert(got(t) == exp, s"langid '$t'") }
+  }
+
+  test("fingerprint is stable under whitespace/case formatting") {
+    val df = Seq("Hello   World", "hello world", "different").toDF("t")
+      .select(TextAnalysis.fingerprintMd5(col("t")).as("f")).collect().map(_.getString(0))
+    assert(df(0) == df(1) && df(0) != df(2))
+  }
+
+  test("quality features and score computed per doc") {
+    val r = TextAnalysis.profile(
+      Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+      "text", "id").collect()(0)
+    assert(r.getAs[Long]("n_chars") == 43)
+    assert(r.getAs[Int]("n_words") == 9)
+    assert(r.getAs[String]("lang_pred") == "en")
+    assert(r.getAs[Double]("quality_score") == 1.0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corrector.{Corrector, Enrich}
+
+class CorrectorEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("case/whitespace/replace chain") {
+    val df = Seq("  HELLO   wORLD  ").toDF("s")
+    val out = Corrector.replaceSubstring(
+      Corrector.strip(Corrector.collapseSpaces(
+        Corrector.toTitleCase(df, "s"), "s"), "s"), "s", "World", "W.")
+    assert(out.collect()(0).getString(0) == "Hello W.")
+  }
+
+  test("normalizePhone strips to last 10 digits") {
+    val out = Seq("+90 (532) 123-45-67", "0 532 123 45 67", "123")
+      .toDF("p").select(Corrector.normalizePhone(col("p")).as("n")).collect()
+    assert(out(0).getString(0) == "5321234567")
+    assert(out(1).getString(0) == "5321234567")
+    assert(out(2).getString(0) == "123")
+  }
+
+  test("replaceValue / nullifyValue / dropRowsWhere") {
+    val df = Seq("P", "F", "O").toDF("st")
+    val r = Corrector.replaceValue(df, "st", "P", "PENDING")
+      .collect().map(_.getString(0)).toSet
+    assert(r == Set("PENDING", "F", "O"))
+    val n = Corrector.nullifyValue(df, "st", "F").filter(col("st").isNull).count()
+    assert(n == 1)
+    assert(Corrector.dropRowsWhere(df, col("st") === "O").count() == 2)
+  }
+
+  test("fillNullsWithMean fills with rounded column mean") {
+    val df = Seq(Some(10.0), Some(20.0), None).toDF("v")
+    val filled = Corrector.fillNullsWithMean(df, "v").agg(sum("v")).collect()(0).getDouble(0)
+    assert(filled == 45.0)
+  }
+
+  test("writeParquet/writeCsv round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    Corrector.writeParquet(df, s"$dir/p")
+    Corrector.writeCsv(df, s"$dir/c")
+    assert(spark.read.parquet(s"$dir/p").count() == 2)
+    assert(spark.read.option("header", "true").csv(s"$dir/c").count() == 2)
+  }
+
+  test("dateParts + age derive calendar fields") {
+    val df = Seq("2020-02-29").toDF("d").select(col("d").cast("date").as("d"))
+    val r = Enrich.age(Enrich.dateParts(df, "d"), "d", "2026-01-01").collect()(0)
+    assert(r.getAs[Int]("d_day") == 29)
+    assert(r.getAs[String]("d_weekday") == "Saturday")
+    assert(r.getAs[Int]("d_month") == 2)
+    assert(r.getAs[Int]("d_year") == 2020)
+    assert(r.getAs[Int]("d_quarter") == 1)
+    assert(r.getAs[Int]("Age_d") == 5)
+  }
+
+  test("gender broadcast lookup by first name") {
+    val df = Seq("Ayşe Yılmaz", "Ahmet Kaya", "Unknown Person").toDF("name")
+    val g = Enrich.gender(df, "name").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(g("Ayşe Yılmaz").contains("K"))
+    assert(g("Ahmet Kaya").contains("E"))
+    assert(g("Unknown Person").isEmpty)
+  }
+
+  test("geo broadcast lookup by city") {
+    val df = Seq("Ankara", "Nowhere").toDF("city")
+    val g = Enrich.geo(df, "city").collect()
+      .map(r => r.getString(0) -> Option(r.getAs[Double]("latitude"))).toMap
+    assert(g("Ankara").contains(39.9334))
+    assert(g("Nowhere").isEmpty)
+  }
+
+  test("sortBy and reorder") {
+    val df = Seq((2, "b"), (1, "a"), (3, "c")).toDF("k", "s")
+    val sorted = Corrector.sortBy(df, Seq("k" -> false)).collect().map(_.getInt(0)).toSeq
+    assert(sorted == Seq(3, 2, 1))
+    assert(Corrector.reorder(df, Seq("s", "k")).columns.toSeq == Seq("s", "k"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.StringSim
+
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Small corpus with engineered near-dups; vocabulary > 64 words so
+    * the general (non-bitmap) verification path is exercised too.
+    */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val base = (0L until 40L).map { i =>
+      i -> Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    // near-dups: shuffled copies of docs 0..4 with ids 100..104
+    val dups = (0L until 5L).map { i =>
+      (100L + i) -> rnd.shuffle(base(i.toInt)._2.split(" ").toSeq).mkString(" ")
+    }
+    base ++ dups
+  }
+
+  private def bruteJaccard(t: Double): Set[(Long, Long, Double)] = {
+    val sets = corpus.map { case (id, s) => id -> s.split(" +").toSet }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= t
+    } yield (ia, ib, jr)).toSet
+  }
+
+  test("minhashPairs (general path) finds exactly the brute-force pairs at high threshold") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(df, "text", "doc_id", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteJaccard(0.9))
+    assert(got.size >= 5) // the engineered dups must be found
+  }
+
+  test("minhashPairs (bitmap path, vocab<=64) matches brute force") {
+    val vocab = (0 until 40).map(i => s"v$i")
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 30L).map { i =>
+      i -> Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val withDups = docs ++ docs.take(3).map { case (id, s) => (id + 500) -> s }
+    val df = withDups.toDF("doc_id", "text")
+    val sets = withDups.map { case (id, s) => id -> s.split(" +").toSet }
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.95
+    } yield (ia, ib)).toSet
+    val got = Dedup.minhashPairs(df, "text", "doc_id", 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got.size >= 3)
+  }
+
+  test("exactDedup keeps one row per content, min id wins") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val kept = Dedup.exactDedup(df, "text", "id").select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    val stats = Dedup.exactDedupStats(df, "text").collect()(0)
+    assert(stats.getAs[Long]("total_docs") == 3 && stats.getAs[Long]("distinct_docs") == 2)
+  }
+
+  test("simhashPairs finds identical docs and respects hamming bound") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "text", "doc_id", 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shuffled word-set-identical docs have identical simhash (hamming 0)
+    (0L until 5L).foreach { i => assert(got.contains((i, 100L + i)), s"pair $i") }
+  }
+
+  test("jaccardJoin equals brute force at threshold") {
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteJaccard(0.5))
+  }
+
+  test("jaccardJoin dfCap drops stop tokens but keeps qualifying pairs sharing rare tokens") {
+    val df = Seq((1L, "stop a b c"), (2L, "stop a b c"), (3L, "stop x y z"))
+      .toDF("doc_id", "text")
+    // 'stop' appears in all 3 docs; cap=2 removes it from the index,
+    // pair (1,2) still shares a/b/c
+    val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.9, dfCap = 2).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("string similarity finds near-identical strings via tf-idf 3-grams") {
+    val df = Seq(
+      (1L, "Johnson & Johnson Ltd"),
+      (2L, "Johnson & Johnson Ltd."),
+      (3L, "Acme Corporation"),
+      (4L, "Acme Corp"),
+      (5L, "Zebra Unrelated Industries")).toDF("id", "s")
+    val pairs = StringSim.similarPairs(df, "s", "id", 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.9)
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+import graft.streaming.StreamingDQ
+import graft.quality.Rule
+
+class MultimodalStreamingSpec extends SparkSpec {
+
+  test("multimodal: withMeta derives size metadata without decoding") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](9))).toDF("id", "payload")
+    val m = Multimodal.withMeta(df, "id", "payload", "png").collect()
+      .map(r => r.getLong(0) -> r.getStruct(2).getAs[Long]("nBytes")).toMap
+    assert(m == Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("multimodal: stub feature extraction is deterministic and batch-shaped") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, Array[Byte](1, 2, 3, 4), MediaMeta("png", 0, 0, 4)),
+      MediaRow(2L, Array[Byte](1, 2, 3, 4), MediaMeta("png", 0, 0, 4)),
+      MediaRow(3L, Array[Byte](9, 9), MediaMeta("png", 0, 0, 2)))
+    val ds = spark.createDataset(rows)
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.id)
+    assert(out.length == 3 && out.forall(_.features.length == 8))
+    assert(out(0).features.sameElements(out(1).features)) // same bytes => same features
+    assert(!out(0).features.sameElements(out(2).features))
+  }
+
+  test("multimodal: frame sampling emits n slices per payload") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, Array.tabulate[Byte](20)(_.toByte), MediaMeta("mp4", 0, 0, 20))))
+    val frames = Multimodal.sampleFrames(ds, 4).collect()
+    assert(frames.length == 4)
+    assert(frames.map(_.getInt(1)).toSet == Set(0, 1, 2, 3))
+  }
+
+  test("streaming: windowed DQ score over a memory stream with watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Option[Double])]
+    val stream = mem.toDF().toDF("ts", "value")
+    val scored = StreamingDQ.windowedDqScore(stream, "ts", "value",
+      Seq(Rule.NumBetween(0, 100)), "1 minute", "2 minutes")
+    val q = scored.writeStream.format("memory").queryName("dq_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (t("2026-01-01 00:00:10"), Some(50.0)),
+        (t("2026-01-01 00:00:20"), Some(500.0)), // out of format
+        (t("2026-01-01 00:00:30"), None))        // null
+      q.processAllAvailable()
+      // advance event time past watermark so the first window closes
+      mem.addData((t("2026-01-01 00:10:00"), Some(1.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM dq_out").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getAs[Long]("total") == 3 && r.getAs[Long]("null_records") == 1 &&
+        r.getAs[Long]("out_of_format_records") == 1)
+      assert(math.abs(r.getAs[Double]("dq_score") - 33.33) < 0.01)
+    } finally q.stop()
+  }
+
+  test("streaming: dedup within watermark drops repeated keys") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "k")
+    val deduped = StreamingDQ.streamingDedup(stream, "ts", Seq("k"), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData((t("2026-01-01 00:00:01"), "a"), (t("2026-01-01 00:00:02"), "a"),
+        (t("2026-01-01 00:00:03"), "b"))
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT k FROM dedup_out").collect().map(_.getString(0)).toSeq
+      assert(keys.sorted == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("streaming: windowed per-type counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "event_type")
+    val counts = StreamingDQ.windowedTypeCounts(stream, "ts", "event_type", "1 minute", "1 minute")
+    val q = counts.writeStream.format("memory").queryName("types_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData((t("2026-01-01 00:00:01"), "click"), (t("2026-01-01 00:00:02"), "click"),
+        (t("2026-01-01 00:00:03"), "view"))
+      q.processAllAvailable()
+      mem.addData((t("2026-01-01 00:05:00"), "late")) // close the window
+      q.processAllAvailable()
+      val m = spark.sql("SELECT event_type, cnt FROM types_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m == Map("click" -> 2L, "view" -> 1L))
+    } finally q.stop()
+  }
+}
