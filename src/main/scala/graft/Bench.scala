@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/parquet-reader paths so per-query numbers
+    // reflect steady state rather than first-use compilation
+    try {
+      Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
+      spark.range(1000000).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -147,6 +147,17 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "q_b3_dup_by_key" -> ((s, d) => Detector.duplicatesByKey(t(s, d, "orders"), "o_custkey")),
+    "q_b4_string_sim" -> ((s, d) => {
+      // nation names + typo'd variants: the detector must pair each
+      // name with its corruption (rows-only check; exactness is
+      // covered by the tf-idf spec against engineered fixtures)
+      val n = t(s, d, "nation")
+      val corpus = n.select(col("n_nationkey").cast("long").as("id"), col("n_name").as("s"))
+        .union(n.select((col("n_nationkey") + 100).cast("long").as("id"),
+          concat(col("n_name"), lit(" X")).as("s")))
+      graft.similarity.StringSim.similarPairs(corpus, "s", "id", 0.52)
+        .orderBy("id_a", "id_b")
+    }),
     "q_b5_rule_numeric" -> ((s, d) => t(s, d, "lineitem")
       .filter(col("l_quantity").isNotNull && Rule.NumBetween(5, 45).violation(col("l_quantity")))
       .select(col("l_quantity").as("value")).distinct().orderBy("value")),
@@ -329,6 +340,26 @@ object SparkEntry {
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       Ann.lshTopK(emb, "embedding", "vec_id", q, 10)
     }),
+    // ---- S. streaming operators, exercised in batch (window() and
+    // watermark share semantics across modes; watermark is a no-op in
+    // batch, so the oracle checks the windowing logic itself)
+    "q_s1_windowed_counts" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+      graft.streaming.StreamingDQ.windowedTypeCounts(ev, "ts", "event_type", "1 hour", "1 hour")
+        .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("window_start", "event_type")
+    }),
+    "q_s2_windowed_dq" -> ((s, d) => {
+      val ev = doctoredEvents(s, d)
+        .withColumn("ts2", timestamp_seconds(
+          coalesce(col("ts"), lit(0L)) / lit(1000000000L)))
+      graft.streaming.StreamingDQ.windowedDqScore(ev, "ts2", "value",
+        Seq(Rule.NumBetween(10, 90)), "1 day", "1 day")
+        .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("window_start")
+    }),
+
     "q_d9_langid" -> ((s, d) => t(s, d, "documents")
       .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("cnt")).orderBy("lang_pred")),
@@ -700,6 +731,23 @@ object SparkEntry {
         |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
         |      * sqrt(list_dot_product((SELECT qv FROM q), (SELECT qv FROM q)))), 4) AS cosine_sim
         |FROM embeddings ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_s1_windowed_counts" ->
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_s2_windowed_dq" ->
+      s"""WITH d AS ($doctoredEventsSql)
+         |SELECT strftime(time_bucket(INTERVAL 1 DAY, coalesce(ts, TIMESTAMP '1970-01-01 00:00:00')), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | count(*) AS total,
+         | count(CASE WHEN value IS NULL THEN 1 END) AS null_records,
+         | count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END) AS out_of_format_records,
+         | count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END) AS proper_format_records,
+         | round((count(*) - count(CASE WHEN value IS NULL THEN 1 END)
+         |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*),2) AS dq_score
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_d9_langid" ->
       """WITH s AS (SELECT

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Deterministic dot product: left-to-right fold in doubles. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Deterministic dot product: left-to-right loop in doubles, as a
+    * native codegen'd expression (graft.functions.DotProduct) — the
+    * equivalent `aggregate(zip_with(...))` runs interpreted per row.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
