@@ -136,6 +136,12 @@ object SparkEntry {
     "q_a11_corr" -> ((s, d) => Profiler.correlationMatrix(
       t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
     "q_a12_histogram" -> ((s, d) => Profiler.histogram(t(s, d, "lineitem"), "l_quantity", 5.0)),
+    // integral-valued columns: all E[x^k] sums stay exact in doubles,
+    // so the higher moments are bit-identical across engines
+    "q_a13_moments" -> ((s, d) =>
+      Profiler.moments(t(s, d, "lineitem"), Seq("l_quantity"))
+        .union(Profiler.moments(t(s, d, "part"), Seq("p_size")))
+        .orderBy("column")),
 
     // ---- B. quality detection
     "q_b1_useless_rows" -> ((s, d) =>
@@ -317,6 +323,17 @@ object SparkEntry {
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
+    "q_d4b_jaccard_capped" -> ((s, d) => {
+      // every doc gets a ubiquitous injected token; the df-cap drops
+      // it from candidate generation (skew guard) while scores still
+      // count it — the oracle computes plain full-set Jaccard, so a
+      // mis-scoring cap would be caught
+      val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(lit("common7 "), col("text")))
+      val n = docs.count()
+      Dedup.jaccardJoin(docs, "text", "doc_id", 0.8, dfCap = n - 1)
+        .orderBy("id_a", "id_b")
+    }),
     "q_d5_embed_dup" -> ((s, d) => {
       // corpus doctored with re-ingested duplicates (vec_id shifted):
       // identical vectors land in identical LSH buckets, so recall is
@@ -462,6 +479,28 @@ object SparkEntry {
     "q_a12_histogram" ->
       """SELECT floor(l_quantity/5.0)*5.0 AS bucket_start, count(*) AS cnt
         |FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_a13_moments" -> {
+      def one(c: String, tbl: String) =
+        s"""SELECT '$c' AS "column", count($c) AS cnt,
+           | round((avg($c*$c*$c) - avg($c)*avg($c*$c)*3 + avg($c)*avg($c)*avg($c)*2)
+           |   / pow(avg($c*$c) - avg($c)*avg($c), 1.5), 4) AS skewness,
+           | round((avg($c*$c*$c*$c) - avg($c)*avg($c*$c*$c)*4 + avg($c)*avg($c)*avg($c*$c)*6
+           |     - avg($c)*avg($c)*avg($c)*avg($c)*3)
+           |   / ((avg($c*$c) - avg($c)*avg($c)) * (avg($c*$c) - avg($c)*avg($c))) - 3, 4) AS kurtosis
+           |FROM $tbl""".stripMargin
+      Seq(one("l_quantity", "lineitem"), one("p_size", "part"))
+        .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    "q_d4b_jaccard_capped" ->
+      """WITH docs AS (SELECT doc_id, list_distinct(regexp_split_to_array('common7 ' || text,' +')) AS ws
+        | FROM documents WHERE doc_id%10=0)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) AS jaccard
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_b1_useless_rows" ->
       s"""WITH d AS ($doctoredEventsSql)

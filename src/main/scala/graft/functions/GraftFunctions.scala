@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions as SQL functions.
+  *
+  * Two paths:
+  *  - config `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    at session build time (the standard extension mechanism);
+  *  - [[GraftFunctions.register]] on an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}
+
+object GraftFunctions {
+  /** Idempotently registers graft SQL functions on a live session, so
+    * `spark.sql("SELECT dot_product(a, b) ...")` works without
+    * rebuilding the session with extensions.
+    */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(
+      spark, "dot_product", (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+}

@@ -197,6 +197,32 @@ object Profiler {
       .orderBy("col_a", "col_b")
   }
 
+  /** Skewness / excess kurtosis per numeric column, one scan, from
+    * raw moments (m3/m2^1.5, m4/m2^2 - 3). Computed with an explicit
+    * E[x^k] formula rather than builtin skewness()/kurtosis() so the
+    * definition is engine-independent (Spark and DuckDB builtins
+    * disagree on sample-vs-population corrections).
+    */
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val perCol = cols.map { c =>
+      val v = col(c).cast(DoubleType)
+      val e1 = avg(v); val e2 = avg(v * v); val e3 = avg(v * v * v)
+      val e4 = avg(v * v * v * v)
+      val m2 = e2 - e1 * e1
+      val m3 = e3 - e1 * e2 * 3 + e1 * e1 * e1 * 2
+      val m4 = e4 - e1 * e3 * 4 + e1 * e1 * e2 * 6 - e1 * e1 * e1 * e1 * 3
+      struct(
+        lit(c).as("column"),
+        count(v).as("cnt"),
+        round(m3 / pow(m2, 1.5), 4).as("skewness"),
+        round(m4 / (m2 * m2) - 3, 4).as("kurtosis"))
+    }
+    df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("column")
+  }
+
   /** Equi-width histogram with an explicit bucket width anchored at 0
     * (deterministic, no extra min/max pass; pandas_profiling
     * histogram equivalent).

@@ -62,6 +62,21 @@ class ProfilerDetectorSpec extends SparkSpec {
     assert(h == Map(-10.0 -> 1L, 0.0 -> 1L, 10.0 -> 1L, 20.0 -> 1L))
   }
 
+  test("moments compute skewness/kurtosis from raw moments") {
+    // symmetric two-point distribution: skew 0, kurtosis -2
+    val d = Seq(1.0, 1.0, 3.0, 3.0).toDF("x")
+    val r = Profiler.moments(d, Seq("x")).collect()(0)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis") == -2.0)
+  }
+
+  test("dot_product registers as a SQL function") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v == 11.0)
+  }
+
   test("uselessRows flags rows with more than half columns null") {
     val d = Seq((Some(1), None: Option[String], None: Option[Double]),
                 (Some(2), Some("x"), Some(1.0))).toDF("a", "b", "c")
