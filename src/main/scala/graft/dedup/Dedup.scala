@@ -84,9 +84,23 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    require(threshold <= 1.0, "jaccard threshold must be <= 1")
     val k = bands * rowsPerBand
     val raw = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
-    val exploded = raw.select(col("id"), explode(col("ws")).as("tok"))
+
+    // Cluster identical word-sets FIRST (128-bit content key over the
+    // sorted set). Real near-dup corpora are dominated by exact-dup
+    // clusters; LSH then runs on unique sets only and cluster members
+    // are expanded back afterwards — candidate volume scales with
+    // unique sets squared, not docs squared.
+    val clustered = raw
+      .groupBy(md5(concat_ws("\u0001", sort_array(col("ws")))).as("_ck"))
+      .agg(min(col("id")).as("sid"), collect_list(col("id")).as("ids"),
+        first(col("ws")).as("ws"))
+      .drop("_ck")
+      .persist()
+
+    val exploded = clustered.select(col("sid").as("id"), explode(col("ws")).as("tok"))
 
     // Signatures via explode -> groupBy with k codegen'd MIN
     // aggregates (higher-order array functions are interpreted in
@@ -138,14 +152,32 @@ object Dedup {
             round(inter / (bit_count(col("bits_a")) + bit_count(col("bits_b")) - inter), 4)
               .as("jaccard"))
       } else {
-        val side = raw.select(col("id"), col("ws"))
+        val side = clustered.select(col("sid").as("id"), col("ws"))
         cands
           .join(side.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
           .join(side.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
           .select(col("id_a"), col("id_b"),
             round(jaccard(col("ws_a"), col("ws_b")), 4).as("jaccard"))
       }
-    verified.filter(col("jaccard") >= threshold)
+    val setPairs = verified.filter(col("jaccard") >= threshold)
+
+    // Expand set pairs back to doc pairs (cross product of the two
+    // clusters' member lists — output-sized work), plus intra-cluster
+    // pairs, which have Jaccard exactly 1.0.
+    val idsBy = clustered.select(col("sid"), col("ids"))
+    val cross = setPairs
+      .join(idsBy.select(col("sid").as("id_a"), col("ids").as("ids_a")), "id_a")
+      .join(idsBy.select(col("sid").as("id_b"), col("ids").as("ids_b")), "id_b")
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    val intra = clustered.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(1.0).as("jaccard"))
+    cross.union(intra)
   }
 
   /** 64-bit SimHash of a token-set: per-bit majority vote of token
