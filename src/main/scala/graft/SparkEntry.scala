@@ -232,6 +232,20 @@ object SparkEntry {
           Corrector.search.equals(col("event_type"), "purchase"))
         .select("event_id", "user_id", "value").orderBy("event_id")
     }),
+    "q_c1b_index_search" -> ((s, d) =>
+      Corrector.withRowIndex(t(s, d, "nation").select("n_nationkey", "n_name"), Seq("n_name"))
+        .filter(col("row_index") >= 5 && col("row_index") <= 7)
+        .orderBy("row_index")),
+    "q_c18_json_extract" -> ((s, d) => t(s, d, "events")
+      .select(graft.sources.Sources.jsonField(col("props"), "k INT", "k").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy("k")),
+    "q_c19_salted_count" -> ((s, d) =>
+      graft.operators.Skew.saltedCount(
+        t(s, d, "events").select("event_type"), "event_type", 16)
+        .orderBy("event_type")),
+    "q_a14_approx_stats" -> ((s, d) => Profiler.numericStatsApprox(
+      t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice"))),
     "q_c2_drop" -> ((s, d) => {
       val kept = Corrector.dropRowsWhere(
         Corrector.dropColumns(t(s, d, "events"), "props", "ts"),
@@ -653,6 +667,17 @@ object SparkEntry {
       """SELECT event_id, user_id, value FROM events
         |WHERE value >= 50.0 AND value <= 60.0 AND event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    "q_c1b_index_search" ->
+      """SELECT n_nationkey, n_name, CAST(row_number() OVER (ORDER BY n_name) - 1 AS INT) AS row_index
+        |FROM nation QUALIFY row_index BETWEEN 5 AND 7 ORDER BY row_index""".stripMargin,
+
+    "q_c18_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_c19_salted_count" ->
+      """SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_c2_drop" ->
       """SELECT event_id, user_id, event_type, value FROM events

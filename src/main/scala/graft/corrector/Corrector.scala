@@ -84,6 +84,17 @@ object Corrector {
       .drop("_mean")
   }
 
+  /** Stable row index for index-based search/edit (home.py:1373-1377
+    * — pandas positional index has no distributed equivalent, so the
+    * index is DEFINED by a sort order). Global window: fine for
+    * dimension-sized tables; at fact scale, index by a key instead.
+    */
+  def withRowIndex(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("row_index",
+      row_number().over(Window.orderBy(orderCols.map(col).toIndexedSeq: _*)) - 1)
+  }
+
   /** home.py:1966-1990 sorting transformation. */
   def sortBy(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
     df.orderBy(cols.map { case (c, asc_) => if (asc_) asc(c) else desc(c) }.toIndexedSeq: _*)

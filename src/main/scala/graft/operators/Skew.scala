@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for heavy-hitter keys.
+  *
+  * A plain `groupBy(key).agg(...)` sends every row of a hot key to one
+  * reducer. Salting splits each key into `buckets` sub-keys for a
+  * first partial aggregation, then combines partials in a second,
+  * tiny aggregation — the classic two-stage shape (AQE's skew handling
+  * covers joins; aggregation salting is still manual).
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets): hash of the whole row spread
+    * uniformly (deterministic given the row, so retries are stable).
+    */
+  def salt(buckets: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(buckets))
+
+  /** Salted distributive count: two-stage count by key. Result is
+    * identical to `groupBy(key).count()`; the first stage fans the
+    * hot key across `buckets` reducers.
+    */
+  def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame =
+    df.withColumn("_salt", salt(buckets, df.columns.map(col).toIndexedSeq: _*))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("cnt"))
+
+  /** Salted distributive sum by key (same two-stage shape). */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
+    df.withColumn("_salt", salt(buckets, df.columns.map(col).toIndexedSeq: _*))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+}

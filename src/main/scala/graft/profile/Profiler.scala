@@ -197,6 +197,32 @@ object Profiler {
       .orderBy("col_a", "col_b")
   }
 
+  /** Approximate numeric stats for the 100 TB path: exact
+    * `percentile` holds all values per group; `approx_percentile`
+    * (GK-sketch) is bounded-memory with a configurable accuracy.
+    * Same output shape as [[numericStats]].
+    */
+  def numericStatsApprox(df: DataFrame, cols: Seq[String],
+                         accuracy: Int = 10000): DataFrame = {
+    val perCol = cols.map { c =>
+      val v = col(c).cast(DoubleType)
+      struct(
+        lit(c).as("column"),
+        count(v).as("cnt"),
+        round(avg(v), 4).as("mean"),
+        round(stddev_samp(v), 4).as("std"),
+        round(min(v), 4).as("min"),
+        round(approx_percentile(v, lit(0.25), lit(accuracy)), 4).as("q1"),
+        round(approx_percentile(v, lit(0.5), lit(accuracy)), 4).as("median"),
+        round(approx_percentile(v, lit(0.75), lit(accuracy)), 4).as("q3"),
+        round(max(v), 4).as("max"))
+    }
+    df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("column")
+  }
+
   /** Skewness / excess kurtosis per numeric column, one scan, from
     * raw moments (m3/m2^1.5, m4/m2^2 - 3). Computed with an explicit
     * E[x^k] formula rather than builtin skewness()/kurtosis() so the

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input sources (reference: home.py:55-62 reads one CSV/XLSX into
+  * pandas). Spark-side the same surface is the distributed readers;
+  * XLSX has no offline-capable Spark source, so tabular ingestion is
+  * CSV/JSONL/Parquet (the XLSX path in the reference is just pandas'
+  * reader — the engine consumes whatever lands on the lake).
+  */
+object Sources {
+
+  /** CSV with header + schema inference (matches the reference's
+    * pd.read_csv defaults). At scale prefer an explicit schema:
+    * inference scans the file once more.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              header: Boolean = true, inferSchema: Boolean = true,
+              delimiter: String = ","): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** JSON-lines (one object per line — the splittable JSON layout). */
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Parse an embedded-JSON string column against a DDL schema
+    * (native `from_json` — codegen'd, no UDF), e.g.
+    * `jsonField(col("props"), "k INT", "k")`.
+    */
+  def jsonField(c: Column, ddl: String, field: String): Column =
+    from_json(c, org.apache.spark.sql.types.StructType.fromDDL(ddl)).getField(field)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+import graft.operators.Skew
+import graft.corrector.Corrector
+import graft.profile.Profiler
+
+class SourcesSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv and jsonl sources round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "s")
+    df.write.option("header", "true").csv(s"$dir/c")
+    df.write.json(s"$dir/j")
+    val c = Sources.readCsv(spark, s"$dir/c")
+    assert(c.count() == 2 && c.schema("id").dataType.typeName == "integer")
+    assert(Sources.readJsonLines(spark, s"$dir/j").count() == 2)
+  }
+
+  test("jsonField parses embedded JSON without a UDF") {
+    val r = Seq("""{"k": 42}""", """{"k": 7}""", "not json").toDF("props")
+      .select(Sources.jsonField(col("props"), "k INT", "k").as("k"))
+      .collect().map(r => Option(r.get(0)))
+    assert(r.toSeq == Seq(Some(42), Some(7), None))
+  }
+
+  test("saltedCount/saltedSum equal the unsalted aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val plainC = df.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val saltedC = Skew.saltedCount(df, "k", 8).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(saltedC == plainC)
+    val plainS = df.groupBy("k").agg(sum("v")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val saltedS = Skew.saltedSum(df, "k", "v", 8).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(saltedS.keySet == plainS.keySet)
+    saltedS.foreach { case (k, v) => assert(math.abs(v - plainS(k)) < 1e-6) }
+  }
+
+  test("withRowIndex assigns a deterministic 0-based index by sort order") {
+    val df = Seq("c", "a", "b").toDF("s")
+    val idx = Corrector.withRowIndex(df, Seq("s")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(idx == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("approx numeric stats agree with exact on a small column") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val exact = Profiler.numericStats(df, Seq("v")).collect()(0)
+    val approx = Profiler.numericStatsApprox(df, Seq("v")).collect()(0)
+    assert(approx.getAs[Long]("cnt") == exact.getAs[Long]("cnt"))
+    assert(math.abs(approx.getAs[Double]("median") - exact.getAs[Double]("median")) <= 1.0)
+    assert(approx.getAs[Double]("min") == exact.getAs[Double]("min"))
+  }
+}
