@@ -301,6 +301,15 @@ object SparkEntry {
       Enrich.gender(withName, "name")
         .groupBy("gender").agg(count(lit(1)).as("cnt")).orderBy("gender")
     }),
+    "q_c13_geo" -> ((s, d) => {
+      val cities = Seq("İstanbul", "Ankara", "İzmir", "Nowhere")
+      val withCity = t(s, d, "customer")
+        .withColumn("city", element_at(
+          array(cities.map(lit(_)): _*), (col("c_custkey") % 4 + 1).cast("int")))
+      Enrich.geo(withCity, "city")
+        .groupBy("city").agg(count(col("latitude")).as("with_geo"), count(lit(1)).as("cnt"))
+        .orderBy("city")
+    }),
     "q_c14_sort" -> ((s, d) => Corrector.sortBy(
         t(s, d, "orders").select("o_orderkey", "o_totalprice"),
         Seq("o_totalprice" -> false, "o_orderkey" -> true))
@@ -391,6 +400,28 @@ object SparkEntry {
         .orderBy("window_start")
     }),
 
+    "q_d8_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 8)
+      Ann.ivfTopK(emb, "embedding", "vec_id", cents, q, 10, nprobe = 3)
+    }),
+    "q_d13_multimodal" -> ((s, d) => {
+      // documents' text bytes stand in for media payloads: metadata
+      // derivation -> partition-batched stub featurization, the full
+      // multimodal plumbing shape (decode itself is the stub codec)
+      val media = graft.multimodal.Multimodal.withMeta(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "txt")
+      import org.apache.spark.sql.Encoders
+      val ds = media.selectExpr("id", "media",
+          "named_struct('format', meta.format, 'width', meta.width, 'height', meta.height, 'nBytes', meta.nBytes) AS meta")
+        .as(Encoders.product[graft.multimodal.Multimodal.MediaRow])
+      graft.multimodal.Multimodal.extractFeatures(ds)
+        .toDF().select(col("id"), col("format"), col("features"))
+        .orderBy("id")
+    }),
     "q_d9_langid" -> ((s, d) => t(s, d, "documents")
       .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("cnt")).orderBy("lang_pred")),

@@ -43,8 +43,10 @@ for name in sorted(os.listdir(outdir)):
         a, b = s[c], d[c]
         try:
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                import numpy as np
-                eq = (a.isna() & b.isna()) | np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+                # strict: the driver hashes values, so require bitwise
+                # equality (rounding discipline on both sides makes
+                # this achievable)
+                eq = (a.isna() & b.isna()) | (a.astype(float).values == b.astype(float).values)
             else:
                 eq = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
         except Exception as e:
