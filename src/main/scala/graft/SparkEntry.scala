@@ -477,7 +477,7 @@ object SparkEntry {
 
     "q_a5_freq_table" ->
       """SELECT c_mktsegment AS value, count(*) AS cnt,
-        | round(count(*)*100.0/(SELECT count(*) FROM customer),1) AS pct
+        | round(count(*)*100.0/sum(count(*)) OVER (),1) AS pct
         |FROM customer WHERE c_mktsegment IS NOT NULL
         |GROUP BY 1 ORDER BY cnt DESC, value""".stripMargin,
 
@@ -490,12 +490,12 @@ object SparkEntry {
       """WITH m AS (SELECT regexp_replace(regexp_replace(c_name,'[A-Za-zÖÇĞİŞÜöçğışü]','A','g'),'[0-9]','9','g') AS pattern
         | FROM customer WHERE c_name IS NOT NULL)
         |SELECT pattern, count(*) AS cnt,
-        | round(count(*)*100.0/(SELECT count(*) FROM m),1) AS pct
+        | round(count(*)*100.0/sum(count(*)) OVER (),1) AS pct
         |FROM m GROUP BY 1 ORDER BY cnt DESC, pattern""".stripMargin,
 
     "q_a8_unexpected" ->
       """SELECT props AS value, count(*) AS cnt FROM events WHERE props IS NOT NULL
-        |GROUP BY 1 HAVING count(*)*100.0/(SELECT count(*) FROM events) < 1.0
+        |GROUP BY 1 QUALIFY count(*)*100.0/sum(count(*)) OVER () < 1.0
         |ORDER BY value""".stripMargin,
 
     "q_a9_sign_counts" ->

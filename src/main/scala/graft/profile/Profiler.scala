@@ -96,18 +96,20 @@ object Profiler {
         col("min_alpha"), col("max_alpha"))
   }
 
+  private val all = org.apache.spark.sql.expressions.Window.partitionBy()
+
   /** Frequency table: value counts + percentage (home.py:172-191;
-    * like pandas value_counts, nulls are excluded — the null share
-    * lives in [[nullProfile]]).
+    * like pandas value_counts(normalize=True), nulls are excluded
+    * from rows AND the denominator — the null share lives in
+    * [[nullProfile]]). Single scan: the total comes from a window
+    * over the (small) grouped result, not a second pass.
     */
-  def frequencyTable(df: DataFrame, c: String): DataFrame = {
-    val n = df.count() // single count job; reused as literal below
+  def frequencyTable(df: DataFrame, c: String): DataFrame =
     df.filter(col(c).isNotNull)
       .groupBy(col(c).as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("pct", round(col("cnt") * 100.0 / lit(n.toDouble), 1))
+      .withColumn("pct", round(col("cnt") * 100.0 / sum(col("cnt")).over(all), 1))
       .orderBy(desc("cnt"), asc("value"))
-  }
 
   /** Top-k most frequent (non-null) values, deterministic tie-break
     * (home.py:177-185 "5 most frequent values").
@@ -126,28 +128,29 @@ object Profiler {
   def patternMask(c: Column): Column =
     regexp_replace(regexp_replace(c, "[A-Za-zÖÇĞİŞÜöçğışü]", "A"), "[0-9]", "9")
 
-  /** Pattern profile: mask frequency table (home.py:229-251). */
-  def patternProfile(df: DataFrame, c: String): DataFrame = {
-    val masked = df.filter(col(c).isNotNull)
-      .select(patternMask(col(c)).as("pattern"))
-    val n = masked.count()
-    masked.groupBy("pattern")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("pct", round(col("cnt") * 100.0 / lit(n.toDouble), 1))
-      .orderBy(desc("cnt"), asc("pattern"))
-  }
-
-  /** Values rarer than `maxPct` percent (home.py:193-209 "Unexpected
-    * Value Graph", threshold 0.1%).
+  /** Pattern profile: mask frequency table (home.py:229-251), single
+    * scan (window-over-grouped total).
     */
-  def unexpectedValues(df: DataFrame, c: String, maxPct: Double): DataFrame = {
-    val n = df.count()
+  def patternProfile(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull)
+      .select(patternMask(col(c)).as("pattern"))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("pct", round(col("cnt") * 100.0 / sum(col("cnt")).over(all), 1))
+      .orderBy(desc("cnt"), asc("pattern"))
+
+  /** Values rarer than `maxPct` percent of non-null rows
+    * (home.py:193-209 "Unexpected Value Graph", threshold 0.1%;
+    * value_counts(normalize=True) semantics). Single scan.
+    */
+  def unexpectedValues(df: DataFrame, c: String, maxPct: Double): DataFrame =
     df.filter(col(c).isNotNull)
       .groupBy(col(c).as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") * 100.0 / lit(n.toDouble) < maxPct)
+      .withColumn("_pct", col("cnt") * 100.0 / sum(col("cnt")).over(all))
+      .filter(col("_pct") < maxPct)
+      .drop("_pct")
       .orderBy(asc("value"))
-  }
 
   /** Positive / zero / negative split (home.py:216-227 "Show p-0-n"). */
   def signCounts(df: DataFrame, c: String): DataFrame = {
