@@ -35,12 +35,14 @@ object StringSim {
                    dfCap: Long = Long.MaxValue): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-    val nDocs = base.count().toDouble
 
-    // (id, gram, tf)
+    // (id, gram, tf) — persisted: the working set for df-counts, N,
+    // and weighting (one source scan total)
     val grams = base
       .select(col("id"), explode(gramsExpr(col("s"), n)).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
+      .persist()
+    val nDocs = grams.select(col("id")).distinct().count().toDouble
 
     // gram document frequency -> idf weight; cap kills stop-grams
     val dfTbl = grams.groupBy("gram").agg(count(lit(1)).as("df_"))
