@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.quality.Validators
+import graft.corrector.Corrector
+
+/** Property-style specs: ScalaCheck generators produce the inputs
+  * (fixed seed — deterministic), a single Spark job evaluates the
+  * Column expression over all of them, and every output is compared
+  * to a plainly re-implemented reference function.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, Seed(i.toLong)))
+  }
+
+  private def tcknRef(v: String): Boolean = {
+    if (v.length != 11 || !v.forall(_.isDigit) || v(0) == '0') return false
+    val d = v.map(_.asDigit)
+    val odd = d(0) + d(2) + d(4) + d(6) + d(8)
+    val even = d(1) + d(3) + d(5) + d(7)
+    (((7 * odd - even) % 10 + 10) % 10 == d(9)) && (d.take(10).sum % 10 == d(10))
+  }
+
+  test("tcknValid equals reference on random digit strings incl. valid constructions") {
+    val digits11 = Gen.listOfN(11, Gen.numChar).map(_.mkString)
+    // construct strings that satisfy the checksum so the true branch is hit
+    val valid = Gen.listOfN(9, Gen.choose(0, 9)).map { ds0 =>
+      val ds = if (ds0.head == 0) 1 :: ds0.tail else ds0
+      val odd = ds(0) + ds(2) + ds(4) + ds(6) + ds(8)
+      val even = ds(1) + ds(3) + ds(5) + ds(7)
+      val d10 = ((7 * odd - even) % 10 + 10) % 10
+      val d11 = (ds.sum + d10) % 10
+      (ds :+ d10 :+ d11).mkString
+    }
+    val junk = Gen.alphaNumStr.map(_.take(15))
+    val inputs = (sample(digits11, 400) ++ sample(valid, 200) ++ sample(junk, 200)).distinct
+    val got = inputs.toDF("s")
+      .select(col("s"), Validators.tcknValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    inputs.foreach(s => assert(got(s) == tcknRef(s), s"tckn '$s'"))
+    assert(inputs.count(tcknRef) >= 150) // constructed valids really are valid
+  }
+
+  test("taxNumValid equals reference on random 10-digit strings") {
+    def taxRef(t: String): Boolean = {
+      if (t.length != 10 || !t.forall(_.isDigit)) return false
+      val d = t.map(_.asDigit)
+      var total = 0
+      for (x <- 0 to 8) {
+        val t1 = (d(x) + (9 - x)) % 10
+        var t2 = (t1 * (1 << (9 - x))) % 9
+        if (t1 != 0 && t2 == 0) t2 = 9
+        total += t2
+      }
+      d(9) == (if (total % 10 == 0) 0 else 10 - (total % 10))
+    }
+    val inputs = sample(Gen.listOfN(10, Gen.numChar).map(_.mkString), 600).distinct
+    val got = inputs.toDF("s")
+      .select(col("s"), Validators.taxNumValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    inputs.foreach(s => assert(got(s) == taxRef(s), s"tax '$s'"))
+    assert(inputs.exists(taxRef)) // ~10% of random strings are valid
+  }
+
+  test("normalizePhone always yields only digits, at most 10 unless input is short") {
+    val messy = Gen.listOfN(14,
+      Gen.oneOf(Gen.numChar, Gen.oneOf(' ', '-', '(', ')', '+', '/'))).map(_.mkString)
+    val inputs = sample(messy, 500).distinct
+    val got = inputs.toDF("p")
+      .select(col("p"), Corrector.normalizePhone(col("p")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (in, out) =>
+      val digits = in.filter(_.isDigit)
+      val expected = if (digits.length >= 10) digits.takeRight(10) else digits
+      assert(out == expected, s"phone '$in'")
+    }
+  }
+}
