@@ -127,6 +127,7 @@ object SparkEntry {
     "q_a4_strlen_stats" -> ((s, d) => Profiler.stringLengthStats(t(s, d, "part"), "p_name")),
     "q_a5_freq_table" -> ((s, d) => Profiler.frequencyTable(t(s, d, "customer"), "c_mktsegment")),
     "q_a6_topk_values" -> ((s, d) => Profiler.topK(t(s, d, "part"), "p_brand", 5)),
+    "q_a6b_bottomk_values" -> ((s, d) => Profiler.bottomK(t(s, d, "events"), "props", 5)),
     "q_a7_pattern_profile" -> ((s, d) => Profiler.patternProfile(t(s, d, "customer"), "c_name")),
     "q_a8_unexpected" -> ((s, d) => Profiler.unexpectedValues(t(s, d, "events"), "props", 1.0)),
     "q_a9_sign_counts" -> ((s, d) => Profiler.signCounts(t(s, d, "customer"), "c_acctbal")),
@@ -485,6 +486,11 @@ object SparkEntry {
       """SELECT p_brand AS value, count(*) AS cnt FROM part
         |WHERE p_brand IS NOT NULL
         |GROUP BY 1 ORDER BY cnt DESC, value LIMIT 5""".stripMargin,
+
+    "q_a6b_bottomk_values" ->
+      """SELECT props AS value, count(*) AS cnt FROM events
+        |WHERE props IS NOT NULL
+        |GROUP BY 1 ORDER BY cnt, value LIMIT 5""".stripMargin,
 
     "q_a7_pattern_profile" ->
       """WITH m AS (SELECT regexp_replace(regexp_replace(c_name,'[A-Za-zÖÇĞİŞÜöçğışü]','A','g'),'[0-9]','9','g') AS pattern

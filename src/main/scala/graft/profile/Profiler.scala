@@ -121,6 +121,16 @@ object Profiler {
       .orderBy(desc("cnt"), asc("value"))
       .limit(k)
 
+  /** Bottom-k least frequent (non-null) values (home.py:182-185 "5
+    * least frequent values"), deterministic tie-break.
+    */
+  def bottomK(df: DataFrame, c: String, k: Int): DataFrame =
+    df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc("cnt"), asc("value"))
+      .limit(k)
+
   /** Character-class mask used by the pattern profile: letters -> A,
     * digits -> 9 (home.py:229-231; Turkish letter classes included as
     * in the reference).
