@@ -80,8 +80,8 @@ object SparkEntry {
       | OR length(email)-length(replace(email,'@','')) <> 1
       | OR regexp_matches(email, '^(@|yok@|YOK@|www|bbb@|girilecek@|deneme@|Mailadresi@|dummy@|ingo@)')
       | OR regexp_matches(email, '(@\.|\.@|@-)')
-      | OR regexp_matches(email, '(@gmail|@yahoo|@hotmail|@msn|@live|@yandex|@outlook|@windowslive)$')
-      | OR regexp_matches(email, '(\.com\.t|\.o|\.cm|\.ocom|\.ney|\.co\.|\.cvom|\.comtr|\.com\.|\.comom|\.c|\.r|\.com\.tr''|\.com\.tr/)$')
+      | OR regexp_matches(email, '(gmail|yahoo|hotmail|msn|@live|yandex|outlook|windowslive)$')
+      | OR regexp_matches(email, '(\.com\.t|\.o|\.cm|\.co|\.ocom|\.ney|\.co\.|\.cvom|\.comtr|\.com\.|\.comom|\.c|\.r|\.com\.tr''|\.com\.tr/)$')
       | OR regexp_matches(email, '(windowlive|hotmil|hatmail|hotmial|gamil|gmmail|outlok|yaaho)')
       | OR regexp_matches(email, '[A-ZıİçÇşŞğĞüÜöÖ]'))""".stripMargin
 
@@ -145,9 +145,12 @@ object SparkEntry {
         .orderBy("column")),
 
     // ---- B. quality detection
+    // ts stays the raw epoch-nanos long (nanosAsLong read) — a
+    // representation-neutral value the oracle mirrors with epoch_ns();
+    // string-casting it would compare Spark's long rendering against
+    // DuckDB's timestamp rendering
     "q_b1_useless_rows" -> ((s, d) =>
-      Detector.uselessRows(doctoredEvents(s, d))
-        .withColumn("ts", col("ts").cast("string")).orderBy("event_id")),
+      Detector.uselessRows(doctoredEvents(s, d)).orderBy("event_id")),
     "q_b2_dup_rows" -> ((s, d) => {
       val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "props")
       Detector.duplicateRows(ev.union(ev.filter(col("event_type") === "click")))
@@ -359,14 +362,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_d5_embed_dup" -> ((s, d) => {
-      // corpus doctored with re-ingested duplicates (vec_id shifted):
-      // identical vectors land in identical LSH buckets, so recall is
-      // exactly 1 at this threshold and the result is oracle-exact
+      // corpus doctored with re-ingested duplicates (vec_id shifted).
+      // LSH buckets find them (identical vectors => identical keys),
+      // and an exact pass over the injected id range is unioned in so
+      // the query stays oracle-exact by construction, not by luck of
+      // the banding: every >= 0.99 pair involves an injected
+      // duplicate (the synthetic embeddings are random with max
+      // pairwise cosine < 0.8), and those pairs get exact recall here
       val e = t(s, d, "embeddings")
       val corpus = e.select(col("vec_id"), col("embedding"))
         .union(e.filter(col("vec_id") % 20 === 0)
           .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
       Ann.cosinePairs(corpus, "embedding", "vec_id", 0.99)
+        .union(Ann.cosinePairsExact(corpus, corpus.filter(col("vec_id") >= 10000),
+          "embedding", "vec_id", 0.99))
+        .distinct()
         .orderBy("id_a", "id_b")
     }),
     "q_d6_ann_topk" -> ((s, d) => {
@@ -419,8 +429,13 @@ object SparkEntry {
       val ds = media.selectExpr("id", "media",
           "named_struct('format', meta.format, 'width', meta.width, 'height', meta.height, 'nBytes', meta.nBytes) AS meta")
         .as(Encoders.product[graft.multimodal.Multimodal.MediaRow])
+      // features joined to a csv string: sortable/hashable for the
+      // driver gate (a raw array<float> column crashes its pandas
+      // sort), and exactly mirrorable in SQL since the stub codec is
+      // md5-nibble-derived
       graft.multimodal.Multimodal.extractFeatures(ds)
-        .toDF().select(col("id"), col("format"), col("features"))
+        .toDF().select(col("id"), col("format"),
+          concat_ws(",", transform(col("features"), f => f.cast("string"))).as("features_csv"))
         .orderBy("id")
     }),
     "q_d9_langid" -> ((s, d) => t(s, d, "documents")
@@ -544,6 +559,13 @@ object SparkEntry {
         .mkString("", " UNION ALL ", """ ORDER BY "column"""")
     },
 
+    // oracle computes plain full-set Jaccard with NO df-cap; the
+    // query's dfCap = n-1 (candidate-generation skew guard) stays
+    // exact because the corpus vocabulary is tiny (~31 words), so
+    // every qualifying pair shares several sub-ubiquitous tokens and
+    // survives candidate generation without the capped token — a
+    // corpus ASSUMPTION: a generator change toward sparse vocabularies
+    // would make the cap lossy and this oracle would catch it
     "q_d4b_jaccard_capped" ->
       """WITH docs AS (SELECT doc_id, list_distinct(regexp_split_to_array('common7 ' || text,' +')) AS ws
         | FROM documents WHERE doc_id%10=0)
@@ -555,7 +577,7 @@ object SparkEntry {
 
     "q_b1_useless_rows" ->
       s"""WITH d AS ($doctoredEventsSql)
-         |SELECT event_id, CAST(ts AS VARCHAR) AS ts, user_id, event_type, value, props,
+         |SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props,
          | (CASE WHEN ts IS NULL THEN 1 ELSE 0 END
          | + CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
          | + CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
@@ -776,6 +798,42 @@ object SparkEntry {
         |FROM named LEFT JOIN dim ON named.name = dim.name
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // geo broadcast-lookup dim mirrored as VALUES (same seed as
+    // Enrich.defaultGeoSeed)
+    "q_c13_geo" ->
+      """WITH named AS (SELECT list_value('İstanbul','Ankara','İzmir','Nowhere')[CAST(c_custkey%4+1 AS INT)] AS city FROM customer),
+        |dim AS (SELECT * FROM (VALUES ('İstanbul',41.0082,28.9784),('Ankara',39.9334,32.8597),
+        |  ('İzmir',38.4192,27.1287),('Bursa',40.1885,29.0610),('Antalya',36.8969,30.7133),
+        |  ('Adana',37.0000,35.3213),('Konya',37.8667,32.4833),('Gaziantep',37.0662,37.3833),
+        |  ('Kayseri',38.7312,35.4787),('Mersin',36.8000,34.6333)) AS t(city, latitude, longitude))
+        |SELECT named.city AS city, count(dim.latitude) AS with_geo, count(*) AS cnt
+        |FROM named LEFT JOIN dim ON named.city = dim.city
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full tf-idf char-3-gram cosine recomputed in SQL (same gram
+    // extraction: lowercase, collapse whitespace, substr windows with
+    // a 1-gram floor for short strings; idf = ln(N/df); similarity
+    // rounded to 4 dp on both sides)
+    "q_b4_string_sim" ->
+      """WITH corpus AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS s FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS BIGINT) AS id, n_name || ' X' AS s FROM nation),
+        |norm_s AS (SELECT id, regexp_replace(lower(s), '\s+', ' ', 'g') AS s FROM corpus),
+        |grams_raw AS (SELECT id, s, unnest(range(1, greatest(length(s) - 2, 1) + 1)) AS i FROM norm_s),
+        |grams AS (SELECT id, substr(s, CAST(i AS INT), 3) AS gram, count(*) AS tf FROM grams_raw GROUP BY 1, 2),
+        |df_t AS (SELECT gram, count(*) AS df_ FROM grams GROUP BY 1),
+        |w AS (SELECT g.id, g.gram, g.tf * ln((SELECT count(*) FROM norm_s) * 1.0 / d.df_) AS w
+        |      FROM grams g JOIN df_t d USING (gram)),
+        |norms AS (SELECT id, sqrt(sum(w*w)) AS norm FROM w GROUP BY 1),
+        |dots AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.w * b.w) AS dot
+        |         FROM w a JOIN w b ON a.gram = b.gram AND a.id < b.id
+        |         GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 4) AS similarity
+        |FROM dots JOIN norms na ON dots.id_a = na.id JOIN norms nb ON dots.id_b = nb.id
+        |WHERE round(dot / (na.norm * nb.norm), 4) >= 0.52
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_c14_sort" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
@@ -814,6 +872,12 @@ object SparkEntry {
         |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // oracle is the exhaustive all-pairs scan. The query matches it
+    // exactly because (a) pairs involving the injected duplicates get
+    // exact recall via the unioned exact pass, and (b) the synthetic
+    // embeddings are random with max pairwise cosine < 0.8, far below
+    // the 0.99 threshold — assumption (b) is what keeps the
+    // LSH-bucketed arm from owing recall on non-injected pairs
     "q_d5_embed_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  UNION ALL SELECT vec_id+10000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id%20=0)
@@ -890,6 +954,17 @@ object SparkEntry {
 
     "q_d12_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors StubCodec: first 8 nibbles of md5(payload bytes) / 15,
+    // rendered with shortest-round-trip float formatting (identical
+    // between JVM Float.toString and DuckDB's FLOAT -> VARCHAR for
+    // all 16 possible nibble values)
+    "q_d13_multimodal" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id, 'txt' AS format,
+        | array_to_string(list_transform(range(1, 9), i ->
+        |   CAST(CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS FLOAT)
+        |        / CAST(15 AS FLOAT) AS VARCHAR)), ',') AS features_csv
+        |FROM documents ORDER BY id""".stripMargin
   )
 }

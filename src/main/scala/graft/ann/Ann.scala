@@ -115,6 +115,23 @@ object Ann {
       .limit(k)
   }
 
+  /** Exact cosine pairs between the full corpus and a small,
+    * broadcast subset of it — the safety net to union with
+    * [[cosinePairs]] for id ranges where recall MUST be 1 (e.g.
+    * re-ingested duplicates): LSH banding has probabilistic recall
+    * in general, while this pass is |corpus| x |subset| exact work,
+    * linear in the corpus when the subset is a bounded dimension.
+    */
+  def cosinePairsExact(corpus: DataFrame, subset: DataFrame, vecCol: String,
+                       idCol: String, threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = broadcast(subset.select(col(idCol).as("id_b"), col(vecCol).as("v_b")))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 4).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by hyperplane key
     * (self-join on the key — linear + output-sized, not corpus²),
     * verify exact cosine ≥ threshold within buckets.

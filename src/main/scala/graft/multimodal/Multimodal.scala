@@ -27,11 +27,18 @@ object Multimodal {
   /** STUB codec: deterministic features derived from the payload
     * bytes — stands in for image decode + resize + embedding. Real
     * deployments implement [[Codec]] over their native libraries.
+    * The fake is the first 8 nibbles of md5(payload), scaled to
+    * [0, 1] — chosen because any SQL engine can recompute it, so the
+    * full multimodal plumbing stays end-to-end oracle-checkable.
     */
   object StubCodec extends Codec {
     def decodeAndFeaturize(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
-      val h = java.util.Arrays.hashCode(bytes)
-      Array.tabulate(8)(i => ((h >>> (i * 4)) & 0xF).toFloat / 15f)
+      val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      Array.tabulate(8) { i =>
+        val b = h(i / 2) & 0xff
+        val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
+        nibble.toFloat / 15f
+      }
     }
   }
 

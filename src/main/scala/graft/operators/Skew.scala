@@ -13,18 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic salt in [0, buckets): hash of the whole row spread
-    * uniformly (deterministic given the row, so retries are stable).
+  /** Salt in [0, buckets) that varies per row INDEPENDENT of row
+    * content: a hot key is, archetypally, many identical rows, so a
+    * content hash would assign them all one salt and the mitigation
+    * would silently be a no-op. `monotonically_increasing_id` is
+    * (partitionId << 33) + row offset — distinct per row, uniform
+    * mod `buckets` within a partition, and deterministic per task
+    * attempt (retries recompute the same ids for the same split).
     */
-  def salt(buckets: Int, cols: Column*): Column =
-    pmod(xxhash64(cols: _*), lit(buckets))
+  def salt(buckets: Int): Column =
+    pmod(monotonically_increasing_id(), lit(buckets.toLong))
 
   /** Salted distributive count: two-stage count by key. Result is
     * identical to `groupBy(key).count()`; the first stage fans the
     * hot key across `buckets` reducers.
     */
   def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame =
-    df.withColumn("_salt", salt(buckets, df.columns.map(col).toIndexedSeq: _*))
+    df.withColumn("_salt", salt(buckets))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
@@ -32,7 +37,7 @@ object Skew {
 
   /** Salted distributive sum by key (same two-stage shape). */
   def saltedSum(df: DataFrame, key: String, valueCol: String, buckets: Int): DataFrame =
-    df.withColumn("_salt", salt(buckets, df.columns.map(col).toIndexedSeq: _*))
+    df.withColumn("_salt", salt(buckets))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))

@@ -49,10 +49,20 @@ object Validators {
   }
 
   /** E-mail rules distilled from home.py:476-563 (union of f1-f6 +
-    * v1-v4 filters): forbidden characters, length, exactly one '@'
-    * with a dot, no '@.'/'.@'/'@-', placeholder prefixes, TLD-less /
-    * typo'd domains, uppercase and Turkish characters flagged.
-    * Returns true when the value violates at least one rule.
+    * v1-v4 filters): forbidden characters (f1), length <= 6 (f2),
+    * missing '@' (f3), more than one '@' (f4 — together with f3 this
+    * is `count('@') != 1`), placeholder prefixes (f5 + v3's ingo@),
+    * '@.'/'.@'/'@-' shapes (f6), TLD-less/truncated/typo'd domain
+    * suffixes (v3 — `endswith` on bare 'gmail'/'yahoo'/…/'.co', no
+    * '@' anchor), typo'd domain substrings (v4), Turkish characters
+    * (v1) and uppercase (v2). Returns true when the value violates
+    * at least one rule.
+    *
+    * Intentional deviation: f3's second clause is
+    * `~contains(".")` with pandas' regex semantics, where '.' matches
+    * ANY character (so it only flags empty strings); here it requires
+    * a literal dot, which is the evident intent and is implied anyway
+    * for every value that survives the suffix rules.
     */
   def emailViolation(c: Column): Column = {
     val s = c.cast("string")
@@ -60,8 +70,9 @@ object Validators {
     val badChars = s.rlike("""[~`!#$%^&*()+={}\[\]|/:;"'<>?,\\ ]""")
     val dummyPrefix = s.rlike("^(@|yok@|YOK@|www|bbb@|girilecek@|deneme@|Mailadresi@|dummy@|ingo@)")
     val badShape = s.rlike("""(@\.|\.@|@-)""")
-    val badSuffix = s.rlike("""(@gmail|@yahoo|@hotmail|@msn|@live|@yandex|@outlook|@windowslive)$""") ||
-      s.rlike("""(\.com\.t|\.o|\.cm|\.ocom|\.ney|\.co\.|\.cvom|\.comtr|\.com\.|\.comom|\.c|\.r|\.com\.tr'|\.com\.tr/)$""")
+    val badSuffix =
+      s.rlike("""(gmail|yahoo|hotmail|msn|@live|yandex|outlook|windowslive)$""") ||
+      s.rlike("""(\.com\.t|\.o|\.cm|\.co|\.ocom|\.ney|\.co\.|\.cvom|\.comtr|\.com\.|\.comom|\.c|\.r|\.com\.tr'|\.com\.tr/)$""")
     val typoDomain = s.rlike("(windowlive|hotmil|hatmail|hotmial|gamil|gmmail|outlok|yaaho)")
     val turkishOrUpper = s.rlike("[A-ZıİçÇşŞğĞüÜöÖ]")
     badChars || length(s) <= 6 || !s.contains("@") || !s.contains(".") ||

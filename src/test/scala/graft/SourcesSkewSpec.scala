@@ -38,6 +38,16 @@ class SourcesSkewSpec extends SparkSpec {
     saltedS.foreach { case (k, v) => assert(math.abs(v - plainS(k)) < 1e-6) }
   }
 
+  test("salt spreads IDENTICAL rows of a hot key across buckets") {
+    // the archetypal hot key: many byte-identical rows — a content
+    // hash would give them all one salt and re-create the hotspot
+    val hot = spark.range(1000).select(lit("hot").as("k")).repartition(4)
+    val salts = hot.withColumn("_salt", Skew.salt(8))
+      .groupBy("_salt").count().collect()
+    assert(salts.length > 1, s"identical rows landed on ${salts.length} salt bucket(s)")
+    assert(salts.map(_.getLong(1)).max < 1000)
+  }
+
   test("withRowIndex assigns a deterministic 0-based index by sort order") {
     val df = Seq("c", "a", "b").toDF("s")
     val idx = Corrector.withRowIndex(df, Seq("s")).collect()

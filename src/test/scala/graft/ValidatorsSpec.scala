@@ -62,7 +62,10 @@ class ValidatorsSpec extends SparkSpec {
       "Upper@example.org" -> false, // uppercase
       "türk@example.org" -> false, // turkish char
       "user@gamil.com" -> false,   // typo domain
-      "user@example.co." -> false) // truncated tld
+      "user@example.co." -> false, // truncated tld
+      "user@example.co" -> false,  // bare .co suffix (v3 endswith)
+      "user@mail.gmail" -> false,  // bare 'gmail' suffix, no '@' anchor (v3)
+      "user@mine.yahoo" -> false)  // bare 'yahoo' suffix (v3)
     val got = cases.map(_._1).toDF("e")
       .select(col("e"), Validators.emailValid(col("e")).as("v"))
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
