@@ -124,11 +124,16 @@ object Ann {
     */
   def cosinePairsExact(corpus: DataFrame, subset: DataFrame, vecCol: String,
                        idCol: String, threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = broadcast(subset.select(col(idCol).as("id_b"), col(vecCol).as("v_b")))
+    // norms are per-vector, so compute them once per side BEFORE the
+    // pair join — cosine() inside the join would redo both
+    // self-dot-products for every one of the |corpus| x |subset| pairs
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      norm(col(vecCol)).as("n_a"))
+    val b = broadcast(subset.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      norm(col(vecCol)).as("n_b")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 4).as("cosine_sim"))
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 
@@ -141,12 +146,13 @@ object Ann {
                   dim: Int = 64): DataFrame = {
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_bucket", hyperplaneKey(col("v"), dim, planes, seed))
-    val a = keyed.select(col("_bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = keyed.select(col("_bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("_n", norm(col("v"))) // once per vector, not per pair
+    val a = keyed.select(col("_bucket"), col("id").as("id_a"), col("v").as("v_a"), col("_n").as("n_a"))
+    val b = keyed.select(col("_bucket"), col("id").as("id_b"), col("v").as("v_b"), col("_n").as("n_b"))
     a.join(b, "_bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("v_a"), col("v_b")), 4).as("cosine_sim"))
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
       .distinct()
   }

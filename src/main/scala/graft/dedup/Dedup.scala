@@ -83,7 +83,8 @@ object Dedup {
     * candidates, never corpus².
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   threshold: Double, bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+                   threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
+                   allPairsMaxSets: Long = 100000L): DataFrame = {
     require(threshold <= 1.0, "jaccard threshold must be <= 1")
     val k = bands * rowsPerBand
     val raw = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
@@ -102,37 +103,38 @@ object Dedup {
 
     val exploded = clustered.select(col("sid").as("id"), explode(col("ws")).as("tok"))
 
-    // Signatures via explode -> groupBy with k codegen'd MIN
-    // aggregates (higher-order array functions are interpreted in
-    // Spark — an agg over exploded tokens stays in whole-stage
-    // codegen and map-side combines). One narrow shuffle keyed by id.
-    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"_s$i"))
-    val sigs = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(array((0 until rowsPerBand).map(j => col(s"_s${b * rowsPerBand + j}")): _*))
-          .as("bh"))
+    // LSH candidate generation: signatures via explode -> groupBy with
+    // k codegen'd MIN aggregates (higher-order array functions are
+    // interpreted in Spark — an agg over exploded tokens stays in
+    // whole-stage codegen and map-side combines), then band keys and a
+    // bucket self-join. Candidate ids deduped FIRST (narrow 2-column
+    // shuffle) so exact verification runs once per pair, not once per
+    // colliding band.
+    def lshCandidates(): DataFrame = {
+      val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"_s$i"))
+      val sigs = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(array((0 until rowsPerBand).map(j => col(s"_s${b * rowsPerBand + j}")): _*))
+            .as("bh"))
+      }
+      val keyed = sigs
+        .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select("bk", "id")
+        .persist() // bands x ids only (~16B/row); read by both join sides
+      keyed.select(col("bk"), col("id").as("id_a"))
+        .join(keyed.select(col("bk"), col("id").as("id_b")), "bk")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     }
-    val keyed = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select("bk", "id")
-      .persist() // bands x ids only (~16B/row); read by both join sides
-
-    // candidate ids deduped FIRST (narrow 2-column shuffle), so the
-    // exact verification below runs once per pair, not once per
-    // colliding band
-    val cands = keyed.select(col("bk"), col("id").as("id_a"))
-      .join(keyed.select(col("bk"), col("id").as("id_b")), "bk")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
 
     // Exact verification on a dictionary-encoded representation. When
     // the corpus vocabulary fits in 64 slots (categorical/code-like
     // corpora), each word-set compresses to ONE int64 bitmap: the
     // verify side ships 8 bytes per doc (broadcast to a map-side
     // join) and Jaccard evaluates as two popcounts. General path
-    // falls back to token-id arrays (~4x narrower than strings).
+    // falls back to the word-set arrays.
     val vocab = exploded.select("tok").distinct()
     val vocabSize = vocab.count()
     val verified =
@@ -145,15 +147,32 @@ object Dedup {
           .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))
           .persist() // tiny (8B/doc); reused by both join sides
         val inter = bit_count(col("bits_a").bitwiseAND(col("bits_b"))).cast("double")
-        cands
-          .join(broadcast(side.select(col("id").as("id_a"), col("bits").as("bits_a"))), "id_a")
-          .join(broadcast(side.select(col("id").as("id_b"), col("bits").as("bits_b"))), "id_b")
-          .select(col("id_a"), col("id_b"),
-            round(inter / (bit_count(col("bits_a")) + bit_count(col("bits_b")) - inter), 4)
-              .as("jaccard"))
+        val jac = round(
+          inter / (bit_count(col("bits_a")) + bit_count(col("bits_b")) - inter), 4)
+        val nSets = clustered.count()
+        if (nSets <= allPairsMaxSets) {
+          // ALL-PAIRS popcount instead of LSH: a <=64-word vocabulary
+          // makes sets broadly similar, so banding generates ~B^2
+          // candidates ANYWAY (probability a J=0.6 pair shares a
+          // 4-row band across 32 bands is ~0.99) — the signature +
+          // band-join machinery costs more than it prunes. B^2 pairs
+          // of 8-byte bitmaps through a broadcast nested-loop join is
+          // one shuffle-free codegen'd stage (recall exactly 1); at
+          // B=100k that is 5e9 popcount pairs, the break-even with
+          // banding overhead at this corpus shape.
+          side.select(col("id").as("id_a"), col("bits").as("bits_a"))
+            .join(broadcast(side.select(col("id").as("id_b"), col("bits").as("bits_b"))),
+              col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        } else {
+          lshCandidates()
+            .join(broadcast(side.select(col("id").as("id_a"), col("bits").as("bits_a"))), "id_a")
+            .join(broadcast(side.select(col("id").as("id_b"), col("bits").as("bits_b"))), "id_b")
+            .select(col("id_a"), col("id_b"), jac.as("jaccard"))
+        }
       } else {
         val side = clustered.select(col("sid").as("id"), col("ws"))
-        cands
+        lshCandidates()
           .join(side.select(col("id").as("id_a"), col("ws").as("ws_a")), "id_a")
           .join(side.select(col("id").as("id_b"), col("ws").as("ws_b")), "id_b")
           .select(col("id_a"), col("id_b"),
@@ -236,14 +255,42 @@ object Dedup {
     * |intersection| → Jaccard from set sizes. `dfCap` drops tokens
     * present in more than that many documents (stop-token skew
     * guard; candidate-complete as long as a qualifying pair shares at
-    * least one sub-cap token).
+    * least one sub-cap token). Corpora whose vocabulary fits in 64
+    * words (≤ `allPairsMaxDocs` docs) instead run exact all-pairs
+    * bitmap popcounts — recall-complete, no cap needed — because an
+    * inverted index cannot prune sets drawn from a tiny vocabulary.
     */
   def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
-                  threshold: Double, dfCap: Long = Long.MaxValue): DataFrame = {
+                  threshold: Double, dfCap: Long = Long.MaxValue,
+                  allPairsMaxDocs: Long = 100000L): DataFrame = {
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("sz", size(col("ws")))
     val inv = docs.select(col("id"), col("sz"), explode(col("ws")).as("tok"))
-    if (dfCap == Long.MaxValue) {
+    val vocab = inv.select("tok").distinct()
+    if (vocab.count() <= 64 && docs.count() <= allPairsMaxDocs) {
+      // <=64-word vocabulary: each set is ONE int64 bitmap, and sets
+      // drawn from so few words are broadly similar — an inverted
+      // index degenerates toward all-pairs candidates anyway, so do
+      // exact all-pairs popcounts directly (one shuffle-free
+      // broadcast-nested-loop stage). This plan is recall-complete,
+      // so the dfCap (a candidate-pruning knob for the inverted-index
+      // plan) has nothing left to prune.
+      val dict = broadcast(vocab.select(col("tok"),
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+          .as("tid")))
+      val side = inv.join(dict, "tok")
+        .groupBy("id")
+        .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))
+        .persist() // 8B/doc; both join sides read it
+      val inter = bit_count(col("bits_a").bitwiseAND(col("bits_b"))).cast("double")
+      side.select(col("id").as("id_a"), col("bits").as("bits_a"))
+        .join(broadcast(side.select(col("id").as("id_b"), col("bits").as("bits_b"))),
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(inter / (bit_count(col("bits_a")) + bit_count(col("bits_b")) - inter), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    } else if (dfCap == Long.MaxValue) {
       // exact path: pair-count over the full inverted index IS the
       // intersection size — no second pass needed
       val a = inv.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))

@@ -17,6 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("tckn_valid"),
+      new ExpressionInfo(classOf[TcknValid].getName, "tckn_valid"),
+      (children: Seq[Expression]) => TcknValid(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("taxnum_valid"),
+      new ExpressionInfo(classOf[TaxNumValid].getName, "taxnum_valid"),
+      (children: Seq[Expression]) => TaxNumValid(children.head)))
   }
 }
 
@@ -25,7 +33,12 @@ object GraftFunctions {
     * `spark.sql("SELECT dot_product(a, b) ...")` works without
     * rebuilding the session with extensions.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.SqlBridge.registerFunction(
       spark, "dot_product", (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(
+      spark, "tckn_valid", (children: Seq[Expression]) => TcknValid(children.head))
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(
+      spark, "taxnum_valid", (children: Seq[Expression]) => TaxNumValid(children.head))
+  }
 }

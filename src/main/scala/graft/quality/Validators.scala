@@ -13,40 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object Validators {
 
-  private def dig(s: Column, i: Int): Column = substring(s, i, 1).cast("int")
-
   /** TR national ID (TCKN) checksum (TRnoChecker.py:1-21):
     * 11 digits, first nonzero,
     * d10 == (7*(d1+d3+d5+d7+d9) - (d2+d4+d6+d8)) mod 10,
     * d11 == (d1+..+d10) mod 10.
+    * Backed by the native [[graft.functions.TcknValid]] expression —
+    * the pure-Column tree was so large that Janino compile time
+    * dominated small scans.
     */
-  def tcknValid(c: Column): Column = {
-    val s = c.cast("string")
-    val d = (1 to 10).map(i => dig(s, i))
-    val odd = d(0) + d(2) + d(4) + d(6) + d(8)
-    val even = d(1) + d(3) + d(5) + d(7)
-    s.rlike("^[1-9][0-9]{10}$") &&
-      dig(s, 10) === pmod(odd * 7 - even, lit(10)) &&
-      dig(s, 11) === pmod(d.reduce(_ + _), lit(10))
-  }
+  def tcknValid(c: Column): Column =
+    graft.functions.TrChecksumExpr.tcknValid(c.cast("string"))
 
   /** TR tax number checksum (TRnoChecker.py:24-48). For x in 0..8:
     * tmp1=(d[x]+(9-x))%10; tmp2=(tmp1*2^(9-x))%9, but 9 when tmp1!=0
     * and tmp2==0; check digit = (10 - total%10)%10 == d[9].
     * 11-digit inputs fall back to the TCKN rule (TRnoChecker.py:50-51).
+    * Native expression, same rationale as [[tcknValid]].
     */
-  def taxNumValid(c: Column): Column = {
-    val s = c.cast("string")
-    val terms = (0 to 8).map { x =>
-      val t1 = pmod(dig(s, x + 1) + lit(9 - x), lit(10))
-      val t2 = pmod(t1 * lit(1 << (9 - x)), lit(9))
-      when(t1 =!= 0 && t2 === 0, lit(9)).otherwise(t2)
-    }
-    val total = terms.reduce(_ + _)
-    val check = pmod(lit(10) - pmod(total, lit(10)), lit(10))
-    val ten = s.rlike("^[0-9]{10}$") && dig(s, 10) === check
-    when(length(s) === 11, tcknValid(s)).otherwise(ten)
-  }
+  def taxNumValid(c: Column): Column =
+    graft.functions.TrChecksumExpr.taxNumValid(c.cast("string"))
 
   /** E-mail rules distilled from home.py:476-563 (union of f1-f6 +
     * v1-v4 filters): forbidden characters (f1), length <= 6 (f2),

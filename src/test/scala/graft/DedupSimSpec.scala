@@ -58,6 +58,11 @@ class DedupSimSpec extends SparkSpec {
     val got = Dedup.minhashPairs(df, "text", "doc_id", 0.95).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == brute && got.size >= 3)
+    // same corpus through the LSH-candidate + bitmap-verify plan
+    // (all-pairs cutoff forced to 0): identical result set
+    val gotLsh = Dedup.minhashPairs(df, "text", "doc_id", 0.95, allPairsMaxSets = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotLsh == brute)
   }
 
   test("exactDedup keeps one row per content, min id wins") {
@@ -87,9 +92,31 @@ class DedupSimSpec extends SparkSpec {
     val df = Seq((1L, "stop a b c"), (2L, "stop a b c"), (3L, "stop x y z"))
       .toDF("doc_id", "text")
     // 'stop' appears in all 3 docs; cap=2 removes it from the index,
-    // pair (1,2) still shares a/b/c
-    val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.9, dfCap = 2).collect()
+    // pair (1,2) still shares a/b/c (allPairsMaxDocs=0 forces the
+    // capped inverted-index plan; the small vocab would otherwise
+    // route to bitmap all-pairs)
+    val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.9, dfCap = 2,
+      allPairsMaxDocs = 0L).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("jaccardJoin bitmap all-pairs plan (vocab<=64) equals brute force") {
+    val vocab = (0 until 20).map(i => s"t$i")
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 25L).map { i =>
+      i -> Seq.fill(8)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sets = docs.map { case (id, s) => id -> s.split(" +").toSet }
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (ia, ib, jr)).toSet
+    val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute)
   }
 
   test("string similarity finds near-identical strings via tf-idf 3-grams") {
