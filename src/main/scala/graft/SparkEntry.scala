@@ -58,8 +58,8 @@ object SparkEntry {
       .when(col("c_custkey") % 17 === 0, upper(email0))
       .otherwise(email0)
   }
-  private val emailSql =
-    """SELECT CASE
+  private val emailSqlKeyed =
+    """SELECT c_custkey, CASE
       | WHEN c_custkey%11=0 THEN replace(e0,'@','')
       | WHEN c_custkey%13=0 THEN 'yok@' || d
       | WHEN c_custkey%17=0 THEN upper(e0)
@@ -69,6 +69,7 @@ object SparkEntry {
       |  WHEN 0 THEN 'gmail.com' WHEN 1 THEN 'hotmail.com'
       |  WHEN 2 THEN 'example.org' WHEN 3 THEN 'gamil.com'
       |  ELSE 'mail.co.' END AS d FROM customer))""".stripMargin
+  private val emailSql = s"SELECT email FROM ($emailSqlKeyed)"
 
   /** emailViolation mirrored for DuckDB (same rule union as
     * Validators.emailViolation).
@@ -451,7 +452,23 @@ object SparkEntry {
       .orderBy("doc_id")),
     "q_d12_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
-      .orderBy("doc_id"))
+      .orderBy("doc_id")),
+
+    // ---- dataset-assembly extensions (SURVEY D16-D18)
+    "q_d16_split" -> ((s, d) =>
+      graft.pipeline.Pipeline.withSplit(t(s, d, "documents"), "text")
+        .groupBy("split").agg(count(lit(1)).as("cnt")).orderBy("split")),
+    "q_d17_sample" -> ((s, d) =>
+      graft.pipeline.Pipeline.sampleByHash(t(s, d, "orders"), col("o_orderkey"), 0.05, "s1")
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))),
+    "q_d18_pii" -> ((s, d) => t(s, d, "customer")
+      .select(col("c_custkey"),
+        graft.pipeline.Pipeline.redactPii(concat(
+          lit("contact "), emailCol, lit(" id "),
+          (lit(10000000000L) + col("c_custkey") * 7919).cast("string"), lit(" end")))
+          .as("redacted"))
+      .orderBy("c_custkey"))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -955,6 +972,32 @@ object SparkEntry {
     "q_d12_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the portable md5-head bucket (conv(md5[1:8],16,10) in Spark)
+    // recomputed via horner-fold over the 8 hex nibbles
+    "q_d16_split" ->
+      """WITH b AS (SELECT list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 100 AS bkt FROM documents)
+        |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS cnt
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_d17_sample" ->
+      """WITH b AS (SELECT o_orderkey, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR) || 's1'), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 10000 AS bkt FROM orders)
+        |SELECT count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM b WHERE bkt < 500""".stripMargin,
+
+    "q_d18_pii" ->
+      s"""WITH e AS ($emailSqlKeyed)
+         |SELECT c_custkey,
+         | regexp_replace(regexp_replace(
+         |   'contact ' || email || ' id ' || CAST(10000000000 + c_custkey*7919 AS VARCHAR) || ' end',
+         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |   '[0-9]{10,}', '<NUM>', 'g') AS redacted
+         |FROM e ORDER BY c_custkey""".stripMargin,
 
     // mirrors StubCodec: first 8 nibbles of md5(payload bytes) / 15,
     // rendered with shortest-round-trip float formatting (identical

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training-data pipelines:
+  * reproducible splits, deterministic sampling, PII redaction.
+  * (Scale extensions beyond the reference's surface — see SURVEY §2
+  * D16-D18.)
+  *
+  * Everything here is scan-local (zero shuffle) and content-
+  * deterministic: assignment depends only on the VALUE, never on
+  * partitioning, row order, executor count, or a driver-held RNG —
+  * the property that makes a 100 TB split reproducible across
+  * clusters, re-runs, and engine implementations.
+  */
+object Pipeline {
+
+  /** Stable bucket in [0, buckets) from the md5 head of the value.
+    * md5-hex → first 8 nibbles as an int → mod. Portable: any engine
+    * (or offline auditor) recomputes the same bucket from the same
+    * bytes, unlike engine-private hashes.
+    */
+  def hashBucket(c: Column, buckets: Int = 100): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Reproducible train/val/test assignment by content hash of
+    * `keyCol` (default 80/10/10). Key on a stable document id — NOT
+    * the text — when near-dup handling is done elsewhere; key on
+    * normalized content to make exact dups co-assigned.
+    */
+  def splitLabel(keyCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(keyCol)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  def withSplit(df: DataFrame, keyCol: String, trainPct: Int = 80,
+                valPct: Int = 10): DataFrame =
+    df.withColumn("split", splitLabel(col(keyCol), trainPct, valPct))
+
+  /** Deterministic `fraction` sample: keep a row iff its 1/10000
+    * hash bucket falls under the fraction. Same row set on every
+    * run and every cluster layout; `salt` decorrelates independent
+    * samples of the same data. Filter is scan-local and pushes into
+    * the scan like any predicate.
+    */
+  def sampleByHash(df: DataFrame, keyCol: Column, fraction: Double,
+                   salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(
+      hashBucket(concat(keyCol.cast("string"), lit(salt)), 10000)
+        < math.round(fraction * 10000).toInt)
+  }
+
+  /** PII redaction for text columns: e-mail addresses → `<EMAIL>`,
+    * 10+-digit runs (phone/national-id shaped) → `<NUM>`. Patterns
+    * are deliberately RE2-compatible (no backrefs/lookbehind) so the
+    * exact transform is portable across engines.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{10,}", "<NUM>")
+}

@@ -32,6 +32,20 @@ object TextAnalysis {
   private def ratio(num: Column, den: Column): Column =
     round(num / den.cast("double"), 4)
 
+  /** Count of space-delimited tokens of `c` that are in `stop`,
+    * evaluated as ONE codegen'd regex pass. Equivalent to
+    * `size(filter(split(c, " +"), w => w.isin(stop)))` but that form
+    * materializes the token array and runs an interpreted lambda per
+    * row (Spark evaluates higher-order functions outside codegen) —
+    * measurably slower per-row and allocation-heavy at corpus scale.
+    * Boundaries: leading `^`/space consumed, trailing space matched
+    * by lookahead so adjacent stopwords still count; `\z` (not `$`)
+    * so a token holding a trailing newline is NOT a hit, exactly like
+    * the split-on-spaces form.
+    */
+  private def stopwordHits(c: Column, stop: Seq[String]): Column =
+    regexp_count(c, lit("(?:^|[ ])(?:" + stop.mkString("|") + ")(?=[ ]|\\z)"))
+
   /** Quality-score feature struct (length / punctuation / digit /
     * uppercase / stopword / repetition ratios). A downstream filter
     * picks thresholds; this computes the features in one projection.
@@ -42,8 +56,8 @@ object TextAnalysis {
     val punct = n - length(regexp_replace(c, """[\p{Punct}]""", ""))
     val digits = n - length(regexp_replace(c, "[0-9]", ""))
     val uppers = n - length(regexp_replace(c, "[A-Z]", ""))
-    val stops = size(filter(split(lower(c), " +"),
-      w => w.isin("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")))
+    val stops = stopwordHits(lower(c),
+      Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"))
     struct(
       n.cast("long").as("n_chars"),
       words.as("n_words"),
@@ -73,9 +87,7 @@ object TextAnalysis {
     * SQL-expressible for the oracle).
     */
   def languageId(c: Column): Column = {
-    val words = split(lower(c), " +")
-    def hits(stop: Seq[String]): Column =
-      size(filter(words, w => w.isin(stop: _*)))
+    def hits(stop: Seq[String]): Column = stopwordHits(lower(c), stop)
     val scores = Seq(
       "en" -> hits(Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")),
       "es" -> hits(Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "es")),

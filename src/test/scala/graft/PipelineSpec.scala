@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Pipeline
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withSplit assigns all three labels, deterministically and partition-invariantly") {
+    val df = (1 to 600).map(i => s"document number $i").toDF("text")
+    def counts(parts: Int): Map[String, Long] =
+      Pipeline.withSplit(df.repartition(parts), "text")
+        .groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c7 = counts(7)
+    assert(counts(3) == c7, "split must not depend on partitioning")
+    assert(c7.keySet == Set("train", "val", "test"))
+    assert(c7("train") > c7("val") && c7("train") > c7("test"))
+    assert(c7.values.sum == 600)
+    // ~80/10/10 with binomial noise
+    assert(c7("train") > 420 && c7("train") < 540)
+  }
+
+  test("exact duplicate content is co-assigned to the same split") {
+    val df = Seq("same doc", "same doc", "other doc").toDF("text")
+    val bySplit = Pipeline.withSplit(df, "text")
+      .filter(col("text") === "same doc").select("split")
+      .collect().map(_.getString(0)).toSet
+    assert(bySplit.size == 1)
+  }
+
+  test("sampleByHash is deterministic, fraction-accurate, and salt-decorrelated") {
+    val df = (1L to 2000L).toDF("id")
+    def ids(salt: String): Set[Long] =
+      Pipeline.sampleByHash(df, col("id"), 0.2, salt)
+        .collect().map(_.getLong(0)).toSet
+    val a = ids("a")
+    assert(a == ids("a"), "same salt must select the same rows")
+    assert(a.size > 300 && a.size < 500, s"got ${a.size} for fraction 0.2")
+    val b = ids("b")
+    assert(b != a, "different salts must select different row sets")
+    // overlap should look independent (~0.04 of 2000), not nested
+    assert(a.intersect(b).size < 200)
+  }
+
+  test("redactPii masks emails and 10+-digit runs, leaves short numbers") {
+    val got = Seq(
+      "mail bob.smith@x.co.uk and 12345678901 plus 12345 end",
+      "no pii here",
+      "UPPER@EXAMPLE.ORG 9999999999")
+      .toDF("t").select(Pipeline.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "mail <EMAIL> and <NUM> plus 12345 end")
+    assert(got(1) == "no pii here")
+    assert(got(2) == "<EMAIL> <NUM>")
+  }
+}
