@@ -31,6 +31,25 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Write `df` as a bucketed parquet table registered in the session
+    * catalog (external, at `path`). Two tables bucketed on the same
+    * key with the same bucket count join WITHOUT a shuffle: the scan
+    * itself satisfies the join's required hash distribution, so the
+    * exchange of both sides — the dominant cost of a large join —
+    * disappears from the plan. This is the pre-partitioning story for
+    * repeatedly-joined 100 TB facts; `sortCols` additionally orders
+    * within buckets so sort-merge joins skip their sorts.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Parse an embedded-JSON string column against a DDL schema
     * (native `from_json` — codegen'd, no UDF), e.g.
     * `jsonField(col("props"), "k INT", "k")`.

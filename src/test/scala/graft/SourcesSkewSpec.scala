@@ -48,6 +48,23 @@ class SourcesSkewSpec extends SparkSpec {
     assert(salts.map(_.getLong(1)).max < 1000)
   }
 
+  test("bucketed tables on the same key join WITHOUT a shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sources.writeBucketed(a, "bkt_a", s"$dir/a", "k", 8)
+    Sources.writeBucketed(b, "bkt_b", s"$dir/b", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected shuffle-free co-located join, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("withRowIndex assigns a deterministic 0-based index by sort order") {
     val df = Seq("c", "a", "b").toDF("s")
     val idx = Corrector.withRowIndex(df, Seq("s")).collect()
