@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.quality.Rule
 
 /** Structured-Streaming data-quality monitoring: the reference's
@@ -49,6 +50,64 @@ object StreamingDQ {
     stream
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Per-key running DQ counters carried across micro-batches. */
+  case class DqState(total: Long, bad: Long)
+
+  /** One output row per key per micro-batch that touched it. */
+  case class DqUpdate(key: String, total: Long, bad: Long,
+                      badRatio: Double, alert: Boolean)
+
+  /** Per-key RUNNING data-quality monitor with custom state
+    * (`flatMapGroupsWithState`): cumulative total / violating counts
+    * per key across the whole stream lifetime, emitting an update —
+    * with an `alert` flag once the cumulative violation ratio crosses
+    * `alertRatio` — for every key seen in each micro-batch. This is
+    * the stateful shape windowed aggregation can't express: the
+    * counters never reset, and state stays O(keys) (8+8 bytes each).
+    *
+    * `idleTimeout = Some(dur)` evicts state for keys idle longer than
+    * `dur` via `ProcessingTimeTimeout` (an evicted key restarts from
+    * zero if it returns) — use it when the key space is unbounded.
+    * Note the engine-level cost: registered processing-time timeouts
+    * make the query construct micro-batches continuously even with no
+    * new data (each trigger must re-evaluate timeouts), so
+    * `processAllAvailable()` no longer converges — fine under a real
+    * periodic trigger, wrong for drain-the-source tests, hence the
+    * `None` default.
+    */
+  def runningDqByKey(stream: DataFrame, keyCol: String, column: String,
+                     rules: Seq[Rule], alertRatio: Double,
+                     idleTimeout: Option[String] = None): Dataset[DqUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val c = col(column)
+    val bad = (c.isNull || Rule.anyViolation(c, rules)).cast("int")
+    val flagged = stream
+      .select(col(keyCol).cast("string").as("_k"), bad.as("_bad"))
+      .as[(String, Int)]
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    flagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DqState, DqUpdate](OutputMode.Update(), timeoutConf) {
+        (key: String, rows: Iterator[(String, Int)], state: GroupState[DqState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var t = 0L; var b = 0L
+            rows.foreach { r => t += 1; b += r._2 }
+            val prev = state.getOption.getOrElse(DqState(0L, 0L))
+            val next = DqState(prev.total + t, prev.bad + b)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            val ratio = if (next.total == 0) 0.0 else next.bad.toDouble / next.total
+            Iterator.single(DqUpdate(key, next.total, next.bad,
+              math.round(ratio * 10000).toDouble / 10000, ratio >= alertRatio))
+          }
+      }
+  }
 
   /** Windowed per-type event counts (profiling a stream the way the
     * batch profiler does a table).

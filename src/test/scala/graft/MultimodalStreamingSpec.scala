@@ -88,6 +88,34 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: running per-key DQ state accumulates ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Option[Double])]
+    val stream = mem.toDF().toDF("k", "value")
+    val running = StreamingDQ.runningDqByKey(stream, "k", "value",
+      Seq(Rule.NumBetween(0, 100)), alertRatio = 0.5)
+    val q = running.toDF().writeStream.format("memory").queryName("running_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: key a -> 2 good; key b -> 1 good 1 bad
+      mem.addData(("a", Some(1.0)), ("a", Some(2.0)), ("b", Some(3.0)), ("b", Some(999.0)))
+      q.processAllAvailable()
+      // batch 2: key a -> 1 bad (cumulative a: 1/3); b untouched
+      mem.addData(("a", None))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM running_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+      // batch-1 emissions
+      assert(rows.contains(("a", 2L, 0L, false)))
+      assert(rows.contains(("b", 2L, 1L, true))) // ratio 0.5 crosses threshold
+      // batch-2 emission proves state carried over: total 3 includes batch 1
+      assert(rows.contains(("a", 3L, 1L, false)))
+      assert(!rows.map(_._1).sliding(1).isEmpty)
+      assert(rows.count(_._1 == "b") == 1, "untouched key must not re-emit")
+    } finally q.stop()
+  }
+
   test("streaming: windowed per-type counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
