@@ -13,8 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation memo, keyed per session: `spark.read.parquet`
+    * eagerly lists files and reads footers for schema on every call,
+    * which is pure fixed cost when the same table backs many queries —
+    * the same reason a production engine resolves through a catalog
+    * once. DataFrames are immutable plans, so sharing is safe; keying
+    * on the session keeps a restarted JVM/session from seeing stale
+    * plans.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
 
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
