@@ -50,6 +50,17 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** Write `df` hive-partitioned by `partitionCols` (the standard
+    * lake layout: one directory level per partition value). Reads
+    * that filter on a partition column prune whole directories at
+    * plan time (`PartitionFilters` on the scan) — on a date-
+    * partitioned 100 TB table, a one-day query lists one directory
+    * instead of scanning three years.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Parse an embedded-JSON string column against a DDL schema
     * (native `from_json` — codegen'd, no UDF), e.g.
     * `jsonField(col("props"), "k INT", "k")`.

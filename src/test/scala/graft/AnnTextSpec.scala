@@ -33,6 +33,22 @@ class AnnTextSpec extends SparkSpec {
     assert(got.head._1 == 0L && got.head._2 == 1.0) // self-match first
   }
 
+  test("cosinePairsExact finds every brute-force pair against the subset, regardless of buckets") {
+    val df = vectors.toDF("vec_id", "embedding")
+    val subset = df.filter(col("vec_id") < 10)
+    val got = Ann.cosinePairsExact(df, subset, "embedding", "vec_id", 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = (for {
+      (ia, va) <- vectors; (ib, vb) <- vectors if ia < ib && ib < 10
+      dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      na = math.sqrt(va.map(x => x.toDouble * x).sum)
+      nb = math.sqrt(vb.map(x => x.toDouble * x).sum)
+      c = BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.3
+    } yield (ia, ib, c)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
   test("lshTopK returns a subset of true neighbors with exact scores") {
     val df = vectors.toDF("vec_id", "embedding")
     val q = vectors.head._2.map(_.toDouble)

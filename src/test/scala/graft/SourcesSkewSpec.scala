@@ -48,6 +48,21 @@ class SourcesSkewSpec extends SparkSpec {
     assert(salts.map(_.getLong(1)).max < 1000)
   }
 
+  test("partitioned layout prunes partitions at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (1 to 300).map(i => (i, if (i % 3 == 0) "c" else if (i % 3 == 1) "a" else "b"))
+      .toDF("id", "k")
+    Sources.writePartitioned(df, s"$dir/t", Seq("k"))
+    val filtered = spark.read.parquet(s"$dir/t").filter(col("k") === "a")
+    assert(filtered.count() == 100)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(k"),
+      s"expected partition pruning in scan, got:\n$scan")
+    // the data filter must NOT appear as a post-scan filter: pruning
+    // handled it entirely
+    assert(!scan.contains("PushedFilters: [IsNotNull(k"), "k should be partition-pruned, not row-filtered")
+  }
+
   test("bucketed tables on the same key join WITHOUT a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt").toString
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
