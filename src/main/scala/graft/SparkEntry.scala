@@ -973,6 +973,25 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // SimHash recomputed end-to-end: the sketch is a per-bit majority
+    // vote over portable 60-bit token hashes (md5 nibble fold), so
+    // DuckDB rebuilds the identical sketch and the identical pair set
+    "q_d3_simhash" -> {
+      val bitCases = (0 until 60).map(i =>
+        s"CASE WHEN sum(((th >> $i) & 1)*2 - 1) > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(text,' +'))) AS tok FROM documents),
+         |h AS (SELECT doc_id, list_reduce(list_transform(range(1, 16),
+         |   i -> strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1),
+         |   (a, x) -> a * 16 + x) AS th FROM w),
+         |sk AS (SELECT doc_id, $bitCases AS sh FROM h GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     // the portable md5-head bucket (conv(md5[1:8],16,10) in Spark)
     // recomputed via horner-fold over the 8 hex nibbles
     "q_d16_split" ->

@@ -199,13 +199,26 @@ object Dedup {
     cross.union(intra)
   }
 
-  /** 64-bit SimHash of a token-set: per-bit majority vote of token
-    * hashes, built from 64 bit-test expressions (codegen; no UDF).
+  /** Portable 60-bit token hash: the first 15 hex nibbles of md5.
+    * Chosen over engine-private hashes (xxhash64) so sketches built
+    * from it are reproducible by ANY engine byte-for-byte — the
+    * DuckDB oracle recomputes the same sketch via a nibble fold. 60
+    * bits keeps the horner fold inside a signed 64-bit integer in
+    * engines without wrapping arithmetic.
+    */
+  def portableTokenHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val SimhashBits = 60
+
+  /** 60-bit SimHash of a token-set: per-bit majority vote of
+    * portable token hashes, built from bit-test expressions (codegen;
+    * no UDF).
     */
   def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
+    val hashes = transform(tokens, t => portableTokenHash60(t))
     val n = size(hashes)
-    val bits = (0 until 64).map { i =>
+    val bits = (0 until SimhashBits).map { i =>
       // count of tokens with bit i set; majority => bit set in sketch
       val cnt = aggregate(hashes, lit(0),
         (acc, h) => acc + shiftright(h, i).bitwiseAND(1L).cast("int"))
@@ -214,30 +227,30 @@ object Dedup {
     bits.reduce(_ bitwiseOR _)
   }
 
-  /** Hamming distance between two 64-bit sketches. */
+  /** Hamming distance between two sketches. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 64-bit sketch into 4×16-bit
+  /** SimHash near-dup pairs: band the 60-bit sketch into 4×15-bit
     * chunks (any pair within Hamming ≤ 3 shares ≥ 1 exact chunk —
     * pigeonhole), bucket-join on chunk, verify Hamming ≤ maxHamming.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // sketch via explode -> groupBy with 64 codegen'd SUM aggregates
+    // sketch via explode -> groupBy with codegen'd SUM aggregates
     // (one shuffle, map-side combined) instead of interpreted
     // higher-order array functions; semantics identical to simhash()
     val ex = df.select(col(idCol).as("id"), explode(wordSet(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+      .select(col("id"), portableTokenHash60(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map(i =>
       sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"_b$i"))
     val sk = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        (0 until SimhashBits).map(i => when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sh"))
     val chunkArr = array((0 until 4).map(i => struct(
       lit(i).as("chunk_id"),
-      shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
+      shiftright(col("sh"), i * 15).bitwiseAND(lit(0x7FFFL)).as("chunk"))): _*)
     val chunks = sk.withColumn("ck", explode(chunkArr))
       .select(col("id"), col("sh"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
