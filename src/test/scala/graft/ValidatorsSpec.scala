@@ -72,6 +72,52 @@ class ValidatorsSpec extends SparkSpec {
     cases.foreach { case (e, exp) => assert(got(e) == exp, s"email $e") }
   }
 
+  /** The reference's e-mail rule union (home.py:476-563) re-stated
+    * plainly: f1 forbidden chars, f2 length, f3 missing '@' (its
+    * second clause — pandas `contains(".")` with regex semantics,
+    * i.e. any-char — is implemented as a literal-dot requirement,
+    * the one documented deviation), f4 multiple '@', f5 placeholder
+    * prefixes, f6 bad shapes, v1/v2 Turkish/uppercase, v3 bad
+    * suffixes + ingo@ prefix, v4 typo'd domains.
+    */
+  private def emailViolationRef(s: String): Boolean = {
+    val f1 = s.exists("~`!#$%^&*()+={}[]|/:;\"'<>?,\\ ".contains(_))
+    val f2 = s.length <= 6
+    val f3 = !s.contains("@") || !s.contains(".")
+    val f4 = s.count(_ == '@') > 1
+    val f5 = Seq("@", "yok@", "YOK@", "www", "bbb@", "girilecek@", "deneme@",
+      "Mailadresi@", "dummy@", "ingo@").exists(s.startsWith)
+    val f6 = s.contains("@.") || s.contains(".@") || s.contains("@-")
+    val v1v2 = s.exists(c => c.isUpper || "ıİçÇşŞğĞüÜöÖ".contains(c))
+    val v3 = Seq("gmail", "yahoo", "hotmail", "msn", "@live", "yandex",
+      "outlook", "windowslive", ".com.t", ".o", ".cm", ".co", ".ocom",
+      ".ney", ".co.", ".cvom", ".comtr", ".com.", ".comom", ".c", ".r",
+      ".com.tr'", ".com.tr/").exists(s.endsWith)
+    val v4 = Seq("windowlive", "hotmil", "hatmail", "hotmial", "gamil",
+      "gmmail", "outlok", "yaaho").exists(s.contains)
+    f1 || f2 || f3 || f4 || f5 || f6 || v1v2 || v3 || v4
+  }
+
+  test("emailViolation matches the reference rule union on a generated corpus") {
+    val locals = Seq("alice", "bob.smith", "yok", "deneme", "x", "türkan", "Carol", "ingo")
+    val domains = Seq("example.org", "gmail.com", "gamil.com", "mail.co",
+      "mail.co.", "x.cm", "d.net", "live", "mail.gmail", "y.yahoo", "z.com.t")
+    val mutate = Seq[String => String](identity, _.replace("@", ""), "@" + _,
+      _.toUpperCase, _.replace("@", "@@"), _.replace("@", "@."), _ + "/",
+      _.replace(".", " "))
+    val corpus = (for {
+      l <- locals; d <- domains; m <- mutate
+    } yield m(s"$l@$d")).distinct
+    val got = corpus.toDF("e")
+      .select(col("e"), Validators.emailViolation(col("e")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    corpus.foreach { e =>
+      assert(got(e) == emailViolationRef(e), s"email <$e>")
+    }
+    // the corpus must exercise both outcomes
+    assert(corpus.exists(emailViolationRef) && corpus.exists(!emailViolationRef(_)))
+  }
+
   test("phoneValid accepts canonical mask, rejects dummy/letters/other masks") {
     val masks = Seq("99-999-999-9999", "9999999999")
     val cases = Seq(
