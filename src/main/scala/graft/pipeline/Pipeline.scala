@@ -43,8 +43,10 @@ object Pipeline {
   /** Deterministic `fraction` sample: keep a row iff its 1/10000
     * hash bucket falls under the fraction. Same row set on every
     * run and every cluster layout; `salt` decorrelates independent
-    * samples of the same data. Filter is scan-local and pushes into
-    * the scan like any predicate.
+    * samples of the same data. The filter is scan-local (no shuffle,
+    * evaluated row-by-row inside the scan stage) — being a derived
+    * expression it is not a parquet-pushable predicate, so it prunes
+    * rows, not row groups.
     */
   def sampleByHash(df: DataFrame, keyCol: Column, fraction: Double,
                    salt: String = ""): DataFrame = {
