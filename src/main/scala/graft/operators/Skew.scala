@@ -42,4 +42,24 @@ object Skew {
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+
+  /** Skew-proof inner equi-join: the classic replicate-and-salt shape
+    * for when a sort-merge join's hot key floods one task and the
+    * small side is too big to broadcast outright. Each `left` row
+    * gets one salt; `right` is replicated once per salt value (x
+    * `buckets` — right should be the SMALLER side); the join key
+    * becomes (key, salt), so a hot key's rows spread over `buckets`
+    * tasks. Result is exactly `left.join(right, key)`. (AQE's skew
+    * handling splits oversized sort-merge partitions at runtime and
+    * is the first resort; this is the explicit fallback when AQE
+    * cannot help — e.g. a single key bigger than memory, or a
+    * non-sort-merge plan.)
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 buckets: Int): DataFrame = {
+    val salted = left.withColumn("_salt", salt(buckets))
+    val replicated = right.withColumn("_salt",
+      explode(array((0 until buckets).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -38,6 +38,18 @@ class SourcesSkewSpec extends SparkSpec {
     saltedS.foreach { case (k, v) => assert(math.abs(v - plainS(k)) < 1e-6) }
   }
 
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    val left = ((1 to 900).map(_ => "hot") ++ Seq("a", "b", "c")).map(k => k -> 1)
+      .toDF("k", "v").repartition(4)
+    val right = Seq("hot" -> 10, "a" -> 20, "b" -> 30, "z" -> 40).toDF("k", "w")
+    val plain = left.join(right, "k")
+    val salted = Skew.saltedJoin(left, right, "k", 8)
+    assert(salted.count() == plain.count())
+    val agg = salted.groupBy("k").sum("w").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aggP = plain.groupBy("k").sum("w").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg == aggP)
+  }
+
   test("salt spreads IDENTICAL rows of a hot key across buckets") {
     // the archetypal hot key: many byte-identical rows — a content
     // hash would give them all one salt and re-create the hotspot
