@@ -65,6 +65,33 @@ class DedupSimSpec extends SparkSpec {
     assert(gotLsh == brute)
   }
 
+  test("minhashPairs LSH path matches brute force on a 500-doc random corpus") {
+    // big enough that a banding bug (wrong slice offsets, hash reuse
+    // across bands) shows up as missing/extra pairs; 32x4 banding has
+    // miss probability ~1e-15 at J >= 0.9, so equality is expected
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 200).map(i => s"u$i")
+    val base = (0L until 450L).map { i =>
+      i -> Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val dups = (0L until 50L).map { i =>
+      // near-dup: drop one word from doc i and shuffle
+      val words = rnd.shuffle(base(i.toInt)._2.split(" ").toSeq)
+      (1000L + i) -> words.drop(1).mkString(" ")
+    }
+    val corpus = base ++ dups
+    val sets = corpus.map { case (id, s) => id -> s.split(" +").toSet }
+    val brute = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.9
+    } yield (ia, ib)).toSet
+    val got = Dedup.minhashPairs(corpus.toDF("doc_id", "text"), "text", "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 40, s"corpus must contain engineered near-dups, got ${brute.size}")
+    assert(got == brute)
+  }
+
   test("exactDedup keeps one row per content, min id wins") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val kept = Dedup.exactDedup(df, "text", "id").select("id").collect().map(_.getLong(0)).toSet
