@@ -1,0 +1,53 @@
+package graft
+
+/** Physical-plan regression guards for the scale claims in SURVEY §5:
+  * pushdown, pruning, broadcast dimension joins, TakeOrdered top-k,
+  * and single-scan profiling. A refactor that silently breaks one of
+  * these (e.g. a UDF blocking pushdown, a join flipping to
+  * sort-merge + shuffle) fails here rather than in a cluster bill.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("search filters are pushed into the parquet scan") {
+    val p = plan("q_c1_search")
+    assert(p.contains("GreaterThanOrEqual(value,50.0)") &&
+      p.contains("EqualTo(event_type,purchase)"),
+      s"expected value/type predicates in PushedFilters:\n$p")
+  }
+
+  test("projection prunes the scan schema to referenced columns") {
+    val p = plan("q_c1_search")
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,event_type:string,value:double>"),
+      s"expected pruned ReadSchema (no ts/props):\n$p")
+  }
+
+  test("gender dimension lookup is a broadcast join") {
+    val p = plan("q_c12_gender")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("sorted top-100 is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_c14_sort")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("multi-column profiles scan the table exactly once") {
+    Seq("q_a2_null_profile", "q_a3_numeric_stats", "q_a11_corr").foreach { q =>
+      val scanNodes = "\\(\\d+\\) Scan parquet".r.findAllIn(plan(q)).size
+      assert(scanNodes == 1, s"$q: expected 1 scan, saw $scanNodes")
+    }
+  }
+
+  test("rule checks stay scan-local: no shuffle exchange at all") {
+    val p = plan("q_b7_rule_length")
+    // single-partition aggregation of partial aggs is the only exchange
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 2, s"rule check grew unexpected shuffles ($exchanges):\n$p")
+  }
+}
