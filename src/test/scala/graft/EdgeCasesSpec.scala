@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.profile.Profiler
+import graft.quality.{Detector, Rule}
+import graft.text.TextAnalysis
+import graft.pipeline.Pipeline
+
+/** Degenerate-input behavior: empty tables, all-null columns, single
+  * rows. The oracle corpus never produces these, but a 100 TB
+  * pipeline's partitions routinely do (empty partitions after a
+  * selective filter, a column that is null for one whole source).
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup/similarity operators return empty on empty input") {
+    assert(Dedup.minhashPairs(emptyDocs, "text", "doc_id", 0.9).count() == 0)
+    assert(Dedup.jaccardJoin(emptyDocs, "text", "doc_id", 0.8).count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "text", "doc_id", 3).count() == 0)
+    assert(graft.similarity.StringSim.similarPairs(
+      emptyDocs.toDF("id", "s"), "s", "id", 0.5).count() == 0)
+  }
+
+  test("a single document yields no pairs and a full profile row") {
+    val one = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(one, "text", "doc_id", 0.5).count() == 0)
+    assert(TextAnalysis.profile(one, "text", "doc_id").count() == 1)
+  }
+
+  test("profiler handles empty tables and all-null columns") {
+    val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")
+    assert(Profiler.summary(empty).collect()(0).getLong(0) == 0)
+    assert(Profiler.frequencyTable(empty, "v").count() == 0)
+    val stats = Profiler.numericStats(empty, Seq("v")).collect()
+    assert(stats.length == 1 && stats(0).isNullAt(stats(0).fieldIndex("mean")))
+
+    val allNull = (1 to 50).map(i => (i.toLong, Option.empty[Double])).toDF("id", "v")
+    val s = Profiler.numericStats(allNull, Seq("v")).collect()(0)
+    assert(s.getAs[Long]("cnt") == 0 && s.isNullAt(s.fieldIndex("median")))
+    val np = Profiler.nullProfile(allNull).filter(col("column") === "v").collect()(0)
+    assert(np.getAs[Long]("null_count") == 50 && np.getAs[Double]("fill_pct") == 0.0)
+  }
+
+  test("detector and rules on empty / all-null input") {
+    val allNull = (1 to 20).map(i => (i.toLong, Option.empty[Double])).toDF("id", "v")
+    val rep = Detector.dqReport(allNull, "v", Seq(Rule.NumBetween(0, 1))).collect()(0)
+    assert(rep.getAs[Long]("null_records") == 20 && rep.getAs[Double]("dq_score") == 0.0)
+    assert(rep.getAs[String]("dq_band") == "VERY LOW")
+    val empty = Seq.empty[(Long, Option[Double])].toDF("id", "v")
+    assert(Detector.duplicateRows(empty).count() == 0)
+    assert(Detector.uselessRows(empty).count() == 0)
+  }
+
+  test("ann operators on empty corpora") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Array.fill(4)(1.0)
+    assert(Ann.cosineTopK(empty, "embedding", "vec_id", q, 5).count() == 0)
+    assert(Ann.cosinePairs(empty, "embedding", "vec_id", 0.9, dim = 4).count() == 0)
+    assert(Ann.cosinePairsExact(empty, empty, "embedding", "vec_id", 0.9).count() == 0)
+  }
+
+  test("pipeline split/sample/redact on empty and whitespace-only text") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Pipeline.withSplit(empty, "text").count() == 0)
+    assert(Pipeline.sampleByHash(empty, col("id"), 0.5).count() == 0)
+    val ws = Seq((1L, "   "), (2L, "")).toDF("id", "text")
+    val r = Pipeline.withSplit(ws, "text").select("split").collect().map(_.getString(0))
+    assert(r.forall(Set("train", "val", "test")))
+    val wc = ws.select(TextAnalysis.wordCount(col("text")).as("c")).collect().map(_.getInt(0))
+    assert(wc.toSeq == Seq(0, 0))
+  }
+}
