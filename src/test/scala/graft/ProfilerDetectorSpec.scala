@@ -77,6 +77,20 @@ class ProfilerDetectorSpec extends SparkSpec {
     assert(v == 11.0)
   }
 
+  test("tckn_valid / taxnum_valid register as SQL functions") {
+    graft.functions.GraftFunctions.register(spark)
+    // 10000000078: odd=1 even=0 -> d10 = 7*1-0 mod 10 = 7; d11 = (1+7) mod 10 = 8
+    // 0000000001: nine zero digits give terms 9,5,5,6,7,1,6,8,2 = 49
+    //             -> check digit (10-9)%10 = 1
+    val r = spark.sql(
+      """SELECT tckn_valid('10000000078') AS t1, tckn_valid('10000000079') AS t2,
+        |       taxnum_valid('0000000001') AS x1, taxnum_valid('0000000002') AS x2,
+        |       tckn_valid(CAST(NULL AS STRING)) AS tn""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.isNullAt(4))
+  }
+
   test("uselessRows flags rows with more than half columns null") {
     val d = Seq((Some(1), None: Option[String], None: Option[Double]),
                 (Some(2), Some("x"), Some(1.0))).toDF("a", "b", "c")
