@@ -36,18 +36,24 @@ object StringSim {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
 
-    // (id, gram, tf) — persisted: the working set for df-counts, N,
-    // and weighting (one source scan total)
+    // (id, gram, tf) — persisted: the working set for df-counts and
+    // weighting (one source scan total)
     val grams = base
       .select(col("id"), explode(gramsExpr(col("s"), n)).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
       .persist()
-    val nDocs = grams.select(col("id")).distinct().count().toDouble
+
+    // N rides along as a broadcast 1-row cross join instead of a
+    // driver-side count(): no action, the whole pipeline stays lazy
+    // (ids are distinct in `base`, so count == countDistinct)
+    val nDocs = base.agg(count(lit(1)).cast("double").as("_n"))
 
     // gram document frequency -> idf weight; cap kills stop-grams
     val dfTbl = grams.groupBy("gram").agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= dfCap)
-      .withColumn("idf", log(lit(nDocs) / col("df_")))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", log(col("_n") / col("df_")))
+      .drop("_n")
 
     val weighted = grams.join(dfTbl, "gram")
       .select(col("id"), col("gram"), (col("tf") * col("idf")).as("w"))
