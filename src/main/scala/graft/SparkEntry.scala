@@ -462,6 +462,12 @@ object SparkEntry {
       graft.pipeline.Pipeline.sampleByHash(t(s, d, "orders"), col("o_orderkey"), 0.05, "s1")
         .agg(count(lit(1)).as("cnt"),
           min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))),
+    "q_d19_incr_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val store = Dedup.fingerprints(docs.filter(col("doc_id") % 3 === 0), "text")
+      Dedup.dedupAgainstStore(docs, "text", store, "fingerprint")
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_d18_pii" -> ((s, d) => t(s, d, "customer")
       .select(col("c_custkey"),
         graft.pipeline.Pipeline.redactPii(concat(
@@ -1008,6 +1014,12 @@ object SparkEntry {
         |    (a, x) -> a * 16 + x) % 10000 AS bkt FROM orders)
         |SELECT count(*) AS cnt, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM b WHERE bkt < 500""".stripMargin,
+
+    // anti-join on content hash; NOT IN is safe (md5 never NULL here)
+    "q_d19_incr_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id%3=0)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_d18_pii" ->
       s"""WITH e AS ($emailSqlKeyed)

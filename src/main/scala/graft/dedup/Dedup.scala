@@ -45,6 +45,24 @@ object Dedup {
     df.join(keep, idCol)
   }
 
+  /** Distinct content fingerprints of a corpus — the build side of an
+    * incremental dedup store (one narrow column, distinct-aggregated).
+    */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.select(contentKey(col(textCol)).as("fingerprint")).distinct()
+
+  /** Drop rows whose content already exists in a fingerprint store:
+    * hash left-anti join on the 128-bit content key — THE shape for
+    * deduping a new ingest batch against an existing 100 TB corpus.
+    * The store side is a single pruned column; the join shuffles both
+    * sides by fingerprint (or broadcasts the batch side under AQE
+    * when the batch is small), never materializing corpus text.
+    */
+  def dedupAgainstStore(df: DataFrame, textCol: String,
+                        store: DataFrame, fpCol: String): DataFrame =
+    df.join(store.select(col(fpCol).as("_fp")).distinct(),
+      contentKey(col(textCol)) === col("_fp"), "left_anti")
+
   /** MinHash signature of a token-set column: k independent hash
     * functions (xxhash64 with the slot index as seed), each minimized
     * over the set. Pure expressions — whole-stage codegen, no UDF,

@@ -92,6 +92,16 @@ class DedupSimSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("dedupAgainstStore drops exactly the already-fingerprinted content") {
+    val store = Dedup.fingerprints(
+      Seq((10L, "seen before"), (11L, "also seen")).toDF("id", "text"), "text")
+    val batch = Seq((1L, "seen before"), (2L, "brand new"), (3L, "also seen"),
+      (4L, "brand new")).toDF("id", "text")
+    val kept = Dedup.dedupAgainstStore(batch, "text", store, "fingerprint")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L)) // in-batch dups survive; store handles only history
+  }
+
   test("exactDedup keeps one row per content, min id wins") {
     val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
     val kept = Dedup.exactDedup(df, "text", "id").select("id").collect().map(_.getLong(0)).toSet
