@@ -416,7 +416,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
-      val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 8)
+      val cents = Ann.trainCentroidsKMeans(emb, "embedding", "vec_id", 8, iters = 2)
       Ann.ivfTopK(emb, "embedding", "vec_id", cents, q, 10, nprobe = 3)
     }),
     "q_d13_multimodal" -> ((s, d) => {

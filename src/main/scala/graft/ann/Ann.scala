@@ -75,12 +75,20 @@ object Ann {
       .limit(k)
   }
 
-  /** IVF-style ANN: assign every vector to its nearest centroid
-    * (centroids = a small literal table, broadcast), then scan only
-    * the `nprobe` centroids nearest to the query. Centroids can come
-    * from any upstream clustering; `trainCentroidsBySample` gives a
-    * deterministic seeding (first `k` ids — stand-in for k-means at
-    * this corpus size).
+  /** Index of the max-cosine centroid for a vector column — the
+    * centroids ship as literals inside the plan (broadcast-free
+    * "join" against a tiny dimension).
+    */
+  private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosine(vec, litVec(c)).as("s"), lit(i).as("i"))
+    }
+    greatest(sims.toIndexedSeq: _*).getField("i")
+  }
+
+  /** Deterministic centroid seeding: the first `k` ids. Stand-in for
+    * a proper clustering pass on small corpora; feed it to
+    * [[trainCentroidsKMeans]] to refine.
     */
   def trainCentroidsBySample(emb: DataFrame, vecCol: String, idCol: String,
                              nCentroids: Int): Array[Array[Double]] =
@@ -88,16 +96,37 @@ object Ann {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
+  /** Distributed Lloyd iterations: assign every vector to its nearest
+    * centroid (scan-local literal comparison), recompute centroids as
+    * per-dimension means via posexplode → groupBy — one shuffle of
+    * (cid, dim, value) triples per iteration, map-side combined; only
+    * the k×dim centroid matrix ever reaches the driver. A centroid
+    * that loses all members keeps its previous position.
+    */
+  def trainCentroidsKMeans(emb: DataFrame, vecCol: String, idCol: String,
+                           nCentroids: Int, iters: Int = 2): Array[Array[Double]] = {
+    var cents = trainCentroidsBySample(emb, vecCol, idCol, nCentroids)
+    for (_ <- 0 until iters) {
+      val means = emb
+        .select(nearestCentroid(col(vecCol), cents).as("_cid"),
+          posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+        .groupBy("_cid", "_dim")
+        .agg(avg(col("_v")).as("_m"))
+        .groupBy("_cid")
+        .agg(sort_array(collect_list(struct(col("_dim"), col("_m")))).as("_ms"))
+        .collect()
+        .map(r => r.getAs[Int]("_cid") ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
               centroids: Array[Array[Double]], query: Array[Double],
               k: Int, nprobe: Int = 2): DataFrame = {
-    // nearest-centroid id as a nested CASE over literal centroids
-    def nearest(vec: Column): Column = {
-      val sims = centroids.zipWithIndex.map { case (c, i) =>
-        struct(cosine(vec, litVec(c)).as("s"), lit(i).as("i"))
-      }
-      greatest(sims.toIndexedSeq: _*).getField("i")
-    }
+    def nearest(vec: Column): Column = nearestCentroid(vec, centroids)
     val qTop = centroids.zipWithIndex.map { case (c, i) =>
       val d = {
         val dq = query.zip(c).map { case (x, y) => x * y }.sum

@@ -49,6 +49,31 @@ class AnnTextSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("trainCentroidsKMeans recovers engineered clusters from first-k seeds") {
+    val rnd = new scala.util.Random(5)
+    val dirs = Array(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    // ids 0,1,2 land in distinct clusters (they seed the centroids);
+    // the rest are noisy members spread across clusters
+    val vecs = (0L until 90L).map { i =>
+      val d = dirs((i % 3).toInt)
+      i -> d.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Ann.trainCentroidsKMeans(df, "embedding", "vec_id", 3, iters = 2)
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // each centroid aligns tightly with exactly one true direction
+    val claimed = cents.map { c =>
+      val sims = dirs.map(d => cos(c, d))
+      assert(sims.max > 0.98, s"centroid not aligned: ${sims.toSeq}")
+      sims.indexOf(sims.max)
+    }
+    assert(claimed.toSet == Set(0, 1, 2), s"clusters not bijectively claimed: ${claimed.toSeq}")
+  }
+
   test("lshTopK returns a subset of true neighbors with exact scores") {
     val df = vectors.toDF("vec_id", "embedding")
     val q = vectors.head._2.map(_.toDouble)
