@@ -98,25 +98,26 @@ object Ann {
 
   /** Distributed Lloyd iterations: assign every vector to its nearest
     * centroid (scan-local literal comparison), recompute centroids as
-    * per-dimension means via posexplode → groupBy — one shuffle of
-    * (cid, dim, value) triples per iteration, map-side combined; only
-    * the k×dim centroid matrix ever reaches the driver. A centroid
-    * that loses all members keeps its previous position.
+    * per-dimension means computed with `dim` codegen'd
+    * `avg(element_at(...))` aggregates in ONE groupBy pass — the
+    * shuffle per iteration is k×(dim+1) partial averages, not an
+    * exploded (cid, dim, value) row per vector element; only the
+    * k×dim centroid matrix ever reaches the driver. A centroid that
+    * loses all members keeps its previous position.
     */
   def trainCentroidsKMeans(emb: DataFrame, vecCol: String, idCol: String,
                            nCentroids: Int, iters: Int = 2): Array[Array[Double]] = {
     var cents = trainCentroidsBySample(emb, vecCol, idCol, nCentroids)
+    if (cents.isEmpty) return cents
+    val dim = cents(0).length
+    val aggs = (0 until dim).map(d =>
+      avg(element_at(col(vecCol), d + 1).cast("double")).as(s"_m$d"))
     for (_ <- 0 until iters) {
       val means = emb
-        .select(nearestCentroid(col(vecCol), cents).as("_cid"),
-          posexplode(col(vecCol)).as(Seq("_dim", "_v")))
-        .groupBy("_cid", "_dim")
-        .agg(avg(col("_v")).as("_m"))
-        .groupBy("_cid")
-        .agg(sort_array(collect_list(struct(col("_dim"), col("_m")))).as("_ms"))
+        .groupBy(nearestCentroid(col(vecCol), cents).as("_cid"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => r.getAs[Int]("_cid") ->
-          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+        .map(r => r.getInt(0) -> (0 until dim).map(d => r.getDouble(d + 1)).toArray)
         .toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
     }
