@@ -73,6 +73,28 @@ object Multimodal {
     }
   }
 
+  /** Resize stage stub: rewrites payloads to a deterministic
+    * byte-budget for the target geometry and stamps the new
+    * dimensions into the metadata (width/height are the fields real
+    * decoders fill). A real implementation swaps the byte truncation
+    * for an image scaler; the Dataset→Dataset shape, meta propagation
+    * and per-partition batching are what downstream stages rely on.
+    */
+  def resize(ds: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val budget = math.max(width * height / 8, 1)
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes =
+          if (r.media.length <= budget) r.media
+          else java.util.Arrays.copyOfRange(r.media, 0, budget)
+        MediaRow(r.id, bytes,
+          MediaMeta(r.meta.format, width, height, bytes.length.toLong))
+      }
+    }
+  }
+
   /** Frame-sampling stub for video payloads: emits `n` byte-slices
     * per payload with frame indices — the real implementation swaps
     * the slicer for a demuxer; the explode/partitioning shape is

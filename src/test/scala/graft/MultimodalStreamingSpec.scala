@@ -33,6 +33,18 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(!out(0).features.sameElements(out(2).features))
   }
 
+  test("multimodal: resize stamps target geometry and bounds payload size") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, Array.tabulate[Byte](500)(_.toByte), MediaMeta("png", 0, 0, 500)),
+      MediaRow(2L, Array[Byte](1, 2), MediaMeta("png", 0, 0, 2))))
+    val out = Multimodal.resize(ds, 32, 32).collect().sortBy(_.id).toSeq
+    assert(out.forall(r => r.meta.width == 32 && r.meta.height == 32))
+    assert(out(0).media.length == 32 * 32 / 8) // truncated to the budget
+    assert(out(1).media.length == 2)           // small payloads pass through
+    assert(out.forall(r => r.meta.nBytes == r.media.length))
+  }
+
   test("multimodal: frame sampling emits n slices per payload") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
