@@ -218,17 +218,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt")).orderBy("phone_class", "phone_valid")),
     "q_b16_dq_score" -> ((s, d) =>
       Detector.dqReport(doctoredEvents(s, d), "value", Seq(Rule.NumBetween(10, 90)))),
-    "q_b17_dq_summary" -> ((s, d) => {
-      val before = doctoredEvents(s, d)
-      val specs = Seq(
-        "value" -> Seq(Rule.NumBetween(10, 90): Rule),
-        "props" -> Seq(Rule.NoSpaces: Rule))
-      val after = before
-        .withColumn("value", least(greatest(coalesce(col("value"), lit(50.0)), lit(10.0)), lit(90.0)))
-        .withColumn("props", regexp_replace(coalesce(col("props"), lit("{}")), " ", ""))
-      Detector.beforeAfter(
-        Detector.dqSummary(before, specs), Detector.dqSummary(after, specs))
-    }),
+    // before + after metrics from ONE scan: the repair is a per-row
+    // Column transform, so the "after" counters aggregate over the
+    // repaired expression in the same pass (two full dqSummary scans
+    // joined would read the table twice)
+    "q_b17_dq_summary" -> ((s, d) =>
+      Detector.beforeAfterOneScan(doctoredEvents(s, d),
+        Seq(
+          "value" -> Seq(Rule.NumBetween(10, 90): Rule),
+          "props" -> Seq(Rule.NoSpaces: Rule)),
+        Map(
+          "value" -> least(greatest(coalesce(col("value"), lit(50.0)), lit(10.0)), lit(90.0)),
+          "props" -> regexp_replace(coalesce(col("props"), lit("{}")), " ", "")))),
 
     // ---- C. correction
     "q_c1_search" -> ((s, d) => {

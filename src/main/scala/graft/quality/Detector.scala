@@ -105,4 +105,35 @@ object Detector {
       .join(after.select(col("column"), col("dq_score").as("after_score")), "column")
       .withColumn("delta", round(col("after_score") - col("before_score"), 2))
       .orderBy("column")
+
+  /** Before/after comparison in ONE scan: when the repair is
+    * expressible as per-row Column transforms (`repairs`), the
+    * "after" metrics are computed from the repaired expression inside
+    * the same aggregation as the "before" metrics — one pass over the
+    * data instead of two full scans joined afterwards. Identical
+    * output to `beforeAfter(dqSummary(df), dqSummary(repaired df))`.
+    */
+  def beforeAfterOneScan(df: DataFrame, specs: Seq[(String, Seq[Rule])],
+                         repairs: Map[String, Column]): DataFrame = {
+    val perCol = specs.map { case (name, rules) =>
+      val b = col(name)
+      val a = repairs.getOrElse(name, col(name))
+      def nulls(c: Column) = count(when(c.isNull, 1))
+      def oof(c: Column) = count(when(c.isNotNull && Rule.anyViolation(c, rules), 1))
+      struct(
+        lit(name).as("column"), count(lit(1)).as("total"),
+        nulls(b).as("b_null"), oof(b).as("b_oof"),
+        nulls(a).as("a_null"), oof(a).as("a_oof"))
+    }
+    def score(n: Column, o: Column, total: Column): Column =
+      round((total - n - o) * 100.0 / total, 2)
+    df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select(
+        col("c.column").as("column"),
+        score(col("c.b_null"), col("c.b_oof"), col("c.total")).as("before_score"),
+        score(col("c.a_null"), col("c.a_oof"), col("c.total")).as("after_score"))
+      .withColumn("delta", round(col("after_score") - col("before_score"), 2))
+      .orderBy("column")
+  }
 }
