@@ -75,6 +75,35 @@ object Ann {
       .limit(k)
   }
 
+  /** Multi-probe LSH top-k: additionally probe the buckets reached by
+    * flipping the `probes` sign bits whose hyperplanes the query lies
+    * CLOSEST to (smallest |margin| — the flips most likely to hide
+    * true neighbors). Candidates grow ~(1+probes)/2^planes of the
+    * corpus; recall dominates single-bucket [[lshTopK]] under the
+    * same plane family. Margins are computed once at the driver from
+    * the query vector; executors still evaluate one hyperplane key
+    * per row.
+    */
+  def lshTopKMultiProbe(emb: DataFrame, vecCol: String, idCol: String,
+                        query: Array[Double], k: Int, planes: Int = 6,
+                        seed: Long = 42L, probes: Int = 4): DataFrame = {
+    val dim = query.length
+    val rnd = new scala.util.Random(seed)
+    val margins = (0 until planes).map { p =>
+      val plane = Array.fill(dim)(rnd.nextGaussian())
+      p -> query.zip(plane).map { case (x, y) => x * y }.sum
+    }
+    val qKey = margins.map { case (p, d) => if (d >= 0) 1L << p else 0L }.reduce(_ | _)
+    val probeKeys = qKey +: margins.sortBy { case (_, d) => math.abs(d) }
+      .take(math.min(probes, planes)).map { case (p, _) => qKey ^ (1L << p) }
+    emb.withColumn("_bucket", hyperplaneKey(col(vecCol), dim, planes, seed))
+      .filter(col("_bucket").isin(probeKeys: _*))
+      .select(col(idCol),
+        round(cosine(col(vecCol), litVec(query)), 4).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Index of the max-cosine centroid for a vector column — the
     * centroids ship as literals inside the plan (broadcast-free
     * "join" against a tiny dimension).

@@ -24,6 +24,20 @@ object Dedup {
     */
   def wordSet(c: Column): Column = array_distinct(split(c, " +"))
 
+  /** Distinct word n-gram shingles — the canonical MinHash granule
+    * for texts where local word ORDER matters (wordSet is the n=1
+    * special case). Built once per row; documents shorter than `n`
+    * words contribute their whole word sequence as one shingle.
+    */
+  def shingleSet(c: Column, n: Int): Column =
+    if (n <= 1) wordSet(c)
+    else {
+      val words = split(c, " +")
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
+
   /** Canonical 128-bit content hash for exact dedup. */
   def contentKey(c: Column): Column = md5(c.cast("string"))
 
@@ -102,10 +116,10 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
-                   allPairsMaxSets: Long = 100000L): DataFrame = {
+                   allPairsMaxSets: Long = 100000L, shingleN: Int = 1): DataFrame = {
     require(threshold <= 1.0, "jaccard threshold must be <= 1")
     val k = bands * rowsPerBand
-    val raw = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
+    val raw = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("ws"))
 
     // Cluster identical word-sets FIRST (128-bit content key over the
     // sorted set). Real near-dup corpora are dominated by exact-dup

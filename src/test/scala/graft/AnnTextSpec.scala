@@ -49,6 +49,22 @@ class AnnTextSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("multi-probe LSH recall dominates single-bucket at the same plane family") {
+    val df = vectors.toDF("vec_id", "embedding")
+    val q = vectors.head._2.map(_.toDouble)
+    val single = Ann.lshTopK(df, "embedding", "vec_id", q, 100, planes = 5)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Ann.lshTopKMultiProbe(df, "embedding", "vec_id", q, 100,
+      planes = 5, probes = 3).collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi), "probing more buckets must never lose candidates")
+    assert(multi.size > single.size, "extra probes should surface extra candidates")
+    // scores stay exact: every returned similarity equals brute force
+    val brute = bruteCos(q).toMap
+    val got = Ann.lshTopKMultiProbe(df, "embedding", "vec_id", q, 100, planes = 5, probes = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    got.foreach { case (id, c) => assert(c == brute(id), s"vec $id") }
+  }
+
   test("trainCentroidsKMeans recovers engineered clusters from first-k seeds") {
     val rnd = new scala.util.Random(5)
     val dirs = Array(

@@ -92,6 +92,37 @@ class DedupSimSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("shingleN=2 is word-order sensitive where word sets are not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps high"),   // identical
+      (3L, "high jumps fox brown quick the"))   // same words, reversed
+      .toDF("doc_id", "text")
+    val set1 = Dedup.minhashPairs(df, "text", "doc_id", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set1 == Set((1L, 2L), (1L, 3L), (2L, 3L))) // word sets all equal
+    val set2 = Dedup.minhashPairs(df, "text", "doc_id", 0.9, shingleN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set2 == Set((1L, 2L))) // reversal shares no 2-shingle
+  }
+
+  test("shingleN=2 minhash equals brute-force shingle jaccard") {
+    // order-preserving copies guarantee true shingle-level pairs
+    val withCopies = corpus ++ (0 until 5).map(i => (300L + i) -> corpus(i)._2)
+    val df = withCopies.toDF("doc_id", "text")
+    def shingles(s: String): Set[String] =
+      s.split(" +").toSeq.sliding(2).map(_.mkString(" ")).toSet
+    val brute = (for {
+      (ia, sa0) <- withCopies; (ib, sb0) <- withCopies if ia < ib
+      sa = shingles(sa0); sb = shingles(sb0)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.8
+    } yield (ia, ib)).toSet
+    val got = Dedup.minhashPairs(df, "text", "doc_id", 0.8, shingleN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 5 && got == brute)
+  }
+
   test("dedupAgainstStore drops exactly the already-fingerprinted content") {
     val store = Dedup.fingerprints(
       Seq((10L, "seen before"), (11L, "also seen")).toDF("id", "text"), "text")
