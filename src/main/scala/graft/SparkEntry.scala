@@ -413,6 +413,16 @@ object SparkEntry {
         .orderBy("window_start")
     }),
 
+    // whole-second truncation on BOTH sides so gap comparisons and
+    // formatted session starts are bit-identical across engines
+    "q_s3_sessions" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts", timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+      graft.streaming.StreamingDQ.sessionCounts(ev, "ts", "user_id", "2 hours")
+        .withColumn("session_start", date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("user_id", "session_start")
+    }),
+
     "q_d8_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -937,6 +947,22 @@ object SparkEntry {
          | round((count(*) - count(CASE WHEN value IS NULL THEN 1 END)
          |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*),2) AS dq_score
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // session ids via lag-gap flags; RANGE (not ROWS) cumulative sum
+    // keeps tied timestamps in one session regardless of tie order.
+    // New session iff gap >= 2h, matching session_window's strict
+    // merge (next < prev + gap)
+    "q_s3_sessions" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
+        |d AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts RANGE UNBOUNDED PRECEDING) AS sid FROM d)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
+        | count(*) AS cnt
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "q_d9_langid" ->
       """WITH s AS (SELECT

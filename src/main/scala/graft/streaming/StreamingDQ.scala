@@ -109,6 +109,22 @@ object StreamingDQ {
       }
   }
 
+  /** Sessionization: per-key event counts over `session_window` —
+    * consecutive events of a key merge into one session while their
+    * gap stays under `gap` (strictly: merge iff next < prev + gap).
+    * In streaming the watermark closes sessions and bounds state to
+    * open sessions only; batch shares the exact merge semantics, so
+    * the logic is oracle-checkable (lag-based session ids in SQL).
+    */
+  def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: Option[String] = None): DataFrame = {
+    val base = watermark.map(df.withWatermark(tsCol, _)).getOrElse(df)
+    base
+      .groupBy(session_window(col(tsCol), gap).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("session_start"), col(keyCol), col("cnt"))
+  }
+
   /** Windowed per-type event counts (profiling a stream the way the
     * batch profiler does a table).
     */

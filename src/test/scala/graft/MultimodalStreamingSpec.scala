@@ -100,6 +100,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: sessionization merges within-gap events, watermark closes sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "k")
+    val sessions = StreamingDQ.sessionCounts(stream, "ts", "k", "10 minutes",
+      watermark = Some("10 minutes"))
+    val q = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (t("2026-01-01 00:00:00"), "a"), (t("2026-01-01 00:05:00"), "a"), // one session
+        (t("2026-01-01 00:30:00"), "a"),                                  // gap > 10m -> new
+        (t("2026-01-01 00:31:00"), "b"))
+      q.processAllAvailable()
+      mem.addData((t("2026-01-01 03:00:00"), "z")) // advance watermark, close all
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, cnt FROM sessions_out WHERE k IN ('a','b')")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq(("a", 1L), ("a", 2L), ("b", 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming: running per-key DQ state accumulates ACROSS micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
