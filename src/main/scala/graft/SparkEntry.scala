@@ -396,17 +396,18 @@ object SparkEntry {
     // ---- S. streaming operators, exercised in batch (window() and
     // watermark share semantics across modes; watermark is a no-op in
     // batch, so the oracle checks the windowing logic itself)
+    // integral DIV (see q_s3): double division of epoch-nanos can
+    // round across a second — and with it, a window — boundary
     "q_s1_windowed_counts" -> ((s, d) => {
       val ev = t(s, d, "events")
-        .withColumn("ts", timestamp_seconds(col("ts") / lit(1000000000L)))
+        .withColumn("ts", expr("timestamp_seconds(ts DIV 1000000000)"))
       graft.streaming.StreamingDQ.windowedTypeCounts(ev, "ts", "event_type", "1 hour", "1 hour")
         .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
         .orderBy("window_start", "event_type")
     }),
     "q_s2_windowed_dq" -> ((s, d) => {
       val ev = doctoredEvents(s, d)
-        .withColumn("ts2", timestamp_seconds(
-          coalesce(col("ts"), lit(0L)) / lit(1000000000L)))
+        .withColumn("ts2", expr("timestamp_seconds(coalesce(ts, 0L) DIV 1000000000)"))
       graft.streaming.StreamingDQ.windowedDqScore(ev, "ts2", "value",
         Seq(Rule.NumBetween(10, 90)), "1 day", "1 day")
         .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -414,10 +415,12 @@ object SparkEntry {
     }),
 
     // whole-second truncation on BOTH sides so gap comparisons and
-    // formatted session starts are bit-identical across engines
+    // formatted session starts are bit-identical across engines.
+    // Integral DIV, not `/`: epoch-nanos exceed double's 2^53, so
+    // double division can round UP across a second boundary
     "q_s3_sessions" -> ((s, d) => {
       val ev = t(s, d, "events")
-        .withColumn("ts", timestamp_seconds(floor(col("ts") / lit(1000000000L)).cast("long")))
+        .withColumn("ts", expr("timestamp_seconds(ts DIV 1000000000)"))
       graft.streaming.StreamingDQ.sessionCounts(ev, "ts", "user_id", "2 hours")
         .withColumn("session_start", date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
         .orderBy("user_id", "session_start")
@@ -950,13 +953,15 @@ object SparkEntry {
 
     // session ids via lag-gap flags; RANGE (not ROWS) cumulative sum
     // keeps tied timestamps in one session regardless of tie order.
-    // New session iff gap >= 2h, matching session_window's strict
-    // merge (next < prev + gap)
+    // New session iff gap > 2h STRICTLY: session_window merges
+    // ADJACENT windows too (next == prev + gap stays one session,
+    // verified empirically — '>=' here differs by exactly the
+    // boundary-distance event pairs)
     "q_s3_sessions" ->
       """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts FROM events),
         |d AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+        |       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 2 HOUR
         |       THEN 1 ELSE 0 END AS new_s FROM e),
         |s AS (SELECT user_id, ts,
         |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts RANGE UNBOUNDED PRECEDING) AS sid FROM d)

@@ -111,10 +111,12 @@ object StreamingDQ {
 
   /** Sessionization: per-key event counts over `session_window` —
     * consecutive events of a key merge into one session while their
-    * gap stays under `gap` (strictly: merge iff next < prev + gap).
-    * In streaming the watermark closes sessions and bounds state to
-    * open sessions only; batch shares the exact merge semantics, so
-    * the logic is oracle-checkable (lag-based session ids in SQL).
+    * gap does not EXCEED `gap` (inclusive: an event exactly `gap`
+    * after the previous one still merges — adjacent windows count as
+    * overlapping). In streaming the watermark closes sessions and
+    * bounds state to open sessions only; batch shares the exact merge
+    * semantics, so the logic is oracle-checkable (lag-based session
+    * ids in SQL, split on diff > gap).
     */
   def sessionCounts(df: DataFrame, tsCol: String, keyCol: String,
                     gap: String, watermark: Option[String] = None): DataFrame = {
