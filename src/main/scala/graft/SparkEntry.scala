@@ -93,20 +93,64 @@ object SparkEntry {
   private def phoneBase: Column = format_string("%02d-%03d-%03d-%04d",
     col("c_custkey") % 90 + 10, col("c_custkey") * 7 % 1000,
     col("c_custkey") * 13 % 1000, col("c_custkey") * 17 % 10000)
-  private def phoneCol: Column =
-    when(col("c_custkey") % 7 === 0, regexp_replace(phoneBase, "-", " "))
-      .when(col("c_custkey") % 7 === 1, substring(phoneBase, 4, 100))
-      .when(col("c_custkey") % 7 === 2, concat(lit("12345"), substring(phoneBase, 6, 100)))
-      .otherwise(phoneBase)
   private val phoneBaseSql =
     "printf('%02d-%03d-%03d-%04d', c_custkey%90+10, c_custkey*7%1000, c_custkey*13%1000, c_custkey*17%10000)"
-  private val phoneSql =
+  /** TR-style phone corpus for q_b15: a 10-digit '5…' msisdn derived
+    * from c_custkey, doctored by custkey%8 into the reference's
+    * malformed classes — d111, d613, d216, d413, y10, dummy, invalid
+    * — plus the proper format. Dummy fragments that arise by luck of
+    * the digit derivation reclassify a row identically in BOTH
+    * engines, so the oracle stays exact.
+    */
+  private def trPhoneBase: Column = format_string("5%02d%03d%04d",
+    col("c_custkey") % 100, col("c_custkey") * 7 % 1000, col("c_custkey") * 17 % 10000)
+  private def trPhoneCol: Column = {
+    val b = trPhoneBase
+    when(col("c_custkey") % 8 === 1, concat(lit("0"), b))                     // d111
+      .when(col("c_custkey") % 8 === 2, concat(substring(b, 1, 3), lit("-"),  // d613
+        substring(b, 4, 3), lit("-"), substring(b, 7, 2), lit("-"), substring(b, 9, 2)))
+      .when(col("c_custkey") % 8 === 3, concat(lit("+90 "), substring(b, 1, 3), // d216
+        lit(" "), substring(b, 4, 3), lit(" "), substring(b, 7, 4)))
+      .when(col("c_custkey") % 8 === 4, concat(lit("90"), substring(b, 1, 1),  // d413
+        lit(" "), substring(b, 2, 9)))
+      .when(col("c_custkey") % 8 === 5, concat(lit("0"), substring(b, 1, 9)))  // y10
+      .when(col("c_custkey") % 8 === 6, concat(substring(b, 1, 4), lit("111111"))) // dummy
+      .when(col("c_custkey") % 8 === 7, substring(b, 1, 5))                    // invalid
+      .otherwise(b)                                                           // proper
+  }
+  private val trPhoneBaseSql =
+    "printf('5%02d%03d%04d', c_custkey%100, c_custkey*7%1000, c_custkey*17%10000)"
+  private val trPhoneSql =
     s"""SELECT CASE
-       | WHEN c_custkey%7=0 THEN replace($phoneBaseSql,'-',' ')
-       | WHEN c_custkey%7=1 THEN substr($phoneBaseSql,4,100)
-       | WHEN c_custkey%7=2 THEN '12345' || substr($phoneBaseSql,6,100)
-       | ELSE $phoneBaseSql END AS phone
+       | WHEN c_custkey%8=1 THEN '0' || $trPhoneBaseSql
+       | WHEN c_custkey%8=2 THEN substr($trPhoneBaseSql,1,3)||'-'||substr($trPhoneBaseSql,4,3)||'-'||substr($trPhoneBaseSql,7,2)||'-'||substr($trPhoneBaseSql,9,2)
+       | WHEN c_custkey%8=3 THEN '+90 '||substr($trPhoneBaseSql,1,3)||' '||substr($trPhoneBaseSql,4,3)||' '||substr($trPhoneBaseSql,7,4)
+       | WHEN c_custkey%8=4 THEN '90'||substr($trPhoneBaseSql,1,1)||' '||substr($trPhoneBaseSql,2,9)
+       | WHEN c_custkey%8=5 THEN '0'||substr($trPhoneBaseSql,1,9)
+       | WHEN c_custkey%8=6 THEN substr($trPhoneBaseSql,1,4)||'111111'
+       | WHEN c_custkey%8=7 THEN substr($trPhoneBaseSql,1,5)
+       | ELSE $trPhoneBaseSql END AS phone
        |FROM customer""".stripMargin
+
+  /** The phone taxonomy's CASE expression in portable SQL, generated
+    * from the SAME [[Validators.trPhoneMasks]] constants the Spark
+    * classifier compiles — one source of truth, two engines.
+    */
+  private val trPhoneClassCaseSql: String = {
+    val (before, after) = Validators.trPhoneMasks.span(_._1 != "d1312")
+    def ws(ms: Seq[(String, String)]) = ms.map { case (id, m) =>
+      s"WHEN regexp_matches(phone, '${Validators.maskRegex(m)}') THEN '$id'"
+    }
+    val branches = ws(before) ++
+      Seq("WHEN regexp_matches(phone, '^[0-9 ]{12}$') AND phone LIKE '%  %' THEN 'd1212'") ++
+      ws(after) ++
+      Seq(
+        "WHEN length(phone)=10 AND (phone LIKE '0%' OR regexp_matches(phone, '[-/() ]')) THEN 'y10'",
+        s"WHEN regexp_matches(phone, '${Validators.phoneDummyPattern}') THEN 'dummy'",
+        "WHEN length(phone)<10 OR regexp_matches(phone, '[A-Za-z]') THEN 'invalid'",
+        "WHEN length(phone)>10 THEN 'others'")
+    branches.mkString("CASE\n ", "\n ", "\n END")
+  }
 
   /** Flagship: multi-column DQ summary over customer at sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -211,10 +255,10 @@ object SparkEntry {
         "RUSSIA", "UNITED KINGDOM", "UNITED STATES")).as("in_domain"))
       .orderBy("n_name")),
     "q_b15_phone" -> ((s, d) => t(s, d, "customer")
-      .select(phoneCol.as("phone"))
+      .select(trPhoneCol.as("phone"))
       .groupBy(
-        Validators.phoneMask(col("phone")).as("phone_class"),
-        Validators.phoneValid(col("phone"), Seq("99-999-999-9999")).as("phone_valid"))
+        coalesce(Validators.phoneProblemClass(col("phone")), lit("ok")).as("phone_class"),
+        Validators.phoneValidTr(col("phone")).as("phone_valid"))
       .agg(count(lit(1)).as("cnt")).orderBy("phone_class", "phone_valid")),
     "q_b16_dq_score" -> ((s, d) =>
       Detector.dqReport(doctoredEvents(s, d), "value", Seq(Rule.NumBetween(10, 90)))),
@@ -353,14 +397,14 @@ object SparkEntry {
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
     "q_d4b_jaccard_capped" -> ((s, d) => {
-      // every doc gets a ubiquitous injected token; the df-cap drops
+      // every doc gets a ubiquitous injected token; the RELATIVE
+      // df-cap (resolved in-plan — no driver-side count action) drops
       // it from candidate generation (skew guard) while scores still
       // count it — the oracle computes plain full-set Jaccard, so a
       // mis-scoring cap would be caught
       val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
         .withColumn("text", concat(lit("common7 "), col("text")))
-      val n = docs.count()
-      Dedup.jaccardJoin(docs, "text", "doc_id", 0.8, dfCap = n - 1)
+      Dedup.jaccardJoin(docs, "text", "doc_id", 0.8, relDfCap = 0.999)
         .orderBy("id_a", "id_b")
     }),
     "q_d5_embed_dup" -> ((s, d) => {
@@ -712,11 +756,10 @@ object SparkEntry {
         |FROM nation ORDER BY n_name""".stripMargin,
 
     "q_b15_phone" ->
-      s"""WITH p AS ($phoneSql)
-         |SELECT regexp_replace(phone,'[0-9]','9','g') AS phone_class,
-         | (phone IS NOT NULL AND regexp_replace(phone,'[0-9]','9','g') = '99-999-999-9999'
-         |  AND NOT regexp_matches(phone,'(000 00 00|111 11 11|222 22 22|333 33 33|444 44 44|555 55 55|666 66 66|777 77 77|888 88 88|999 99 99|000000|111111|222222|333333|444444|555555|666666|777777|888888|999999|12345|23456|34567|45678|56789|67890|09876|98765|87654|76543|65432|54321)')
-         |  AND NOT regexp_matches(phone,'[A-Za-z]')) AS phone_valid,
+      s"""WITH p AS ($trPhoneSql)
+         |SELECT COALESCE($trPhoneClassCaseSql, 'ok') AS phone_class,
+         | (phone IS NOT NULL AND regexp_matches(phone, '^[1-9][0-9]{9}$$')
+         |  AND NOT regexp_matches(phone, '${Validators.phoneDummyPattern}')) AS phone_valid,
          | count(*) AS cnt
          |FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 

@@ -17,15 +17,45 @@ object Tables {
     * eagerly lists files and reads footers for schema on every call,
     * which is pure fixed cost when the same table backs many queries —
     * the same reason a production engine resolves through a catalog
-    * once. DataFrames are immutable plans, so sharing is safe; keying
-    * on the session keeps a restarted JVM/session from seeing stale
-    * plans.
+    * once. DataFrames are immutable plans, so sharing is safe.
+    *
+    * The outer map holds sessions WEAKLY (a closed session's entries
+    * become collectable — the registry never extends a session's
+    * lifetime), and [[refresh]] drops memoized relations whose
+    * underlying files were rewritten, re-listing on next load —
+    * without it a cached plan would serve the file listing captured at
+    * first resolution.
     */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  private def sessionCache(spark: SparkSession) = cache.synchronized {
+    var m = cache.get(spark)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+      cache.put(spark, m)
+    }
+    m
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+    sessionCache(spark).getOrElseUpdate((dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Forget memoized relations under `dir` (all dirs if None) for this
+    * session and refresh Spark's own file-index caches, so the next
+    * [[load]] re-lists files. Call after rewriting or appending to a
+    * table's parquet files mid-session.
+    */
+  def refresh(spark: SparkSession, dir: Option[String] = None): Unit = {
+    val m = sessionCache(spark)
+    val stale = m.keySet.filter(k => dir.forall(_ == k._1))
+    stale.foreach { k =>
+      m.remove(k)
+      try spark.catalog.refreshByPath(s"${k._1}/${k._2}.parquet")
+      catch { case _: Exception => () } // path may be gone; next load re-lists anyway
+    }
+  }
 
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

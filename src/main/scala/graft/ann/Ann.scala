@@ -42,14 +42,9 @@ object Ann {
     * contributing one bit. Vectors in the same bucket are likely
     * angular neighbors.
     */
-  def hyperplaneKey(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val rnd = new scala.util.Random(seed)
-    val bits = (0 until planes).map { p =>
-      val plane = Array.fill(dim)(rnd.nextGaussian())
-      when(dot(vec, litVec(plane)) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+  def hyperplaneKey(vec: Column, dim: Int, planes: Int, seed: Long): Column =
+    element_at(graft.functions.HyperplaneKeys(vec,
+      graft.functions.HyperplaneKeys.planeBank(dim, planes, 1, seed)), 1)
 
   /** LSH-bucketed ANN top-k: score only the vectors falling in the
     * query's bucket (and optionally neighboring buckets via fewer
@@ -104,16 +99,16 @@ object Ann {
       .limit(k)
   }
 
-  /** Index of the max-cosine centroid for a vector column — the
-    * centroids ship as literals inside the plan (broadcast-free
-    * "join" against a tiny dimension).
+  /** Index of the max-cosine centroid for a vector column. The
+    * centroid matrix rides along as ONE codegen reference object
+    * (native expression) instead of k x dim inlined literals: the
+    * literal formulation was a ~4000-node tree that cost Janino
+    * seconds PER PLAN — and k-means builds a fresh plan per Lloyd
+    * iteration (the r2 q_d8 bench regression). Also null-safe and
+    * k=1-safe where `greatest(struct...)` was not.
     */
-  private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val sims = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosine(vec, litVec(c)).as("s"), lit(i).as("i"))
-    }
-    greatest(sims.toIndexedSeq: _*).getField("i")
-  }
+  private def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.NearestCentroid(vec, centroids)
 
   /** Deterministic centroid seeding: the first `k` ids. Stand-in for
     * a proper clustering pass on small corpora; feed it to
@@ -136,16 +131,22 @@ object Ann {
     */
   def trainCentroidsKMeans(emb: DataFrame, vecCol: String, idCol: String,
                            nCentroids: Int, iters: Int = 2): Array[Array[Double]] = {
-    var cents = trainCentroidsBySample(emb, vecCol, idCol, nCentroids)
+    // training re-scans the corpus once per iteration — pin the (id,
+    // vec) projection for the duration of training instead of
+    // re-reading the source each pass
+    val vecs = graft.CacheScope.persist(
+      emb.select(col(idCol), col(vecCol)).filter(col(vecCol).isNotNull))
+    var cents = trainCentroidsBySample(vecs, vecCol, idCol, nCentroids)
     if (cents.isEmpty) return cents
     val dim = cents(0).length
     val aggs = (0 until dim).map(d =>
       avg(element_at(col(vecCol), d + 1).cast("double")).as(s"_m$d"))
     for (_ <- 0 until iters) {
-      val means = emb
+      val means = vecs
         .groupBy(nearestCentroid(col(vecCol), cents).as("_cid"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
+        .filter(!_.isNullAt(0)) // null vectors are filtered above; belt+braces
         .map(r => r.getInt(0) -> (0 until dim).map(d => r.getDouble(d + 1)).toArray)
         .toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
@@ -196,19 +197,37 @@ object Ann {
       .filter(col("cosine_sim") >= threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucket by hyperplane key
-    * (self-join on the key — linear + output-sized, not corpus²),
-    * verify exact cosine ≥ threshold within buckets.
+  /** Embedding-cosine near-duplicate pairs via MULTI-TABLE banded
+    * hyperplane LSH: `tables` independent plane families of `planes`
+    * bits each; candidates are the union over families of same-bucket
+    * pairs, verified with exact cosine ≥ threshold.
+    *
+    * Scale shape: candidate volume is ~tables * n² / 2^planes — with
+    * the 12-bit default that is n²/1024, versus the r2 default's
+    * n²/16 single shallow table (the VERDICT r2 scale-killer). Deeper
+    * keys prune harder; the extra families buy back recall for
+    * near-but-not-identical pairs (a cos ≥ 0.99 pair in 64-dim agrees
+    * with a random hyperplane w.p. ~0.955, so one 12-bit table keeps
+    * ~0.57 of such pairs and 4 independent tables ~0.97 — while
+    * identical vectors collide in EVERY table: recall exactly 1 for
+    * true re-ingested duplicates regardless of depth). Callers
+    * needing guaranteed recall on a known id range union
+    * [[cosinePairsExact]] over that range, as q_d5 does.
     */
   def cosinePairs(emb: DataFrame, vecCol: String, idCol: String,
-                  threshold: Double, planes: Int = 4, seed: Long = 42L,
-                  dim: Int = 64): DataFrame = {
+                  threshold: Double, planes: Int = 12, tables: Int = 4,
+                  seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val bank = graft.functions.HyperplaneKeys.planeBank(dim, planes, tables, seed)
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("_bucket", hyperplaneKey(col("v"), dim, planes, seed))
       .withColumn("_n", norm(col("v"))) // once per vector, not per pair
-    val a = keyed.select(col("_bucket"), col("id").as("id_a"), col("v").as("v_a"), col("_n").as("n_a"))
-    val b = keyed.select(col("_bucket"), col("id").as("id_b"), col("v").as("v_b"), col("_n").as("n_b"))
-    a.join(b, "_bucket")
+      .select(col("id"), col("v"), col("_n"),
+        posexplode(graft.functions.HyperplaneKeys(col("v"), bank))
+          .as(Seq("_t", "_bucket")))
+    val a = keyed.select(col("_t"), col("_bucket"),
+      col("id").as("id_a"), col("v").as("v_a"), col("_n").as("n_a"))
+    val b = keyed.select(col("_t"), col("_bucket"),
+      col("id").as("id_b"), col("v").as("v_b"), col("_n").as("n_b"))
+    a.join(b, Seq("_t", "_bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cosine_sim"))

@@ -55,9 +55,25 @@ object Enrich {
              lookup: Seq[(String, String)] = defaultGenderSeed): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = lookup.toDF("_first_name", "gender")
+    genderFromTable(df, nameCol, lookup.toDF("name", "gender"), "name", "gender")
+  }
+
+  /** Gender enrich against an ARBITRARY dimension DataFrame — the
+    * supported way to run with the reference's full 12,826-entry
+    * name→gender catalog (TR_name_gender.py:1-12826): load it (or any
+    * external TSV/CSV/parquet of any size) with `spark.read` and pass
+    * it here, instead of baking a data table into code. Broadcast
+    * hash join while the dim is broadcast-sized; beyond that Spark
+    * falls back to a shuffle join on the name key — both correct, and
+    * the fact side never collects.
+    */
+  def genderFromTable(df: DataFrame, nameCol: String, dim: DataFrame,
+                      dimNameCol: String = "name",
+                      dimGenderCol: String = "gender"): DataFrame = {
+    val d = dim.select(col(dimNameCol).as("_first_name"),
+      col(dimGenderCol).as("gender"))
     df.withColumn("_first_name", split(trim(col(nameCol)), " ").getItem(0))
-      .join(broadcast(dim), Seq("_first_name"), "left")
+      .join(broadcast(d), Seq("_first_name"), "left")
       .drop("_first_name")
   }
 
@@ -76,8 +92,21 @@ object Enrich {
           lookup: Seq[(String, Double, Double)] = defaultGeoSeed): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = lookup.toDF("_city", "latitude", "longitude")
-    df.join(broadcast(dim), col(cityCol) === col("_city"), "left")
+    geoFromTable(df, cityCol, lookup.toDF("city", "latitude", "longitude"),
+      "city", "latitude", "longitude")
+  }
+
+  /** Geo enrich against an arbitrary dimension DataFrame (e.g. the
+    * reference's 81-province lat/lon table, home.py:1719-1891, loaded
+    * from an external file) — same contract as [[genderFromTable]].
+    */
+  def geoFromTable(df: DataFrame, cityCol: String, dim: DataFrame,
+                   dimCityCol: String = "city",
+                   latCol: String = "latitude",
+                   lonCol: String = "longitude"): DataFrame = {
+    val d = dim.select(col(dimCityCol).as("_city"),
+      col(latCol).as("latitude"), col(lonCol).as("longitude"))
+    df.join(broadcast(d), col(cityCol) === col("_city"), "left")
       .drop("_city")
   }
 }

@@ -116,7 +116,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    threshold: Double, bands: Int = 32, rowsPerBand: Int = 4,
-                   allPairsMaxSets: Long = 100000L, shingleN: Int = 1): DataFrame = {
+                   allPairsMaxSets: Long = 10000L, shingleN: Int = 1): DataFrame = {
     require(threshold <= 1.0, "jaccard threshold must be <= 1")
     val k = bands * rowsPerBand
     val raw = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("ws"))
@@ -126,12 +126,11 @@ object Dedup {
     // clusters; LSH then runs on unique sets only and cluster members
     // are expanded back afterwards — candidate volume scales with
     // unique sets squared, not docs squared.
-    val clustered = raw
+    val clustered = graft.CacheScope.persist(raw
       .groupBy(md5(concat_ws("\u0001", sort_array(col("ws")))).as("_ck"))
       .agg(min(col("id")).as("sid"), collect_list(col("id")).as("ids"),
         first(col("ws")).as("ws"))
-      .drop("_ck")
-      .persist()
+      .drop("_ck"))
 
     val exploded = clustered.select(col("sid").as("id"), explode(col("ws")).as("tok"))
 
@@ -150,10 +149,9 @@ object Dedup {
           xxhash64(array((0 until rowsPerBand).map(j => col(s"_s${b * rowsPerBand + j}")): _*))
             .as("bh"))
       }
-      val keyed = sigs
+      val keyed = graft.CacheScope.persist(sigs
         .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-        .select("bk", "id")
-        .persist() // bands x ids only (~16B/row); read by both join sides
+        .select("bk", "id")) // bands x ids only (~16B/row); read by both join sides
       keyed.select(col("bk"), col("id").as("id_a"))
         .join(keyed.select(col("bk"), col("id").as("id_b")), "bk")
         .filter(col("id_a") < col("id_b"))
@@ -167,31 +165,54 @@ object Dedup {
     // verify side ships 8 bytes per doc (broadcast to a map-side
     // join) and Jaccard evaluates as two popcounts. General path
     // falls back to the word-set arrays.
-    val vocab = exploded.select("tok").distinct()
-    val vocabSize = vocab.count()
+    //
+    // Plan choice runs ONE bounded probe job, not full-corpus counts
+    // (the r2 gates ran a full token-distinct shuffle plus a second
+    // full count before any useful work): scan at most
+    // allPairsMaxSets+1 clustered sets and count distinct sets and
+    // tokens in that prefix. If the prefix holds <= allPairsMaxSets
+    // sets it IS the whole corpus, so both counts are exact. The
+    // probe also materializes `clustered`'s cache, which every
+    // downstream branch reuses.
+    val probe = clustered
+      .limit(math.min(allPairsMaxSets + 1, Int.MaxValue.toLong).toInt)
+      .select(col("sid"), explode_outer(col("ws")).as("tok"))
+      .agg(countDistinct(col("sid")).as("ns"), countDistinct(col("tok")).as("nv"))
+      .head()
+    val smallCorpus = probe.getLong(0) <= allPairsMaxSets
+    // Big corpus: only commit to the bitmap encoding once vocab <= 64
+    // is PROVEN. A 100k-token prefix with > 64 distinct tokens is a
+    // witness that disproves it without any full scan; only a
+    // degenerate-looking prefix pays the exact (cheap, tiny-output)
+    // distinct count.
+    val vocabSmall =
+      if (smallCorpus) probe.getLong(1) <= 64
+      else exploded.select("tok").limit(100000).distinct().count() <= 64 &&
+        exploded.select("tok").distinct().limit(65).count() <= 64
     val verified =
-      if (vocabSize <= 64) {
+      if (vocabSmall) {
+        val vocab = exploded.select("tok").distinct()
         val dict = broadcast(vocab.select(col("tok"),
           (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
             .as("tid")))
-        val side = exploded.join(dict, "tok")
+        val side = graft.CacheScope.persist(exploded.join(dict, "tok")
           .groupBy("id")
-          .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))
-          .persist() // tiny (8B/doc); reused by both join sides
+          .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))) // 8B/doc; both join sides
         val inter = bit_count(col("bits_a").bitwiseAND(col("bits_b"))).cast("double")
         val jac = round(
           inter / (bit_count(col("bits_a")) + bit_count(col("bits_b")) - inter), 4)
-        val nSets = clustered.count()
-        if (nSets <= allPairsMaxSets) {
+        if (smallCorpus) {
           // ALL-PAIRS popcount instead of LSH: a <=64-word vocabulary
           // makes sets broadly similar, so banding generates ~B^2
           // candidates ANYWAY (probability a J=0.6 pair shares a
           // 4-row band across 32 bands is ~0.99) — the signature +
           // band-join machinery costs more than it prunes. B^2 pairs
           // of 8-byte bitmaps through a broadcast nested-loop join is
-          // one shuffle-free codegen'd stage (recall exactly 1); at
-          // B=100k that is 5e9 popcount pairs, the break-even with
-          // banding overhead at this corpus shape.
+          // one shuffle-free codegen'd stage (recall exactly 1); the
+          // 10k-set default cap bounds it at ~5e7 popcount pairs —
+          // well under the banding machinery's fixed cost at this
+          // corpus shape, and two orders of magnitude below the r2
+          // default that ADVICE flagged as a silent-quadratic risk.
           side.select(col("id").as("id_a"), col("bits").as("bits_a"))
             .join(broadcast(side.select(col("id").as("id_b"), col("bits").as("bits_b"))),
               col("id_a") < col("id_b"))
@@ -297,22 +318,34 @@ object Dedup {
 
   /** Exact n-gram (token-set) Jaccard similarity join via inverted
     * index: explode tokens → self-join on token → pair-count =
-    * |intersection| → Jaccard from set sizes. `dfCap` drops tokens
-    * present in more than that many documents (stop-token skew
-    * guard; candidate-complete as long as a qualifying pair shares at
-    * least one sub-cap token). Corpora whose vocabulary fits in 64
-    * words (≤ `allPairsMaxDocs` docs) instead run exact all-pairs
-    * bitmap popcounts — recall-complete, no cap needed — because an
-    * inverted index cannot prune sets drawn from a tiny vocabulary.
+    * |intersection| → Jaccard from set sizes. `dfCap` (absolute) and
+    * `relDfCap` (fraction of the corpus, resolved INSIDE the plan —
+    * no driver-side count) drop tokens present in more than that many
+    * documents (stop-token skew guard; candidate-complete as long as
+    * a qualifying pair shares at least one sub-cap token). Corpora
+    * whose vocabulary fits in 64 words (≤ `allPairsMaxDocs` docs)
+    * instead run exact all-pairs bitmap popcounts — recall-complete,
+    * no cap needed — because an inverted index cannot prune sets
+    * drawn from a tiny vocabulary.
     */
   def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
                   threshold: Double, dfCap: Long = Long.MaxValue,
-                  allPairsMaxDocs: Long = 100000L): DataFrame = {
+                  relDfCap: Double = Double.NaN,
+                  allPairsMaxDocs: Long = 10000L): DataFrame = {
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("sz", size(col("ws")))
     val inv = docs.select(col("id"), col("sz"), explode(col("ws")).as("tok"))
-    val vocab = inv.select("tok").distinct()
-    if (vocab.count() <= 64 && docs.count() <= allPairsMaxDocs) {
+    // ONE bounded probe decides the plan (see minhashPairs): a
+    // ≤ allPairsMaxDocs+1 doc prefix; if it holds every doc, its
+    // distinct-token count is the exact vocabulary size. `docs` is a
+    // narrow projection, so the limit terminates the scan early — no
+    // full token-distinct shuffle, no separate full count.
+    val probe = docs
+      .limit(math.min(allPairsMaxDocs + 1, Int.MaxValue.toLong).toInt)
+      .select(col("id"), explode_outer(col("ws")).as("tok"))
+      .agg(countDistinct(col("id")).as("nd"), countDistinct(col("tok")).as("nv"))
+      .head()
+    if (probe.getLong(0) <= allPairsMaxDocs && probe.getLong(1) <= 64) {
       // <=64-word vocabulary: each set is ONE int64 bitmap, and sets
       // drawn from so few words are broadly similar — an inverted
       // index degenerates toward all-pairs candidates anyway, so do
@@ -320,13 +353,12 @@ object Dedup {
       // broadcast-nested-loop stage). This plan is recall-complete,
       // so the dfCap (a candidate-pruning knob for the inverted-index
       // plan) has nothing left to prune.
-      val dict = broadcast(vocab.select(col("tok"),
+      val dict = broadcast(inv.select("tok").distinct().select(col("tok"),
         (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
           .as("tid")))
-      val side = inv.join(dict, "tok")
+      val side = graft.CacheScope.persist(inv.join(dict, "tok")
         .groupBy("id")
-        .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))
-        .persist() // 8B/doc; both join sides read it
+        .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))) // 8B/doc; both join sides
       val inter = bit_count(col("bits_a").bitwiseAND(col("bits_b"))).cast("double")
       side.select(col("id").as("id_a"), col("bits").as("bits_a"))
         .join(broadcast(side.select(col("id").as("id_b"), col("bits").as("bits_b"))),
@@ -335,7 +367,7 @@ object Dedup {
           round(inter / (bit_count(col("bits_a")) + bit_count(col("bits_b")) - inter), 4)
             .as("jaccard"))
         .filter(col("jaccard") >= threshold)
-    } else if (dfCap == Long.MaxValue) {
+    } else if (dfCap == Long.MaxValue && relDfCap.isNaN) {
       // exact path: pair-count over the full inverted index IS the
       // intersection size — no second pass needed
       val a = inv.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
@@ -348,12 +380,19 @@ object Dedup {
           round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 4).as("jaccard"))
         .filter(col("jaccard") >= threshold)
     } else {
-      // capped path: stop-tokens (document frequency > dfCap) are
+      // capped path: stop-tokens (document frequency > the cap) are
       // dropped from CANDIDATE GENERATION only — they are the skew
       // source and contribute no selectivity. The Jaccard itself is
       // then recomputed exactly on the full sets, so a surviving pair
       // is never mis-scored; recall requires sharing >= 1 rare token.
-      val keep = inv.groupBy("tok").agg(count(lit(1)).as("df_")).filter(col("df_") <= dfCap)
+      // A relative cap resolves N with a broadcast-scalar cross join
+      // inside the plan — no driver-side docs.count() action.
+      val grouped = inv.groupBy("tok").agg(count(lit(1)).as("df_"))
+      val keep =
+        if (relDfCap.isNaN) grouped.filter(col("df_") <= dfCap)
+        else grouped
+          .crossJoin(broadcast(docs.agg(count(lit(1)).as("_n"))))
+          .filter(col("df_") <= least(lit(dfCap), floor(lit(relDfCap) * col("_n"))))
       val capped = inv.join(keep.select("tok"), "tok")
       val cands = capped.select(col("tok"), col("id").as("id_a"))
         .join(capped.select(col("tok"), col("id").as("id_b")), "tok")

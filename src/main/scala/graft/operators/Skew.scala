@@ -17,9 +17,12 @@ object Skew {
     * content: a hot key is, archetypally, many identical rows, so a
     * content hash would assign them all one salt and the mitigation
     * would silently be a no-op. `monotonically_increasing_id` is
-    * (partitionId << 33) + row offset — distinct per row, uniform
-    * mod `buckets` within a partition, and deterministic per task
-    * attempt (retries recompute the same ids for the same split).
+    * (partitionId << 33) + row offset — distinct per row and uniform
+    * mod `buckets` within a partition. Task retries / AQE replans may
+    * observe a different intra-partition row order and thus different
+    * salt values, but that is harmless: the salt only routes rows to
+    * partial aggregates, and every [0, buckets) assignment produces
+    * the same combined result.
     */
   def salt(buckets: Int): Column =
     pmod(monotonically_increasing_id(), lit(buckets.toLong))

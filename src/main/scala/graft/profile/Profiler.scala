@@ -96,19 +96,29 @@ object Profiler {
         col("min_alpha"), col("max_alpha"))
   }
 
-  private val all = org.apache.spark.sql.expressions.Window.partitionBy()
+  /** Total row count of a grouped `cnt` frame, attached as a `_total`
+    * column via a broadcast 1-row cross join. NOT a window over an
+    * empty partitionBy(): that funnels the entire grouped result
+    * through a single task — fatal when the profiled column is
+    * id-like and the grouped result is n-sized (exactly where
+    * [[unexpectedValues]] gets pointed). The total re-aggregates the
+    * grouped result, whose shuffle Spark reuses (ReusedExchange), so
+    * the source is still scanned once.
+    */
+  private def withTotal(grouped: DataFrame): DataFrame =
+    grouped.crossJoin(broadcast(grouped.agg(sum(col("cnt")).as("_total"))))
 
   /** Frequency table: value counts + percentage (home.py:172-191;
     * like pandas value_counts(normalize=True), nulls are excluded
     * from rows AND the denominator — the null share lives in
-    * [[nullProfile]]). Single scan: the total comes from a window
-    * over the (small) grouped result, not a second pass.
+    * [[nullProfile]]). Single scan (reused-exchange total).
     */
   def frequencyTable(df: DataFrame, c: String): DataFrame =
-    df.filter(col(c).isNotNull)
-      .groupBy(col(c).as("value"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("pct", round(col("cnt") * 100.0 / sum(col("cnt")).over(all), 1))
+    withTotal(df.filter(col(c).isNotNull)
+        .groupBy(col(c).as("value"))
+        .agg(count(lit(1)).as("cnt")))
+      .withColumn("pct", round(col("cnt") * 100.0 / col("_total"), 1))
+      .drop("_total")
       .orderBy(desc("cnt"), asc("value"))
 
   /** Top-k most frequent (non-null) values, deterministic tie-break
@@ -139,14 +149,15 @@ object Profiler {
     regexp_replace(regexp_replace(c, "[A-Za-zÖÇĞİŞÜöçğışü]", "A"), "[0-9]", "9")
 
   /** Pattern profile: mask frequency table (home.py:229-251), single
-    * scan (window-over-grouped total).
+    * scan (reused-exchange total).
     */
   def patternProfile(df: DataFrame, c: String): DataFrame =
-    df.filter(col(c).isNotNull)
-      .select(patternMask(col(c)).as("pattern"))
-      .groupBy("pattern")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("pct", round(col("cnt") * 100.0 / sum(col("cnt")).over(all), 1))
+    withTotal(df.filter(col(c).isNotNull)
+        .select(patternMask(col(c)).as("pattern"))
+        .groupBy("pattern")
+        .agg(count(lit(1)).as("cnt")))
+      .withColumn("pct", round(col("cnt") * 100.0 / col("_total"), 1))
+      .drop("_total")
       .orderBy(desc("cnt"), asc("pattern"))
 
   /** Values rarer than `maxPct` percent of non-null rows
@@ -154,12 +165,11 @@ object Profiler {
     * value_counts(normalize=True) semantics). Single scan.
     */
   def unexpectedValues(df: DataFrame, c: String, maxPct: Double): DataFrame =
-    df.filter(col(c).isNotNull)
-      .groupBy(col(c).as("value"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("_pct", col("cnt") * 100.0 / sum(col("cnt")).over(all))
-      .filter(col("_pct") < maxPct)
-      .drop("_pct")
+    withTotal(df.filter(col(c).isNotNull)
+        .groupBy(col(c).as("value"))
+        .agg(count(lit(1)).as("cnt")))
+      .filter(col("cnt") * 100.0 / col("_total") < maxPct)
+      .drop("_total")
       .orderBy(asc("value"))
 
   /** Positive / zero / negative split (home.py:216-227 "Show p-0-n"). */

@@ -29,44 +29,80 @@ object StringSim {
   /** tf-idf cosine similarity pairs ≥ `minSimilarity` over char
     * 3-grams. Emits (id_a < id_b, similarity). idf = ln(N/df);
     * tf = gram count within the string.
+    *
+    * Scale shape: CANDIDATE pairs come only from grams whose document
+    * frequency is ≤ min(`dfCap`, `relDfCap`·N) — without a cap every
+    * common gram ("the", "ing") joins all its strings pairwise, the
+    * classic stop-gram n² blowup. Surviving pairs are then SCORED on
+    * the full uncapped weights, so any emitted (pair, similarity) is
+    * bit-identical to the exact all-grams computation; the cap can
+    * only lose pairs whose every shared gram is a stop-gram — pairs
+    * that idf-weighting pushes toward similarity 0 anyway. Pass
+    * `relDfCap = Double.NaN` (and leave `dfCap` at its default) for
+    * the exact-recall single-pass plan. Both caps resolve inside the
+    * plan (broadcast-scalar N) — no driver-side count.
     */
   def similarPairs(df: DataFrame, strCol: String, idCol: String,
                    minSimilarity: Double, n: Int = 3,
-                   dfCap: Long = Long.MaxValue): DataFrame = {
+                   dfCap: Long = Long.MaxValue,
+                   relDfCap: Double = 0.5): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
 
     // (id, gram, tf) — persisted: the working set for df-counts and
     // weighting (one source scan total)
-    val grams = base
+    val grams = graft.CacheScope.persist(base
       .select(col("id"), explode(gramsExpr(col("s"), n)).as("gram"))
-      .groupBy("id", "gram").agg(count(lit(1)).as("tf"))
-      .persist()
+      .groupBy("id", "gram").agg(count(lit(1)).as("tf")))
 
     // N rides along as a broadcast 1-row cross join instead of a
     // driver-side count(): no action, the whole pipeline stays lazy
     // (ids are distinct in `base`, so count == countDistinct)
     val nDocs = base.agg(count(lit(1)).cast("double").as("_n"))
 
-    // gram document frequency -> idf weight; cap kills stop-grams
+    // FULL gram document frequency -> idf weight (no cap here: these
+    // weights are what pairs are scored with)
     val dfTbl = grams.groupBy("gram").agg(count(lit(1)).as("df_"))
-      .filter(col("df_") <= dfCap)
       .crossJoin(broadcast(nDocs))
       .withColumn("idf", log(col("_n") / col("df_")))
-      .drop("_n")
 
     val weighted = grams.join(dfTbl, "gram")
-      .select(col("id"), col("gram"), (col("tf") * col("idf")).as("w"))
+      .select(col("id"), col("gram"), (col("tf") * col("idf")).as("w"),
+        col("df_"), col("_n"))
 
     val norms = weighted.groupBy("id")
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
 
-    val a = weighted.select(col("gram"), col("id").as("id_a"), col("w").as("w_a"))
-    val b = weighted.select(col("gram"), col("id").as("id_b"), col("w").as("w_b"))
-    val dots = a.join(b, "gram")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(col("w_a") * col("w_b")).as("dot"))
+    val uncapped = dfCap == Long.MaxValue && relDfCap.isNaN
+    val dots =
+      if (uncapped) {
+        // exact-recall path: one inverted-index self-join accumulates
+        // the dot products directly
+        val a = weighted.select(col("gram"), col("id").as("id_a"), col("w").as("w_a"))
+        val b = weighted.select(col("gram"), col("id").as("id_b"), col("w").as("w_b"))
+        a.join(b, "gram")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b")
+          .agg(sum(col("w_a") * col("w_b")).as("dot"))
+      } else {
+        // capped path: stop-grams generate no candidates...
+        val sub = weighted
+          .filter(col("df_") <= least(lit(dfCap),
+            floor(lit(if (relDfCap.isNaN) 1.0 else relDfCap) * col("_n"))))
+        val cands = sub.select(col("gram"), col("id").as("id_a"))
+          .join(sub.select(col("gram"), col("id").as("id_b")), "gram")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+        // ...but surviving pairs rebuild their dot product over ALL
+        // shared grams (full weights), so scores match the exact plan
+        cands
+          .join(weighted.select(col("id").as("id_a"), col("gram"), col("w").as("w_a")), "id_a")
+          .join(weighted.select(col("id").as("id_b"), col("gram"), col("w").as("w_b")),
+            Seq("id_b", "gram"))
+          .groupBy("id_a", "id_b")
+          .agg(sum(col("w_a") * col("w_b")).as("dot"))
+      }
 
     dots
       .join(norms.withColumnRenamed("id", "id_a").withColumnRenamed("norm", "norm_a"), "id_a")

@@ -109,12 +109,23 @@ class AnnTextSpec extends SparkSpec {
     got.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
   }
 
-  test("cosinePairs finds duplicate vectors (recall 1 for identical)") {
-    val dup = vectors ++ vectors.take(4).map { case (id, v) => (id + 1000) -> v }
+  test("cosinePairs multi-table banded LSH: recall 1.0 on injected dups at 4096 buckets/table") {
+    // defaults: planes=12, tables=4 — far beyond the 16-bucket r2
+    // shape. An identical vector pair agrees with EVERY hyperplane,
+    // so it collides in every table and recall on re-ingested
+    // duplicates is exactly 1 no matter how deep the keys prune.
+    val dup = vectors ++ vectors.take(8).map { case (id, v) => (id + 1000) -> v }
     val df = dup.toDF("vec_id", "embedding")
     val got = Ann.cosinePairs(df, "embedding", "vec_id", 0.999, dim = 16).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    (0L until 4L).foreach(i => assert(got.contains((i, i + 1000)), s"dup $i"))
+    (0L until 8L).foreach(i => assert(got.contains((i, i + 1000)), s"dup $i"))
+    // scaled copies (cosine exactly 1, different coordinates) also
+    // land in identical buckets — sign pattern is scale-invariant
+    val scaled = vectors ++ vectors.take(4).map { case (id, v) => (id + 2000) -> v.map(_ * 3) }
+    val got2 = Ann.cosinePairs(scaled.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", 0.999, dim = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 4L).foreach(i => assert(got2.contains((i, i + 2000)), s"scaled dup $i"))
   }
 
   test("token counts: whitespace and BPE-ish") {

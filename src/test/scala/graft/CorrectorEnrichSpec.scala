@@ -75,6 +75,30 @@ class CorrectorEnrichSpec extends SparkSpec {
     assert(g("Nowhere").isEmpty)
   }
 
+  test("genderFromTable joins an arbitrary external dimension (1k rows) via broadcast") {
+    // a generated 1k-entry dim stands in for the reference's 12.8k
+    // TR_name_gender catalog loaded from an external file
+    val dim = spark.range(1000)
+      .selectExpr("concat('Name', id) AS nm",
+        "CASE WHEN id % 2 = 0 THEN 'E' ELSE 'K' END AS g")
+    val facts = Seq("Name42 Soyad", "Name43", "Unknown Person").toDF("full_name")
+    val out = Enrich.genderFromTable(facts, "full_name", dim, "nm", "g")
+    val got = out.collect().map(r => r.getString(0) -> Option(r.getAs[String]("gender"))).toMap
+    assert(got("Name42 Soyad").contains("E")) // first token lookup, even id
+    assert(got("Name43").contains("K"))
+    assert(got("Unknown Person").isEmpty)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim lookup must broadcast:\n$plan")
+  }
+
+  test("geoFromTable joins an external lat/lon dimension with custom column names") {
+    val dim = Seq(("CityA", 1.5, 2.5), ("CityB", 3.5, 4.5)).toDF("sehir", "lat", "lon")
+    val facts = Seq("CityA", "CityC").toDF("city")
+    val got = Enrich.geoFromTable(facts, "city", dim, "sehir", "lat", "lon")
+      .collect().map(r => r.getString(0) -> Option(r.getAs[Double]("latitude"))).toMap
+    assert(got("CityA").contains(1.5) && got("CityC").isEmpty)
+  }
+
   test("sortBy and reorder") {
     val df = Seq((2, "b"), (1, "a"), (3, "c")).toDF("k", "s")
     val sorted = Corrector.sortBy(df, Seq("k" -> false)).collect().map(_.getInt(0)).toSeq

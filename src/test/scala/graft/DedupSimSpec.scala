@@ -200,4 +200,32 @@ class DedupSimSpec extends SparkSpec {
     assert(pairs.contains((3L, 4L)))
     assert(!pairs.keys.exists { case (a, b) => a == 5L || b == 5L })
   }
+
+  test("StringSim df-cap: candidates skip stop-grams, surviving scores stay bit-exact") {
+    // 'qqq ' prefixes docs 4-7: its grams have df = 4 of N = 7, above
+    // the default cap floor(0.5 * 7) = 3 but below N, so they carry
+    // idf > 0 — hot grams that DO contribute similarity yet must not
+    // generate candidate pairs under the cap
+    val df = Seq(
+      (1L, "Johnson & Johnson Ltd"),
+      (2L, "Johnson & Johnson Ltd."),
+      (3L, "Acme Corporation"),
+      (4L, "qqq Alpha"),
+      (5L, "qqq Beta"),
+      (6L, "qqq Gamma"),
+      (7L, "qqq Delta")).toDF("id", "s")
+    def toMapOf(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = toMapOf(StringSim.similarPairs(df, "s", "id", 0.02, relDfCap = Double.NaN))
+    val capped = toMapOf(StringSim.similarPairs(df, "s", "id", 0.02)) // default relDfCap
+    // every capped pair carries the exact full-tf-idf score
+    capped.foreach { case (k, sim) => assert(exact(k) == sim, s"pair $k rescored wrong") }
+    assert(capped.contains((1L, 2L)), "rare-gram pair must survive the cap")
+    // docs 4-7 pair up ONLY through the hot 'qqq ' grams: visible to
+    // the exact plan at this tiny threshold, but the capped plan
+    // never generates their candidate — the hot-gram join rows are
+    // genuinely dropped, not rescored to zero
+    assert(exact.contains((4L, 5L)))
+    assert(!capped.contains((4L, 5L)))
+  }
 }

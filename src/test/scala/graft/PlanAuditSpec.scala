@@ -44,6 +44,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("grouped-profile totals avoid single-partition windows (broadcast scalar instead)") {
+    Seq("q_a5_freq_table", "q_a7_pattern_profile", "q_a8_unexpected").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: pct denominator must be a broadcast-scalar cross join, not a global Window " +
+          "(a Window over partitionBy() funnels the n-sized grouped result through ONE task):\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q: expected the 1-row total to ride a broadcast join:\n$p")
+    }
+  }
+
   test("rule checks stay scan-local: no shuffle exchange at all") {
     val p = plan("q_b7_rule_length")
     // single-partition aggregation of partial aggs is the only exchange

@@ -134,6 +134,58 @@ class ValidatorsSpec extends SparkSpec {
     cases.foreach { case (p, exp) => assert(got(p) == exp, s"phone $p") }
   }
 
+  test("phoneProblemClass classifies the reference's dirty-format taxonomy, first match wins") {
+    val cases = Seq(
+      "5321234987"         -> null,       // proper format
+      "05321234987"        -> "d111",     // 0 + 10 digits
+      "532 1234987"        -> "d211",     // len 11, space at 3, no leading 0
+      "532-1234987"        -> "d311",
+      "905321234987"       -> "d112",     // 90 prefix, 12 digits
+      "532 123 4987"       -> "d412",
+      "0532-1234987"       -> "d612",
+      "532123  4987"       -> "d1212",    // double space anywhere in 12 digits+spaces
+      "(053)1234987"       -> "d1312",
+      "532-123-49-87"      -> "d613",
+      "905 321234987"      -> "d413",
+      "+90 532 123 4987"   -> "d216",
+      "+90 (532) 123 49 87" -> "d119",
+      "0532123498"         -> "y10",      // len 10 starting 0
+      "5321111111"         -> "dummy",    // 111111 fragment (len 10, no class)
+      "53212"              -> "invalid",  // too short — but NOT dummy-first: '53212' has no dummy fragment
+      "532123498a"         -> "invalid",  // letters
+      "53283749166254398"  -> "others")   // len 17, no positional class, no dummy fragment
+    val got = cases.map(_._1).toDF("p")
+      .select(col("p"), Validators.phoneProblemClass(col("p")).as("cls"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (p, exp) => assert(got(p) == exp, s"phone <$p>") }
+  }
+
+  test("phoneValidTr = 10 digits, non-zero start, no dummy — complement of the taxonomy") {
+    val cases = Seq(
+      "5321234987" -> true,
+      "0532123498" -> false, // leading zero
+      "532123498"  -> false, // short
+      "5321234 87" -> false, // separator
+      "5324511111" -> true,  // five trailing 1s — one short of the 111111 dummy fragment
+      "5321111119" -> false) // contains the 111111 dummy fragment
+    val got = cases.map(_._1).toDF("p")
+      .select(col("p"), Validators.phoneValidTr(col("p")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("5321234987"))
+    assert(!got("0532123498") && !got("532123498") && !got("5321234 87") && !got("5321111119"))
+    assert(got("5324511111")) // five consecutive 1s is NOT the 111111 dummy fragment
+  }
+
+  test("every trPhoneMasks regex is RE2-portable (no lookaround) and matches its own skeleton") {
+    Validators.trPhoneMasks.foreach { case (id, m) =>
+      val re = Validators.maskRegex(m)
+      assert(!re.contains("(?"), s"$id regex must stay lookaround-free for oracle engines")
+      // a witness value: replace # with 7, N with 5 — must match its own class regex
+      val witness = m.replace('#', '7').replace('N', '5')
+      assert(witness.matches(re), s"$id witness <$witness> !~ $re")
+    }
+  }
+
   test("inDomain flags values outside the TR province list") {
     val got = Seq("Ankara", "Gotham", "İzmir").toDF("c")
       .select(col("c"), Validators.inDomain(col("c"), Validators.trProvinces).as("v"))
