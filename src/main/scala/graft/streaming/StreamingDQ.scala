@@ -109,6 +109,61 @@ object StreamingDQ {
       }
   }
 
+  /** [[runningDqByKey]] with EVENT-TIME idle eviction — the
+    * recommended form when the key space is unbounded: a key's state
+    * is dropped once the watermark passes its last event time plus
+    * `idleGapMs`. Unlike the processing-time variant, eviction is
+    * driven by the DATA clock, so it is deterministic, survives
+    * replay/backfill identically, and the query only constructs
+    * micro-batches when input arrives (`processAllAvailable()`
+    * converges — this path is exercised end-to-end in tests, not just
+    * the no-timeout path). An evicted key restarts from zero if it
+    * returns.
+    */
+  def runningDqByKeyEventTime(stream: DataFrame, tsCol: String, keyCol: String,
+                              column: String, rules: Seq[Rule], alertRatio: Double,
+                              idleGapMs: Long,
+                              watermark: String = "0 seconds"): Dataset[DqUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val c = col(column)
+    val bad = (c.isNull || Rule.anyViolation(c, rules)).cast("int")
+    val flagged = stream
+      .select(col(keyCol).cast("string").as("_k"), bad.as("_bad"),
+        col(tsCol).cast("timestamp").as("_ts"))
+      // watermark goes on the projected column — a cast would strip
+      // the event-time tag if applied before the projection
+      .withWatermark("_ts", watermark)
+      .as[(String, Int, java.sql.Timestamp)]
+    flagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DqState, DqUpdate](OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, Int, java.sql.Timestamp)],
+         state: GroupState[DqState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var t = 0L; var b = 0L; var maxTs = Long.MinValue
+            rows.foreach { r =>
+              t += 1; b += r._2
+              if (r._3.getTime > maxTs) maxTs = r._3.getTime
+            }
+            val prev = state.getOption.getOrElse(DqState(0L, 0L))
+            val next = DqState(prev.total + t, prev.bad + b)
+            state.update(next)
+            // timeout must sit strictly beyond the current watermark
+            // (late-arriving groups could otherwise set one in the past)
+            val floor = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(math.max(maxTs + idleGapMs, floor))
+            val ratio = if (next.total == 0) 0.0 else next.bad.toDouble / next.total
+            Iterator.single(DqUpdate(key, next.total, next.bad,
+              math.round(ratio * 10000).toDouble / 10000, ratio >= alertRatio))
+          }
+      }
+  }
+
   /** Sessionization: per-key event counts over `session_window` —
     * consecutive events of a key merge into one session while their
     * gap does not EXCEED `gap` (inclusive: an event exactly `gap`

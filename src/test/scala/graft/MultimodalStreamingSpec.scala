@@ -152,6 +152,44 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: event-time idle eviction drops a stale key's running counters end-to-end") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Option[Double])]
+    val stream = mem.toDF().toDF("ts", "k", "value")
+    // idle gap 60 s of EVENT time; watermark == max event time seen
+    val running = StreamingDQ.runningDqByKeyEventTime(stream, "ts", "k", "value",
+      Seq(Rule.NumBetween(0, 100)), alertRatio = 0.5, idleGapMs = 60000L)
+    val q = running.toDF().writeStream.format("memory").queryName("evict_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: both keys live (timeouts armed at t+60s)
+      mem.addData((t("2026-01-01 00:00:00"), "a", Some(1.0)),
+        (t("2026-01-01 00:00:00"), "b", Some(2.0)))
+      q.processAllAvailable()
+      // batch 2: only `a` advances event time to 00:10 — past b's
+      // timeout, but eviction fires in the NEXT batch (this batch
+      // still ran with the previous watermark)
+      mem.addData((t("2026-01-01 00:10:00"), "a", Some(3.0)))
+      q.processAllAvailable()
+      // batch 3: watermark is now 00:10 > b's 00:01 timeout => b evicted
+      mem.addData((t("2026-01-01 00:11:00"), "a", Some(4.0)))
+      q.processAllAvailable()
+      // batch 4: b returns — counters must restart from zero
+      mem.addData((t("2026-01-01 00:12:00"), "b", Some(5.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM evict_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // a accumulated across every batch it appeared in
+      assert(rows.contains(("a", 1L)) && rows.contains(("a", 2L)) && rows.contains(("a", 3L)))
+      // b emitted total=1 twice: once before eviction, once after its
+      // restart — never total=2, proving the state was dropped
+      assert(rows.count(_ == ("b", 1L)) == 2, s"want b restarted from zero, got ${rows.mkString(",")}")
+      assert(!rows.contains(("b", 2L)))
+    } finally q.stop()
+  }
+
   test("streaming: windowed per-type counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
