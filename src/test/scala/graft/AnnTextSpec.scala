@@ -90,6 +90,25 @@ class AnnTextSpec extends SparkSpec {
     assert(claimed.toSet == Set(0, 1, 2), s"clusters not bijectively claimed: ${claimed.toSeq}")
   }
 
+  test("trainCentroidsKMeans survives k=1 and null embeddings (degenerate inputs)") {
+    // r2 regression: k=1 crashed in single-argument greatest(), and a
+    // null vector NPE'd the assignment collect; the native
+    // NearestCentroid expression + isNotNull pre-filter handle both
+    val withNulls = Seq(
+      0L -> Some(Array(1f, 0f, 0f, 0f)),
+      1L -> Some(Array(0.9f, 0.1f, 0f, 0f)),
+      2L -> (None: Option[Array[Float]]),
+      3L -> Some(Array(0.8f, 0.2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val k1 = Ann.trainCentroidsKMeans(withNulls, "embedding", "vec_id", 1, iters = 2)
+    assert(k1.length == 1 && k1(0).length == 4)
+    // the single centroid converges to the mean of the non-null vectors
+    assert(math.abs(k1(0)(0) - (1.0 + 0.9 + 0.8) / 3) < 1e-6)
+    // empty input: no centroids rather than a crash
+    assert(Ann.trainCentroidsKMeans(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "embedding", "vec_id", 3).isEmpty)
+  }
+
   test("lshTopK returns a subset of true neighbors with exact scores") {
     val df = vectors.toDF("vec_id", "embedding")
     val q = vectors.head._2.map(_.toDouble)

@@ -168,6 +168,18 @@ class DedupSimSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("jaccardJoin relDfCap resolves the cap in-plan as a fraction of N") {
+    val df = Seq((1L, "stop a b c"), (2L, "stop a b c"), (3L, "stop x y z"))
+      .toDF("doc_id", "text")
+    // relDfCap 0.9 of N=3 => cap floor(2.7)=2: same pruning as the
+    // absolute dfCap=2 test, but N comes from a broadcast-scalar
+    // cross join, never a driver-side count action
+    val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.9, relDfCap = 0.9,
+      allPairsMaxDocs = 0L).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(got.head.getDouble(2) == 1.0, "score counts the capped token (full-set jaccard)")
+  }
+
   test("jaccardJoin bitmap all-pairs plan (vocab<=64) equals brute force") {
     val vocab = (0 until 20).map(i => s"t$i")
     val rnd = new scala.util.Random(11)
