@@ -4,10 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Input sources (reference: home.py:55-62 reads one CSV/XLSX into
-  * pandas). Spark-side the same surface is the distributed readers;
-  * XLSX has no offline-capable Spark source, so tabular ingestion is
-  * CSV/JSONL/Parquet (the XLSX path in the reference is just pandas'
-  * reader — the engine consumes whatever lands on the lake).
+  * pandas). Spark-side the same surface is the distributed readers:
+  * CSV/JSONL/Parquet here, XLSX via the JDK-native [[Xlsx]]
+  * reader/writer (no external package needed — per-file parallel
+  * reads, driver-streamed export).
   */
 object Sources {
 

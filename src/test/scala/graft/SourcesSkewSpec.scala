@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.sources.Sources
+import graft.sources.{Sources, Xlsx}
 import graft.operators.Skew
 import graft.corrector.Corrector
 import graft.profile.Profiler
@@ -17,6 +17,50 @@ class SourcesSkewSpec extends SparkSpec {
     val c = Sources.readCsv(spark, s"$dir/c")
     assert(c.count() == 2 && c.schema("id").dataType.typeName == "integer")
     assert(Sources.readJsonLines(spark, s"$dir/j").count() == 2)
+  }
+
+  test("xlsx round-trips through the native writer/reader (numbers, strings, nulls, escaping)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx").toString
+    val df = Seq(
+      (1L, Some("plain"), Some(1.5)),
+      (2L, Some("esc <&> \"q\" tr"), None),
+      (3L, None: Option[String], Some(-0.25))).toDF("id", "name", "score")
+    Xlsx.writeXlsx(df, s"$dir/out.xlsx")
+    val back = Xlsx.readXlsx(spark, s"$dir/out.xlsx")
+    assert(back.columns.toSeq == Seq("id", "name", "score"))
+    val rows = back.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(rows(0) == ("1", "plain", "1.5"))
+    assert(rows(1) == ("2", "esc <&> \"q\" tr", null))
+    assert(rows(2) == ("3", null, "-0.25"))
+  }
+
+  test("xlsx reader handles shared strings and sparse cells (openpyxl-style part layout)") {
+    // hand-crafted workbook using the sharedStrings part + a gap cell,
+    // the layout pandas/openpyxl emit (our writer uses inline strings,
+    // so this path needs its own fixture)
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx2").toString
+    val f = new java.io.FileOutputStream(s"$dir/ss.xlsx")
+    val z = new java.util.zip.ZipOutputStream(f)
+    def entry(n: String, c: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>col_a</t></si><si><t>col_b</t></si><si><r><t>two-</t></r><r><t>runs</t></r></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>col_c</t></is></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>9.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); f.close()
+    val back = Xlsx.readXlsx(spark, s"$dir/ss.xlsx")
+    assert(back.columns.toSeq == Seq("col_a", "col_b", "col_c"))
+    val r = back.collect()(0)
+    assert(r.getString(0) == "two-runs") // concatenated <r> runs
+    assert(r.getString(1) == null)       // sparse B2 gap
+    assert(r.getString(2) == "9.5")      // untyped numeric cell
   }
 
   test("jsonField parses embedded JSON without a UDF") {
