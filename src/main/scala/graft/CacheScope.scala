@@ -29,6 +29,15 @@ object CacheScope {
     df
   }
 
+  /** Track an ALREADY-persisted frame for later [[clear]] (for
+    * operators that manage materialization themselves, e.g. iterative
+    * loops that persist each round and hand over only the fixpoint).
+    */
+  def track(df: DataFrame): DataFrame = synchronized {
+    tracked += df
+    df
+  }
+
   /** Unpersist (non-blocking) every tracked frame and drop the refs. */
   def clear(): Unit = synchronized {
     tracked.foreach { df =>

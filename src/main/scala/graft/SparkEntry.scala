@@ -396,6 +396,17 @@ object SparkEntry {
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
+    // near-dup PAIRS collapsed to clusters: distributed min-label
+    // propagation with pointer jumping (O(log diameter) rounds); the
+    // oracle recomputes the transitive closure with a recursive CTE
+    "q_d21_components" -> ((s, d) => {
+      val pairs = Dedup.jaccardJoin(
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", 0.8)
+      graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
     "q_d4b_jaccard_capped" -> ((s, d) => {
       // every doc gets a ubiquitous injected token; the RELATIVE
       // df-cap (resolved in-plan — no driver-side count action) drops
@@ -951,6 +962,25 @@ object SparkEntry {
         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the pair predicate is q_d4's; the oracle then takes the
+    // TRANSITIVE CLOSURE with a recursive CTE (every reachable label
+    // enumerated, min per node) — an independent formulation of the
+    // same components the iterative Spark propagation converges to
+    "q_d21_components" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        | FROM documents WHERE doc_id%10=0),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        | WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM edges),
+        |cc(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a
+        |)
+        |SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY n ORDER BY doc_id""".stripMargin,
 
     // oracle is the exhaustive all-pairs scan. The query matches it
     // exactly because (a) pairs involving the injected duplicates get

@@ -199,6 +199,30 @@ class DedupSimSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("connectedComponents: chains, triangles, isolated pairs; log-depth convergence") {
+    // component {1..6} as a pure CHAIN (worst case for plain
+    // propagation — pointer jumping must still converge within
+    // maxIters), a triangle {10,11,12}, and an isolated pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(got(_) == 1L), s"chain: $got")
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 11)
+  }
+
+  test("dedupByPairs keeps the canonical doc per component plus untouched docs") {
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.dedup.Components.dedupByPairs(docs, "doc_id", pairs, "id_a", "id_b")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L)) // 2,3 lose to 1; 6 loses to 5
+  }
+
   test("string similarity finds near-identical strings via tf-idf 3-grams") {
     val df = Seq(
       (1L, "Johnson & Johnson Ltd"),
