@@ -396,6 +396,21 @@ object SparkEntry {
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
+    // Gopher-family repetition signals per doc (top word / 2-gram
+    // token share — boilerplate and template spam score high)
+    "q_d22_repetition" -> ((s, d) =>
+      graft.text.TextAnalysis.repetitionMetrics(
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0), "text", "doc_id")
+        .orderBy("doc_id")),
+    // benchmark decontamination: docs sharing a 5-gram shingle with
+    // the held-out slice are flagged (doc side streams through one
+    // shingle-keyed semi join; benchmark shingles broadcast)
+    "q_d23_decontam" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      Dedup.contaminatedIds(all.filter(col("doc_id") % 11 =!= 0), "text", "doc_id",
+        all.filter(col("doc_id") % 11 === 0), "text", n = 5)
+        .orderBy("doc_id")
+    }),
     // near-dup PAIRS collapsed to clusters: distributed min-label
     // propagation with pointer jumping (O(log diameter) rounds); the
     // oracle recomputes the transitive closure with a recursive CTE
@@ -962,6 +977,30 @@ object SparkEntry {
         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_d22_repetition" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS w
+        | FROM documents WHERE doc_id%10=0),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1,2),
+        |twf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS token_count,
+        |        round(max(c)*1.0/sum(c),4) AS top_word_frac FROM tc GROUP BY 1),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS t
+        |      FROM d WHERE len(w) >= 2),
+        |gc AS (SELECT doc_id, t, count(*) AS c FROM g GROUP BY 1,2),
+        |tgf AS (SELECT doc_id, round(max(c)*1.0/sum(c),4) AS top_2gram_frac FROM gc GROUP BY 1)
+        |SELECT twf.doc_id AS doc_id, token_count, top_word_frac, tgf.top_2gram_frac AS top_2gram_frac
+        |FROM twf LEFT JOIN tgf ON twf.doc_id = tgf.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_d23_decontam" ->
+      """WITH corp AS (SELECT doc_id, regexp_split_to_array(text,' +') AS w FROM documents WHERE doc_id%11<>0),
+        |bench AS (SELECT regexp_split_to_array(text,' +') AS w FROM documents WHERE doc_id%11=0),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(w)-4,1)+1),
+        |        i -> array_to_string(w[i:i+4], ' '))) AS sh FROM bench),
+        |csh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-4,1)+1),
+        |        i -> array_to_string(w[i:i+4], ' '))) AS sh FROM corp)
+        |SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh) ORDER BY doc_id""".stripMargin,
 
     // the pair predicate is q_d4's; the oracle then takes the
     // TRANSITIVE CLOSURE with a recursive CTE (every reachable label

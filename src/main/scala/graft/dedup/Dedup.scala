@@ -252,6 +252,34 @@ object Dedup {
     cross.union(intra)
   }
 
+  /** Ids of documents sharing at least one word n-gram shingle with a
+    * benchmark corpus — test-set DECONTAMINATION, the training-data
+    * hygiene step that keeps eval benchmarks out of the training set.
+    * The benchmark side is distinct-aggregated shingles (benchmarks
+    * are small by construction — broadcast them); the corpus streams
+    * through one semi join keyed on the shingle, so the 100 TB side
+    * shuffles at most its exploded shingles and nothing joins
+    * pairwise.
+    */
+  def contaminatedIds(docs: DataFrame, textCol: String, idCol: String,
+                      benchmark: DataFrame, benchTextCol: String,
+                      n: Int = 8): DataFrame = {
+    val benchShingles = broadcast(
+      benchmark.select(explode(shingleSet(col(benchTextCol), n)).as("_sh")).distinct())
+    docs.select(col(idCol), explode(shingleSet(col(textCol), n)).as("_sh"))
+      .join(benchShingles, Seq("_sh"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
+  /** Drop every document that shares an n-gram shingle with the
+    * benchmark (anti join on [[contaminatedIds]]).
+    */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame =
+    docs.join(contaminatedIds(docs, textCol, idCol, benchmark, benchTextCol, n),
+      Seq(idCol), "left_anti")
+
   /** Portable 60-bit token hash: the first 15 hex nibbles of md5.
     * Chosen over engine-private hashes (xxhash64) so sketches built
     * from it are reproducible by ANY engine byte-for-byte — the

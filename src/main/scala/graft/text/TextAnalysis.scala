@@ -117,4 +117,35 @@ object TextAnalysis {
         languageId(col(textCol)).as("lang_pred"),
         fingerprintMd5(col(textCol)).as("fingerprint"))
       .select(col(idCol), col("f.*"), col("quality_score"), col("lang_pred"), col("fingerprint"))
+
+  /** Repetition signals in the Gopher-filter family (fraction of
+    * tokens claimed by the single most frequent token / 2-gram):
+    * boilerplate, keyword-stuffed, and template-generated documents
+    * score high and get filtered before LLM training. Shape: two
+    * explode → groupBy pipelines (map-side combined, shuffled on
+    * (doc, gram) then doc — linear in corpus tokens); the per-row
+    * gram arrays never materialize to the driver. `top_2gram_frac`
+    * is null for documents of fewer than two tokens.
+    */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = split(trim(col(textCol)), " +")
+    val toks = df.select(col(idCol).as("id"), explode(words).as("t"))
+    val topWord = toks.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("token_count"), max(col("c")).as("m"))
+      .select(col("id"), col("token_count"),
+        round(col("m") / col("token_count"), 4).as("top_word_frac"))
+    val gramArr = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = df.select(col(idCol).as("id"), explode(gramArr).as("t"))
+    val topGram = grams.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n2"), max(col("c")).as("m2"))
+      .select(col("id"), round(col("m2") / col("n2"), 4).as("top_2gram_frac"))
+    topWord.join(topGram, Seq("id"), "left")
+      .select(col("id").as(idCol), col("token_count"),
+        col("top_word_frac"), col("top_2gram_frac"))
+  }
 }

@@ -147,6 +147,19 @@ class AnnTextSpec extends SparkSpec {
     (0L until 4L).foreach(i => assert(got2.contains((i, i + 2000)), s"scaled dup $i"))
   }
 
+  test("repetitionMetrics: top word and 2-gram token shares") {
+    val df = Seq(
+      (1L, "spam spam spam ham"),        // top word 3/4; top 2-gram "spam spam" 2/3
+      (2L, "all words are different"),   // 1/4; 2-grams all unique 1/3
+      (3L, "solo")).toDF("doc_id", "text") // single token: no 2-grams
+    val got = graft.text.TextAnalysis.repetitionMetrics(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(got(1L) == ((4L, 0.75, 0.6667)))
+    assert(got(2L) == ((4L, 0.25, 0.3333)))
+    assert(got(3L) == ((1L, 1.0, -1.0))) // null 2-gram share
+  }
+
   test("token counts: whitespace and BPE-ish") {
     val r = Seq("Hello, world! It's 42.").toDF("t")
       .select(TextAnalysis.wordCount(col("t")).as("w"),

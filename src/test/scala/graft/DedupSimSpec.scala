@@ -199,6 +199,21 @@ class DedupSimSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("decontaminate drops docs sharing an n-gram shingle with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "something with the quick brown fox inside it"), // shares 3-gram "the quick brown"
+      (2L, "entirely different words here now"),
+      (3L, "quick brown fox jumps appears again")) // shares "quick brown fox"
+      .toDF("doc_id", "text")
+    val bad = Dedup.contaminatedIds(docs, "text", "doc_id", bench, "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(bad == Set(1L, 3L))
+    val kept = Dedup.decontaminate(docs, "text", "doc_id", bench, "text", n = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("connectedComponents: chains, triangles, isolated pairs; log-depth convergence") {
     // component {1..6} as a pure CHAIN (worst case for plain
     // propagation — pointer jumping must still converge within
