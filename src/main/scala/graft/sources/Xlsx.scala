@@ -37,7 +37,9 @@ object Xlsx {
                header: Boolean = true): DataFrame = {
     val bin = spark.read.format("binaryFile").load(path)
       .select("content")
-    val first = bin.head() // schema comes from one workbook on the driver
+    val head = bin.limit(1).collect() // schema comes from one workbook on the driver
+    require(head.nonEmpty, s"no files under $path to derive an xlsx schema from")
+    val first = head(0)
     val firstRows = parseSheet(first.getAs[Array[Byte]](0))
     val width = firstRows.headOption.map(_.length).getOrElse(0)
     val names =

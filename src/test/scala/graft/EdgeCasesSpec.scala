@@ -24,6 +24,15 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.simhashPairs(emptyDocs, "text", "doc_id", 3).count() == 0)
     assert(graft.similarity.StringSim.similarPairs(
       emptyDocs.toDF("id", "s"), "s", "id", 0.5).count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.dedup.Components.connectedComponents(noPairs, "id_a", "id_b").count() == 0)
+    // no pairs => nothing to collapse, the corpus passes through whole
+    assert(graft.dedup.Components.dedupByPairs(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "doc_id",
+      noPairs, "id_a", "id_b").count() == 2)
+    assert(Dedup.contaminatedIds(emptyDocs, "text", "doc_id",
+      emptyDocs, "text", 3).count() == 0)
+    assert(graft.text.TextAnalysis.repetitionMetrics(emptyDocs, "text", "doc_id").count() == 0)
   }
 
   test("a single document yields no pairs and a full profile row") {
