@@ -54,12 +54,15 @@ object Components {
         .agg(F.min(col("nlbl")).as("nbr"))
       val lowered = labels.join(nbrMin, Seq("n"), "left")
         .select(col("n"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-      // (b) pointer jump: follow the label's own label
+      // (b) pointer jump: follow the label's own label. LAZY
+      // checkpoint: the convergence probe right below is the round's
+      // only action — it materializes the checkpoint as a side
+      // effect, so each round costs ONE Spark job, not two.
       val next = lowered
         .join(lowered.select(col("n").as("lbl"), col("lbl").as("jump")),
           Seq("lbl"), "left")
         .select(col("n"), coalesce(col("jump"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next
         .join(labels.select(col("n"), col("lbl").as("old")), "n")
         .filter(col("lbl") =!= col("old"))

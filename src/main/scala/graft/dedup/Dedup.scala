@@ -26,17 +26,15 @@ object Dedup {
 
   /** Distinct word n-gram shingles — the canonical MinHash granule
     * for texts where local word ORDER matters (wordSet is the n=1
-    * special case). Built once per row; documents shorter than `n`
+    * special case). Built once per row as a native codegen'd
+    * expression ([[graft.functions.WordShingles]]): the equivalent
+    * `transform(sequence(...))` formulation runs interpreted per row
+    * and dominated decontamination scans. Documents shorter than `n`
     * words contribute their whole word sequence as one shingle.
     */
   def shingleSet(c: Column, n: Int): Column =
     if (n <= 1) wordSet(c)
-    else {
-      val words = split(c, " +")
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-    }
+    else graft.functions.WordShingles(c, n)
 
   /** Canonical 128-bit content hash for exact dedup. */
   def contentKey(c: Column): Column = md5(c.cast("string"))
