@@ -396,6 +396,23 @@ object SparkEntry {
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
+    // point-in-time join: each sampled event picks up the latest
+    // preceding state change for its user (union + one key-windowed
+    // shuffle); the oracle is DuckDB's NATIVE ASOF JOIN — two
+    // entirely different formulations of the same semantics
+    "q_d24_asof" -> ((s, d) => {
+      // microsecond granularity on BOTH sides: DuckDB reads the
+      // parquet TIMESTAMP(NANOS) column as µs-truncated TIMESTAMP, so
+      // the as-of comparison itself must run at µs for the two
+      // engines to resolve sub-µs-adjacent rows identically
+      val ev = t(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      val updates = ev.filter(col("event_id") % 50 === 0)
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("state_id"))
+      val lhs = ev.filter(col("event_id") % 20 === 0)
+        .select("event_id", "ts_us", "user_id")
+      graft.operators.AsOf.asofJoin(lhs, updates, "user_id", "ts_us", Seq("state_id"))
+        .orderBy("event_id")
+    }),
     // Gopher-family repetition signals per doc (top word / 2-gram
     // token share — boilerplate and template spam score high)
     "q_d22_repetition" -> ((s, d) =>
@@ -977,6 +994,14 @@ object SparkEntry {
         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_d24_asof" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),
+        |upd AS (SELECT user_id, ts_us, MAX(event_id) AS state_id FROM ev WHERE event_id%50=0 GROUP BY 1,2),
+        |lhs AS (SELECT event_id, ts_us, user_id FROM ev WHERE event_id%20=0)
+        |SELECT l.event_id, l.ts_us, l.user_id, u.state_id
+        |FROM lhs l ASOF LEFT JOIN upd u ON l.user_id = u.user_id AND l.ts_us >= u.ts_us
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_d22_repetition" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS w

@@ -70,6 +70,20 @@ class SourcesSkewSpec extends SparkSpec {
     assert(r.toSeq == Seq(Some(42), Some(7), None))
   }
 
+  test("asofJoin: latest preceding state per key, inclusive bound, null before first update") {
+    val left = Seq((1L, 10L, "e1"), (1L, 25L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "ts", "ev")
+    val right = Seq((1L, 10L, "v10"), (1L, 20L, "v20"), (2L, 50L, "v50"))
+      .toDF("k", "ts", "state")
+    val got = graft.operators.AsOf.asofJoin(left, right, "k", "ts", Seq("state"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, 10L, "e1", Some("v10")),  // equal ts => inclusive match
+      (1L, 25L, "e2", Some("v20")),  // latest preceding, not first
+      (2L, 5L, "e3", None)))         // no update yet => null state
+  }
+
   test("saltedCount/saltedSum equal the unsalted aggregation") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
       .toDF("k", "v")
