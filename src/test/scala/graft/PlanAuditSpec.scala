@@ -55,6 +55,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("grouped-profile total branch reuses the groupBy exchange at runtime (single scan)") {
+    val df = SparkEntry.queries("q_a5_freq_table")(spark, dir)
+    df.collect() // AQE reuses equal exchange stages only at execution time
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"),
+      s"total denominator must reuse the grouped shuffle, not rescan the source:\n$executed")
+  }
+
   test("rule checks stay scan-local: no shuffle exchange at all") {
     val p = plan("q_b7_rule_length")
     // single-partition aggregation of partial aggs is the only exchange
