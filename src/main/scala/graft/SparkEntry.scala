@@ -396,6 +396,14 @@ object SparkEntry {
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
+    // per-language keep quotas (domain/language mixing), content-hash
+    // deterministic: the kept set is a pure function of doc_id
+    "q_d25_stratified" -> ((s, d) =>
+      graft.pipeline.Pipeline.stratifiedSampleByHash(
+        t(s, d, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 0.3, "de" -> 0.8, "zh" -> 0.05), defaultFraction = 1.0)
+        .groupBy("lang").agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"))
+        .orderBy("lang")),
     // point-in-time join: each sampled event picks up the latest
     // preceding state change for its user (union + one key-windowed
     // shuffle); the oracle is DuckDB's NATIVE ASOF JOIN — two
@@ -994,6 +1002,15 @@ object SparkEntry {
         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_d25_stratified" ->
+      """WITH b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 10000 AS bkt FROM documents)
+        |SELECT lang, count(*) AS cnt, min(doc_id) AS min_id
+        |FROM b
+        |WHERE bkt < (CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 8000 WHEN 'zh' THEN 500 ELSE 10000 END)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_d24_asof" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events),

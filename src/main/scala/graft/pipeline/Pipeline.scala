@@ -56,6 +56,29 @@ object Pipeline {
         < math.round(fraction * 10000).toInt)
   }
 
+  /** Deterministic STRATIFIED sample: per-stratum keep fractions
+    * (the domain/language mixing knob of a training-data pipeline —
+    * "keep 100% of books, 10% of web, 1% of logs"). Same content-hash
+    * bucket mechanics as [[sampleByHash]], so the kept set is
+    * reproducible across runs, clusters, and engines, and the filter
+    * stays scan-local — no shuffle, no per-stratum pass: one CASE
+    * over the stratum column picks the threshold, one hash prunes
+    * the row. Strata absent from `fractions` keep `defaultFraction`.
+    */
+  def stratifiedSampleByHash(df: DataFrame, keyCol: Column, stratumCol: Column,
+                             fractions: Map[String, Double],
+                             defaultFraction: Double = 0.0,
+                             salt: String = ""): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, "fractions must be in [0,1]"))
+    val threshold = fractions.foldLeft(lit(math.round(defaultFraction * 10000).toInt)) {
+      case (acc, (stratum, f)) =>
+        when(stratumCol === stratum, lit(math.round(f * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(
+      hashBucket(concat(keyCol.cast("string"), lit(salt)), 10000) < threshold)
+  }
+
   /** PII redaction for text columns: e-mail addresses → `<EMAIL>`,
     * 10+-digit runs (phone/national-id shaped) → `<NUM>`. Patterns
     * are deliberately RE2-compatible (no backrefs/lookbehind) so the

@@ -54,4 +54,21 @@ class PipelineSpec extends SparkSpec {
     assert(got(1) == "no pii here")
     assert(got(2) == "<EMAIL> <NUM>")
   }
+
+  test("stratifiedSampleByHash: per-stratum quotas, deterministic, default fraction") {
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val kept = Pipeline.stratifiedSampleByHash(
+      df, col("id"), col("s"), Map("a" -> 0.5, "b" -> 0.05), defaultFraction = 1.0)
+    val counts = kept.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("a") - 500L) < 80, s"~50% of stratum a: $counts")
+    assert(math.abs(counts("b") - 50L) < 40, s"~5% of stratum b: $counts")
+    assert(counts("c") == 1000L, "default 1.0 keeps every c row")
+    // determinism: identical kept set on re-evaluation
+    val again = Pipeline.stratifiedSampleByHash(
+      df, col("id"), col("s"), Map("a" -> 0.5, "b" -> 0.05), defaultFraction = 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
