@@ -40,8 +40,12 @@ object Components {
     // computed rows and resets the plan to a leaf. (On a cluster with
     // lineage-reliability requirements, swap for reliable
     // `checkpoint()` against a checkpoint dir; the shape is the same.)
-    var labels = edges.select(col("src").as("n")).distinct()
-      .select(col("n"), col("n").as("lbl"))
+    // initial labels already fold in round one of propagation: a
+    // node's label starts at min(self, direct neighbors) — computed
+    // by the same aggregation that enumerates the node set, so the
+    // first loop iteration starts from depth-1 labels for free
+    var labels = edges.groupBy(col("src").as("n"))
+      .agg(least(F.min(col("dst")), first(col("src"))).as("lbl"))
       .localCheckpoint(true)
     var iters = 0
     var done = false

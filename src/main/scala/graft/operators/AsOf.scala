@@ -28,6 +28,9 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, stateCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val clash = stateCols.intersect(leftCols)
+    require(clash.isEmpty,
+      s"state columns ${clash.mkString(",")} collide with left columns — rename one side")
     val stateTypes = stateCols.map(c => c -> right.schema(c).dataType)
     val lPacked = left.select(
       Seq(col(keyCol).as("_k"), col(tsCol).as("_ts"), lit(1).as("_side"),
