@@ -396,6 +396,16 @@ object SparkEntry {
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
         "text", "doc_id", 0.8)
         .orderBy("id_a", "id_b")),
+    // concat-and-chunk sequence packing into 512-token contexts,
+    // 8 parallel bucket streams; window arithmetic mirrored in SQL
+    "q_d26_packing" -> ((s, d) =>
+      graft.pipeline.Pipeline.packSequences(
+        t(s, d, "documents")
+          .withColumn("n_tokens", graft.text.TextAnalysis.wordCount(col("text"))),
+        col("doc_id"), col("n_tokens"), contextLen = 512, buckets = 8)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("pack_id"), col("pack_offset").cast("long").as("pack_offset"))
+        .orderBy("doc_id")),
     // per-language keep quotas (domain/language mixing), content-hash
     // deterministic: the kept set is a pure function of doc_id
     "q_d25_stratified" -> ((s, d) =>
@@ -1002,6 +1012,20 @@ object SparkEntry {
         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
         |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_d26_packing" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text),' +')) END AS n_tokens,
+        |  list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 8 AS bkt FROM documents),
+        |w AS (SELECT doc_id, n_tokens, bkt,
+        |  sum(n_tokens) OVER (PARTITION BY bkt ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(bkt AS VARCHAR) || '_' || CAST(cb // 512 AS VARCHAR) AS pack_id,
+        |  CAST(cb % 512 AS BIGINT) AS pack_offset
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_d25_stratified" ->
       """WITH b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),

@@ -79,6 +79,34 @@ object Pipeline {
       hashBucket(concat(keyCol.cast("string"), lit(salt)), 10000) < threshold)
   }
 
+  /** Sequence packing for LLM pretraining (concatenate-and-chunk):
+    * documents are laid out in a deterministic stream and cut into
+    * fixed `contextLen` token windows; each doc learns which pack it
+    * starts in and at what offset (docs may straddle pack boundaries,
+    * exactly like GPT-style "concat then chunk" batching).
+    *
+    * Scale shape: a single global greedy pack would serialize 100 TB
+    * through one ordered window — instead documents are content-hash
+    * bucketed into `buckets` independent streams, each packed by a
+    * window partitioned on the bucket (P-way parallel, deterministic
+    * given the key). Pack identity is (bucket, chunk index within the
+    * bucket's stream).
+    */
+  def packSequences(df: DataFrame, keyCol: Column, tokenCol: Column,
+                    contextLen: Int, buckets: Int = 1024): DataFrame = {
+    require(contextLen > 0 && buckets > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bucket")).orderBy(keyCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("_bucket", hashBucket(keyCol, buckets))
+      .withColumn("_cum_before", sum(tokenCol).over(w) - tokenCol)
+      .withColumn("pack_id",
+        concat(col("_bucket"), lit("_"), expr(s"_cum_before DIV $contextLen")))
+      .withColumn("pack_offset", col("_cum_before") % contextLen)
+      .drop("_bucket", "_cum_before")
+  }
+
   /** PII redaction for text columns: e-mail addresses → `<EMAIL>`,
     * 10+-digit runs (phone/national-id shaped) → `<NUM>`. Patterns
     * are deliberately RE2-compatible (no backrefs/lookbehind) so the

@@ -55,6 +55,26 @@ class PipelineSpec extends SparkSpec {
     assert(got(2) == "<EMAIL> <NUM>")
   }
 
+  test("packSequences: concat-and-chunk layout, straddling docs, deterministic") {
+    // one bucket => one stream ordered by id: tokens 300,300,200 at
+    // L=512 -> offsets 0,300,600: doc2 straddles packs 0/1, doc3
+    // starts in pack 1 at offset 88
+    val df = Seq((1L, 300), (2L, 300), (3L, 200)).toDF("id", "tok")
+    val got = Pipeline.packSequences(df, col("id"), col("tok"), 512, buckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(got(1L) == (("0_0", 0L)))
+    assert(got(2L) == (("0_0", 300L)))
+    assert(got(3L) == (("0_1", 88L))) // (300+300) mod 512
+    // multi-bucket: pack ids namespace by bucket, assignment is stable
+    val many = (0L until 500L).map(i => (i, 10)).toDF("id", "tok")
+    val a = Pipeline.packSequences(many, col("id"), col("tok"), 128, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Pipeline.packSequences(many, col("id"), col("tok"), 128, buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+    assert(a.values.map(_.split("_")(0)).toSet.size == 4, "all four bucket streams used")
+  }
+
   test("stratifiedSampleByHash: per-stratum quotas, deterministic, default fraction") {
     val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
       .toDF("id", "s")
