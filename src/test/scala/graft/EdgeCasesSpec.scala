@@ -33,6 +33,10 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Dedup.contaminatedIds(emptyDocs, "text", "doc_id",
       emptyDocs, "text", 3).count() == 0)
     assert(graft.text.TextAnalysis.repetitionMetrics(emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.pipeline.Pipeline.stratifiedSampleByHash(
+      emptyDocs, col("doc_id"), col("text"), Map("x" -> 0.5)).count() == 0)
+    assert(graft.pipeline.Pipeline.packSequences(
+      emptyDocs.withColumn("tok", lit(1)), col("doc_id"), col("tok"), 512).count() == 0)
   }
 
   test("a single document yields no pairs and a full profile row") {
