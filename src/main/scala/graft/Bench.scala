@@ -34,10 +34,24 @@ object Bench {
       CacheScope.clear() // drop blocks graft pinned inside this query's plans
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of output and parses the
+    // JSON line out of that tail; sbt's trailing "[success] ..." line eats
+    // ~80 of them. r1-r3 printed full-precision doubles (~2400 chars) and
+    // the line's head fell off the tail -> BENCH_r{N}.json "parsed": null.
+    // Emit the most precise rendering that still fits the tail budget.
+    def render(dec: Int, stripPrefix: Boolean): String = {
+      def f(v: Double) = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
+      val qs = results.map { case (k, v) =>
+        val name = if (stripPrefix) k.stripPrefix("q_") else k
+        "\"" + name + "\":" + f(v)
+      }.mkString("{", ",", "}")
+      val sf = sfDir.replaceAll(".*?sf([0-9.]+).*", "$1")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
+    }
+    val line = Seq(render(3, false), render(3, true), render(2, true))
+      .find(_.length <= 1850).getOrElse(render(1, true))
+    println(line)
     spark.stop()
   }
 }
