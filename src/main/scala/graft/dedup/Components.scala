@@ -17,20 +17,43 @@ import org.apache.spark.sql.functions._
   * 1M-node path needs ~20 rounds, not 1M. Per-round state is one
   * (node, label) frame of 16 bytes/node; the previous round is
   * unpersisted as soon as the next materializes, so peak footprint is
-  * two label frames regardless of round count. The driver sees only
-  * the one-row convergence probe per round — labels never collect.
+  * two label frames regardless of round count. On the distributed
+  * path the driver sees only the one-row convergence probe per round
+  * — labels never collect; graphs small enough to fit in a few driver
+  * MBs short-circuit to a union-find instead (see
+  * [[connectedComponents]]).
   */
 object Components {
 
   /** (node, component) for every node appearing in `pairs`;
     * `component` = the smallest node id reachable via pair edges.
+    *
+    * ADAPTIVE PLAN: the deduped edge list must fully materialize once
+    * no matter what (it feeds every propagation round), so its exact
+    * count is free. When the graph is small — `edgeCount ≤
+    * smallGraphMaxEdges`, i.e. bounded MBs — the edges collect to the
+    * driver and a union-find labels them in microseconds: a fixpoint
+    * of distributed rounds on a driver-sized graph pays multiple
+    * shuffle/checkpoint latencies per round for no parallelism gain
+    * (same reasoning as [[Dedup.minhashPairs]]'s bounded all-pairs
+    * branch). Larger graphs run the distributed loop, whose shuffle
+    * width follows the materialized label frame (AQE-sized), not the
+    * session default — a toy graph in a wide session must not pay
+    * 32-way shuffle orchestration per round, and a 100 TB graph keeps
+    * its width.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 30): DataFrame = {
+                          maxIters: Int = 30,
+                          smallGraphMaxEdges: Long = 500000): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    // symmetric edge list, deduped once and pinned for the loop
+    // symmetric edge list PLUS self-loops, deduped once and pinned for
+    // the loop. The self-loop makes each round's neighbor-min already
+    // include the node's own label — min over N(v) ∪ {v} — so the
+    // round needs no separate "lower against own label" join.
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .union(e0.select(col("src"), col("src").as("dst")))
+      .union(e0.select(col("dst").as("src"), col("dst")))
       .distinct().persist()
     // Every round's frame is localCheckpoint'ed, not just cached:
     // round i's plan references round i-1 TWICE (the pointer jump is
@@ -40,39 +63,81 @@ object Components {
     // computed rows and resets the plan to a leaf. (On a cluster with
     // lineage-reliability requirements, swap for reliable
     // `checkpoint()` against a checkpoint dir; the shape is the same.)
-    // initial labels already fold in round one of propagation: a
-    // node's label starts at min(self, direct neighbors) — computed
-    // by the same aggregation that enumerates the node set, so the
-    // first loop iteration starts from depth-1 labels for free
+    // materializes the cache; both paths below then read edges for free
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphMaxEdges) {
+      // driver union-find (path halving; smaller root wins, matching
+      // the distributed min-label semantics). ≤ smallGraphMaxEdges ×
+      // 16 bytes collects — bounded by construction.
+      val rows = edges.select(col("src"), col("dst")).collect()
+      val parent = new java.util.HashMap[Long, Long](rows.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      rows.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = new java.util.HashSet[Long](rows.length * 2)
+      rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+      nodes.forEach(n => out += ((n, find(n))))
+      edges.unpersist(false)
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("node", "component")
+    }
+    // initial labels already fold in round one of propagation: the
+    // self-loops make min(dst) = min(self, direct neighbors), so the
+    // node-set enumeration IS the first propagation round
     var labels = edges.groupBy(col("src").as("n"))
-      .agg(least(F.min(col("dst")), first(col("src"))).as("lbl"))
+      .agg(F.min(col("dst")).as("lbl"))
       .localCheckpoint(true)
+    // loop shuffle width = the materialized label frame's width: AQE
+    // has already sized it to the actual data volume
+    val loopParts = math.max(labels.rdd.getNumPartitions, 1)
+    def pin(df: DataFrame, k: String) = df.repartition(loopParts, col(k))
+    // Convergence probe: per-node labels are MONOTONICALLY non-
+    // increasing (neighbor-min can only lower them; the jump target
+    // label(lbl) ≤ lbl because every node's label ≤ its own id), so
+    // the label SUM strictly decreases until the fixpoint. Comparing
+    // sums needs one tiny aggregate on the frame the round
+    // materializes anyway — no extra join against the previous round.
+    // Decimal accumulation keeps the sum exact for any node-id range.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(F.sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var iters = 0
-    var done = false
+    var done = prevSum == null // empty pair list: nothing to propagate
     while (!done && iters < maxIters) {
-      // (a) min over neighbor labels (left join: isolated-after-dedup
-      // nodes keep their label)
-      val nbrMin = edges
+      // (a) min over N(v) ∪ {v} labels — one shuffle keyed by node.
+      // The aggregation keeps Catalyst's partial/final split (map-side
+      // combine collapses hot-node edge fans before the shuffle).
+      val lowered = edges
         .join(labels.select(col("n").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("n"))
-        .agg(F.min(col("nlbl")).as("nbr"))
-      val lowered = labels.join(nbrMin, Seq("n"), "left")
-        .select(col("n"), least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .agg(F.min(col("nlbl")).as("lbl"))
       // (b) pointer jump: follow the label's own label. LAZY
       // checkpoint: the convergence probe right below is the round's
       // only action — it materializes the checkpoint as a side
       // effect, so each round costs ONE Spark job, not two.
-      val next = lowered
-        .join(lowered.select(col("n").as("lbl"), col("lbl").as("jump")),
+      val next = pin(lowered, "lbl")
+        .join(pin(lowered.select(col("n").as("lbl"), col("lbl").as("jump")), "lbl"),
           Seq("lbl"), "left")
         .select(col("n"), coalesce(col("jump"), col("lbl")).as("lbl"))
         .localCheckpoint(false)
-      val changed = next
-        .join(labels.select(col("n"), col("lbl").as("old")), "n")
-        .filter(col("lbl") =!= col("old"))
-        .limit(1).count() // existence probe, not a full count
+      val nextSum = lblSum(next)
       labels = next // superseded checkpoints are GC'd by the ContextCleaner
-      done = changed == 0
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iters += 1
     }
     edges.unpersist(false)

@@ -222,12 +222,18 @@ class DedupSimSpec extends SparkSpec {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (10L, 11L), (11L, 12L), (10L, 12L),
       (20L, 21L)).toDF("id_a", "id_b")
-    val got = graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 6L).forall(got(_) == 1L), s"chain: $got")
-    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
-    assert(got(20L) == 20L && got(21L) == 20L)
-    assert(got.size == 11)
+    // BOTH plans must agree: the driver union-find (small-graph
+    // short-circuit) and the distributed propagation loop (forced by
+    // smallGraphMaxEdges = 0)
+    for (cap <- Seq(500000L, 0L)) {
+      val got = graft.dedup.Components
+        .connectedComponents(pairs, "id_a", "id_b", smallGraphMaxEdges = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 6L).forall(got(_) == 1L), s"chain(cap=$cap): $got")
+      assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+      assert(got(20L) == 20L && got(21L) == 20L)
+      assert(got.size == 11)
+    }
   }
 
   test("dedupByPairs keeps the canonical doc per component plus untouched docs") {
