@@ -406,6 +406,55 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("pack_id"), col("pack_offset").cast("long").as("pack_offset"))
         .orderBy("doc_id")),
+    // cross-doc repeated-line removal: the corpus is doctored with
+    // known boilerplate lines (newsletter/footer), the operator must
+    // strip exactly the lines whose doc-frequency exceeds the cap and
+    // reassemble the rest in order
+    "q_d27_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"),
+          lit("\nSubscribe to our newsletter"),
+          when(col("doc_id") % 2 === 0, lit("\n(c) 2024 Example Corp"))
+            .otherwise(lit(""))))
+      graft.text.Boilerplate.stripBoilerplate(docs, "text", "doc_id",
+        minRepeatDocs = 30).orderBy("doc_id")
+    }),
+    // unigram-LM cross-entropy (perplexity-style quality signal);
+    // per-token -ln p quantized to micro-nats so the per-doc sum is
+    // an exact integer reduction on both engines
+    "q_d28_xentropy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lm = graft.text.TokenStats.unigramCounts(docs, "text", "doc_id")
+      graft.text.TokenStats.crossEntropy(docs, "text", "doc_id", lm)
+        .orderBy("doc_id")
+    }),
+    // k-means inference path: assign every embedding to its
+    // max-cosine centroid (bank = the first 4 vectors by id); the
+    // oracle recomputes every cosine and the argmax independently
+    "q_d29_cluster_assign" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
+      Ann.assignClusters(emb, "embedding", "vec_id", cents).orderBy("vec_id")
+    }),
+    // vocabulary induction (top-20 tokens, count desc / token asc)
+    // + per-doc out-of-vocabulary share against it
+    "q_d30_oov" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = graft.text.TokenStats.topVocab(
+        graft.text.TokenStats.unigramCounts(docs, "text", "doc_id"), 20)
+      graft.text.TokenStats.oovRate(docs, "text", "doc_id", vocab)
+        .orderBy("doc_id")
+    }),
+    // deterministic epoch shuffle: the permutation key is a pure
+    // function of (seed, id) — portable, re-runnable, seed-varying
+    "q_d31_epoch_shuffle" -> ((s, d) =>
+      graft.pipeline.Pipeline.epochShuffle(
+        t(s, d, "documents").select("doc_id"), col("doc_id"), "epoch1")),
+    // sequence-length histogram in power-of-two buckets (batch/packing
+    // planning); bucket = integer bit-width, no float log2
+    "q_d32_len_hist" -> ((s, d) =>
+      graft.text.TextAnalysis.seqLenHistogram(t(s, d, "documents"), "text")
+        .orderBy("bucket")),
     // per-language keep quotas (domain/language mixing), content-hash
     // deterministic: the kept set is a pure function of doc_id
     "q_d25_stratified" -> ((s, d) =>
@@ -1026,6 +1075,78 @@ object SparkEntry {
         |  CAST(bkt AS VARCHAR) || '_' || CAST(cb // 512 AS VARCHAR) AS pack_id,
         |  CAST(cb % 512 AS BIGINT) AS pack_offset
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_d27_boilerplate" ->
+      """WITH d AS (SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter' ||
+        |  CASE WHEN doc_id%2=0 THEN chr(10) || '(c) 2024 Example Corp' ELSE '' END AS text
+        |  FROM documents WHERE doc_id%5=0),
+        |l AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10))) AS line,
+        |  unnest(range(1, len(string_split(text, chr(10)))+1)) AS pos FROM d),
+        |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS c FROM l GROUP BY 1) WHERE c > 30),
+        |k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text FROM k GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // -ln p per token quantized to micro-nats (exact integer sum on
+    // both engines — reduction-order-independent); same corpus as LM,
+    // so the smoothing branch never fires here (spec'd separately)
+    "q_d28_xentropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |lm AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM lm),
+        |s AS (SELECT t.doc_id,
+        |  CAST(round(-ln(lm.cnt * 1.0 / ((SELECT total FROM tot) + 1)) * 1e6) AS BIGINT) AS nll_micro
+        |  FROM tok2 t JOIN lm USING (token))
+        |SELECT doc_id, count(*) AS token_count,
+        |  round((sum(nll_micro) / count(*)) / 1e6, 4) AS cross_entropy
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // argmax cosine vs the first-4-by-id centroid bank; LATER
+    // centroid index wins exact ties (the native expression's
+    // documented ordering), hence cid DESC in the row_number
+    "q_d29_cluster_assign" ->
+      """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM embeddings e CROSS JOIN c)
+        |SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |  FROM s) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_d30_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS c FROM tok2 GROUP BY 1
+        |      ORDER BY c DESC, token LIMIT 20)),
+        |m AS (SELECT doc_id, count(*) AS token_count,
+        |  count(CASE WHEN token NOT IN (SELECT token FROM v) THEN 1 END) AS oov_count
+        |  FROM tok2 GROUP BY 1)
+        |SELECT doc_id, token_count, oov_count,
+        |  round(oov_count * 1.0 / token_count, 4) AS oov_rate
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_d31_epoch_shuffle" ->
+      """SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+
+    "q_d32_len_hist" ->
+      """WITH d AS (SELECT CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),' +')) END AS n FROM documents),
+        |g AS (SELECT CASE WHEN n=0 THEN 0 ELSE length(bin(n)) END AS bucket,
+        |  count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens FROM d GROUP BY 1)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(CASE WHEN bucket=0 THEN 0 ELSE (1::BIGINT << (bucket-1)) END AS BIGINT) AS lo,
+        |  CAST(CASE WHEN bucket=0 THEN 0 ELSE (1::BIGINT << bucket) - 1 END AS BIGINT) AS hi,
+        |  docs, tokens
+        |FROM g ORDER BY bucket""".stripMargin,
 
     "q_d25_stratified" ->
       """WITH b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),

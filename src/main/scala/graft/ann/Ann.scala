@@ -154,6 +154,19 @@ object Ann {
     cents
   }
 
+  /** Cluster assignment against a FIXED centroid bank (the k-means
+    * inference path: embed → assign → route/balance/analyze). One
+    * scan-local projection — the whole centroid matrix rides in the
+    * single codegen'd [[graft.functions.NearestCentroid]] object, so
+    * a 100 TB assignment pass is a map-only job with no shuffle and
+    * no per-row plan cost. Assignment = max cosine, later index wins
+    * ties (documented on the expression).
+    */
+  def assignClusters(emb: DataFrame, vecCol: String, idCol: String,
+                     centroids: Array[Array[Double]]): DataFrame =
+    emb.select(col(idCol),
+      nearestCentroid(col(vecCol), centroids).as("cluster_id"))
+
   def ivfTopK(emb: DataFrame, vecCol: String, idCol: String,
               centroids: Array[Array[Double]], query: Array[Double],
               k: Int, nprobe: Int = 2): DataFrame = {

@@ -116,4 +116,23 @@ object Pipeline {
     regexp_replace(
       regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{10,}", "<NUM>")
+
+  /** Deterministic epoch shuffle key: md5 of (seed, key). ORDER BY
+    * this column is the reproducible global permutation training
+    * epochs need — a different `seed` per epoch gives an independent
+    * permutation of the same corpus. Plan shape: the key is
+    * scan-local; the sort is Spark's range-partitioned global sort
+    * (sampled range boundaries, every partition sorts in parallel) —
+    * there is NO single-task window and NO global row-number here,
+    * because a position COLUMN would funnel 100 TB through one task;
+    * consumers that need positions take them per-partition after the
+    * sort (e.g. `spark_partition_id` + a partition-local index).
+    */
+  def shuffleKey(keyCol: Column, seed: String): Column =
+    md5(concat(lit(seed), lit(":"), keyCol.cast("string")))
+
+  /** The corpus in deterministic shuffled order for one epoch. */
+  def epochShuffle(df: DataFrame, keyCol: Column, seed: String): DataFrame =
+    df.withColumn("shuffle_key", shuffleKey(keyCol, seed))
+      .orderBy(col("shuffle_key"))
 }

@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document repeated-line ("boilerplate") removal — the
+  * CommonCrawl-style cleanup step that strips navigation chrome,
+  * cookie banners, and footers before training: a LINE that recurs
+  * across many distinct documents is template, not content.
+  * (ref: the reference has no corpus-level ops; this is part of the
+  * LLM-pipeline extension set, SURVEY §2 D.)
+  *
+  * Scale shape: one explode (doc → lines), one distinct on
+  * (line, doc) — hash-shuffle, well spread even for a line present in
+  * every document — then a per-line count whose partial aggregation
+  * collapses each map partition's contribution to one row per line
+  * before the shuffle. The hot-line set is small BY CONSTRUCTION
+  * (only lines repeated across ≥ minRepeatDocs documents survive), so
+  * the strip join broadcasts it; the corpus never self-joins.
+  */
+object Boilerplate {
+
+  private def lines(df: DataFrame, textCol: String, idCol: String,
+                    delim: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+      .as(Seq("pos", "line")))
+
+  /** (line, doc_freq): number of DISTINCT documents containing each
+    * line. Occurrences inside one document count once — a document
+    * repeating its own line must not promote that line to corpus
+    * boilerplate.
+    */
+  def lineDocFreq(df: DataFrame, textCol: String, idCol: String,
+                  delim: String = "\n"): DataFrame =
+    lines(df, textCol, idCol, delim)
+      .select(col("line"), col(idCol)).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("doc_freq"))
+
+  /** Documents with boilerplate lines removed: every line whose
+    * document frequency EXCEEDS `minRepeatDocs` is dropped from every
+    * document; surviving lines are reassembled in original order.
+    * Documents made entirely of boilerplate come back with empty
+    * text (the caller decides whether empty docs survive — that is
+    * [[graft.quality.Detector]] territory).
+    */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       minRepeatDocs: Long, delim: String = "\n"): DataFrame = {
+    val ls = lines(df, textCol, idCol, delim)
+    val hot = lineDocFreq(df, textCol, idCol, delim)
+      .filter(col("doc_freq") > minRepeatDocs).select("line")
+    val kept = ls.join(broadcast(hot), Seq("line"), "left_anti")
+    // reassembly: per-doc ordered fold of (pos, line) structs.
+    // sort_array on the struct orders by pos; the transform lambda is
+    // interpreted, but it touches one short array per DOCUMENT (not
+    // per token/pair), so it is not a hot path.
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        delim).as(textCol))
+    // docs whose every line was boilerplate drop out of `rebuilt`;
+    // restore them with empty text so the output covers every input doc
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+}

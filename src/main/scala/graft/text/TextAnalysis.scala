@@ -148,4 +148,27 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("token_count"),
         col("top_word_frac"), col("top_2gram_frac"))
   }
+
+  /** Sequence-length distribution in power-of-two buckets — the
+    * batch-planning view of a corpus (how much of the data packs into
+    * 512/1k/2k/4k-token contexts). Bucket b covers [2^(b−1), 2^b − 1]
+    * tokens; b = bit-width of the count (length of its binary form),
+    * an INTEGER derivation on both Spark and any SQL oracle — no
+    * float log2 whose rounding could flip a boundary doc. One
+    * scan-local projection + one tiny aggregation.
+    */
+  def seqLenHistogram(df: DataFrame, textCol: String): DataFrame = {
+    val n = wordCount(col(textCol)).cast("long")
+    df.select(
+      when(n === 0, 0).otherwise(length(bin(n))).cast("int").as("bucket"), n.as("_n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("_n")).as("tokens"))
+      // shiftleft's Scala binding takes a literal shift; the SQL form
+      // accepts a column
+      .withColumn("lo", when(col("bucket") === 0, 0L)
+        .otherwise(expr("shiftleft(1L, bucket - 1)")))
+      .withColumn("hi", when(col("bucket") === 0, 0L)
+        .otherwise(expr("shiftleft(1L, bucket) - 1")))
+      .select(col("bucket"), col("lo"), col("hi"), col("docs"), col("tokens"))
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Boilerplate, TokenStats, TextAnalysis}
+import graft.ann.Ann
+import graft.pipeline.Pipeline
+
+/** Specs for the r4 training-pipeline additions: boilerplate line
+  * removal, unigram-LM scoring, vocabulary/OOV, cluster assignment,
+  * epoch shuffle, sequence-length histogram.
+  */
+class TokenStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stripBoilerplate drops cross-doc repeated lines, keeps order, keeps within-doc repeats") {
+    val docs = Seq(
+      (1L, "alpha one\nfooter line\nbeta two"),
+      (2L, "gamma three\nfooter line"),
+      (3L, "footer line\ndelta four"),
+      // doc 4 repeats ITS OWN line 3 times: doc-frequency is 1, so it
+      // must survive a df-threshold of 2
+      (4L, "same line\nsame line\nsame line"),
+      // doc 5 is pure boilerplate -> comes back empty, not dropped
+      (5L, "footer line")).toDF("doc_id", "text")
+    val got = Boilerplate.stripBoilerplate(docs, "text", "doc_id", minRepeatDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "alpha one\nbeta two") // order preserved around the strip
+    assert(got(2L) == "gamma three")
+    assert(got(3L) == "delta four")
+    assert(got(4L) == "same line\nsame line\nsame line")
+    assert(got(5L) == "")
+    assert(got.size == 5)
+  }
+
+  test("lineDocFreq counts DISTINCT documents per line") {
+    val docs = Seq((1L, "a\na\na"), (2L, "a\nb")).toDF("doc_id", "text")
+    val df = Boilerplate.lineDocFreq(docs, "text", "doc_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("crossEntropy: hand-computed on a two-token corpus; smoothing for unseen tokens") {
+    // corpus: "x x x y" -> counts x=3, y=1, total=4
+    val corpus = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val lm = TokenStats.unigramCounts(corpus, "text", "doc_id")
+    // doc "x y": mean of -ln(3/5), -ln(1/5) at micro-nat quantization
+    // (total+1 = 5 is the smoothing denominator everywhere)
+    val seen = TokenStats.crossEntropy(Seq((7L, "x y")).toDF("doc_id", "text"),
+      "text", "doc_id", lm).collect()(0)
+    val expSeen = BigDecimal((math.round(-math.log(3.0 / 5) * 1e6)
+      + math.round(-math.log(1.0 / 5) * 1e6)) / 2.0 / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(seen.getLong(1) == 2L)
+    assert(seen.getDouble(2) == expSeen)
+    // unseen token z gets mass 1/(total+1) = 1/5
+    val unseen = TokenStats.crossEntropy(Seq((8L, "z")).toDF("doc_id", "text"),
+      "text", "doc_id", lm).collect()(0)
+    val expUnseen = BigDecimal(math.round(-math.log(1.0 / 5) * 1e6) / 1e6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(unseen.getDouble(2) == expUnseen)
+  }
+
+  test("topVocab breaks count ties by token ascending; oovRate counts misses") {
+    val corpus = Seq((1L, "b b a a c")).toDF("doc_id", "text")
+    val lm = TokenStats.unigramCounts(corpus, "text", "doc_id")
+    // counts: a=2, b=2, c=1; V=1 must pick 'a' (tie a/b -> token asc)
+    val v1 = TokenStats.topVocab(lm, 1).collect().map(_.getString(0)).toSeq
+    assert(v1 == Seq("a"))
+    val rates = TokenStats.oovRate(corpus, "text", "doc_id", TokenStats.topVocab(lm, 2))
+      .collect()(0)
+    // vocab {a, b}: 5 tokens, 1 OOV ('c')
+    assert(rates.getLong(1) == 5L && rates.getLong(2) == 1L)
+    assert(rates.getDouble(3) == 0.2)
+  }
+
+  test("assignClusters: max-cosine wins; later centroid wins exact ties") {
+    val e1 = (1L, Array(1.0f, 0.0f, 0.0f))
+    val e2 = (2L, Array(0.0f, 1.0f, 0.0f))
+    val e3 = (3L, Array(0.9f, 0.1f, 0.0f))
+    val emb = Seq(e1, e2, e3).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val got = Ann.assignClusters(emb, "embedding", "vec_id", cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 0))
+    // identical centroids: every vector ties -> later index wins
+    val tie = Ann.assignClusters(emb, "embedding", "vec_id",
+      Array(Array(1.0, 0.0, 0.0), Array(1.0, 0.0, 0.0)))
+      .collect().map(_.getInt(1)).toSet
+    assert(tie == Set(1))
+  }
+
+  test("epochShuffle: reproducible per seed, different permutation across seeds") {
+    val df = (1L to 50L).toDF("id")
+    def order(seed: String): Seq[Long] =
+      Pipeline.epochShuffle(df, col("id"), seed).collect().map(_.getLong(0)).toSeq
+    assert(order("e1") == order("e1"))
+    assert(order("e1") != order("e2"))
+    assert(order("e1").sorted == (1L to 50L))
+  }
+
+  test("seqLenHistogram: integer bucket bounds cover 0 and powers of two") {
+    val docs = Seq("", "w", "a b", "a b c",
+      (1 to 15).map(_ => "t").mkString(" "),
+      (1 to 16).map(_ => "t").mkString(" ")).toDF("text")
+    val h = TextAnalysis.seqLenHistogram(docs, "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(h.toSeq == Seq(
+      (0, 0L, 0L, 1L, 0L),    // empty doc
+      (1, 1L, 1L, 1L, 1L),    // 1 token
+      (2, 2L, 3L, 2L, 5L),    // 2- and 3-token docs
+      (4, 8L, 15L, 1L, 15L),  // 15 tokens
+      (5, 16L, 31L, 1L, 16L)))
+  }
+}
