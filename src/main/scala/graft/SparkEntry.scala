@@ -455,6 +455,35 @@ object SparkEntry {
     "q_d32_len_hist" -> ((s, d) =>
       graft.text.TextAnalysis.seqLenHistogram(t(s, d, "documents"), "text")
         .orderBy("bucket")),
+    // SemDeDup-style semantic dedup end-to-end: cluster-bucketed
+    // exact-cosine pairs (corpus doctored with re-ingested dups as in
+    // q_d5) -> transitive closure -> keep-min anti join; the oracle
+    // recomputes assignment, pairs, and closure independently
+    "q_d33_semantic_dedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .union(e.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+      val cents = Ann.trainCentroidsBySample(e, "embedding", "vec_id", 4)
+      Ann.semanticDedup(corpus, "embedding", "vec_id", cents, 0.9)
+        .select("vec_id").orderBy("vec_id")
+    }),
+    // fuzzy incremental ingest: batch docs with an exact-Jaccard
+    // near-dup (>= 0.7) already in the store are dropped; bipartite
+    // inverted index, no batch x store cross product
+    "q_d34_near_store_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val store = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // composite quality filter: first-failing-reason cascade over
+    // token-derived signals, all from one grouped token frame
+    "q_d35_quality_filter" -> ((s, d) =>
+      graft.text.TextAnalysis.qualityFilterReport(
+        t(s, d, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     // per-language keep quotas (domain/language mixing), content-hash
     // deterministic: the kept set is a pure function of doc_id
     "q_d25_stratified" -> ((s, d) =>
@@ -1147,6 +1176,67 @@ object SparkEntry {
         |  CAST(CASE WHEN bucket=0 THEN 0 ELSE (1::BIGINT << bucket) - 1 END AS BIGINT) AS hi,
         |  docs, tokens
         |FROM g ORDER BY bucket""".stripMargin,
+
+    // assignment mirrors q_d29 (argmax cosine, later cid wins ties);
+    // closure mirrors q_d21's recursive CTE; survivors = component
+    // minima plus untouched vectors
+    "q_d33_semantic_dedup" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id%20=0),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  list_dot_product(e.v, c.cv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM corpus e CROSS JOIN c),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |  FROM s) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN asg aa ON a.vec_id = aa.vec_id
+        |       JOIN corpus b ON a.vec_id < b.vec_id
+        |       JOIN asg bb ON b.vec_id = bb.vec_id AND aa.cid = bb.cid
+        |  WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.9),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM edges),
+        |cc(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a),
+        |losers AS (SELECT n FROM (SELECT n, MIN(lbl) AS comp FROM cc GROUP BY n) WHERE comp <> n)
+        |SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT n FROM losers)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_d34_near_store_dedup" ->
+      """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%3=0),
+        |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%3<>0)
+        |SELECT b.doc_id FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM store s
+        |  WHERE round(len(list_intersect(b.ws, s.ws))*1.0
+        |    / (len(b.ws)+len(s.ws)-len(list_intersect(b.ws, s.ws))), 4) >= 0.7)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q_d35_quality_filter" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok2 AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok2 GROUP BY 1,2),
+        |m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(max(c)*1.0/sum(c), 4) AS top_word_frac,
+        |  round(count(*)*1.0/sum(c), 4) AS distinct_ratio FROM tc GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, coalesce(m.n_tokens, 0) AS n_tokens,
+        |  m.top_word_frac AS top_word_frac, m.distinct_ratio AS distinct_ratio,
+        |  CASE WHEN coalesce(m.n_tokens, 0) < 20 THEN 'too_short'
+        |       WHEN m.n_tokens > 90 THEN 'too_long'
+        |       WHEN m.top_word_frac > 0.15 THEN 'repetitive'
+        |       WHEN m.distinct_ratio < 0.40 THEN 'low_diversity'
+        |       ELSE 'keep' END AS reason
+        |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_d25_stratified" ->
       """WITH b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),

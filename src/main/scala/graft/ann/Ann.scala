@@ -247,4 +247,52 @@ object Ann {
       .filter(col("cosine_sim") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs: assign every
+    * embedding to its max-cosine centroid (one scan-local pass — the
+    * bank rides in the codegen'd `NearestCentroid` object), then
+    * verify exact cosine ≥ threshold WITHIN each cluster only. The
+    * cluster id is the bucketing that keeps pair volume ~Σ|cluster|²
+    * instead of n²; at corpus scale the centroid bank is sized so
+    * clusters stay bounded (SemDeDup uses tens of thousands), making
+    * the per-cluster verify linear-ish. Norms are computed once per
+    * vector BEFORE the join. Deterministic: assignment, pairing, and
+    * scores are pure functions of the input — no RNG.
+    *
+    * Pairs are exhaustive within a cluster but near-dup pairs
+    * SPLIT by the cluster boundary are missed — the documented
+    * SemDeDup trade-off; raise `nprobe`-style recall by unioning
+    * [[cosinePairsExact]] over id ranges that must not be missed.
+    */
+  def semanticPairs(emb: DataFrame, vecCol: String, idCol: String,
+                    centroids: Array[Array[Double]],
+                    threshold: Double): DataFrame = {
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_cid", graft.functions.NearestCentroid(col("v"), centroids))
+      .withColumn("_n", norm(col("v")))
+    // explicit partitioning on the cluster key: input-tiny,
+    // output-heavy self-join (see simhashPairs) — AQE would coalesce
+    // the tiny input into one task and serialize pair generation
+    val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val byCluster = assigned.repartition(parts, col("_cid"))
+    val a = byCluster.select(col("_cid"), col("id").as("id_a"),
+      col("v").as("v_a"), col("_n").as("n_a"))
+    val b = byCluster.select(col("_cid"), col("id").as("id_b"),
+      col("v").as("v_b"), col("_n").as("n_b"))
+    a.join(b, Seq("_cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+
+  /** Keep one embedding per semantic near-duplicate component (the
+    * smallest id): [[semanticPairs]] → transitive closure → anti-join
+    * the losers.
+    */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+                    centroids: Array[Array[Double]],
+                    threshold: Double): DataFrame =
+    graft.dedup.Components.dedupByPairs(emb, idCol,
+      semanticPairs(emb, vecCol, idCol, centroids, threshold), "id_a", "id_b")
 }

@@ -75,6 +75,72 @@ object Dedup {
     df.join(store.select(col(fpCol).as("_fp")).distinct(),
       contentKey(col(textCol)) === col("_fp"), "left_anti")
 
+  /** NEAR-dup matches of a new ingest batch against an existing
+    * corpus: exact token-set Jaccard ≥ threshold, computed through a
+    * BIPARTITE inverted index — batch tokens join store tokens on the
+    * token, pair-count = |intersection|, Jaccard from the two set
+    * sizes. Exact (index-based, not probabilistic LSH), and linear in
+    * tokens + candidate pairs: a batch×store cross product never
+    * forms — only doc pairs sharing ≥ 1 surviving token meet.
+    * `dfCap` drops tokens present in more than that many STORE
+    * documents from candidate generation (stop-token skew guard, same
+    * contract as [[jaccardJoin]]): scores stay exact because
+    * surviving pairs are re-scored on full sets; recall requires
+    * sharing one sub-cap token.
+    */
+  def nearDupMatches(batch: DataFrame, store: DataFrame, textCol: String,
+                     idCol: String, threshold: Double,
+                     dfCap: Long = Long.MaxValue): DataFrame = {
+    val bd = batch.select(col(idCol).as("batch_id"), wordSet(col(textCol)).as("ws_b"))
+    val sd = store.select(col(idCol).as("store_id"), wordSet(col(textCol)).as("ws_s"))
+    val bi = bd.select(col("batch_id"), size(col("ws_b")).as("sz_b"),
+      explode(col("ws_b")).as("tok"))
+    val si0 = sd.select(col("store_id"), size(col("ws_s")).as("sz_s"),
+      explode(col("ws_s")).as("tok"))
+    val si =
+      if (dfCap == Long.MaxValue) si0
+      else {
+        val keep = si0.groupBy("tok").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= dfCap).select("tok")
+        si0.join(keep, "tok")
+      }
+    val scored =
+      if (dfCap == Long.MaxValue)
+        // uncapped: the inverted-index pair count IS the exact
+        // intersection — no re-score pass
+        bi.join(si, "tok")
+          .groupBy("batch_id", "store_id", "sz_b", "sz_s")
+          .agg(count(lit(1)).as("inter"))
+          .select(col("batch_id"), col("store_id"),
+            round(col("inter") / (col("sz_b") + col("sz_s") - col("inter")), 4)
+              .as("jaccard"))
+      else {
+        // capped: candidates from surviving tokens, exact re-score on
+        // the full sets so the cap can never mis-score a pair
+        val cands = bi.select(col("tok"), col("batch_id"))
+          .join(si.select(col("tok"), col("store_id")), "tok")
+          .select("batch_id", "store_id").distinct()
+        cands.join(bd, "batch_id").join(sd, "store_id")
+          .select(col("batch_id"), col("store_id"),
+            round(jaccard(col("ws_b"), col("ws_s")), 4).as("jaccard"))
+      }
+    scored.filter(col("jaccard") >= threshold)
+  }
+
+  /** Drop batch rows with a near-duplicate already in the store —
+    * the fuzzy counterpart of [[dedupAgainstStore]] (which catches
+    * only byte-identical content). Anti join on the matched batch-id
+    * set; batch rows never shuffle by anything but the id.
+    */
+  def dedupNearAgainstStore(batch: DataFrame, store: DataFrame,
+                            textCol: String, idCol: String,
+                            threshold: Double,
+                            dfCap: Long = Long.MaxValue): DataFrame = {
+    val hit = nearDupMatches(batch, store, textCol, idCol, threshold, dfCap)
+      .select(col("batch_id"))
+    batch.join(hit, batch(idCol) === hit("batch_id"), "left_anti")
+  }
+
   /** MinHash signature of a token-set column: k independent hash
     * functions (xxhash64 with the slot index as seed), each minimized
     * over the set. Pure expressions — whole-stage codegen, no UDF,

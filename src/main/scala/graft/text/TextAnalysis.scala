@@ -149,6 +149,57 @@ object TextAnalysis {
         col("top_word_frac"), col("top_2gram_frac"))
   }
 
+  /** Composite corpus quality filter (FineWeb/Gopher-style): one
+    * token pipeline yields per-doc token count, top-word share, and
+    * distinct-token ratio; a fixed-order rule cascade assigns each
+    * document its FIRST failing reason (`too_short`, `too_long`,
+    * `repetitive`, `low_diversity`) or `keep`. All three signals
+    * come from a single (doc, token) grouped frame — two map-side-
+    * combined shuffles for the whole report, not one pipeline per
+    * rule. Ratios are int-derived and rounded, so the report is
+    * engine-exact.
+    */
+  def qualityFilterReport(df: DataFrame, textCol: String, idCol: String,
+                          minTokens: Long = 20, maxTokens: Long = 90,
+                          maxTopWordFrac: Double = 0.15,
+                          minDistinctRatio: Double = 0.40): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), " +")).as("t"))
+      .filter(length(col("t")) > 0)
+    val m = toks.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("_m"),
+        count(lit(1)).as("_d"))
+      .select(col("id"), col("n_tokens"),
+        round(col("_m") / col("n_tokens"), 4).as("top_word_frac"),
+        round(col("_d") / col("n_tokens"), 4).as("distinct_ratio"))
+    // empty docs have no token rows — restore them (they fail
+    // too_short by definition)
+    df.select(col(idCol).as("id")).join(m, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("top_word_frac"), col("distinct_ratio"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_tokens") > maxTokens, "too_long")
+          .when(col("top_word_frac") > maxTopWordFrac, "repetitive")
+          .when(col("distinct_ratio") < minDistinctRatio, "low_diversity")
+          .otherwise("keep"))
+  }
+
+  /** The surviving rows of [[qualityFilterReport]] (reason = keep),
+    * original columns intact.
+    */
+  def qualityFilter(df: DataFrame, textCol: String, idCol: String,
+                    minTokens: Long = 20, maxTokens: Long = 90,
+                    maxTopWordFrac: Double = 0.15,
+                    minDistinctRatio: Double = 0.40): DataFrame = {
+    val kept = qualityFilterReport(df, textCol, idCol, minTokens, maxTokens,
+      maxTopWordFrac, minDistinctRatio)
+      .filter(col("reason") === "keep").select(col(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Sequence-length distribution in power-of-two buckets — the
     * batch-planning view of a corpus (how much of the data packs into
     * 512/1k/2k/4k-token contexts). Bucket b covers [2^(b−1), 2^b − 1]

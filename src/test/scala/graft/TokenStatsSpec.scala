@@ -112,4 +112,59 @@ class TokenStatsSpec extends SparkSpec {
       (4, 8L, 15L, 1L, 15L),  // 15 tokens
       (5, 16L, 31L, 1L, 16L)))
   }
+
+  test("semanticPairs finds in-cluster dups; semanticDedup keeps the min id") {
+    // two well-separated clusters on axes; 4L is a re-ingested copy
+    // of 1L (same cluster, cosine 1.0); 5L is a copy of 3L
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.14f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 0.0f)), (5L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val pairs = Ann.semanticPairs(emb, "embedding", "vec_id", cents, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 4L), (3L, 5L)))
+    val kept = Ann.semanticDedup(emb, "embedding", "vec_id", cents, 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("dedupNearAgainstStore drops near-dup batch rows; capped path stays exact") {
+    val store = Seq((10L, "alpha beta gamma delta"), (11L, "x y z w")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta"),      // exact dup of 10 -> dropped
+      (2L, "alpha beta gamma epsilon"),    // jaccard 3/5 = 0.6 < 0.7 -> kept
+      (3L, "x y z w q")).toDF("doc_id", "text") // 4/5 = 0.8 -> dropped
+    def run(cap: Long) =
+      graft.dedup.Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7, cap)
+        .collect().map(_.getLong(0)).toSet
+    assert(run(Long.MaxValue) == Set(2L))
+    // df-cap of 1 store doc per token: every token here is in exactly
+    // one store doc, so candidates and scores are unchanged
+    assert(run(1L) == Set(2L))
+    val m = graft.dedup.Dedup.nearDupMatches(batch, store, "text", "doc_id", 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(m == Set((1L, 10L, 1.0), (3L, 11L, 0.8)))
+  }
+
+  test("qualityFilterReport: first failing reason in cascade order; empty doc is too_short") {
+    val docs = Seq(
+      (1L, ""),                                        // too_short (0 tokens)
+      (2L, (1 to 19).map(i => s"w$i").mkString(" ")),  // 19 tokens -> too_short
+      (3L, (1 to 91).map(i => s"w$i").mkString(" ")),  // 91 -> too_long
+      // 20 tokens, 5 of them "spam": top frac 0.25 > 0.15 -> repetitive
+      (4L, ((1 to 15).map(i => s"u$i") ++ Seq.fill(5)("spam")).mkString(" ")),
+      // 40 tokens from a 10-word vocab: distinct 0.25 < 0.40; top frac
+      // 4/40 = 0.1 passes -> low_diversity
+      (5L, (1 to 40).map(i => s"v${i % 10}").mkString(" ")),
+      (6L, (1 to 30).map(i => s"k$i").mkString(" ")))  // keep
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.qualityFilterReport(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(got == Map(1L -> "too_short", 2L -> "too_short", 3L -> "too_long",
+      4L -> "repetitive", 5L -> "low_diversity", 6L -> "keep"))
+    val kept = graft.text.TextAnalysis.qualityFilter(docs, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(6L))
+  }
 }
