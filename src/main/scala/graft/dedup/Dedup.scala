@@ -90,9 +90,42 @@ object Dedup {
     */
   def nearDupMatches(batch: DataFrame, store: DataFrame, textCol: String,
                      idCol: String, threshold: Double,
-                     dfCap: Long = Long.MaxValue): DataFrame = {
+                     dfCap: Long = Long.MaxValue,
+                     allPairsMaxDocs: Long = 10000L): DataFrame = {
     val bd = batch.select(col(idCol).as("batch_id"), wordSet(col(textCol)).as("ws_b"))
     val sd = store.select(col(idCol).as("store_id"), wordSet(col(textCol)).as("ws_s"))
+    // ≤64-word vocabularies defeat an inverted index the same way
+    // they defeat jaccardJoin's: every token is in a large fraction
+    // of BOTH sides, so the token join degenerates toward
+    // |batch|×|store|×|vocab| rows. Probe (ONE bounded job, same
+    // contract as jaccardJoin's) and switch to int64-bitmap
+    // popcounts: encode each side once, broadcast the store bitmaps
+    // (8 B/doc), and evaluate |batch|×|store| popcount pairs in one
+    // shuffle-free nested-loop stage — recall-complete, cap ignored.
+    val allDocs = bd.select(struct(lit("b"), col("batch_id")).as("sid"), col("ws_b").as("ws"))
+      .union(sd.select(struct(lit("s"), col("store_id")), col("ws_s")))
+    val probe = allDocs
+      .limit(math.min(allPairsMaxDocs + 1, Int.MaxValue.toLong).toInt)
+      .select(col("sid"), explode_outer(col("ws")).as("tok"))
+      .agg(countDistinct(col("sid")).as("nd"), countDistinct(col("tok")).as("nv"))
+      .head()
+    if (probe.getLong(0) <= allPairsMaxDocs && probe.getLong(1) <= 64) {
+      val dict = broadcast(allDocs.select(explode(col("ws")).as("tok")).distinct()
+        .select(col("tok"),
+          (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+            .as("tid")))
+      def asBits(side: DataFrame, idName: String, wsName: String, out: String) =
+        side.select(col(idName), explode(col(wsName)).as("tok"))
+          .join(dict, "tok").groupBy(idName)
+          .agg(expr("bit_or(shiftleft(1L, tid))").as(out))
+      val inter = bit_count(col("bits_b").bitwiseAND(col("bits_s"))).cast("double")
+      return asBits(bd, "batch_id", "ws_b", "bits_b")
+        .crossJoin(broadcast(asBits(sd, "store_id", "ws_s", "bits_s")))
+        .select(col("batch_id"), col("store_id"),
+          round(inter / (bit_count(col("bits_b")) + bit_count(col("bits_s")) - inter), 4)
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
     val bi = bd.select(col("batch_id"), size(col("ws_b")).as("sz_b"),
       explode(col("ws_b")).as("tok"))
     val si0 = sd.select(col("store_id"), size(col("ws_s")).as("sz_s"),
@@ -135,8 +168,10 @@ object Dedup {
   def dedupNearAgainstStore(batch: DataFrame, store: DataFrame,
                             textCol: String, idCol: String,
                             threshold: Double,
-                            dfCap: Long = Long.MaxValue): DataFrame = {
-    val hit = nearDupMatches(batch, store, textCol, idCol, threshold, dfCap)
+                            dfCap: Long = Long.MaxValue,
+                            allPairsMaxDocs: Long = 10000L): DataFrame = {
+    val hit = nearDupMatches(batch, store, textCol, idCol, threshold, dfCap,
+      allPairsMaxDocs)
       .select(col("batch_id"))
     batch.join(hit, batch(idCol) === hit("batch_id"), "left_anti")
   }

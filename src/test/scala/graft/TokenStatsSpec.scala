@@ -135,13 +135,17 @@ class TokenStatsSpec extends SparkSpec {
       (1L, "alpha beta gamma delta"),      // exact dup of 10 -> dropped
       (2L, "alpha beta gamma epsilon"),    // jaccard 3/5 = 0.6 < 0.7 -> kept
       (3L, "x y z w q")).toDF("doc_id", "text") // 4/5 = 0.8 -> dropped
-    def run(cap: Long) =
-      graft.dedup.Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7, cap)
+    // maxDocs = 0 forces the inverted-index plans; the default takes
+    // the ≤64-word bitmap plan — all three must agree
+    def run(cap: Long, maxDocs: Long) =
+      graft.dedup.Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7,
+        cap, maxDocs)
         .collect().map(_.getLong(0)).toSet
-    assert(run(Long.MaxValue) == Set(2L))
+    assert(run(Long.MaxValue, 0L) == Set(2L)) // uncapped inverted index
     // df-cap of 1 store doc per token: every token here is in exactly
     // one store doc, so candidates and scores are unchanged
-    assert(run(1L) == Set(2L))
+    assert(run(1L, 0L) == Set(2L))            // capped inverted index
+    assert(run(Long.MaxValue, 10000L) == Set(2L)) // bitmap popcount plan
     val m = graft.dedup.Dedup.nearDupMatches(batch, store, "text", "doc_id", 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(m == Set((1L, 10L, 1.0), (3L, 11L, 0.8)))
