@@ -69,4 +69,37 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
     assert(exchanges <= 2, s"rule check grew unexpected shuffles ($exchanges):\n$p")
   }
+
+  test("cluster assignment is a map-only scan: no exchange, no join") {
+    val p = SparkEntry.queries("q_d29_cluster_assign")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // orderBy in the query adds the output sort's range exchange; the
+    // ASSIGNMENT itself must add none — so exactly one Exchange and
+    // no join of any kind
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"assignment grew a shuffle ($exchanges):\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
+  test("epoch shuffle is a range-partitioned sort, never a global row-number window") {
+    val p = plan("q_d31_epoch_shuffle")
+    assert(!p.contains("Window"),
+      s"epoch shuffle must not compute positions via a single-task window:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("Sort"),
+      s"expected a parallel range sort:\n$p")
+  }
+
+  test("boilerplate strip joins the bounded hot-line set by broadcast") {
+    val df = graft.text.Boilerplate.stripBoilerplate(
+      Tables.documents(spark, dir), "text", "doc_id", minRepeatDocs = 30)
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-line strip must be a broadcast anti join:\n$p")
+  }
+
+  test("OOV vocabulary membership rides a broadcast join") {
+    val p = plan("q_d30_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bounded vocab must broadcast, not shuffle the token stream by token:\n$p")
+  }
 }
