@@ -92,8 +92,14 @@ object Dedup {
                      idCol: String, threshold: Double,
                      dfCap: Long = Long.MaxValue,
                      allPairsMaxDocs: Long = 10000L): DataFrame = {
-    val bd = batch.select(col(idCol).as("batch_id"), wordSet(col(textCol)).as("ws_b"))
-    val sd = store.select(col(idCol).as("store_id"), wordSet(col(textCol)).as("ws_s"))
+    // tokenized sides are re-read by the probe, the dict, and the
+    // scoring plan — pin them for the call (CacheScope-tracked, the
+    // host clears between units of work) instead of re-tokenizing the
+    // corpus on every branch
+    val bd = graft.CacheScope.persist(
+      batch.select(col(idCol).as("batch_id"), wordSet(col(textCol)).as("ws_b")))
+    val sd = graft.CacheScope.persist(
+      store.select(col(idCol).as("store_id"), wordSet(col(textCol)).as("ws_s")))
     // ≤64-word vocabularies defeat an inverted index the same way
     // they defeat jaccardJoin's: every token is in a large fraction
     // of BOTH sides, so the token join degenerates toward
