@@ -87,4 +87,29 @@ class EdgeCasesSpec extends SparkSpec {
     val wc = ws.select(TextAnalysis.wordCount(col("text")).as("c")).collect().map(_.getInt(0))
     assert(wc.toSeq == Seq(0, 0))
   }
+
+  test("r4 operators return empty/neutral results on empty input") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.text.Boilerplate.stripBoilerplate(emptyDocs, "text", "doc_id", 2).count() == 0)
+    assert(graft.text.Boilerplate.lineDocFreq(emptyDocs, "text", "doc_id").count() == 0)
+    val emptyLm = graft.text.TokenStats.unigramCounts(emptyDocs, "text", "doc_id")
+    assert(graft.text.TokenStats.crossEntropy(emptyDocs, "text", "doc_id", emptyLm).count() == 0)
+    assert(graft.text.TokenStats.topVocab(emptyLm, 5).count() == 0)
+    // empty vocabulary: every token is OOV, rate 1.0
+    val oov = graft.text.TokenStats.oovRate(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "text", "doc_id",
+      graft.text.TokenStats.topVocab(emptyLm, 5)).collect()(0)
+    assert(oov.getLong(2) == 2L && oov.getDouble(3) == 1.0)
+    val cents = Array(Array(1.0, 0.0))
+    assert(Ann.assignClusters(emptyEmb, "embedding", "vec_id", cents).count() == 0)
+    assert(Ann.semanticPairs(emptyEmb, "embedding", "vec_id", cents, 0.9).count() == 0)
+    assert(Ann.semanticDedup(emptyEmb, "embedding", "vec_id", cents, 0.9).count() == 0)
+    assert(Dedup.nearDupMatches(emptyDocs, emptyDocs, "text", "doc_id", 0.7).count() == 0)
+    // empty STORE: the whole batch survives
+    assert(Dedup.dedupNearAgainstStore(Seq((1L, "a b")).toDF("doc_id", "text"),
+      emptyDocs, "text", "doc_id", 0.7).count() == 1)
+    assert(graft.text.TextAnalysis.qualityFilterReport(emptyDocs, "text", "doc_id").count() == 0)
+    assert(graft.text.TextAnalysis.seqLenHistogram(emptyDocs, "text").count() == 0)
+    assert(Pipeline.epochShuffle(emptyDocs, col("doc_id"), "e").count() == 0)
+  }
 }
