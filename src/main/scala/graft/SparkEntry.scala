@@ -7,7 +7,7 @@ import graft.profile.Profiler
 import graft.quality.{Detector, Rule, Validators}
 import graft.corrector.{Corrector, Enrich}
 import graft.dedup.Dedup
-import graft.ann.Ann
+import graft.ann.{Ann, Pq}
 import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator ↔
@@ -484,6 +484,17 @@ object SparkEntry {
       graft.text.TextAnalysis.qualityFilterReport(
         t(s, d, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    // product quantization: 4x16-dim codebooks (first-4-by-id sample),
+    // map-only encode, ADC top-10 from the m x k lookup table; every
+    // float here is reproduced bit-for-bit by the oracle's
+    // list_dot_product formulation
+    "q_d36_pq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 4, k = 4, dim = 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Pq.adcTopK(Pq.encode(emb, "embedding", "vec_id", cb), "vec_id", cb, q, 10)
+    }),
     // per-language keep quotas (domain/language mixing), content-hash
     // deterministic: the kept set is a pure function of doc_id
     "q_d25_stratified" -> ((s, d) =>
@@ -1237,6 +1248,35 @@ object SparkEntry {
         |       WHEN m.distinct_ratio < 0.40 THEN 'low_diversity'
         |       ELSE 'keep' END AS reason
         |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // per-subspace assignment score = dot(c,c) - 2*dot(v,c) (argmin,
+    // ties -> earlier cid); ADC = j-ordered sum of the four lookup
+    // terms (s0+s1+s2+s3 left-to-right, NOT an unordered SUM) — both
+    // mirror the native expressions' float semantics exactly
+    "q_d36_pq_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) t(j)),
+        |e AS (SELECT vec_id, j, (CAST(embedding AS DOUBLE[]))[(16*j+1):(16*j+16)] AS sv
+        |  FROM embeddings CROSS JOIN subs),
+        |cs AS (SELECT cid, j, cv[(16*j+1):(16*j+16)] AS csv FROM cents CROSS JOIN subs),
+        |enc AS (SELECT vec_id, j, cid FROM (
+        |  SELECT e.vec_id, e.j, cs.cid, row_number() OVER (PARTITION BY e.vec_id, e.j
+        |    ORDER BY (list_dot_product(cs.csv, cs.csv) - 2*list_dot_product(e.sv, cs.csv)) ASC,
+        |             cs.cid ASC) AS rn
+        |  FROM e JOIN cs ON e.j = cs.j) WHERE rn = 1),
+        |qs AS (SELECT j, (SELECT v FROM q)[(16*j+1):(16*j+16)] AS qv FROM subs),
+        |lut AS (SELECT cs.j, cs.cid,
+        |  (list_dot_product(qs.qv, qs.qv) - 2*list_dot_product(qs.qv, cs.csv)
+        |    + list_dot_product(cs.csv, cs.csv)) AS s
+        |  FROM cs JOIN qs ON cs.j = qs.j),
+        |sc AS (SELECT vec_id,
+        |  max(CASE WHEN j=0 THEN s END) AS s0, max(CASE WHEN j=1 THEN s END) AS s1,
+        |  max(CASE WHEN j=2 THEN s END) AS s2, max(CASE WHEN j=3 THEN s END) AS s3
+        |  FROM enc JOIN lut USING (j, cid) GROUP BY vec_id)
+        |SELECT vec_id, round(s0 + s1 + s2 + s3, 4) AS adc FROM sc
+        |ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     "q_d25_stratified" ->
       """WITH b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),

@@ -117,6 +117,74 @@ object NearestCentroid {
   }
 }
 
+/** Index of the min-L2 centroid for a SUBRANGE of the input vector —
+  * the per-subspace assignment step of product quantization. The
+  * score is `dot(c,c) − 2·dot(v,c)` (the vector's own self-dot is
+  * constant under argmin), with both dots accumulated left-to-right
+  * in doubles — EXACTLY `list_dot_product(c,c) −
+  * 2*list_dot_product(v,c)` in an external SQL engine, so an oracle
+  * can reproduce the assignment bit-for-bit. Ties: the EARLIER
+  * centroid index wins (strict-less update; argmin convention —
+  * NOTE this differs from [[NearestCentroid]]'s documented
+  * later-wins max-cosine rule). Null input vector → null; null
+  * elements read as 0.
+  *
+  * `offset`/`length` select the subvector (offset is 0-based);
+  * centroids are `length`-dimensional.
+  */
+case class NearestCentroidL2(child: Expression, centroids: Array[Array[Double]],
+                             offset: Int, length: Int)
+    extends VectorBankExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(offset >= 0 && length > 0, "need a non-empty subrange")
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val selfDots: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
+  def nearest(a: ArrayData): Int = {
+    val n = a.numElements()
+    var best = Double.PositiveInfinity
+    var bestIdx = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val hi = math.min(length, math.min(cent.length, n - offset))
+      var dot = 0.0
+      var j = 0
+      while (j < hi) { dot += elem(a, offset + j) * cent(j); j += 1 }
+      val score = selfDots(c) - 2 * dot
+      if (score < best) { best = score; bestIdx = c } // strict: earlier wins
+      c += 1
+    }
+    bestIdx
+  }
+
+  override def nullSafeEval(input: Any): Any = nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidL2", this, classOf[NearestCentroidL2].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.nearest($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidL2 =
+    copy(child = newChild)
+}
+
+object NearestCentroidL2 {
+  def apply(vec: Column, centroids: Array[Array[Double]],
+            offset: Int, length: Int): Column = {
+    import org.apache.spark.sql.graft.SqlBridge
+    SqlBridge.column(NearestCentroidL2(SqlBridge.expression(vec), centroids, offset, length))
+  }
+}
+
 /** Sign-bit LSH keys of a vector against `tables` independent
   * hyperplane families (multi-table random-hyperplane LSH): element
   * `t` of the result is family `t`'s bucket key — bit `p` set iff

@@ -198,4 +198,37 @@ class AnnTextSpec extends SparkSpec {
     assert(r.getAs[String]("lang_pred") == "en")
     assert(r.getAs[Double]("quality_score") == 1.0)
   }
+
+  test("PQ: sample vectors encode to their own codes; ADC of a sample vector to itself is 0") {
+    import spark.implicits._
+    // 4-dim vectors, m=2 subspaces of 2; first two vectors seed the
+    // codebooks and are designed with distinct, well-separated halves
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 5.0f, 0.0f)),
+      (1L, Array(0.0f, 3.0f, 0.0f, 7.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f, 6.9f)) // halves nearest to c0 then c1
+    ).toDF("vec_id", "embedding")
+    val cb = graft.ann.Pq.codebooksBySample(emb, "embedding", "vec_id", m = 2, k = 2, dim = 4)
+    val codes = graft.ann.Pq.encode(emb, "embedding", "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(codes(0L) == ((0, 0)) && codes(1L) == ((1, 1)), s"sample self-codes: $codes")
+    assert(codes(2L) == ((0, 1)), s"mixed vector: $codes")
+    // query = sample vector 0: its ADC to code (0,0) is exactly 0
+    val top = graft.ann.Pq.adcTopK(
+      graft.ann.Pq.encode(emb, "embedding", "vec_id", cb), "vec_id", cb,
+      Array(1.0, 0.0, 5.0, 0.0), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.head == ((0L, 0.0)), s"self-distance must be 0: ${top.toSeq}")
+    assert(top.map(_._1).toSeq == Seq(0L, 2L, 1L), s"ADC order: ${top.toSeq}")
+  }
+
+  test("NearestCentroidL2 breaks exact ties by the EARLIER centroid index") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val dup = Array(Array(1.0, 1.0), Array(1.0, 1.0)) // identical centroids
+    val got = emb.select(graft.functions.NearestCentroidL2(
+      org.apache.spark.sql.functions.col("embedding"), dup, 0, 2).as("c"))
+      .collect()(0).getInt(0)
+    assert(got == 0)
+  }
 }
