@@ -495,6 +495,17 @@ object SparkEntry {
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       Pq.adcTopK(Pq.encode(emb, "embedding", "vec_id", cb), "vec_id", cb, q, 10)
     }),
+    // distribution drift between two event slices: one-scan
+    // multi-column value shares, PSI from nano-quantized terms
+    "q_d37_psi_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        floor(col("value") / 10).cast("long").as("value_decile"))
+      graft.profile.Drift.categoricalPsi(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        Seq("event_type", "value_decile"))
+        .orderBy("column")
+    }),
     // per-language keep quotas (domain/language mixing), content-hash
     // deterministic: the kept set is a pure function of doc_id
     "q_d25_stratified" -> ((s, d) =>
@@ -1277,6 +1288,29 @@ object SparkEntry {
         |  FROM enc JOIN lut USING (j, cid) GROUP BY vec_id)
         |SELECT vec_id, round(s0 + s1 + s2 + s3, 4) AS adc FROM sc
         |ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // shares are long/long double divisions (identical both engines);
+    // each PSI term rounds to nano-units and sums as an exact integer
+    "q_d37_psi_drift" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |  CAST(floor("value"/10) AS BIGINT) AS value_decile FROM events),
+        |kv AS (SELECT event_id % 2 AS side, 'event_type' AS col_,
+        |         coalesce(CAST(event_type AS VARCHAR),'<null>') AS val_ FROM ev
+        |       UNION ALL
+        |       SELECT event_id % 2, 'value_decile',
+        |         coalesce(CAST(value_decile AS VARCHAR),'<null>') FROM ev),
+        |cnts AS (SELECT side, col_, val_, count(*) AS cnt FROM kv GROUP BY 1,2,3),
+        |tot AS (SELECT side, col_, sum(cnt) AS total FROM cnts GROUP BY 1,2),
+        |sh AS (SELECT c.side, c.col_, c.val_, c.cnt * 1.0 / t.total AS p
+        |  FROM cnts c JOIN tot t ON c.side = t.side AND c.col_ = t.col_),
+        |j AS (SELECT coalesce(b.col_, a.col_) AS col_, coalesce(b.val_, a.val_) AS val_,
+        |  coalesce(b.p, 1e-6) AS p2, coalesce(a.p, 1e-6) AS q2
+        |  FROM (SELECT * FROM sh WHERE side = 0) b
+        |  FULL OUTER JOIN (SELECT * FROM sh WHERE side = 1) a
+        |    ON b.col_ = a.col_ AND b.val_ = a.val_)
+        |SELECT col_ AS "column", count(*) AS n_categories,
+        |  round(sum(CAST(round((p2 - q2) * ln(p2 / q2) * 1e9) AS BIGINT)) / 1e9, 4) AS psi
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_d25_stratified" ->
       """WITH b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),

@@ -171,4 +171,35 @@ class TokenStatsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(6L))
   }
+
+  test("PSI drift: zero for identical distributions, eps path for new categories, hand-checked value") {
+    val before = Seq("a", "a", "b", "b").toDF("c")
+    // identical distribution -> every term is ln(1)*0 = 0
+    val same = graft.profile.Drift.categoricalPsi(before, before, Seq("c"))
+      .collect()(0)
+    assert(same.getDouble(2) == 0.0)
+    // after: a=3/4, b=0 (missing -> eps), c=1/4 (new -> before eps)
+    val after = Seq("a", "a", "a", "c").toDF("c")
+    val exp = {
+      def term(p: Double, q: Double) = math.round((p - q) * math.log(p / q) * 1e9)
+      val eps = 1e-6
+      BigDecimal((term(0.5, 0.75) + term(0.5, eps) + term(eps, 0.25)) / 1e9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.profile.Drift.categoricalPsi(before, after, Seq("c")).collect()(0)
+    assert(got.getLong(1) == 3L, "categories = union of both sides")
+    assert(got.getDouble(2) == exp, s"psi ${got.getDouble(2)} != $exp")
+    // valueShifts reports signed share deltas over the union
+    val shifts = graft.profile.Drift.valueShifts(before, after, Seq("c"))
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(shifts == Map("a" -> 0.25, "b" -> -0.5, "c" -> 0.25))
+  }
+
+  test("PSI null handling: nulls are a first-class '<null>' category") {
+    val before = Seq(Some("x"), None, None).toDF("c")
+    val after = Seq(Some("x"), Some("x"), None).toDF("c")
+    val shifts = graft.profile.Drift.valueShifts(before, after, Seq("c"))
+      .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(math.abs(shifts("<null>") - (1.0 / 3 - 2.0 / 3)) < 1e-6)
+  }
 }
