@@ -506,6 +506,13 @@ object SparkEntry {
         Seq("event_type", "value_decile"))
         .orderBy("column")
     }),
+    // balanced eval-set sampling: exactly 5 docs per source, picked
+    // by md5 rank within the stratum (parallel across strata)
+    "q_d38_per_stratum_topk" -> ((s, d) =>
+      graft.pipeline.Pipeline.samplePerStratum(
+        t(s, d, "documents").select("doc_id", "source"),
+        col("source"), col("doc_id"), k = 5)
+        .orderBy("source", "doc_id")),
     // per-language keep quotas (domain/language mixing), content-hash
     // deterministic: the kept set is a pure function of doc_id
     "q_d25_stratified" -> ((s, d) =>
@@ -1311,6 +1318,13 @@ object SparkEntry {
         |SELECT col_ AS "column", count(*) AS n_categories,
         |  round(sum(CAST(round((p2 - q2) * ln(p2 / q2) * 1e9) AS BIGINT)) / 1e9, 4) AS psi
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_d38_per_stratum_topk" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin,
 
     "q_d25_stratified" ->
       """WITH b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),

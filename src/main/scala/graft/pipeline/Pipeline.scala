@@ -135,4 +135,22 @@ object Pipeline {
   def epochShuffle(df: DataFrame, keyCol: Column, seed: String): DataFrame =
     df.withColumn("shuffle_key", shuffleKey(keyCol, seed))
       .orderBy(col("shuffle_key"))
+
+  /** Exactly `k` rows per stratum (fewer when the stratum is
+    * smaller), picked by md5 rank within the stratum — deterministic
+    * "balanced eval set" sampling: same rows on every run, engine,
+    * and partitioning, unlike an RNG reservoir. The window partitions
+    * BY STRATUM, so strata rank in parallel; only a stratum with more
+    * rows than one task can sort funnels — for per-source/per-language
+    * quotas that is the expected cardinality regime. Ties are
+    * impossible in practice (md5 collision), so the rank is total.
+    */
+  def samplePerStratum(df: DataFrame, stratumCol: Column, keyCol: Column,
+                       k: Int, seed: String = "s1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(shuffleKey(keyCol, seed))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
 }

@@ -91,4 +91,19 @@ class PipelineSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("samplePerStratum: exact quota per stratum, deterministic, partition-invariant") {
+    val df = (1 to 100).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "src")
+    def pick(parts: Int): Seq[(String, Long)] =
+      Pipeline.samplePerStratum(df.repartition(parts), col("src"), col("id"), 4)
+        .collect().map(r => (r.getString(1), r.getLong(0))).toSeq.sorted
+    val p3 = pick(3)
+    assert(pick(7) == p3, "sample must not depend on partitioning")
+    assert(p3.groupBy(_._1).forall(_._2.size == 4))
+    // a stratum smaller than k returns whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val got = Pipeline.samplePerStratum(tiny, col("src"), col("id"), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
 }
