@@ -51,6 +51,33 @@ object StreamingDQ {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming ingest dedup against an EXISTING corpus: rows whose
+    * content fingerprint is already in the static `store` are dropped
+    * (stream-static left-anti join — the static side is planned once
+    * per micro-batch, never stateful), and within the stream,
+    * re-deliveries inside the watermark collapse via
+    * `dropDuplicatesWithinWatermark` on the fingerprint. This is the
+    * streaming counterpart of [[graft.dedup.Dedup.dedupAgainstStore]]:
+    * state is bounded by the watermark regardless of corpus size,
+    * because the 100 TB history lives in the store, not in stream
+    * state. The store side should be a compact fingerprint column
+    * ([[graft.dedup.Dedup.fingerprints]]'s output), which Spark
+    * broadcasts when small or shuffles per batch when not.
+    */
+  def streamingDedupAgainstStore(stream: DataFrame, textCol: String,
+                                 tsCol: String, store: DataFrame,
+                                 fpCol: String,
+                                 watermark: String = "2 minutes"): DataFrame = {
+    val fp = graft.dedup.Dedup.contentKey(col(textCol))
+    stream
+      .withColumn("_fp", fp)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("_fp"))
+      .join(store.select(col(fpCol).as("_store_fp")),
+        col("_fp") === col("_store_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** Per-key running DQ counters carried across micro-batches. */
   case class DqState(total: Long, bad: Long)
 

@@ -210,4 +210,29 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(m == Map("click" -> 2L, "view" -> 1L))
     } finally q.stop()
   }
+
+  test("streamingDedupAgainstStore drops store hits and in-stream re-deliveries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val store = graft.dedup.Dedup.fingerprints(
+      Seq((100L, "already ingested doc")).toDF("doc_id", "text"), "text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingDQ.streamingDedupAgainstStore(
+      stream, "text", "ts", store, "fingerprint")
+    val q = out.writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (t("2026-01-01 00:00:10"), 1L, "already ingested doc"), // in store -> drop
+        (t("2026-01-01 00:00:20"), 2L, "fresh doc a"),          // keep
+        (t("2026-01-01 00:00:30"), 3L, "fresh doc a"),          // in-stream dup -> drop
+        (t("2026-01-01 00:00:40"), 4L, "fresh doc b"))          // keep
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM ingest_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L), s"kept $kept")
+    } finally q.stop()
+  }
 }
