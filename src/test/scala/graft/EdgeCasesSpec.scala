@@ -112,4 +112,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(graft.text.TextAnalysis.seqLenHistogram(emptyDocs, "text").count() == 0)
     assert(Pipeline.epochShuffle(emptyDocs, col("doc_id"), "e").count() == 0)
   }
+
+  test("r4 operators tolerate null text values") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType, nullable = true)))
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, "real content here")), schema)
+    // null text docs come back (empty after strip), never crash
+    val stripped = graft.text.Boilerplate.stripBoilerplate(docs, "text", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stripped(1L) == "" && stripped(2L) == "real content here")
+    // null text = zero tokens -> too_short, not an exception
+    val rep = graft.text.TextAnalysis.qualityFilterReport(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(rep(1L) == "too_short" && rep.size == 2)
+    val lm = graft.text.TokenStats.unigramCounts(docs, "text", "doc_id")
+    assert(graft.text.TokenStats.crossEntropy(docs, "text", "doc_id", lm).count() == 1)
+    assert(graft.dedup.Dedup.dedupNearAgainstStore(
+      docs, docs.filter("doc_id = 2"), "text", "doc_id", 0.7).collect()
+      .map(_.getLong(0)).toSet == Set(1L)) // null-text survives, dup drops
+  }
 }
