@@ -506,6 +506,11 @@ object SparkEntry {
         Seq("event_type", "value_decile"))
         .orderBy("column")
     }),
+    // dataset-card topline numbers in one pass over per-doc features
+    "q_d40_datasheet" -> ((s, d) =>
+      graft.text.TextAnalysis.corpusDatasheet(
+        t(s, d, "documents"), "text", "doc_id", "lang")
+        .orderBy("metric")),
     // balanced eval-set sampling: exactly 5 docs per source, picked
     // by md5 rank within the stratum (parallel across strata)
     "q_d38_per_stratum_topk" -> ((s, d) =>
@@ -1318,6 +1323,30 @@ object SparkEntry {
         |SELECT col_ AS "column", count(*) AS n_categories,
         |  round(sum(CAST(round((p2 - q2) * ln(p2 / q2) * 1e9) AS BIGINT)) / 1e9, 4) AS psi
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_d40_datasheet" ->
+      """WITH f AS (SELECT
+        |  CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),' +')) END AS toks,
+        |  md5(coalesce(text,'')) AS fp,
+        |  coalesce(CAST(lang AS VARCHAR),'<null>') AS lang,
+        |  length(trim(coalesce(text,''))) = 0 AS is_empty
+        |  FROM documents),
+        |g AS (SELECT count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  count(DISTINCT fp) AS n_distinct,
+        |  count(CASE WHEN is_empty THEN 1 END) AS n_empty,
+        |  count(DISTINCT lang) AS n_langs FROM f),
+        |lt AS (SELECT max(c) AS top_lang_docs FROM
+        |  (SELECT lang, count(*) AS c FROM f GROUP BY 1))
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM g
+        |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'avg_tokens', round(n_tokens / CAST(n_docs AS DOUBLE), 4) FROM g
+        |  UNION ALL SELECT 'exact_dup_rate', round((n_docs - n_distinct) / CAST(n_docs AS DOUBLE), 4) FROM g
+        |  UNION ALL SELECT 'empty_rate', round(n_empty / CAST(n_docs AS DOUBLE), 4) FROM g
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM g
+        |  UNION ALL SELECT 'top_lang_share', round((SELECT top_lang_docs FROM lt) / CAST(n_docs AS DOUBLE), 4) FROM g
+        |) ORDER BY metric""".stripMargin,
 
     "q_d38_per_stratum_topk" ->
       """SELECT doc_id, source FROM (

@@ -200,6 +200,43 @@ object TextAnalysis {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** One-call corpus "datasheet": the top-line numbers a dataset card
+    * reports — size, token volume, exact-duplicate rate, empty-doc
+    * rate, language spread — as a tall (metric, value) frame.
+    * ONE pass computes per-doc features (token count, content
+    * fingerprint, language, emptiness); the global aggregate and the
+    * language-mix aggregate both read that pinned frame, and the two
+    * single-row results cross-join broadcast into the tall output.
+    * Rates are ratios of exact counts (round 4) — engine-exact.
+    */
+  def corpusDatasheet(df: DataFrame, textCol: String, idCol: String,
+                      langCol: String): DataFrame = {
+    val feats = graft.CacheScope.persist(df.select(
+      wordCount(col(textCol)).cast("long").as("toks"),
+      md5(coalesce(col(textCol), lit("")).cast("string")).as("fp"),
+      coalesce(col(langCol).cast("string"), lit("<null>")).as("lang"),
+      (length(trim(coalesce(col(textCol), lit("")))) === 0).as("is_empty")))
+    val g = feats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("n_tokens"),
+      countDistinct(col("fp")).as("n_distinct"),
+      count(when(col("is_empty"), 1)).as("n_empty"),
+      countDistinct(col("lang")).as("n_langs"))
+    val langTop = feats.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_lang_docs"))
+    val row = g.crossJoin(broadcast(langTop))
+    row.select(expr(
+      """stack(7,
+        |  'n_docs', CAST(n_docs AS DOUBLE),
+        |  'n_tokens', CAST(n_tokens AS DOUBLE),
+        |  'avg_tokens', round(n_tokens / CAST(n_docs AS DOUBLE), 4),
+        |  'exact_dup_rate', round((n_docs - n_distinct) / CAST(n_docs AS DOUBLE), 4),
+        |  'empty_rate', round(n_empty / CAST(n_docs AS DOUBLE), 4),
+        |  'n_langs', CAST(n_langs AS DOUBLE),
+        |  'top_lang_share', round(top_lang_docs / CAST(n_docs AS DOUBLE), 4)
+        |) AS (metric, value)""".stripMargin))
+  }
+
   /** Sequence-length distribution in power-of-two buckets — the
     * batch-planning view of a corpus (how much of the data packs into
     * 512/1k/2k/4k-token contexts). Bucket b covers [2^(b−1), 2^b − 1]

@@ -202,4 +202,21 @@ class TokenStatsSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
     assert(math.abs(shifts("<null>") - (1.0 / 3 - 2.0 / 3)) < 1e-6)
   }
+
+  test("corpusDatasheet: engineered dup/empty/lang mix, hand-checked") {
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"),  // exact dup pair
+      (3L, "d e", "de"), (4L, "", "en"),          // empty doc
+      (5L, "f g h i", null)                       // null lang bucket
+    ).toDF("doc_id", "text", "lang")
+    val m = graft.text.TextAnalysis.corpusDatasheet(docs, "text", "doc_id", "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") == 5.0)
+    assert(m("n_tokens") == 12.0)
+    assert(m("exact_dup_rate") == 0.2)   // 5 docs, 4 distinct texts
+    assert(m("empty_rate") == 0.2)
+    assert(m("n_langs") == 3.0)          // en, de, <null>
+    assert(m("top_lang_share") == 0.6)   // en = 3/5
+    assert(m("avg_tokens") == 2.4)
+  }
 }
