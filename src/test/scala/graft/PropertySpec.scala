@@ -81,4 +81,53 @@ class PropertySpec extends SparkSpec {
       assert(out == expected, s"phone '$in'")
     }
   }
+
+  test("stripBoilerplate is idempotent on random line corpora") {
+    val linePool = Vector("footer", "subscribe now", "alpha", "beta", "gamma",
+      "delta", "content line", "another line")
+    val docGen = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(linePool)).map(_.mkString("\n")))
+    val docs = sample(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      graft.text.Boilerplate.stripBoilerplate(df, "text", "doc_id", minRepeatDocs = 10)
+    val once = strip(docs)
+    val onceMap = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twiceMap = strip(once).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(onceMap == twiceMap, "second strip must be a no-op")
+    // survivors' lines each appear in <= threshold distinct docs
+    val dfs = graft.text.Boilerplate.lineDocFreq(once.filter(length(col("text")) > 0),
+      "text", "doc_id").collect().map(r => r.getString(0) -> r.getLong(1))
+    dfs.filter(_._1.nonEmpty).foreach { case (l, c) =>
+      assert(c <= 10, s"surviving line '$l' repeats in $c docs") }
+  }
+
+  test("epochShuffle is a permutation; samplePerStratum respects quotas on random data") {
+    val rows = sample(Gen.zip(Gen.chooseNum(1L, 10000L), Gen.oneOf("a", "b", "c")), 300).distinct
+    val df = rows.toDF("id", "src")
+    val shuffled = graft.pipeline.Pipeline.epochShuffle(df, col("id"), "p1")
+      .collect().map(_.getLong(0))
+    assert(shuffled.sorted.toSeq == rows.map(_._1).sorted, "must be a permutation")
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    val picked = graft.pipeline.Pipeline.samplePerStratum(df, col("src"), col("id"), 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pickedBySrc = picked.groupBy(_._2).view.mapValues(_.size).toMap
+    bySrc.foreach { case (src, n) =>
+      assert(pickedBySrc.getOrElse(src, 0) == math.min(7, n), s"quota for $src") }
+    assert(picked.toSet.subsetOf(rows.map(t => (t._1, t._2)).toSet))
+  }
+
+  test("crossEntropy is positive and PSI is zero against self on random corpora") {
+    val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val docs = sample(docGen, 80).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val lm = graft.text.TokenStats.unigramCounts(docs, "text", "doc_id")
+    val scores = graft.text.TokenStats.crossEntropy(docs, "text", "doc_id", lm)
+      .collect().map(_.getDouble(2))
+    assert(scores.nonEmpty && scores.forall(_ > 0.0), "-ln p > 0 for p < 1")
+    val psi = graft.profile.Drift.categoricalPsi(docs, docs, Seq("text"))
+      .collect().map(_.getDouble(2))
+    assert(psi.forall(_ == 0.0))
+  }
 }
