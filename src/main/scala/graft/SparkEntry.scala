@@ -506,6 +506,15 @@ object SparkEntry {
         Seq("event_type", "value_decile"))
         .orderBy("column")
     }),
+    // mixture design: keep fractions per source for a 10k-token
+    // budget at temperature 0.5 (sqrt-weighted — upweights small
+    // sources; sqrt is correctly rounded on every engine)
+    "q_d41_token_budget" -> ((s, d) =>
+      graft.pipeline.Pipeline.tokenBudgetFractions(
+        t(s, d, "documents")
+          .withColumn("n_tokens", TextAnalysis.wordCount(col("text"))),
+        col("n_tokens"), col("source"), budgetTokens = 10000, temperature = 0.5)
+        .orderBy("source")),
     // dataset-card topline numbers in one pass over per-doc features
     "q_d40_datasheet" -> ((s, d) =>
       graft.text.TextAnalysis.corpusDatasheet(
@@ -1323,6 +1332,17 @@ object SparkEntry {
         |SELECT col_ AS "column", count(*) AS n_categories,
         |  round(sum(CAST(round((p2 - q2) * ln(p2 / q2) * 1e9) AS BIGINT)) / 1e9, 4) AS psi
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_d41_token_budget" ->
+      """WITH t AS (SELECT source, CAST(sum(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),' +')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, tokens,
+        |  CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wt FROM t),
+        |n AS (SELECT sum(wt) AS wsum FROM w)
+        |SELECT source, tokens,
+        |  round(least(1.0, (10000.0 * wt / (SELECT wsum FROM n)) / tokens), 4) AS keep_frac
+        |FROM w ORDER BY source""".stripMargin,
 
     "q_d40_datasheet" ->
       """WITH f AS (SELECT

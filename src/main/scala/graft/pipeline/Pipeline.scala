@@ -136,6 +136,42 @@ object Pipeline {
     df.withColumn("shuffle_key", shuffleKey(keyCol, seed))
       .orderBy(col("shuffle_key"))
 
+  /** Per-source keep fractions that hit a TOKEN budget with
+    * temperature-weighted mixing — the "data mixture" step before
+    * sampling: target share of source s ∝ tokens_s^temperature
+    * (1.0 = proportional/no reweighting, 0.5 = upweight small
+    * sources, 0 = uniform), capped at taking a source whole.
+    * Output (source, tokens, keep_frac); feed keep_frac to
+    * [[stratifiedSampleByHash]] to materialize the mixture.
+    * One aggregation + a broadcast-scalar normalizer — the corpus is
+    * scanned once, the arithmetic is per-SOURCE (bounded dimension).
+    * Use temperature 0.5/1.0 where oracle-exactness matters: sqrt
+    * and identity are correctly rounded everywhere, arbitrary pow
+    * may differ in the last ulp across math libraries.
+    */
+  def tokenBudgetFractions(df: DataFrame, tokenCol: Column, sourceCol: Column,
+                           budgetTokens: Long,
+                           temperature: Double = 1.0): DataFrame = {
+    val perSource = df.groupBy(sourceCol.as("source"))
+      .agg(sum(tokenCol.cast("long")).as("tokens"))
+    val w =
+      if (temperature == 1.0) col("tokens").cast("double")
+      else if (temperature == 0.5) sqrt(col("tokens").cast("double"))
+      else if (temperature == 0.0) lit(1.0)
+      else pow(col("tokens").cast("double"), lit(temperature))
+    // weights quantize to micro-units so the normalizer is an EXACT
+    // integer sum — a double reduction over sources would make the
+    // fractions depend on reduction order (same discipline as
+    // TokenStats.crossEntropy / Drift.categoricalPsi)
+    val weighted = perSource.withColumn("_w", round(w * 1e6).cast("long"))
+    val norm = weighted.agg(sum(col("_w")).as("_wsum"))
+    weighted.crossJoin(broadcast(norm))
+      .select(col("source"), col("tokens"),
+        round(least(lit(1.0),
+          (lit(budgetTokens.toDouble) * col("_w") / col("_wsum")) / col("tokens")), 4)
+          .as("keep_frac"))
+  }
+
   /** Exactly `k` rows per stratum (fewer when the stratum is
     * smaller), picked by md5 rank within the stratum — deterministic
     * "balanced eval set" sampling: same rows on every run, engine,

@@ -106,4 +106,26 @@ class PipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L, 3L))
   }
+
+  test("tokenBudgetFractions: caps at 1.0, hits the budget in expectation, temperature extremes") {
+    val df = Seq(("big", 8000L), ("small", 100L), ("mid", 1900L)).toDF("src", "toks")
+    // temperature 1.0 (proportional): every source gets budget/total
+    val prop = Pipeline.tokenBudgetFractions(df, col("toks"), col("src"), 5000, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(prop.values.toSet == Set(0.5), s"proportional: $prop") // 5000/10000
+    // budget >= corpus: everything kept whole
+    val all = Pipeline.tokenBudgetFractions(df, col("toks"), col("src"), 20000, 1.0)
+      .collect().map(_.getDouble(2)).toSet
+    assert(all == Set(1.0))
+    // temperature 0: uniform target budget/3 per source; "small" (100
+    // tokens) is taken whole, others get (5000/3)/tokens
+    val uni = Pipeline.tokenBudgetFractions(df, col("toks"), col("src"), 5000, 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(uni("small") == 1.0)
+    assert(math.abs(uni("big") - 5000.0 / 3 / 8000) < 1e-4, s"uniform: $uni")
+    // temperature 0.5 upweights the small source vs proportional
+    val half = Pipeline.tokenBudgetFractions(df, col("toks"), col("src"), 5000, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(half("small") > prop("small") && half("big") < uni("big") + 1.0)
+  }
 }
