@@ -46,7 +46,14 @@ object Bench {
         val name = if (stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
       }.mkString("{", ",", "}")
-      val sf = sfDir.replaceAll(".*?sf([0-9.]+).*", "$1")
+      // only emit the extracted token unquoted when it actually parses
+      // as a number — a dir without an sf<digits> segment (or one like
+      // "sf1.0.parquet" capturing "1.0.") must fall back to a quoted
+      // string or the line stops being JSON at all
+      val sfTok = sfDir.replaceAll(".*?sf([0-9.]+).*", "$1")
+      val sf =
+        if (sfTok != sfDir && scala.util.Try(BigDecimal(sfTok)).isSuccess) sfTok
+        else "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
     }
     // prefer keeping FULL query names (cross-round comparability)

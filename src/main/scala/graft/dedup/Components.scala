@@ -67,9 +67,14 @@ object Components {
     val edgeCount = edges.count()
     if (edgeCount <= smallGraphMaxEdges) {
       // driver union-find (path halving; smaller root wins, matching
-      // the distributed min-label semantics). ≤ smallGraphMaxEdges ×
-      // 16 bytes collects — bounded by construction.
-      val rows = edges.select(col("src"), col("dst")).collect()
+      // the distributed min-label semantics). Collected as tuples, an
+      // edge costs ~48 B on-heap (Tuple2 + two boxed Longs), and the
+      // two hash maps add ~50 B/node — budget ~100 B/edge, so the
+      // 500k default caps the driver footprint near 50 MB, not the
+      // 16 B/edge a raw-payload estimate would suggest.
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      val rows = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long](rows.length * 2)
       def find(x0: Long): Long = {
         var x = x0
@@ -80,19 +85,17 @@ object Components {
         }
         x
       }
-      rows.foreach { r =>
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+      rows.foreach { case (s, d) =>
+        val (ra, rb) = (find(s), find(d))
         if (ra != rb) {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
       }
       val nodes = new java.util.HashSet[Long](rows.length * 2)
-      rows.foreach { r => nodes.add(r.getLong(0)); nodes.add(r.getLong(1)) }
+      rows.foreach { case (s, d) => nodes.add(s); nodes.add(d) }
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
       nodes.forEach(n => out += ((n, find(n))))
       edges.unpersist(false)
-      val spark = pairs.sparkSession
-      import spark.implicits._
       return out.toSeq.toDF("node", "component")
     }
     // initial labels already fold in round one of propagation: the

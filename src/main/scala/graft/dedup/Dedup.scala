@@ -87,6 +87,16 @@ object Dedup {
     * contract as [[jaccardJoin]]): scores stay exact because
     * surviving pairs are re-scored on full sets; recall requires
     * sharing one sub-cap token.
+    *
+    * CONTRACT NOTE — dfCap and the tiny-vocabulary plan: when the
+    * probe selects the ≤64-word bitmap plan, `dfCap` is IGNORED. That
+    * plan is recall-complete without pruning, so relative to the
+    * capped inverted-index plan it can only ADD pairs (ones whose
+    * every shared token is over-cap), never lose or mis-score any —
+    * the cap is a candidate-generation knob, not a semantic filter.
+    * Callers that need cap-pruned semantics regardless of vocabulary
+    * size should pass `allPairsMaxDocs = 0` to pin the
+    * inverted-index plan.
     */
   def nearDupMatches(batch: DataFrame, store: DataFrame, textCol: String,
                      idCol: String, threshold: Double,
