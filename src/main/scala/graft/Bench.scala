@@ -46,14 +46,15 @@ object Bench {
         val name = if (stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
       }.mkString("{", ",", "}")
-      // only emit the extracted token unquoted when it actually parses
-      // as a number — a dir without an sf<digits> segment (or one like
-      // "sf1.0.parquet" capturing "1.0.") must fall back to a quoted
-      // string or the line stops being JSON at all
+      // only emit the extracted token as a number when it parses as one,
+      // and emit the NORMALIZED rendering, not the raw token: BigDecimal
+      // accepts "1." / ".5" / "007", which are not valid JSON number
+      // literals — toPlainString gives "1" / "0.5" / "7"
       val sfTok = sfDir.replaceAll(".*?sf([0-9.]+).*", "$1")
-      val sf =
-        if (sfTok != sfDir && scala.util.Try(BigDecimal(sfTok)).isSuccess) sfTok
-        else "\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val sf = scala.util.Try(BigDecimal(sfTok)).toOption
+        .filter(_ => sfTok != sfDir)
+        .map(_.bigDecimal.toPlainString)
+        .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
     }
     // prefer keeping FULL query names (cross-round comparability)

@@ -180,20 +180,24 @@ object Pipeline {
     * rows than one task can sort funnels — for per-source/per-language
     * quotas that is the expected cardinality regime.
     *
-    * Determinism contract: the rank orders by (md5(seed, key), key) —
-    * the raw key breaks the tie when two DIFFERENT keys collide on
-    * md5 (astronomically rare) AND pins the order when the SAME key
-    * repeats within a stratum, where the hash alone would leave
-    * row_number partitioning-dependent. Rows that are full duplicates
-    * on (stratum, key) remain interchangeable: the sample is
-    * deterministic as a multiset of keys, but WHICH physical row
-    * represents a duplicated key is unspecified — callers needing
-    * row-level determinism must pass a unique key.
+    * Determinism contract: the rank orders by (md5(seed, key),
+    * key-as-string) — the string-cast key breaks the tie when two
+    * DIFFERENT keys collide on md5 (astronomically rare) AND pins the
+    * order when the SAME key repeats within a stratum, where the hash
+    * alone would leave row_number partitioning-dependent. The
+    * tiebreaker casts to string (the same representation the hash
+    * already relies on) rather than ordering the raw key, so
+    * non-orderable key types (maps, structs-of-maps) stay supported.
+    * Rows that are full duplicates on (stratum, key) remain
+    * interchangeable: the sample is deterministic as a multiset of
+    * keys, but WHICH physical row represents a duplicated key is
+    * unspecified — callers needing row-level determinism must pass a
+    * unique key.
     */
   def samplePerStratum(df: DataFrame, stratumCol: Column, keyCol: Column,
                        k: Int, seed: String = "s1"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol).orderBy(shuffleKey(keyCol, seed), keyCol)
+      .partitionBy(stratumCol).orderBy(shuffleKey(keyCol, seed), keyCol.cast("string"))
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= k)
       .drop("_rk")
