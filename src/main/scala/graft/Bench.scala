@@ -13,28 +13,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-reader paths so per-query numbers
-    // reflect steady state rather than first-use compilation
+    // reflect steady state rather than first-use compilation. A warm-up
+    // failure means every number below is suspect, so it must be LOUD.
     try {
       Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
       spark.range(1000000).selectExpr("sum(id)").collect()
-    } catch { case _: Throwable => () }
-    // best of 2 runs per query: JIT/cache variance at these sizes is
-    // larger than most query times, min is the stable estimator
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"BENCH WARM-UP FAILED: ${t.getClass.getName}: ${t.getMessage}")
+    }
+    def loadAvg: Double = {
+      val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      if (la >= 0) la else 0.0
+    }
+    val loadBefore = loadAvg
+    // one run; a throwing query must NOT be timed as ~0s and reported as
+    // success (that made a broken query look *faster* — r6 verdict #1).
+    // Returns (seconds, error-class-or-null).
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, String) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); null }
+        catch { case t: Throwable => t.getClass.getSimpleName }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     // SORTED name order: hash-map iteration put queries before the
     // warm-up had touched their code paths in r2, which showed up as
     // phantom 3-6x "regressions" on sub-second queries. Sorted order
     // is stable round-over-round, so numbers compare like-for-like.
+    // Best of 3 runs per query: JIT/cache variance at these sizes is
+    // larger than most query times, min is the stable estimator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val best = math.min(once(fn), once(fn))
+      val runs = Seq.fill(3)(once(fn))
       CacheScope.clear() // drop blocks graft pinned inside this query's plans
-      name -> best
+      val err = runs.flatMap(r => Option(r._2)).headOption.orNull
+      if (err != null) System.err.println(s"BENCH QUERY FAILED: $name: $err")
+      (name, runs.map(_._1).min, err)
     }
+    val errs = results.collect { case (n, _, e) if e != null => (n, e) }
     val total = results.map(_._2).sum
+    val loadAfter = loadAvg
     // The driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; sbt's trailing "[success] ..." line eats
     // ~80 of them. r1-r3 printed full-precision doubles (~2400 chars) and
@@ -42,7 +60,7 @@ object Bench {
     // Emit the most precise rendering that still fits the tail budget.
     def render(dec: Int, stripPrefix: Boolean): String = {
       def f(v: Double) = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
-      val qs = results.map { case (k, v) =>
+      val qs = results.map { case (k, v, _) =>
         val name = if (stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
       }.mkString("{", ",", "}")
@@ -55,7 +73,20 @@ object Bench {
         .filter(_ => sfTok != sfDir)
         .map(_.bigDecimal.toPlainString)
         .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":$sf}"""
+      // errors: per-query failure classes + a count that's nonzero iff any
+      // query failed; load: 1-min system load sampled before/after the run
+      // so a contended bench self-identifies in the artifact.
+      val errJson =
+        if (errs.isEmpty) "\"nerr\":0"
+        else {
+          val em = errs.map { case (n, e) =>
+            val name = if (stripPrefix) n.stripPrefix("q_") else n
+            "\"" + name + "\":\"" + e + "\""
+          }.mkString("{", ",", "}")
+          s""""nerr":${errs.size},"errors":$em"""
+        }
+      val loadJson = s""""load":[${BigDecimal(loadBefore).setScale(2, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(2, BigDecimal.RoundingMode.HALF_UP)}]"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,$loadJson,"queries":$qs,"sf":$sf}"""
     }
     // prefer keeping FULL query names (cross-round comparability)
     // over a third decimal; strip the q_ prefix only as a last resort

@@ -296,6 +296,10 @@ object SparkEntry {
         .orderBy("event_type")),
     "q_a14_approx_stats" -> ((s, d) => Profiler.numericStatsApprox(
       t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice"))),
+    // one-call profile report, exact (oracle) flavor; the default
+    // approx=true flavor (GK quantiles + HLL cardinality, no Expand)
+    // is spec-covered in ProfilerSpec
+    "q_a15_report" -> ((s, d) => Profiler.report(t(s, d, "customer"), approx = false)),
     "q_c2_drop" -> ((s, d) => {
       val kept = Corrector.dropRowsWhere(
         Corrector.dropColumns(t(s, d, "events"), "props", "ts"),
@@ -820,6 +824,73 @@ object SparkEntry {
            |FROM $tbl""".stripMargin
       Seq(one("l_quantity", "lineitem"), one("p_size", "part"))
         .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    // one tall row per (column, metric): every scalar per-column
+    // profile recomputed independently and UNION ALL'd — mirrors the
+    // exploded single-agg frame the Spark side builds in one scan
+    "q_a15_report" -> {
+      val allCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+      val strCols = Seq("c_name", "c_mktsegment")
+      def num(c: String, metric: String, e: String) =
+        s"""SELECT '$c' AS "column", '$metric' AS metric, round(CAST(($e) AS DOUBLE),4) + 0.0 AS "value", CAST(NULL AS VARCHAR) AS value_str FROM customer"""
+      def strAgg(c: String, metric: String, e: String) =
+        s"""SELECT '$c' AS "column", '$metric' AS metric, CAST(NULL AS DOUBLE) AS "value", CAST(($e) AS VARCHAR) AS value_str FROM customer"""
+      def strScalar(c: String, metric: String, e: String) =
+        s"""SELECT '$c' AS "column", '$metric' AS metric, CAST(NULL AS DOUBLE) AS "value", CAST(($e) AS VARCHAR) AS value_str"""
+      // literal metrics must NOT carry FROM customer — a non-aggregate
+      // select over the table yields one row per customer row
+      def numScalar(c: String, metric: String, e: String) =
+        s"""SELECT '$c' AS "column", '$metric' AS metric, round(CAST(($e) AS DOUBLE),4) + 0.0 AS "value", CAST(NULL AS VARCHAR) AS value_str"""
+      val shape = Seq(
+        num("*", "row_count", "count(*)"),
+        numScalar("*", "column_count", "5"),
+        numScalar("*", "nominal_column_count", "2"),
+        numScalar("*", "numeric_column_count", "3"))
+      val nulls = allCols.flatMap(c => Seq(
+        num(c, "non_null", s"count($c)"),
+        num(c, "null_count", s"count(*)-count($c)"),
+        num(c, "fill_pct", s"count($c)*100.0/count(*)")))
+      val card = allCols.map(c => num(c, "distinct_cnt", s"count(DISTINCT $c)"))
+      val numeric = numCols.flatMap { c =>
+        val v = s"CAST($c AS DOUBLE)"
+        Seq(
+          num(c, "cnt", s"count($c)"),
+          num(c, "mean", s"avg($v)"),
+          num(c, "std", s"stddev_samp($v)"),
+          num(c, "min", s"min($v)"),
+          num(c, "q1", s"quantile_cont($v,0.25)"),
+          num(c, "median", s"quantile_cont($v,0.5)"),
+          num(c, "q3", s"quantile_cont($v,0.75)"),
+          num(c, "max", s"max($v)"),
+          num(c, "skewness",
+            s"""(avg($v*$v*$v) - avg($v)*avg($v*$v)*3 + avg($v)*avg($v)*avg($v)*2)
+               | / pow(avg($v*$v) - avg($v)*avg($v), 1.5)""".stripMargin),
+          num(c, "kurtosis",
+            s"""(avg($v*$v*$v*$v) - avg($v)*avg($v*$v*$v)*4 + avg($v)*avg($v)*avg($v*$v)*6
+               |   - avg($v)*avg($v)*avg($v)*avg($v)*3)
+               | / ((avg($v*$v) - avg($v)*avg($v)) * (avg($v*$v) - avg($v)*avg($v))) - 3""".stripMargin),
+          num(c, "positive", s"count(CASE WHEN $v>0 THEN 1 END)"),
+          num(c, "zero", s"count(CASE WHEN $v=0 THEN 1 END)"),
+          num(c, "negative", s"count(CASE WHEN $v<0 THEN 1 END)"))
+      }
+      val corrs = for {
+        (a, i) <- numCols.zipWithIndex; (b, j) <- numCols.zipWithIndex if i < j
+      } yield num(a, s"pearson:$b", s"corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE))")
+      val strs = strCols.flatMap { c =>
+        Seq(
+          num(c, "min_len", s"min(length($c))"),
+          num(c, "max_len", s"max(length($c))"),
+          strScalar(c, "value_at_min_len",
+            s"SELECT $c FROM customer WHERE length($c)=(SELECT min(length($c)) FROM customer) ORDER BY $c LIMIT 1"),
+          strScalar(c, "value_at_max_len",
+            s"SELECT $c FROM customer WHERE length($c)=(SELECT max(length($c)) FROM customer) ORDER BY $c LIMIT 1"),
+          strAgg(c, "min_alpha", s"min($c)"),
+          strAgg(c, "max_alpha", s"max($c)"))
+      }
+      (shape ++ nulls ++ card ++ numeric ++ corrs ++ strs)
+        .mkString("", " UNION ALL ", """ ORDER BY "column", metric""")
     },
 
     // oracle computes plain full-set Jaccard with NO df-cap; the

@@ -82,11 +82,16 @@ object Dedup {
     * sizes. Exact (index-based, not probabilistic LSH), and linear in
     * tokens + candidate pairs: a batch×store cross product never
     * forms — only doc pairs sharing ≥ 1 surviving token meet.
-    * `dfCap` drops tokens present in more than that many STORE
-    * documents from candidate generation (stop-token skew guard, same
-    * contract as [[jaccardJoin]]): scores stay exact because
-    * surviving pairs are re-scored on full sets; recall requires
-    * sharing one sub-cap token.
+    * `dfCap` (absolute) and `relDfCap` (fraction of the STORE,
+    * resolved in-plan — no driver-side count) drop tokens present in
+    * more than that many STORE documents from candidate generation
+    * (stop-token skew guard, same contract as [[jaccardJoin]]):
+    * scores stay exact because surviving pairs are re-scored on full
+    * sets; recall requires sharing one sub-cap token. The DEFAULT is
+    * capped (`relDfCap = 0.5`) — an uncapped bipartite index lets a
+    * store-side stop-token join every batch doc to every store doc
+    * that contains it. Pass `relDfCap = Double.NaN` (and leave
+    * `dfCap` at its default) for exact recall.
     *
     * CONTRACT NOTE — dfCap and the tiny-vocabulary plan: when the
     * probe selects the ≤64-word bitmap plan, `dfCap` is IGNORED. That
@@ -101,6 +106,7 @@ object Dedup {
   def nearDupMatches(batch: DataFrame, store: DataFrame, textCol: String,
                      idCol: String, threshold: Double,
                      dfCap: Long = Long.MaxValue,
+                     relDfCap: Double = 0.5,
                      allPairsMaxDocs: Long = 10000L): DataFrame = {
     // tokenized sides are re-read by the probe, the dict, and the
     // scoring plan — pin them for the call (CacheScope-tracked, the
@@ -146,15 +152,23 @@ object Dedup {
       explode(col("ws_b")).as("tok"))
     val si0 = sd.select(col("store_id"), size(col("ws_s")).as("sz_s"),
       explode(col("ws_s")).as("tok"))
+    val uncapped = dfCap == Long.MaxValue && relDfCap.isNaN
     val si =
-      if (dfCap == Long.MaxValue) si0
+      if (uncapped) si0
       else {
-        val keep = si0.groupBy("tok").agg(count(lit(1)).as("df_"))
-          .filter(col("df_") <= dfCap).select("tok")
+        // relative cap resolves the store size with a broadcast-scalar
+        // cross join INSIDE the plan — no driver-side count action
+        val grouped = si0.groupBy("tok").agg(count(lit(1)).as("df_"))
+        val keep =
+          if (relDfCap.isNaN) grouped.filter(col("df_") <= dfCap).select("tok")
+          else grouped
+            .crossJoin(broadcast(sd.agg(count(lit(1)).as("_n"))))
+            .filter(col("df_") <= least(lit(dfCap), floor(lit(relDfCap) * col("_n"))))
+            .select("tok")
         si0.join(keep, "tok")
       }
     val scored =
-      if (dfCap == Long.MaxValue)
+      if (uncapped)
         // uncapped: the inverted-index pair count IS the exact
         // intersection — no re-score pass
         bi.join(si, "tok")
@@ -185,9 +199,10 @@ object Dedup {
                             textCol: String, idCol: String,
                             threshold: Double,
                             dfCap: Long = Long.MaxValue,
+                            relDfCap: Double = 0.5,
                             allPairsMaxDocs: Long = 10000L): DataFrame = {
     val hit = nearDupMatches(batch, store, textCol, idCol, threshold, dfCap,
-      allPairsMaxDocs)
+      relDfCap, allPairsMaxDocs)
       .select(col("batch_id"))
     batch.join(hit, batch(idCol) === hit("batch_id"), "left_anti")
   }
@@ -489,15 +504,23 @@ object Dedup {
     * `relDfCap` (fraction of the corpus, resolved INSIDE the plan —
     * no driver-side count) drop tokens present in more than that many
     * documents (stop-token skew guard; candidate-complete as long as
-    * a qualifying pair shares at least one sub-cap token). Corpora
-    * whose vocabulary fits in 64 words (≤ `allPairsMaxDocs` docs)
-    * instead run exact all-pairs bitmap popcounts — recall-complete,
-    * no cap needed — because an inverted index cannot prune sets
-    * drawn from a tiny vocabulary.
+    * a qualifying pair shares at least one sub-cap token). The
+    * DEFAULT is capped (`relDfCap = 0.5`): on a 100 TB corpus an
+    * uncapped index lets every stop-token join all its documents
+    * pairwise — the classic stop-token n² blowup — so the safe plan
+    * has to be the one you get without thinking. Surviving pairs are
+    * re-scored EXACTLY on the full sets, so the cap can only lose
+    * pairs whose every shared token sits in > half the corpus.
+    * Exact recall is an explicit opt-in: pass `relDfCap = Double.NaN`
+    * (and leave `dfCap` at its default) for the uncapped single-pass
+    * plan. Corpora whose vocabulary fits in 64 words
+    * (≤ `allPairsMaxDocs` docs) instead run exact all-pairs bitmap
+    * popcounts — recall-complete, caps ignored — because an inverted
+    * index cannot prune sets drawn from a tiny vocabulary.
     */
   def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
                   threshold: Double, dfCap: Long = Long.MaxValue,
-                  relDfCap: Double = Double.NaN,
+                  relDfCap: Double = 0.5,
                   allPairsMaxDocs: Long = 10000L): DataFrame = {
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("sz", size(col("ws")))

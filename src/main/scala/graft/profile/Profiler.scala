@@ -281,4 +281,107 @@ object Profiler {
       .groupBy((floor(col(c) / width) * width).cast(DoubleType).as("bucket_start"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("bucket_start")
+
+  /** One-call dataset profile — the reference's profiling page
+    * (home.py:84-86, pandas_profiling in one click) as a single tall
+    * DataFrame: dataset shape (A1), null/fill (A2), numeric stats
+    * (A3/A14), string-length extrema (A4), sign split (A9),
+    * cardinality (A10), correlations (A11), and higher moments (A13)
+    * for every column, unioned into one
+    * `(column, metric, value, value_str)` frame. Numeric metrics ride
+    * in `value` (rounded to 4), string-valued ones (alphabetic
+    * extrema, value-at-length) in `value_str`.
+    *
+    * Scale shape: the ENTIRE report is ONE `agg(...)` over the table —
+    * a single scan with map-side partial aggregation regardless of
+    * column count. With `approx = true` (the 100 TB default) the
+    * quantiles are GK sketches and the cardinalities HLL: every
+    * aggregate is bounded-memory and mergeable, and the plan has no
+    * Expand. `approx = false` swaps in exact `percentile` and exact
+    * `countDistinct` (the latter plans an Expand ×(k+1) over the scan
+    * — fine on dims; it is the oracle path). Value-DISTRIBUTION
+    * profiles (frequency table, top/bottom-k, pattern profile,
+    * histogram, unexpected values — A5-A8, A12) are per-value tables,
+    * not per-column scalars, and stay separate calls.
+    */
+  def report(df: DataFrame, approx: Boolean = true,
+             accuracy: Int = 10000): DataFrame = {
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    val strCols = df.schema.fields
+      .filter(_.dataType == StringType).map(_.name).toSeq
+    val nominal = df.schema.size - df.schema.fields.count(f => isNumericish(f.dataType))
+    val n = count(lit(1))
+    // `+ 0.0` normalizes -0.0 (a near-zero moment can round to -0.0
+    // in one engine and +0.0 in another; IEEE -0.0 + 0.0 = +0.0)
+    def m(c: String, metric: String, v: Column): Column =
+      struct(lit(c).as("column"), lit(metric).as("metric"),
+        (round(v.cast(DoubleType), 4) + lit(0.0)).as("value"),
+        lit(null).cast(StringType).as("value_str"))
+    def ms(c: String, metric: String, v: Column): Column =
+      struct(lit(c).as("column"), lit(metric).as("metric"),
+        lit(null).cast(DoubleType).as("value"), v.cast(StringType).as("value_str"))
+    val shape = Seq(
+      m("*", "row_count", n),
+      m("*", "column_count", lit(df.schema.size)),
+      m("*", "nominal_column_count", lit(nominal)),
+      m("*", "numeric_column_count", lit(df.schema.size - nominal)))
+    val nulls = df.columns.toSeq.flatMap { c =>
+      Seq(
+        m(c, "non_null", count(col(c))),
+        m(c, "null_count", n - count(col(c))),
+        m(c, "fill_pct", count(col(c)) * 100.0 / n))
+    }
+    val card = df.columns.toSeq.map { c =>
+      if (approx) m(c, "approx_distinct", approx_count_distinct(col(c)))
+      else m(c, "distinct_cnt", countDistinct(col(c)))
+    }
+    val numeric = numCols.flatMap { cName =>
+      val v = col(cName).cast(DoubleType)
+      def q(p: Double) =
+        if (approx) approx_percentile(v, lit(p), lit(accuracy))
+        else percentile(v, lit(p))
+      val e1 = avg(v); val e2 = avg(v * v); val e3 = avg(v * v * v)
+      val e4 = avg(v * v * v * v)
+      val m2 = e2 - e1 * e1
+      val m3 = e3 - e1 * e2 * 3 + e1 * e1 * e1 * 2
+      val m4 = e4 - e1 * e3 * 4 + e1 * e1 * e2 * 6 - e1 * e1 * e1 * e1 * 3
+      Seq(
+        m(cName, "cnt", count(v)),
+        m(cName, "mean", avg(v)),
+        m(cName, "std", stddev_samp(v)),
+        m(cName, "min", min(v)),
+        m(cName, "q1", q(0.25)),
+        m(cName, "median", q(0.5)),
+        m(cName, "q3", q(0.75)),
+        m(cName, "max", max(v)),
+        m(cName, "skewness", m3 / pow(m2, 1.5)),
+        m(cName, "kurtosis", m4 / (m2 * m2) - 3),
+        m(cName, "positive", count(when(v > 0, 1))),
+        m(cName, "zero", count(when(v === 0, 1))),
+        m(cName, "negative", count(when(v < 0, 1))))
+    }
+    val corrs = for {
+      (a, i) <- numCols.zipWithIndex; (b, j) <- numCols.zipWithIndex if i < j
+    } yield m(a, s"pearson:$b",
+      corr(col(a).cast(DoubleType), col(b).cast(DoubleType)))
+    val strs = strCols.flatMap { cName =>
+      val s = col(cName)
+      val sl = length(s)
+      Seq(
+        m(cName, "min_len", min(sl)),
+        m(cName, "max_len", max(sl)),
+        ms(cName, "value_at_min_len",
+          min(when(s.isNotNull, struct(sl.as("l"), s.as("v")))).getField("v")),
+        ms(cName, "value_at_max_len",
+          min(when(s.isNotNull, struct((-sl).as("l"), s.as("v")))).getField("v")),
+        ms(cName, "min_alpha", min(s)),
+        ms(cName, "max_alpha", max(s)))
+    }
+    val all = shape ++ nulls ++ card ++ numeric ++ corrs ++ strs
+    df.agg(array(all: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("column", "metric")
+  }
 }

@@ -163,8 +163,10 @@ class DedupSimSpec extends SparkSpec {
     // pair (1,2) still shares a/b/c (allPairsMaxDocs=0 forces the
     // capped inverted-index plan; the small vocab would otherwise
     // route to bitmap all-pairs)
+    // relDfCap = NaN isolates the ABSOLUTE cap (the default relative
+    // cap floor(0.5*3)=1 would otherwise also drop a/b/c at df=2)
     val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.9, dfCap = 2,
-      allPairsMaxDocs = 0L).collect()
+      relDfCap = Double.NaN, allPairsMaxDocs = 0L).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
@@ -178,6 +180,53 @@ class DedupSimSpec extends SparkSpec {
       allPairsMaxDocs = 0L).collect()
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
     assert(got.head.getDouble(2) == 1.0, "score counts the capped token (full-set jaccard)")
+  }
+
+  test("jaccardJoin DEFAULT is capped: over-cap tokens generate no candidates; NaN opts into exact") {
+    // 'stop' is in ALL 6 docs (df = N > 0.5N, over the default
+    // relDfCap); docs 1 and 2 share ONLY 'stop'. The default plan
+    // must drop 'stop' from candidate generation, so the (1,2) pair
+    // — jaccard 1.0, well above threshold — is never formed. Exact
+    // recall is the explicit opt-in (relDfCap = NaN). Pair (3,4)
+    // shares rare tokens and must survive both plans with the SAME
+    // exact score. allPairsMaxDocs = 0 pins the inverted-index plan
+    // (the tiny vocab would otherwise route to bitmap all-pairs,
+    // where caps are documented as ignored).
+    val df = Seq(
+      (1L, "stop"), (2L, "stop"),
+      (3L, "stop a b c"), (4L, "stop a b c"),
+      (5L, "stop p q r"), (6L, "stop u v w"))
+      .toDF("doc_id", "text")
+    def pairs(rel: Double) =
+      Dedup.jaccardJoin(df, "text", "doc_id", 0.9, relDfCap = rel,
+        allPairsMaxDocs = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.jaccardJoin(df, "text", "doc_id", 0.9,
+      allPairsMaxDocs = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == Set((3L, 4L, 1.0)), "default drops the stop-token-only pair")
+    assert(capped == pairs(0.5), "default equals explicit relDfCap=0.5")
+    assert(pairs(Double.NaN) == Set((1L, 2L, 1.0), (3L, 4L, 1.0)),
+      "relDfCap=NaN opts into exact recall")
+  }
+
+  test("nearDupMatches DEFAULT is capped against the store; NaN opts into exact") {
+    // 'stop' is in all 4 store docs; batch doc 1 shares ONLY 'stop'
+    // with store doc 10 (jaccard 1.0). Default must not surface it;
+    // batch doc 2 shares rare tokens with store doc 11 and survives.
+    val store = Seq((10L, "stop"), (11L, "stop a b c"),
+      (12L, "stop p q r"), (13L, "stop u v w")).toDF("doc_id", "text")
+    val batch = Seq((1L, "stop"), (2L, "stop a b c")).toDF("doc_id", "text")
+    def run(rel: Double) =
+      Dedup.nearDupMatches(batch, store, "text", "doc_id", 0.9,
+        relDfCap = rel, allPairsMaxDocs = 0L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.nearDupMatches(batch, store, "text", "doc_id", 0.9,
+      allPairsMaxDocs = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((2L, 11L)), "default drops the stop-token-only match")
+    assert(capped == run(0.5))
+    assert(run(Double.NaN) == Set((1L, 10L), (2L, 11L)))
   }
 
   test("jaccardJoin bitmap all-pairs plan (vocab<=64) equals brute force") {

@@ -70,6 +70,32 @@ class ProfilerDetectorSpec extends SparkSpec {
     assert(r.getAs[Double]("kurtosis") == -2.0)
   }
 
+  test("report unions every scalar profile into one tall frame (exact and approx)") {
+    val exact = Profiler.report(df, approx = false).collect()
+    val byKey = exact.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // no duplicate (column, metric) rows, sorted output
+    assert(byKey.size == exact.length)
+    assert(byKey(("*", "row_count")).getAs[Double]("value") == 5.0)
+    assert(byKey(("s", "null_count")).getAs[Double]("value") == 1.0)
+    assert(byKey(("v", "median")).getAs[Double]("value") == 5.0)
+    assert(byKey(("v", "negative")).getAs[Double]("value") == 1.0)
+    assert(byKey(("v", "distinct_cnt")).getAs[Double]("value") == 4.0)
+    assert(byKey(("id", "pearson:v")) != null)
+    assert(byKey(("s", "min_len")).getAs[Double]("value") == 2.0)
+    assert(byKey(("s", "value_at_min_len")).getAs[String]("value_str") == "aa")
+    assert(byKey(("s", "max_alpha")).getAs[String]("value_str") == "cc1")
+    assert(!byKey.contains(("s", "mean")), "string columns get no numeric stats")
+    // approx flavor: same row set except cardinality/quantile metrics
+    // swap to sketches; on this tiny frame the sketches are exact
+    val approx = Profiler.report(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(approx(("v", "approx_distinct")).getAs[Double]("value") == 4.0)
+    assert(!approx.contains(("v", "distinct_cnt")))
+    // approx_percentile returns an actual element (no interpolation)
+    assert(Set(0.0, 10.0).contains(approx(("v", "median")).getAs[Double]("value")))
+    assert(approx.size == byKey.size)
+  }
+
   test("dot_product registers as a SQL function") {
     graft.functions.GraftFunctions.register(spark)
     val v = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")

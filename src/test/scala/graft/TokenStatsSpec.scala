@@ -139,7 +139,7 @@ class TokenStatsSpec extends SparkSpec {
     // the ≤64-word bitmap plan — all three must agree
     def run(cap: Long, maxDocs: Long) =
       graft.dedup.Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7,
-        cap, maxDocs)
+        dfCap = cap, relDfCap = Double.NaN, allPairsMaxDocs = maxDocs)
         .collect().map(_.getLong(0)).toSet
     assert(run(Long.MaxValue, 0L) == Set(2L)) // uncapped inverted index
     // df-cap of 1 store doc per token: every token here is in exactly
