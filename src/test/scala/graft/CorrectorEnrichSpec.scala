@@ -99,6 +99,31 @@ class CorrectorEnrichSpec extends SparkSpec {
     assert(got("CityA").contains(1.5) && got("CityC").isEmpty)
   }
 
+  test("README dim-file contract: CSV catalogs load through Sources.readCsv into both enrichers") {
+    // exercises the exact shapes documented in README "External
+    // dimension catalogs": header CSV, (name,gender) and
+    // (city,latitude,longitude), including non-ASCII TR letters
+    val dir = java.nio.file.Files.createTempDirectory("graft-dims")
+    val genderCsv = dir.resolve("tr_name_gender.csv")
+    java.nio.file.Files.writeString(genderCsv,
+      "name,gender\nAhmet,E\nFatma,K\nÖzgür,E\n")
+    val geoCsv = dir.resolve("tr_province_geo.csv")
+    java.nio.file.Files.writeString(geoCsv,
+      "city,latitude,longitude\nİstanbul,41.0082,28.9784\nAnkara,39.9334,32.8597\n")
+    val genderDim = graft.sources.Sources.readCsv(spark, genderCsv.toString)
+    val geoDim = graft.sources.Sources.readCsv(spark, geoCsv.toString)
+    val facts = Seq(("Ahmet Yılmaz", "İstanbul"), ("Özgür K", "Ankara"),
+      ("Nobody X", "Nowhere")).toDF("full_name", "city")
+    val out = Enrich.geoFromTable(
+      Enrich.genderFromTable(facts, "full_name", genderDim, "name", "gender"),
+      "city", geoDim, "city", "latitude", "longitude")
+    val got = out.collect().map(r => r.getString(0) ->
+      ((Option(r.getAs[String]("gender")), Option(r.getAs[Double]("latitude"))))).toMap
+    assert(got("Ahmet Yılmaz") == ((Some("E"), Some(41.0082))))
+    assert(got("Özgür K") == ((Some("E"), Some(39.9334))))
+    assert(got("Nobody X") == ((None, None)))
+  }
+
   test("sortBy and reorder") {
     val df = Seq((2, "b"), (1, "a"), (3, "c")).toDF("k", "s")
     val sorted = Corrector.sortBy(df, Seq("k" -> false)).collect().map(_.getInt(0)).toSeq

@@ -152,6 +152,49 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: PROCESSING-TIME idleTimeout evicts an idle key under a periodic trigger") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Option[Double])]
+    val stream = mem.toDF().toDF("k", "value")
+    // wall-clock variant: with a registered ProcessingTimeTimeout the
+    // engine constructs micro-batches continuously (each trigger must
+    // re-evaluate timeouts), so this test drives a real periodic
+    // trigger and POLLS — processAllAvailable() would not converge
+    val running = StreamingDQ.runningDqByKey(stream, "k", "value",
+      Seq(Rule.NumBetween(0, 100)), alertRatio = 0.5,
+      idleTimeout = Some("500 milliseconds"))
+    val q = running.toDF().writeStream.format("memory").queryName("pt_evict_out")
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      def rows() = spark.sql("SELECT key, total FROM pt_evict_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      def poll(desc: String)(pred: => Boolean): Unit = {
+        val end = System.currentTimeMillis + 60000
+        while (!pred && System.currentTimeMillis < end) Thread.sleep(50)
+        assert(pred, s"timed out waiting for $desc; sink=${rows().mkString(",")}")
+      }
+      mem.addData(("a", Some(1.0)))
+      poll("first emission")(rows().contains(("a", 1L)))
+      // no new data: the idle clock runs. Wait for the ENGINE to
+      // report zero state rows — deterministic proof of eviction,
+      // not a sleep guess (eviction emits nothing observable)
+      poll("state eviction") {
+        val p = q.lastProgress
+        p != null && p.stateOperators.nonEmpty &&
+          p.stateOperators.head.numRowsTotal == 0
+      }
+      // the key returns: counters must restart from zero (total=1
+      // again), never total=2
+      mem.addData(("a", Some(2.0)))
+      poll("restarted emission")(rows().count(_ == (("a", 1L))) == 2)
+      assert(!rows().contains(("a", 2L)),
+        s"evicted key must restart from zero, got ${rows().mkString(",")}")
+    } finally q.stop()
+  }
+
   test("streaming: event-time idle eviction drops a stale key's running counters end-to-end") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
