@@ -442,12 +442,31 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: band the 60-bit sketch into 4×15-bit
-    * chunks (any pair within Hamming ≤ 3 shares ≥ 1 exact chunk —
-    * pigeonhole), bucket-join on chunk, verify Hamming ≤ maxHamming.
+  /** SimHash near-dup pairs: band the 60-bit sketch into `chunks`
+    * equal chunks and bucket-join on every (chunks − maxHamming)-size
+    * chunk COMBINATION, then verify Hamming ≤ maxHamming exactly.
+    *
+    * Generalized pigeonhole: ≤ maxHamming differing bits can dirty at
+    * most maxHamming chunks, so any qualifying pair agrees on some
+    * (chunks − maxHamming)-subset of chunks — joining on all
+    * C(chunks, chunks−maxHamming) subsets is recall-COMPLETE for any
+    * `chunks > maxHamming`, and the final exact Hamming filter makes
+    * the output identical for every valid `chunks` choice.
+    *
+    * `chunks` is the bucket-space / key-count dial: the default 4
+    * (minimal for h=3) joins on 4 keys/doc over 2^15-value buckets —
+    * fine to ~10M docs. On near-dup-heavy corpora 100× that, pass
+    * `chunks = 6`: C(6,3)=20 keys/doc over 2^30-value buckets, ~8×
+    * fewer candidate pairs per doc² at 5× the shuffled keys — the
+    * bucket self-join is output-dominated at scale, so multiplying
+    * bucket space wins long before the extra keys cost.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks > maxHamming,
+      s"chunks ($chunks) must exceed maxHamming ($maxHamming) for recall-complete banding")
+    require(SimhashBits % chunks == 0,
+      s"chunks ($chunks) must divide $SimhashBits")
     // sketch via explode -> groupBy with codegen'd SUM aggregates
     // (one shuffle, map-side combined) instead of interpreted
     // higher-order array functions; semantics identical to simhash().
@@ -475,9 +494,19 @@ object Dedup {
           val cnt = shiftright(col(s"_p${i / lanes}"), 16 * (i % lanes)).bitwiseAND(lit(0xFFFFL))
           when(cnt * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _).as("sh"))
-    val chunkArr = array((0 until 4).map(i => struct(
-      lit(i).as("chunk_id"),
-      shiftright(col("sh"), i * 15).bitwiseAND(lit(0x7FFFL)).as("chunk"))): _*)
+    // one join key per (chunks − maxHamming)-size chunk combination:
+    // the combo's chunk values concatenate into one ≤60-bit long
+    // (shift-left via multiply — ANSI-safe below 63 bits)
+    val w = SimhashBits / chunks
+    val mask = (1L << w) - 1
+    val chunkArr = array(
+      (0 until chunks).combinations(chunks - maxHamming).toSeq.zipWithIndex.map {
+        case (combo, ci) =>
+          val v = combo.zipWithIndex.map { case (chunkIdx, pos) =>
+            shiftright(col("sh"), chunkIdx * w).bitwiseAND(lit(mask)) * lit(1L << (pos * w))
+          }.reduce(_ + _)
+          struct(lit(ci).as("chunk_id"), v.as("chunk"))
+      }: _*)
     // Explicit partition count on the bucket key: the chunk table is
     // INPUT-tiny (4 rows/doc) but the self-join is OUTPUT-heavy
     // (near-dup corpora collide densely), and AQE coalesces shuffles
@@ -485,12 +514,12 @@ object Dedup {
     // pair generation + Hamming verify through one task. A
     // user-specified repartition is exempt from AQE coalescing.
     val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
-    val chunks = sk.withColumn("ck", explode(chunkArr))
+    val keyed = sk.withColumn("ck", explode(chunkArr))
       .select(col("id"), col("sh"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
       .repartition(shufflePartitions, col("chunk_id"), col("chunk"))
-    val a = chunks.select(col("chunk_id"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunks.select(col("chunk_id"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = keyed.select(col("chunk_id"), col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = keyed.select(col("chunk_id"), col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk_id", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))

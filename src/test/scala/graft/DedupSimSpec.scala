@@ -149,6 +149,21 @@ class DedupSimSpec extends SparkSpec {
     (0L until 5L).foreach { i => assert(got.contains((i, 100L + i)), s"pair $i") }
   }
 
+  test("simhashPairs output is invariant to the chunks dial (generalized pigeonhole)") {
+    val df = corpus.toDF("doc_id", "text")
+    def pairs(chunks: Int) =
+      Dedup.simhashPairs(df, "text", "doc_id", 3, chunks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = pairs(4) // minimal banding: 4 keys/doc, 2^15 buckets
+    // wider bucket spaces (5 -> C(5,2)=10 keys over 2^24; 6 ->
+    // C(6,3)=20 keys over 2^30) must find the SAME verified pair set
+    assert(base == pairs(5))
+    assert(base == pairs(6))
+    // sanity: the engineered shuffled dups are in the set at hamming 0
+    (0L until 5L).foreach(i => assert(base.contains((i, 100L + i, 0))))
+    assertThrows[IllegalArgumentException](Dedup.simhashPairs(df, "text", "doc_id", 3, 3))
+  }
+
   test("jaccardJoin equals brute force at threshold") {
     val df = corpus.toDF("doc_id", "text")
     val got = Dedup.jaccardJoin(df, "text", "doc_id", 0.5).collect()

@@ -44,6 +44,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("one-call report: single scan; approx flavor keeps Expand out of the plan") {
+    val tbl = Tables.load(spark, dir, "customer")
+    val approx = graft.profile.Profiler.report(tbl).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(approx).size == 1,
+      s"report must profile the whole table in ONE scan:\n$approx")
+    assert(!approx.contains("Expand"),
+      s"approx=true must use HLL/GK (mergeable, no Expand over the scan):\n$approx")
+    val exact = graft.profile.Profiler.report(tbl, approx = false).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(exact.contains("Expand"),
+      "exact countDistinct is expected to plan an Expand (documented oracle-path cost)")
+  }
+
   test("grouped-profile totals avoid single-partition windows (broadcast scalar instead)") {
     Seq("q_a5_freq_table", "q_a7_pattern_profile", "q_a8_unexpected").foreach { q =>
       val p = plan(q)
