@@ -58,7 +58,7 @@ object Bench {
     // ~80 of them. r1-r3 printed full-precision doubles (~2400 chars) and
     // the line's head fell off the tail -> BENCH_r{N}.json "parsed": null.
     // Emit the most precise rendering that still fits the tail budget.
-    def render(dec: Int, stripPrefix: Boolean): String = {
+    def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true): String = {
       def f(v: Double) = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
       val qs = results.map { case (k, v, _) =>
         val name = if (stripPrefix) k.stripPrefix("q_") else k
@@ -78,6 +78,7 @@ object Bench {
       // so a contended bench self-identifies in the artifact.
       val errJson =
         if (errs.isEmpty) "\"nerr\":0"
+        else if (!errDetail) s""""nerr":${errs.size}"""
         else {
           val em = errs.map { case (n, e) =>
             val name = if (stripPrefix) n.stripPrefix("q_") else n
@@ -90,8 +91,12 @@ object Bench {
     }
     // prefer keeping FULL query names (cross-round comparability)
     // over a third decimal; strip the q_ prefix only as a last resort
-    val line = Seq(render(3, false), render(2, false), render(3, true), render(2, true))
-      .find(_.length <= 1880).getOrElse(render(1, true))
+    // last resort drops per-query error CLASSES (stderr still has
+    // them) but never the nerr count — the line must stay parseable
+    // inside the driver's 2000-char output tail
+    val line = Seq(render(3, false), render(2, false), render(3, true),
+        render(2, true), render(1, true))
+      .find(_.length <= 1880).getOrElse(render(1, true, errDetail = false))
     println(line)
     spark.stop()
   }
