@@ -46,7 +46,9 @@ object Profiler {
         col("c.column").as("column"),
         col("c.non_null").as("non_null"),
         (col("_n") - col("c.non_null")).as("null_count"),
-        round(col("c.non_null") * 100.0 / col("_n"), 2).as("fill_pct"))
+        // guarded: ANSI 0/0 on an empty table is a runtime error
+        round(when(col("_n") > 0, col("c.non_null") * 100.0 / col("_n")), 2)
+          .as("fill_pct"))
       .orderBy("column")
   }
 
@@ -183,9 +185,10 @@ object Profiler {
       .select(
         lit(c).as("column"),
         col("positive"), col("zero"), col("negative"),
-        round(col("positive") * 100.0 / col("_n"), 1).as("positive_pct"),
-        round(col("zero") * 100.0 / col("_n"), 1).as("zero_pct"),
-        round(col("negative") * 100.0 / col("_n"), 1).as("negative_pct"))
+        // guarded: ANSI 0/0 on an empty table is a runtime error
+        round(when(col("_n") > 0, col("positive") * 100.0 / col("_n")), 1).as("positive_pct"),
+        round(when(col("_n") > 0, col("zero") * 100.0 / col("_n")), 1).as("zero_pct"),
+        round(when(col("_n") > 0, col("negative") * 100.0 / col("_n")), 1).as("negative_pct"))
   }
 
   /** Exact + approximate (HLL) distinct counts per column, one scan.
@@ -330,7 +333,9 @@ object Profiler {
       Seq(
         m(c, "non_null", count(col(c))),
         m(c, "null_count", n - count(col(c))),
-        m(c, "fill_pct", count(col(c)) * 100.0 / n))
+        // when-guard: ANSI mode turns 0/0 on an empty table into a
+        // runtime error, and empty partitions/tables are routine
+        m(c, "fill_pct", when(n > 0, count(col(c)) * 100.0 / n)))
     }
     val card = df.columns.toSeq.map { c =>
       if (approx) m(c, "approx_distinct", approx_count_distinct(col(c)))

@@ -18,6 +18,37 @@ class EdgeCasesSpec extends SparkSpec {
 
   private lazy val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
 
+  test("report survives empty tables, all-null columns, and single-type schemas") {
+    // empty: every count metric 0, value-metrics null, but the full
+    // metric grid still materializes (profile of nothing is not a crash)
+    val emptyRep = Profiler.report(emptyDocs, approx = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(emptyRep(("*", "row_count")).getAs[Double]("value") == 0.0)
+    assert(emptyRep(("text", "non_null")).getAs[Double]("value") == 0.0)
+    assert(emptyRep(("text", "value_at_min_len")).getAs[String]("value_str") == null)
+    assert(emptyRep(("doc_id", "mean")).get(2) == null)
+    assert(emptyRep(("text", "fill_pct")).get(2) == null, "0/0 fill on empty is null, not an ANSI error")
+    // the standalone profiles share the guarded-division fix
+    assert(Profiler.nullProfile(emptyDocs).collect().forall(_.get(3) == null))
+    assert(Profiler.signCounts(emptyDocs.select(col("doc_id")), "doc_id")
+      .collect()(0).getAs[Long]("positive") == 0L)
+    // all-null numeric column: stats null, counts zero, no exception
+    val withNull = Seq((1L, None: Option[Double]), (2L, None)).toDF("id", "v")
+    val nullRep = Profiler.report(withNull, approx = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(nullRep(("v", "cnt")).getAs[Double]("value") == 0.0)
+    assert(nullRep(("v", "null_count")).getAs[Double]("value") == 2.0)
+    assert(nullRep(("v", "mean")).get(2) == null)
+    assert(nullRep(("v", "distinct_cnt")).getAs[Double]("value") == 0.0)
+    // strings-only schema: no numeric/corr metrics, string ones intact
+    val strOnly = Seq("a", "bb").toDF("s")
+    val sRep = Profiler.report(strOnly, approx = false).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(sRep(("s", "max_len")).getAs[Double]("value") == 2.0)
+    assert(!sRep.keys.exists(_._2.startsWith("pearson")))
+    assert(sRep(("*", "numeric_column_count")).getAs[Double]("value") == 0.0)
+  }
+
   test("dedup/similarity operators return empty on empty input") {
     assert(Dedup.minhashPairs(emptyDocs, "text", "doc_id", 0.9).count() == 0)
     assert(Dedup.jaccardJoin(emptyDocs, "text", "doc_id", 0.8).count() == 0)
