@@ -22,7 +22,15 @@ object Ann {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm guard: cosine against a zero vector is undefined —
+    * emit null (dropped by any >= threshold filter) instead of the
+    * ANSI divide-by-zero runtime error a 100 TB corpus with a few
+    * zero embeddings would otherwise throw.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d)
+  }
 
   private def litVec(q: Array[Double]): Column =
     array(q.map(lit(_)).toIndexedSeq: _*)
@@ -206,7 +214,8 @@ object Ann {
       norm(col(vecCol)).as("n_b")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cosine_sim"))
+        round(when(col("n_a") * col("n_b") > 0,
+          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 
@@ -243,7 +252,8 @@ object Ann {
     a.join(b, Seq("_t", "_bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cosine_sim"))
+        round(when(col("n_a") * col("n_b") > 0,
+          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
       .distinct()
   }
@@ -282,7 +292,8 @@ object Ann {
     a.join(b, Seq("_cid"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("cosine_sim"))
+        round(when(col("n_a") * col("n_b") > 0,
+          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))), 4).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 

@@ -167,8 +167,12 @@ object Pipeline {
     val norm = weighted.agg(sum(col("_w")).as("_wsum"))
     weighted.crossJoin(broadcast(norm))
       .select(col("source"), col("tokens"),
-        round(least(lit(1.0),
-          (lit(budgetTokens.toDouble) * col("_w") / col("_wsum")) / col("tokens")), 4)
+        // guards: a zero-token source (or an all-zero-weight corpus)
+        // keeps nothing rather than raising ANSI divide-by-zero
+        round(when(col("tokens") > 0 && col("_wsum") > 0,
+          least(lit(1.0),
+            (lit(budgetTokens.toDouble) * col("_w") / col("_wsum")) / col("tokens")))
+          .otherwise(lit(0.0)), 4)
           .as("keep_frac"))
   }
 

@@ -64,8 +64,9 @@ object Detector {
         col("out_of_format_records"),
         (col("total") - col("null_records") - col("out_of_format_records"))
           .as("proper_format_records"),
-        round((col("total") - col("null_records") - col("out_of_format_records"))
-          * 100.0 / col("total"), 2).as("dq_score"))
+        round(when(col("total") > 0,
+          (col("total") - col("null_records") - col("out_of_format_records"))
+            * 100.0 / col("total")), 2).as("dq_score"))
       .withColumn("dq_band", band(col("dq_score")))
   }
 
@@ -91,8 +92,9 @@ object Detector {
         col("c.out_of_format_records").as("out_of_format_records"),
         (col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
           .as("proper_format_records"),
-        round((col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
-          * 100.0 / col("c.total"), 2).as("dq_score"))
+        round(when(col("c.total") > 0,
+          (col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
+            * 100.0 / col("c.total")), 2).as("dq_score"))
       .withColumn("dq_band", band(col("dq_score")))
       .orderBy("column")
   }
@@ -126,7 +128,8 @@ object Detector {
         nulls(a).as("a_null"), oof(a).as("a_oof"))
     }
     def score(n: Column, o: Column, total: Column): Column =
-      round((total - n - o) * 100.0 / total, 2)
+      // guarded: ANSI 0/0 on an empty table is a runtime error
+      round(when(total > 0, (total - n - o) * 100.0 / total), 2)
     df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
       .select(explode(col("_c")).as("c"))
       .select(

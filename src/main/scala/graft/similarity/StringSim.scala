@@ -108,7 +108,10 @@ object StringSim {
       .join(norms.withColumnRenamed("id", "id_a").withColumnRenamed("norm", "norm_a"), "id_a")
       .join(norms.withColumnRenamed("id", "id_b").withColumnRenamed("norm", "norm_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("dot") / (col("norm_a") * col("norm_b")), 4).as("similarity"))
+        // zero-norm guard (a string whose every gram has idf 0):
+        // null similarity instead of an ANSI divide-by-zero error
+        round(when(col("norm_a") * col("norm_b") > 0,
+          col("dot") / (col("norm_a") * col("norm_b"))), 4).as("similarity"))
       .filter(col("similarity") >= minSimilarity)
   }
 }

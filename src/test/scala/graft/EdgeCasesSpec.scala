@@ -49,6 +49,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(sRep(("*", "numeric_column_count")).getAs[Double]("value") == 0.0)
   }
 
+  test("zero denominators yield nulls/zeros, never ANSI divide-by-zero errors") {
+    // DQ score of an EMPTY table: one row, null score, no crash
+    val dq = Detector.dqReport(emptyDocs, "text", Seq(Rule.NoDigits)).collect()(0)
+    assert(dq.getAs[Long]("null_records") == 0L && dq.get(4) == null)
+    assert(Detector.dqSummary(emptyDocs, Seq("text" -> Seq(Rule.NoDigits)))
+      .collect()(0).get(4) == null)
+    // cosine against a ZERO VECTOR: null similarity (ranked last /
+    // dropped by thresholds), not a runtime error
+    val emb = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 0.0)),
+      (3L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val top = Ann.cosineTopK(emb, "embedding", "vec_id", Array(1.0, 0.0), 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(top(1L).contains(1.0) && top(2L).isEmpty)
+    // only the (1,3) pair survives; every zero-vector pair is null -> dropped
+    assert(Ann.cosinePairsExact(emb, emb, "embedding", "vec_id", 0.1).count() == 1)
+    // tf-idf pair whose every shared gram has idf 0 (both strings
+    // identical across the whole corpus): null similarity -> no pair
+    val flat = Seq((1L, "abcd"), (2L, "abcd")).toDF("id", "s")
+    assert(graft.similarity.StringSim.similarPairs(flat, "s", "id", 0.1,
+      relDfCap = Double.NaN).count() == 0)
+    // a zero-token source keeps nothing instead of dividing by zero
+    val mix = Pipeline.tokenBudgetFractions(
+      Seq(("a", 100L), ("b", 0L)).toDF("src", "tok"), col("tok"), col("src"), 50L)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(mix("b") == 0.0 && mix("a") > 0.0)
+  }
+
   test("dedup/similarity operators return empty on empty input") {
     assert(Dedup.minhashPairs(emptyDocs, "text", "doc_id", 0.9).count() == 0)
     assert(Dedup.jaccardJoin(emptyDocs, "text", "doc_id", 0.8).count() == 0)
