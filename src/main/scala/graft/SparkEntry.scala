@@ -300,6 +300,10 @@ object SparkEntry {
     // approx=true flavor (GK quantiles + HLL cardinality, no Expand)
     // is spec-covered in ProfilerSpec
     "q_a15_report" -> ((s, d) => Profiler.report(t(s, d, "customer"), approx = false)),
+    // per-group (per-source) flavor: the same metric grid for every
+    // market segment in one grouped aggregation
+    "q_a16_report_by" -> ((s, d) =>
+      Profiler.reportBy(t(s, d, "customer"), "c_mktsegment", approx = false)),
     "q_c2_drop" -> ((s, d) => {
       val kept = Corrector.dropRowsWhere(
         Corrector.dropColumns(t(s, d, "events"), "props", "ts"),
@@ -891,6 +895,71 @@ object SparkEntry {
       }
       (shape ++ nulls ++ card ++ numeric ++ corrs ++ strs)
         .mkString("", " UNION ALL ", """ ORDER BY "column", metric""")
+    },
+
+    // per-group report: every scalar metric recomputed per market
+    // segment (the group column itself is excluded from profiling);
+    // value-at-length extrema via a rank-1 window per group
+    "q_a16_report_by" -> {
+      val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+      val allCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      val strCols = Seq("c_name")
+      val g = """CAST(c_mktsegment AS VARCHAR) AS "group""""
+      def num(c: String, metric: String, e: String) =
+        s"""SELECT $g, '$c' AS "column", '$metric' AS metric, round(CAST(($e) AS DOUBLE),4) + 0.0 AS "value", CAST(NULL AS VARCHAR) AS value_str FROM customer GROUP BY c_mktsegment"""
+      def strAgg(c: String, metric: String, e: String) =
+        s"""SELECT $g, '$c' AS "column", '$metric' AS metric, CAST(NULL AS DOUBLE) AS "value", CAST(($e) AS VARCHAR) AS value_str FROM customer GROUP BY c_mktsegment"""
+      def strAt(c: String, metric: String, dir: String) =
+        s"""SELECT grp AS "group", '$c' AS "column", '$metric' AS metric, CAST(NULL AS DOUBLE) AS "value", CAST(v AS VARCHAR) AS value_str FROM (
+           |  SELECT CAST(c_mktsegment AS VARCHAR) AS grp, $c AS v,
+           |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY length($c) $dir, $c ASC) AS rn
+           |  FROM customer WHERE $c IS NOT NULL) WHERE rn = 1""".stripMargin
+      val shape = Seq(
+        num("*", "row_count", "count(*)"),
+        num("*", "column_count", "4"),
+        num("*", "nominal_column_count", "1"),
+        num("*", "numeric_column_count", "3"))
+      val nulls = allCols.flatMap(c => Seq(
+        num(c, "non_null", s"count($c)"),
+        num(c, "null_count", s"count(*)-count($c)"),
+        num(c, "fill_pct", s"count($c)*100.0/count(*)")))
+      val card = allCols.map(c => num(c, "distinct_cnt", s"count(DISTINCT $c)"))
+      val numeric = numCols.flatMap { c =>
+        val v = s"CAST($c AS DOUBLE)"
+        Seq(
+          num(c, "cnt", s"count($c)"),
+          num(c, "mean", s"avg($v)"),
+          num(c, "std", s"stddev_samp($v)"),
+          num(c, "min", s"min($v)"),
+          num(c, "q1", s"quantile_cont($v,0.25)"),
+          num(c, "median", s"quantile_cont($v,0.5)"),
+          num(c, "q3", s"quantile_cont($v,0.75)"),
+          num(c, "max", s"max($v)"),
+          num(c, "skewness",
+            s"""(avg($v*$v*$v) - avg($v)*avg($v*$v)*3 + avg($v)*avg($v)*avg($v)*2)
+               | / pow(avg($v*$v) - avg($v)*avg($v), 1.5)""".stripMargin),
+          num(c, "kurtosis",
+            s"""(avg($v*$v*$v*$v) - avg($v)*avg($v*$v*$v)*4 + avg($v)*avg($v)*avg($v*$v)*6
+               |   - avg($v)*avg($v)*avg($v)*avg($v)*3)
+               | / ((avg($v*$v) - avg($v)*avg($v)) * (avg($v*$v) - avg($v)*avg($v))) - 3""".stripMargin),
+          num(c, "positive", s"count(CASE WHEN $v>0 THEN 1 END)"),
+          num(c, "zero", s"count(CASE WHEN $v=0 THEN 1 END)"),
+          num(c, "negative", s"count(CASE WHEN $v<0 THEN 1 END)"))
+      }
+      val corrs = for {
+        (a, i) <- numCols.zipWithIndex; (b, j) <- numCols.zipWithIndex if i < j
+      } yield num(a, s"pearson:$b", s"corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE))")
+      val strs = strCols.flatMap { c =>
+        Seq(
+          num(c, "min_len", s"min(length($c))"),
+          num(c, "max_len", s"max(length($c))"),
+          strAt(c, "value_at_min_len", "ASC"),
+          strAt(c, "value_at_max_len", "DESC"),
+          strAgg(c, "min_alpha", s"min($c)"),
+          strAgg(c, "max_alpha", s"max($c)"))
+      }
+      (shape ++ nulls ++ card ++ numeric ++ corrs ++ strs)
+        .mkString("", " UNION ALL ", """ ORDER BY "group", "column", metric""")
     },
 
     // oracle computes plain full-set Jaccard with NO df-cap; the

@@ -266,8 +266,9 @@ object Profiler {
       struct(
         lit(c).as("column"),
         count(v).as("cnt"),
-        round(m3 / pow(m2, 1.5), 4).as("skewness"),
-        round(m4 / (m2 * m2) - 3, 4).as("kurtosis"))
+        // guarded: m2 = 0 (constant column) is ANSI divide-by-zero
+        round(when(m2 > 0, m3 / pow(m2, 1.5)), 4).as("skewness"),
+        round(when(m2 > 0, m4 / (m2 * m2) - 3), 4).as("kurtosis"))
     }
     df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
       .select(explode(col("_c")).as("c"))
@@ -308,12 +309,40 @@ object Profiler {
     * not per-column scalars, and stay separate calls.
     */
   def report(df: DataFrame, approx: Boolean = true,
-             accuracy: Int = 10000): DataFrame = {
-    val numCols = df.schema.fields
+             accuracy: Int = 10000): DataFrame =
+    df.agg(array(reportMetricStructs(df, approx, accuracy): _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("column", "metric")
+
+  /** Per-GROUP [[report]]: the same metric grid computed for every
+    * value of `groupCol` — per-source / per-language / per-split
+    * quality monitoring in one grouped aggregation (one scan, one
+    * shuffle keyed by the group; each group's metrics combine
+    * map-side exactly like the global report's). The group column
+    * itself is excluded from the profiled columns (constant within a
+    * group). Output `(group, column, metric, value, value_str)`.
+    */
+  def reportBy(df: DataFrame, groupCol: String, approx: Boolean = true,
+               accuracy: Int = 10000): DataFrame = {
+    val metrics = reportMetricStructs(df, approx, accuracy, exclude = Set(groupCol))
+    df.groupBy(col(groupCol).cast(StringType).as("group"))
+      .agg(array(metrics: _*).as("_c"))
+      .select(col("group"), explode(col("_c")).as("c"))
+      .select("group", "c.*")
+      .orderBy("group", "column", "metric")
+  }
+
+  private def reportMetricStructs(df: DataFrame, approx: Boolean,
+                                  accuracy: Int,
+                                  exclude: Set[String] = Set.empty): Seq[Column] = {
+    val fields = df.schema.fields.filterNot(f => exclude.contains(f.name))
+    val cols = fields.map(_.name).toSeq
+    val numCols = fields
       .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-    val strCols = df.schema.fields
+    val strCols = fields
       .filter(_.dataType == StringType).map(_.name).toSeq
-    val nominal = df.schema.size - df.schema.fields.count(f => isNumericish(f.dataType))
+    val nominal = fields.length - fields.count(f => isNumericish(f.dataType))
     val n = count(lit(1))
     // `+ 0.0` normalizes -0.0 (a near-zero moment can round to -0.0
     // in one engine and +0.0 in another; IEEE -0.0 + 0.0 = +0.0)
@@ -326,10 +355,10 @@ object Profiler {
         lit(null).cast(DoubleType).as("value"), v.cast(StringType).as("value_str"))
     val shape = Seq(
       m("*", "row_count", n),
-      m("*", "column_count", lit(df.schema.size)),
+      m("*", "column_count", lit(fields.length)),
       m("*", "nominal_column_count", lit(nominal)),
-      m("*", "numeric_column_count", lit(df.schema.size - nominal)))
-    val nulls = df.columns.toSeq.flatMap { c =>
+      m("*", "numeric_column_count", lit(fields.length - nominal)))
+    val nulls = cols.flatMap { c =>
       Seq(
         m(c, "non_null", count(col(c))),
         m(c, "null_count", n - count(col(c))),
@@ -337,7 +366,7 @@ object Profiler {
         // runtime error, and empty partitions/tables are routine
         m(c, "fill_pct", when(n > 0, count(col(c)) * 100.0 / n)))
     }
-    val card = df.columns.toSeq.map { c =>
+    val card = cols.map { c =>
       if (approx) m(c, "approx_distinct", approx_count_distinct(col(c)))
       else m(c, "distinct_cnt", countDistinct(col(c)))
     }
@@ -360,8 +389,11 @@ object Profiler {
         m(cName, "median", q(0.5)),
         m(cName, "q3", q(0.75)),
         m(cName, "max", max(v)),
-        m(cName, "skewness", m3 / pow(m2, 1.5)),
-        m(cName, "kurtosis", m4 / (m2 * m2) - 3),
+        // m2 = 0 (constant column / single-row group) makes the
+        // moment ratios 0/0 — an ANSI runtime error, not NaN; the
+        // shape of a constant distribution is undefined -> null
+        m(cName, "skewness", when(m2 > 0, m3 / pow(m2, 1.5))),
+        m(cName, "kurtosis", when(m2 > 0, m4 / (m2 * m2) - 3)),
         m(cName, "positive", count(when(v > 0, 1))),
         m(cName, "zero", count(when(v === 0, 1))),
         m(cName, "negative", count(when(v < 0, 1))))
@@ -383,10 +415,6 @@ object Profiler {
         ms(cName, "min_alpha", min(s)),
         ms(cName, "max_alpha", max(s)))
     }
-    val all = shape ++ nulls ++ card ++ numeric ++ corrs ++ strs
-    df.agg(array(all: _*).as("_c"))
-      .select(explode(col("_c")).as("c"))
-      .select("c.*")
-      .orderBy("column", "metric")
+    shape ++ nulls ++ card ++ numeric ++ corrs ++ strs
   }
 }

@@ -69,6 +69,10 @@ class EdgeCasesSpec extends SparkSpec {
     val flat = Seq((1L, "abcd"), (2L, "abcd")).toDF("id", "s")
     assert(graft.similarity.StringSim.similarPairs(flat, "s", "id", 0.1,
       relDfCap = Double.NaN).count() == 0)
+    // moments of a CONSTANT column: undefined shape -> null, no crash
+    val const = Seq.fill(5)(7.0).zipWithIndex.map(_.swap).toDF("id", "c")
+    val mo = Profiler.moments(const, Seq("c")).collect()(0)
+    assert(mo.getAs[Long]("cnt") == 5L && mo.get(2) == null && mo.get(3) == null)
     // a zero-token source keeps nothing instead of dividing by zero
     val mix = Pipeline.tokenBudgetFractions(
       Seq(("a", 100L), ("b", 0L)).toDF("src", "tok"), col("tok"), col("src"), 50L)

@@ -96,6 +96,20 @@ class ProfilerDetectorSpec extends SparkSpec {
     assert(approx.size == byKey.size)
   }
 
+  test("reportBy computes the report grid per group, excluding the group column") {
+    val g = Seq((1, "x", 10.0), (2, "x", 20.0), (3, "y", 5.0))
+      .toDF("id", "src", "v")
+    val rep = Profiler.reportBy(g, "src", approx = false).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r).toMap
+    assert(rep(("x", "*", "row_count")).getAs[Double]("value") == 2.0)
+    assert(rep(("y", "*", "row_count")).getAs[Double]("value") == 1.0)
+    assert(rep(("x", "v", "mean")).getAs[Double]("value") == 15.0)
+    assert(rep(("y", "v", "min")).getAs[Double]("value") == 5.0)
+    // the group column is not profiled; per-group column_count = 2
+    assert(!rep.keys.exists(_._2 == "src"))
+    assert(rep(("x", "*", "column_count")).getAs[Double]("value") == 2.0)
+  }
+
   test("dot_product registers as a SQL function") {
     graft.functions.GraftFunctions.register(spark)
     val v = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
