@@ -58,21 +58,23 @@ object Bench {
     // ~80 of them. r1-r3 printed full-precision doubles (~2400 chars) and
     // the line's head fell off the tail -> BENCH_r{N}.json "parsed": null.
     // Emit the most precise rendering that still fits the tail budget.
+    // only emit the extracted token as a number when it parses as one,
+    // and emit the NORMALIZED rendering, not the raw token: BigDecimal
+    // accepts "1." / ".5" / "007", which are not valid JSON number
+    // literals — toPlainString gives "1" / "0.5" / "7"
+    val sfJson = {
+      val sfTok = sfDir.replaceAll(".*?sf([0-9.]+).*", "$1")
+      scala.util.Try(BigDecimal(sfTok)).toOption
+        .filter(_ => sfTok != sfDir)
+        .map(_.bigDecimal.toPlainString)
+        .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+    }
     def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true): String = {
       def f(v: Double) = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
       val qs = results.map { case (k, v, _) =>
         val name = if (stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
       }.mkString("{", ",", "}")
-      // only emit the extracted token as a number when it parses as one,
-      // and emit the NORMALIZED rendering, not the raw token: BigDecimal
-      // accepts "1." / ".5" / "007", which are not valid JSON number
-      // literals — toPlainString gives "1" / "0.5" / "7"
-      val sfTok = sfDir.replaceAll(".*?sf([0-9.]+).*", "$1")
-      val sf = scala.util.Try(BigDecimal(sfTok)).toOption
-        .filter(_ => sfTok != sfDir)
-        .map(_.bigDecimal.toPlainString)
-        .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       // errors: per-query failure classes + a count that's nonzero iff any
       // query failed; load: 1-min system load sampled before/after the run
       // so a contended bench self-identifies in the artifact.
@@ -87,16 +89,23 @@ object Bench {
           s""""nerr":${errs.size},"errors":$em"""
         }
       val loadJson = s""""load":[${BigDecimal(loadBefore).setScale(2, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(2, BigDecimal.RoundingMode.HALF_UP)}]"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,$loadJson,"queries":$qs,"sf":$sf}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,$loadJson,"queries":$qs,"sf":$sfJson}"""
     }
     // prefer keeping FULL query names (cross-round comparability)
-    // over a third decimal; strip the q_ prefix only as a last resort
-    // last resort drops per-query error CLASSES (stderr still has
-    // them) but never the nerr count — the line must stay parseable
-    // inside the driver's 2000-char output tail
+    // over a third decimal; strip the q_ prefix next; then drop
+    // per-query error CLASSES (stderr still has them) but never the
+    // nerr count. FINAL resort: no per-query map at all — a heavily
+    // contended run inflates every value by a character ("11.7" vs
+    // "0.4") and can push even the tightest full rendering past the
+    // driver's 2000-char output tail; the headline metric must parse
+    // no matter what (the full detail is still on stdout above).
+    def renderMinimal: String = {
+      def f2(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}],"queries":{},"sf":$sfJson}"""
+    }
     val line = Seq(render(3, false), render(2, false), render(3, true),
-        render(2, true), render(1, true))
-      .find(_.length <= 1880).getOrElse(render(1, true, errDetail = false))
+        render(2, true), render(1, true), render(1, true, errDetail = false))
+      .find(_.length <= 1880).getOrElse(renderMinimal)
     println(line)
     spark.stop()
   }

@@ -56,6 +56,15 @@ class PlanAuditSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(exact.contains("Expand"),
       "exact countDistinct is expected to plan an Expand (documented oracle-path cost)")
+    // per-group flavor: still ONE scan, metrics combine through a
+    // grouped (keyed) aggregate — not one job per group
+    val by = graft.profile.Profiler.reportBy(tbl, "c_mktsegment").queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(by).size == 1,
+      s"reportBy must profile all groups in ONE scan:\n$by")
+    assert(by.contains("HashAggregate") || by.contains("ObjectHashAggregate") ||
+      by.contains("SortAggregate"), "grouped aggregate expected")
+    assert(!by.contains("Expand"), "approx reportBy must not Expand")
   }
 
   test("grouped-profile totals avoid single-partition windows (broadcast scalar instead)") {
