@@ -296,24 +296,33 @@ object Profiler {
     * in `value` (rounded to 4), string-valued ones (alphabetic
     * extrema, value-at-length) in `value_str`.
     *
-    * Scale shape: the ENTIRE report is ONE `agg(...)` over the table —
-    * a single scan with map-side partial aggregation regardless of
-    * column count. With `approx = true` (the 100 TB default) the
-    * quantiles are GK sketches and the cardinalities HLL: every
-    * aggregate is bounded-memory and mergeable, and the plan has no
-    * Expand. `approx = false` swaps in exact `percentile` and exact
-    * `countDistinct` (the latter plans an Expand ×(k+1) over the scan
-    * — fine on dims; it is the oracle path). Value-DISTRIBUTION
+    * Scale shape: with `approx = true` (the 100 TB default) the
+    * ENTIRE report is ONE `agg(...)` over the table — a single scan
+    * with map-side partial aggregation regardless of column count;
+    * quantiles are GK sketches and cardinalities HLL, every aggregate
+    * bounded-memory and mergeable, no Expand in the plan.
+    * `approx = false` swaps in exact `percentile` and exact
+    * `countDistinct` — the distinct counts run as a SEPARATE small
+    * aggregation unioned in, because mixing multi-column
+    * countDistinct with ~85 other aggregates makes Catalyst's
+    * distinct-rewrite wrap every one of them in first(...) through
+    * the Expand (a 4-level, hundreds-of-buffers plan whose
+    * planning/codegen dwarfs the actual work). Value-DISTRIBUTION
     * profiles (frequency table, top/bottom-k, pattern profile,
     * histogram, unexpected values — A5-A8, A12) are per-value tables,
     * not per-column scalars, and stay separate calls.
     */
   def report(df: DataFrame, approx: Boolean = true,
-             accuracy: Int = 10000): DataFrame =
-    df.agg(array(reportMetricStructs(df, approx, accuracy): _*).as("_c"))
-      .select(explode(col("_c")).as("c"))
-      .select("c.*")
+             accuracy: Int = 10000): DataFrame = {
+    val (main, card) = reportMetricStructs(df, approx, accuracy)
+    def tall(metrics: Seq[Column]) =
+      df.agg(array(metrics: _*).as("_c"))
+        .select(explode(col("_c")).as("c"))
+        .select("c.*")
+    val base = tall(main ++ (if (approx) card else Nil))
+    (if (approx) base else base.union(tall(card)))
       .orderBy("column", "metric")
+  }
 
   /** Per-GROUP [[report]]: the same metric grid computed for every
     * value of `groupCol` — per-source / per-language / per-split
@@ -325,17 +334,24 @@ object Profiler {
     */
   def reportBy(df: DataFrame, groupCol: String, approx: Boolean = true,
                accuracy: Int = 10000): DataFrame = {
-    val metrics = reportMetricStructs(df, approx, accuracy, exclude = Set(groupCol))
-    df.groupBy(col(groupCol).cast(StringType).as("group"))
-      .agg(array(metrics: _*).as("_c"))
-      .select(col("group"), explode(col("_c")).as("c"))
-      .select("group", "c.*")
+    val (main, card) = reportMetricStructs(df, approx, accuracy, exclude = Set(groupCol))
+    def tall(metrics: Seq[Column]) =
+      df.groupBy(col(groupCol).cast(StringType).as("group"))
+        .agg(array(metrics: _*).as("_c"))
+        .select(col("group"), explode(col("_c")).as("c"))
+        .select("group", "c.*")
+    val base = tall(main ++ (if (approx) card else Nil))
+    (if (approx) base else base.union(tall(card)))
       .orderBy("group", "column", "metric")
   }
 
+  /** Returns (main metrics, cardinality metrics) — cardinality is
+    * split out so the exact flavor can aggregate it separately (see
+    * [[report]]'s scale-shape note on the distinct-rewrite blowup).
+    */
   private def reportMetricStructs(df: DataFrame, approx: Boolean,
                                   accuracy: Int,
-                                  exclude: Set[String] = Set.empty): Seq[Column] = {
+                                  exclude: Set[String] = Set.empty): (Seq[Column], Seq[Column]) = {
     val fields = df.schema.fields.filterNot(f => exclude.contains(f.name))
     val cols = fields.map(_.name).toSeq
     val numCols = fields
@@ -372,9 +388,17 @@ object Profiler {
     }
     val numeric = numCols.flatMap { cName =>
       val v = col(cName).cast(DoubleType)
+      // ONE array-percentile aggregate per column, not three scalar
+      // ones: the three q-metrics reference the semantically-same
+      // aggregate, which Catalyst dedupes to a single buffer — for
+      // the exact flavor that is one hold-all-values buffer per
+      // column instead of three
+      val ps = array(lit(0.25), lit(0.5), lit(0.75))
+      val qArr =
+        if (approx) approx_percentile(v, ps, lit(accuracy))
+        else percentile(v, ps)
       def q(p: Double) =
-        if (approx) approx_percentile(v, lit(p), lit(accuracy))
-        else percentile(v, lit(p))
+        element_at(qArr, p match { case 0.25 => 1; case 0.5 => 2; case _ => 3 })
       val e1 = avg(v); val e2 = avg(v * v); val e3 = avg(v * v * v)
       val e4 = avg(v * v * v * v)
       val m2 = e2 - e1 * e1
@@ -415,6 +439,6 @@ object Profiler {
         ms(cName, "min_alpha", min(s)),
         ms(cName, "max_alpha", max(s)))
     }
-    shape ++ nulls ++ card ++ numeric ++ corrs ++ strs
+    (shape ++ nulls ++ numeric ++ corrs ++ strs, card)
   }
 }
