@@ -60,15 +60,19 @@ object Profiler {
   def numericStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val perCol = cols.map { c =>
       val v = col(c).cast(DoubleType)
+      // one array-percentile aggregate per column: the three quantile
+      // fields reference the semantically-same aggregate, which
+      // Catalyst dedupes to a SINGLE hold-all-values buffer (vs three)
+      val qArr = percentile(v, array(lit(0.25), lit(0.5), lit(0.75)))
       struct(
         lit(c).as("column"),
         count(v).as("cnt"),
         round(avg(v), 4).as("mean"),
         round(stddev_samp(v), 4).as("std"),
         round(min(v), 4).as("min"),
-        round(percentile(v, lit(0.25)), 4).as("q1"),
-        round(percentile(v, lit(0.5)), 4).as("median"),
-        round(percentile(v, lit(0.75)), 4).as("q3"),
+        round(element_at(qArr, 1), 4).as("q1"),
+        round(element_at(qArr, 2), 4).as("median"),
+        round(element_at(qArr, 3), 4).as("q3"),
         round(max(v), 4).as("max"))
     }
     df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
@@ -232,15 +236,17 @@ object Profiler {
                          accuracy: Int = 10000): DataFrame = {
     val perCol = cols.map { c =>
       val v = col(c).cast(DoubleType)
+      // single GK sketch per column for all three quantiles (dedup'd)
+      val qArr = approx_percentile(v, array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy))
       struct(
         lit(c).as("column"),
         count(v).as("cnt"),
         round(avg(v), 4).as("mean"),
         round(stddev_samp(v), 4).as("std"),
         round(min(v), 4).as("min"),
-        round(approx_percentile(v, lit(0.25), lit(accuracy)), 4).as("q1"),
-        round(approx_percentile(v, lit(0.5), lit(accuracy)), 4).as("median"),
-        round(approx_percentile(v, lit(0.75), lit(accuracy)), 4).as("q3"),
+        round(element_at(qArr, 1), 4).as("q1"),
+        round(element_at(qArr, 2), 4).as("median"),
+        round(element_at(qArr, 3), 4).as("q3"),
         round(max(v), 4).as("max"))
     }
     df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
