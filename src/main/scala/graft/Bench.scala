@@ -69,7 +69,8 @@ object Bench {
         .map(_.bigDecimal.toPlainString)
         .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     }
-    def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true): String = {
+    def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true,
+               unit: Boolean = true, load: Boolean = true): String = {
       def f(v: Double) = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
       val qs = results.map { case (k, v, _) =>
         val name = if (stripPrefix) k.stripPrefix("q_") else k
@@ -88,8 +89,11 @@ object Bench {
           }.mkString("{", ",", "}")
           s""""nerr":${errs.size},"errors":$em"""
         }
-      val loadJson = s""""load":[${BigDecimal(loadBefore).setScale(2, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(2, BigDecimal.RoundingMode.HALF_UP)}]"""
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$errJson,$loadJson,"queries":$qs,"sf":$sfJson}"""
+      val loadJson =
+        if (!load) ""
+        else s""","load":[${BigDecimal(loadBefore).setScale(2, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(2, BigDecimal.RoundingMode.HALF_UP)}]"""
+      val unitJson = if (unit) """"unit":"sec",""" else ""
+      s"""{"metric":"total","value":${f(total)},$unitJson$errJson$loadJson,"queries":$qs,"sf":$sfJson}"""
     }
     // prefer keeping FULL query names (cross-round comparability)
     // over a third decimal; strip the q_ prefix next; then drop
@@ -103,8 +107,13 @@ object Bench {
       def f2(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}],"queries":{},"sf":$sfJson}"""
     }
+    // degrade gracefully: decimals -> q_ prefixes -> error detail ->
+    // the "unit" field -> the load indicator -> (absolute last) the
+    // per-query map itself
     val line = Seq(render(3, false), render(2, false), render(3, true),
-        render(2, true), render(1, true), render(1, true, errDetail = false))
+        render(2, true), render(1, true), render(1, true, errDetail = false),
+        render(1, true, errDetail = false, unit = false),
+        render(1, true, errDetail = false, unit = false, load = false))
       .find(_.length <= 1880).getOrElse(renderMinimal)
     println(line)
     spark.stop()

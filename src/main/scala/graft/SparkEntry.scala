@@ -523,6 +523,16 @@ object SparkEntry {
           .withColumn("n_tokens", TextAnalysis.wordCount(col("text"))),
         col("n_tokens"), col("source"), budgetTokens = 10000, temperature = 0.5)
         .orderBy("source")),
+    // quality-aware dedup collapse: within each near-dup component
+    // keep the doc with the MOST tokens (ties -> smallest id), not
+    // the smallest id unconditionally
+    "q_d42_dedup_best" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      val pairs = Dedup.jaccardJoin(docs, "text", "doc_id", 0.8)
+      graft.dedup.Components.dedupByPairsBest(docs, "doc_id", pairs,
+        "id_a", "id_b", size(split(trim(col("text")), " +")))
+        .select("doc_id").orderBy("doc_id")
+    }),
     // dataset-card topline numbers in one pass over per-doc features
     "q_d40_datasheet" -> ((s, d) =>
       graft.text.TextAnalysis.corpusDatasheet(
@@ -1574,6 +1584,33 @@ object SparkEntry {
         |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a
         |)
         |SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY n ORDER BY doc_id""".stripMargin,
+
+    // same recursive-CTE components, then the keeper per cluster is
+    // the max-token (tie: min doc_id) member; output = everything
+    // except the non-keepers
+    "q_d42_dedup_best" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        | FROM documents WHERE doc_id%10=0),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        | WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM edges),
+        |cc(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a
+        |),
+        |comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY n),
+        |tok AS (SELECT doc_id, len(regexp_split_to_array(trim(text),' +')) AS score
+        | FROM documents WHERE doc_id%10=0),
+        |ranked AS (SELECT c.doc_id, row_number() OVER (
+        |   PARTITION BY c.cluster_id ORDER BY t.score DESC, c.doc_id ASC) AS rn
+        | FROM comp c JOIN tok t USING (doc_id)),
+        |losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id%10=0 AND doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     // oracle is the exhaustive all-pairs scan. The query matches it
     // exactly because (a) pairs involving the injected duplicates get

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate PAIR list — the step
@@ -156,6 +156,35 @@ object Components {
                    aCol: String, bCol: String): DataFrame = {
     val losers = connectedComponents(pairs, aCol, bCol)
       .filter(col("node") =!= col("component"))
+      .select(col("node"))
+    df.join(losers, df(idCol) === losers("node"), "left_anti")
+  }
+
+  /** Keep the BEST-scoring document per near-duplicate component
+    * (ties → smallest id) plus every document not mentioned in
+    * `pairs` — the quality-aware collapse: near-duplicates usually
+    * differ (one is truncated, one is boilerplate-wrapped), and the
+    * keeper should be chosen by a quality signal (token count,
+    * quality score), not by id accident as [[dedupByPairs]] does.
+    * Winner selection is ONE component-keyed aggregate (max over a
+    * (score, -id) struct — no window, no per-component sort); the
+    * corpus itself only ever joins by id (losers anti join), so the
+    * shuffle shape matches [[dedupByPairs]] plus that aggregate.
+    */
+  def dedupByPairsBest(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       scoreCol: Column): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val scored = df
+      .select(col(idCol).cast("long").as("node"), scoreCol.cast("double").as("_score"))
+      .join(comp, "node")
+    val winners = scored
+      .groupBy(col("component"))
+      // max score, ties -> smallest id (negated id inverts the order)
+      .agg(max(struct(col("_score").as("s"), (-col("node")).as("negid"))).as("w"))
+      .select((-col("w.negid")).as("winner"))
+    val losers = scored
+      .join(winners, scored("node") === winners("winner"), "left_anti")
       .select(col("node"))
     df.join(losers, df(idCol) === losers("node"), "left_anti")
   }

@@ -308,6 +308,23 @@ class DedupSimSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 7L, 8L)) // 2,3 lose to 1; 6 loses to 5
   }
 
+  test("dedupByPairsBest keeps the highest-scoring doc per component, tie -> smallest id") {
+    val docs = Seq(
+      (1L, 1.0), (2L, 9.0), (3L, 9.0),  // component {1,2,3}: 2 and 3 tie at 9 -> keep 2
+      (4L, 0.5),                         // untouched
+      (5L, 3.0), (6L, 7.0),              // component {5,6}: keep 6
+      (7L, 2.0)).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.dedup.Components.dedupByPairsBest(
+      docs, "doc_id", pairs, "id_a", "id_b", col("quality"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L, 7L))
+    // degenerate: no pairs -> everything kept
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.dedup.Components.dedupByPairsBest(
+      docs, "doc_id", noPairs, "id_a", "id_b", col("quality")).count() == 7)
+  }
+
   test("string similarity finds near-identical strings via tf-idf 3-grams") {
     val df = Seq(
       (1L, "Johnson & Johnson Ltd"),
