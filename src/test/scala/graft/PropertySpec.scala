@@ -117,6 +117,36 @@ class PropertySpec extends SparkSpec {
     assert(picked.toSet.subsetOf(rows.map(t => (t._1, t._2)).toSet))
   }
 
+  test("capped jaccardJoin is a sound subset of exact with identical scores (random corpora)") {
+    // vocabulary mixes ubiquitous tokens (over any relative cap) with
+    // rare ones, so the cap actually prunes on most draws
+    val hot = Gen.oneOf("h1", "h2")
+    val cold = Gen.oneOf((1 to 40).map(i => s"c$i"))
+    val docGen = for {
+      nh <- Gen.chooseNum(1, 2); nc <- Gen.chooseNum(0, 6)
+      hs <- Gen.listOfN(nh, hot); cs <- Gen.listOfN(nc, cold)
+    } yield (hs ++ cs).distinct.mkString(" ")
+    val docs = sample(docGen, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def run(rel: Double) = graft.dedup.Dedup
+      .jaccardJoin(docs, "text", "doc_id", 0.6, relDfCap = rel, allPairsMaxDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = run(Double.NaN)
+    val capped = run(0.5)
+    // soundness: every capped pair exists in exact WITH THE SAME score
+    capped.foreach { case (pair, score) =>
+      assert(exact.get(pair).contains(score), s"capped mis-scored $pair") }
+    // completeness modulo the documented loss: a pair missing from
+    // capped must share ONLY over-cap tokens
+    val sets = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" +").toSet).toMap
+    val n = sets.size
+    val df_ = sets.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    (exact.keySet -- capped.keySet).foreach { case (a, b) =>
+      val shared = sets(a).intersect(sets(b))
+      assert(shared.forall(t => df_(t) > n / 2),
+        s"pair ($a,$b) lost despite sharing a sub-cap token") }
+  }
+
   test("crossEntropy is positive and PSI is zero against self on random corpora") {
     val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")
     val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
