@@ -54,10 +54,12 @@ object Bench {
     val total = results.map(_._2).sum
     val loadAfter = loadAvg
     // The driver keeps only the LAST 2000 chars of output and parses the
-    // JSON line out of that tail; sbt's trailing "[success] ..." line eats
-    // ~80 of them. r1-r3 printed full-precision doubles (~2400 chars) and
-    // the line's head fell off the tail -> BENCH_r{N}.json "parsed": null.
-    // Emit the most precise rendering that still fits the tail budget.
+    // JSON line out of that tail; sbt's trailing "[success] Total time:
+    // ..." line eats at most ~85 of them (longest month name + 4-digit
+    // seconds), so 1900 + 100 reserve is safe. r1-r3 printed
+    // full-precision doubles (~2400 chars) and the line's head fell off
+    // the tail -> BENCH_r{N}.json "parsed": null. Emit the most precise
+    // rendering that still fits the tail budget.
     // only emit the extracted token as a number when it parses as one,
     // and emit the NORMALIZED rendering, not the raw token: BigDecimal
     // accepts "1." / ".5" / "007", which are not valid JSON number
@@ -71,7 +73,13 @@ object Bench {
     }
     def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true,
                unit: Boolean = true, load: Boolean = true): String = {
-      def f(v: Double) = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
+      // values that round to zero render as "0", not "0.000": with 90+
+      // queries mostly under 50ms, those two characters per entry are
+      // the difference between keeping and losing the per-query map
+      def f(v: Double) = {
+        val r = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
+        if (r.signum == 0) "0" else r.toString
+      }
       val qs = results.map { case (k, v, _) =>
         val name = if (stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
@@ -114,7 +122,7 @@ object Bench {
         render(2, true), render(1, true), render(1, true, errDetail = false),
         render(1, true, errDetail = false, unit = false),
         render(1, true, errDetail = false, unit = false, load = false))
-      .find(_.length <= 1880).getOrElse(renderMinimal)
+      .find(_.length <= 1900).getOrElse(renderMinimal)
     println(line)
     spark.stop()
   }

@@ -657,6 +657,17 @@ object SparkEntry {
         .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
         .orderBy("window_start")
     }),
+    // multi-column windowed DQ (streaming dqSummary): one row per
+    // (window, column) from ONE windowed aggregation
+    "q_s4_dq_summary" -> ((s, d) => {
+      val ev = doctoredEvents(s, d)
+        .withColumn("ts2", expr("timestamp_seconds(coalesce(ts, 0L) DIV 1000000000)"))
+      graft.streaming.StreamingDQ.windowedDqSummary(ev, "ts2", Seq(
+        "value" -> Seq(Rule.NumBetween(10, 90)),
+        "event_type" -> Seq(Rule.LenBetween(5, 8))), "1 day", "1 day")
+        .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("window_start", "column")
+    }),
 
     // whole-second truncation on BOTH sides so gap comparisons and
     // formatted session starts are bit-identical across engines.
@@ -1653,6 +1664,27 @@ object SparkEntry {
          | round((count(*) - count(CASE WHEN value IS NULL THEN 1 END)
          |   - count(CASE WHEN value IS NOT NULL AND NOT (value >= 10 AND value <= 90) THEN 1 END))*100.0/count(*),2) AS dq_score
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-column branch mirrors q_s2's shape; event_type's rule is a
+    // length band (only 'view' at 4 chars violates)
+    "q_s4_dq_summary" -> {
+      def one(c: String, violSql: String, nullSql: String) =
+        s"""SELECT strftime(time_bucket(INTERVAL 1 DAY, coalesce(ts, TIMESTAMP '1970-01-01 00:00:00')), '%Y-%m-%d %H:%M:%S') AS window_start,
+           | '$c' AS "column",
+           | count(*) AS total,
+           | count(CASE WHEN $nullSql THEN 1 END) AS null_records,
+           | count(CASE WHEN $violSql THEN 1 END) AS out_of_format_records,
+           | count(*) - count(CASE WHEN $nullSql THEN 1 END)
+           |   - count(CASE WHEN $violSql THEN 1 END) AS proper_format_records,
+           | round((count(*) - count(CASE WHEN $nullSql THEN 1 END)
+           |   - count(CASE WHEN $violSql THEN 1 END))*100.0/count(*),2) AS dq_score
+           |FROM d GROUP BY 1""".stripMargin
+      s"""WITH d AS ($doctoredEventsSql)
+         |${one("value", "value IS NOT NULL AND NOT (value >= 10 AND value <= 90)", "value IS NULL")}
+         |UNION ALL
+         |${one("event_type", "event_type IS NOT NULL AND NOT (length(event_type) >= 5 AND length(event_type) <= 8)", "event_type IS NULL")}
+         |ORDER BY window_start, "column"""".stripMargin
+    },
 
     // session ids via lag-gap flags; RANGE (not ROWS) cumulative sum
     // keeps tied timestamps in one session regardless of tie order.

@@ -41,6 +41,44 @@ object StreamingDQ {
           * 100.0 / col("total"), 2).as("dq_score"))
   }
 
+  /** Multi-COLUMN windowed DQ: one row per (window, column) — the
+    * streaming counterpart of [[graft.quality.Detector.dqSummary]].
+    * ONE watermarked windowed aggregation computes every column's
+    * counters (array-of-structs, exploded after the agg), so the
+    * stream is read once regardless of column count and state stays
+    * one row per open window. Works identically in batch (the oracle
+    * path) and under a streaming trigger.
+    */
+  def windowedDqSummary(stream: DataFrame, tsCol: String,
+                        specs: Seq[(String, Seq[Rule])],
+                        windowDur: String = "1 minute",
+                        watermark: String = "2 minutes"): DataFrame = {
+    val perCol = specs.map { case (name, rules) =>
+      val c = col(name)
+      val viol = Rule.anyViolation(c, rules)
+      struct(
+        lit(name).as("column"),
+        count(lit(1)).as("total"),
+        count(when(c.isNull, 1)).as("null_records"),
+        count(when(c.isNotNull && viol, 1)).as("out_of_format_records"))
+    }
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(array(perCol: _*).as("_c"))
+      .select(col("w.start").as("window_start"), explode(col("_c")).as("c"))
+      .select(
+        col("window_start"),
+        col("c.column").as("column"),
+        col("c.total").as("total"),
+        col("c.null_records").as("null_records"),
+        col("c.out_of_format_records").as("out_of_format_records"),
+        (col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
+          .as("proper_format_records"),
+        round((col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
+          * 100.0 / col("c.total"), 2).as("dq_score"))
+  }
+
   /** Streaming dedup on a key with bounded state:
     * dropDuplicatesWithinWatermark keeps each key only while its
     * event time can still collide inside the watermark.

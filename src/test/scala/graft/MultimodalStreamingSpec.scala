@@ -82,6 +82,35 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: multi-column windowed DQ summary emits one row per (window, column)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Option[Double], String)]
+    val stream = mem.toDF().toDF("ts", "value", "kind")
+    val summed = StreamingDQ.windowedDqSummary(stream, "ts", Seq(
+      "value" -> Seq(Rule.NumBetween(0, 100)),
+      "kind" -> Seq(Rule.LenBetween(2, 4))), "1 minute", "2 minutes")
+    val q = summed.writeStream.format("memory").queryName("dqsum_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (t("2026-01-01 00:00:10"), Some(50.0), "ok"),
+        (t("2026-01-01 00:00:20"), Some(500.0), "toolong"), // value OOF, kind OOF
+        (t("2026-01-01 00:00:30"), None, "ok"))             // value null
+      q.processAllAvailable()
+      mem.addData((t("2026-01-01 00:10:00"), Some(1.0), "ok")) // close window 1
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM dqsum_out").collect()
+        .map(r => r.getAs[String]("column") ->
+          ((r.getAs[Long]("total"), r.getAs[Long]("null_records"),
+            r.getAs[Long]("out_of_format_records")))).toMap
+      assert(rows.size == 2, "one row per column for the closed window")
+      assert(rows("value") == ((3L, 1L, 1L)))
+      assert(rows("kind") == ((3L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming: dedup within watermark drops repeated keys") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
