@@ -48,7 +48,15 @@ object Bench {
       CacheScope.clear() // drop blocks graft pinned inside this query's plans
       val err = runs.flatMap(r => Option(r._2)).headOption.orNull
       if (err != null) System.err.println(s"BENCH QUERY FAILED: $name: $err")
-      (name, runs.map(_._1).min, err)
+      // min over SUCCESSFUL runs only: failures are typically fast, so
+      // a query that throws on one run must not report the failure's
+      // duration as its time (contaminating the headline total). When
+      // every run throws there is no honest duration — fall back to
+      // the failed-run min so the total still adds up, with nerr>0
+      // flagging the contamination.
+      val ok = runs.filter(_._2 == null)
+      val timed = if (ok.nonEmpty) ok else runs
+      (name, timed.map(_._1).min, err)
     }
     val errs = results.collect { case (n, _, e) if e != null => (n, e) }
     val total = results.map(_._2).sum

@@ -75,8 +75,13 @@ object StreamingDQ {
         col("c.out_of_format_records").as("out_of_format_records"),
         (col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
           .as("proper_format_records"),
-        round((col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
-          * 100.0 / col("c.total"), 2).as("dq_score"))
+        // total >= 1 is invariant here (a window group only exists with
+        // at least one row), but guard the division anyway — mirroring
+        // Detector.dqSummary — so a future reshape of the aggregation
+        // can't surface an ANSI 0/0
+        when(col("c.total") > 0,
+          round((col("c.total") - col("c.null_records") - col("c.out_of_format_records"))
+            * 100.0 / col("c.total"), 2)).as("dq_score"))
   }
 
   /** Streaming dedup on a key with bounded state:
