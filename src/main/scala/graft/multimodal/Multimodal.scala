@@ -6,10 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns next to a typed metadata struct. The
   * Spark-side mechanics — schema, partition-sized batching,
-  * mapPartitions signature, deterministic output shape — are real;
-  * the codec itself is STUBBED (this container has no image/audio
-  * libraries) behind `Codec`, with a deterministic fake so the
-  * pipeline is testable end-to-end.
+  * mapPartitions signature, deterministic output shape — are real.
+  * Two codecs ship behind the `Codec` trait:
+  *
+  *   - [[ImageCodec]]: a REAL JDK-only image path (`javax.imageio`
+  *     PNG/JPEG/BMP/GIF decode → hand-rolled bilinear resample →
+  *     luminance + edge-orientation histogram features). No native
+  *     libraries needed.
+  *   - [[StubCodec]]: a deterministic md5-derived fake that any SQL
+  *     engine can recompute — kept as the DEFAULT so the full
+  *     plumbing stays end-to-end oracle-checkable (the oracle cannot
+  *     run an image decoder).
+  *
+  * Audio/video decode (demuxers) genuinely need native libraries and
+  * remain stubbed ([[sampleFrames]]' slicer).
   */
 object Multimodal {
 
@@ -39,6 +49,172 @@ object Multimodal {
         val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
         nibble.toFloat / 15f
       }
+    }
+  }
+
+  /** REAL image codec, JDK-only (`javax.imageio` ships PNG, JPEG,
+    * BMP, GIF readers): decode → bilinear resample to a fixed
+    * `grid`×`grid` luminance field → an 18-float feature vector:
+    * 8 luminance-histogram bins + 8 Sobel edge-orientation bins
+    * (magnitude-weighted) + mean luminance + RMS contrast, all
+    * normalized to [0, 1]. The resampler is hand-rolled double
+    * arithmetic (not Graphics2D, whose rendering pipeline is not
+    * pinned across JDKs), so features are deterministic for a given
+    * decoded pixel grid. Undecodable payloads featurize to an EMPTY
+    * array — callers filter `size(features) > 0` rather than losing
+    * the partition to one corrupt file (at 100 TB there is always
+    * one corrupt file).
+    */
+  class ImageCodec(grid: Int = 32) extends Codec {
+    def decodeAndFeaturize(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val img = ImageCodec.decode(bytes)
+      if (img == null) return Array.empty[Float]
+      val lum = ImageCodec.luminanceGrid(img, grid, grid)
+      val n = (grid * grid).toDouble
+      // 8-bin luminance histogram
+      val hist = new Array[Double](8)
+      var i = 0
+      var sum = 0.0
+      var sumSq = 0.0
+      while (i < lum.length) {
+        val v = lum(i)
+        hist(math.min((v / 32.0).toInt, 7)) += 1.0
+        sum += v; sumSq += v * v
+        i += 1
+      }
+      val mean = sum / n
+      val rms = math.sqrt(math.max(sumSq / n - mean * mean, 0.0))
+      // 8-bin edge-orientation histogram, Sobel, magnitude-weighted
+      val edge = new Array[Double](8)
+      var magSum = 0.0
+      var y = 1
+      while (y < grid - 1) {
+        var x = 1
+        while (x < grid - 1) {
+          def l(dx: Int, dy: Int) = lum((y + dy) * grid + (x + dx))
+          val gx = (l(1, -1) + 2 * l(1, 0) + l(1, 1)) - (l(-1, -1) + 2 * l(-1, 0) + l(-1, 1))
+          val gy = (l(-1, 1) + 2 * l(0, 1) + l(1, 1)) - (l(-1, -1) + 2 * l(0, -1) + l(1, -1))
+          val mag = math.sqrt(gx * gx + gy * gy)
+          if (mag > 0) {
+            val bin = {
+              val b = ((math.atan2(gy, gx) + math.Pi) / (2 * math.Pi) * 8).toInt
+              if (b >= 8) 7 else b
+            }
+            edge(bin) += mag
+            magSum += mag
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](18)
+      i = 0
+      while (i < 8) {
+        out(i) = (hist(i) / n).toFloat
+        out(8 + i) = (if (magSum > 0) edge(i) / magSum else 0.0).toFloat
+        i += 1
+      }
+      out(16) = (mean / 255.0).toFloat
+      out(17) = (rms / 255.0).toFloat
+      out
+    }
+  }
+
+  object ImageCodec extends ImageCodec(32) {
+    /** Decode via `javax.imageio`; null for unrecognized/corrupt
+      * payloads (ImageIO returns null for the former and throws for
+      * the latter — both collapse to "not an image here").
+      * The memory-cache flag is per-stream, so the off-heap temp-file
+      * cache `ImageIO` would otherwise use on executors is avoided.
+      */
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) null
+          else {
+            val r = readers.next()
+            try { r.setInput(in); r.read(0) } finally r.dispose()
+          }
+        } finally in.close()
+      } catch { case _: Exception => null }
+
+    /** Header-only dimension probe: the reader parses IHDR/SOF
+      * markers for width/height without decoding pixel data.
+      */
+    def probeDims(bytes: Array[Byte]): Option[(Int, Int)] =
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try { r.setInput(in); Some((r.getWidth(0), r.getHeight(0))) }
+            finally r.dispose()
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Bilinear resample to a `w`×`h` luminance (BT.601) grid in
+      * row-major order — deterministic double arithmetic over the
+      * decoded ARGB pixels.
+      */
+    def luminanceGrid(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Double] = {
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = bilinearRgb(img, x, y, w, h)
+          out(y * w + x) = 0.299 * r + 0.587 * g + 0.114 * b
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Bilinear resample to a `w`×`h` RGB image (same arithmetic as
+      * [[luminanceGrid]], channel-wise, rounded half-up).
+      */
+    def resampleRgb(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = bilinearRgb(img, x, y, w, h)
+          def ch(v: Double) = math.min(math.max((v + 0.5).toInt, 0), 255)
+          out.setRGB(x, y, (ch(r) << 16) | (ch(g) << 8) | ch(b))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def bilinearRgb(img: java.awt.image.BufferedImage, x: Int, y: Int,
+                            w: Int, h: Int): (Double, Double, Double) = {
+      val sw = img.getWidth; val sh = img.getHeight
+      val fx = (x + 0.5) * sw / w - 0.5
+      val fy = (y + 0.5) * sh / h - 0.5
+      val x0 = math.min(math.max(math.floor(fx).toInt, 0), sw - 1)
+      val y0 = math.min(math.max(math.floor(fy).toInt, 0), sh - 1)
+      val x1 = math.min(x0 + 1, sw - 1)
+      val y1 = math.min(y0 + 1, sh - 1)
+      val wx = math.min(math.max(fx - x0, 0.0), 1.0)
+      val wy = math.min(math.max(fy - y0, 0.0), 1.0)
+      def c(p: Int, shift: Int) = ((p >> shift) & 0xff).toDouble
+      val p00 = img.getRGB(x0, y0); val p10 = img.getRGB(x1, y0)
+      val p01 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+      def mix(shift: Int) =
+        (c(p00, shift) * (1 - wx) + c(p10, shift) * wx) * (1 - wy) +
+          (c(p01, shift) * (1 - wx) + c(p11, shift) * wx) * wy
+      (mix(16), mix(8), mix(0))
     }
   }
 
@@ -73,12 +249,15 @@ object Multimodal {
     }
   }
 
-  /** Resize stage stub: rewrites payloads to a deterministic
-    * byte-budget for the target geometry and stamps the new
-    * dimensions into the metadata (width/height are the fields real
-    * decoders fill). A real implementation swaps the byte truncation
-    * for an image scaler; the Dataset→Dataset shape, meta propagation
-    * and per-partition batching are what downstream stages rely on.
+  /** Resize stage. Payloads `javax.imageio` can decode get a REAL
+    * bilinear resample to `width`×`height`, re-encoded as PNG
+    * (lossless — a resize stage must not add JPEG re-compression
+    * noise), with true dimensions and byte count stamped into the
+    * metadata. Undecodable payloads (non-image media, corrupt files)
+    * fall back to the deterministic byte-budget stub so the stage
+    * stays total — one corrupt file must not kill a 100 TB pass.
+    * The Dataset→Dataset shape, meta propagation and per-partition
+    * batching are what downstream stages rely on.
     */
   def resize(ds: Dataset[MediaRow], width: Int, height: Int): Dataset[MediaRow] = {
     val spark = ds.sparkSession
@@ -86,13 +265,40 @@ object Multimodal {
     val budget = math.max(width * height / 8, 1)
     ds.mapPartitions { rows =>
       rows.map { r =>
-        val bytes =
-          if (r.media.length <= budget) r.media
-          else java.util.Arrays.copyOfRange(r.media, 0, budget)
-        MediaRow(r.id, bytes,
-          MediaMeta(r.meta.format, width, height, bytes.length.toLong))
+        val img = ImageCodec.decode(r.media)
+        if (img != null) {
+          val scaled = ImageCodec.resampleRgb(img, width, height)
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", baos)
+          val bytes = baos.toByteArray
+          MediaRow(r.id, bytes, MediaMeta("png", width, height, bytes.length.toLong))
+        } else {
+          val bytes =
+            if (r.media.length <= budget) r.media
+            else java.util.Arrays.copyOfRange(r.media, 0, budget)
+          MediaRow(r.id, bytes,
+            MediaMeta(r.meta.format, width, height, bytes.length.toLong))
+        }
       }
     }
+  }
+
+  /** [[withMeta]] variant that probes REAL image dimensions from the
+    * payload headers (no pixel decode — the reader parses IHDR/SOF
+    * only, so this is cheap enough to run before partition-sizing
+    * filters). Non-image payloads keep width = height = 0.
+    */
+  def withImageMeta(df: DataFrame, idCol: String, binCol: String, format: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(binCol).as("media"))
+      .as[(Long, Array[Byte])]
+    base.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (w, h) = ImageCodec.probeDims(bytes).getOrElse((0, 0))
+        MediaRow(id, bytes, MediaMeta(format, w, h, bytes.length.toLong))
+      }
+    }.toDF()
   }
 
   /** Frame-sampling stub for video payloads: emits `n` byte-slices

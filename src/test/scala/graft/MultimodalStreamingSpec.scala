@@ -45,6 +45,84 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(out.forall(r => r.meta.nBytes == r.media.length))
   }
 
+  // real PNG/JPEG fixture bytes, generated in-test (no files): a
+  // deterministic two-tone gradient so edge bins are non-trivial
+  private def fixtureImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = if (x < w / 2) (255 * y) / math.max(h - 1, 1) else 32
+      img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | (x * 255 / math.max(w - 1, 1)))
+    }
+    img
+  }
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  test("multimodal: ImageCodec decodes real PNG and JPEG bytes end-to-end") {
+    import spark.implicits._
+    val png = encode(fixtureImage(40, 24), "png")
+    val jpg = encode(fixtureImage(40, 24), "jpg")
+    assert(png.nonEmpty && jpg.nonEmpty)
+    val rows = Seq(
+      MediaRow(1L, png, MediaMeta("png", 0, 0, png.length.toLong)),
+      MediaRow(2L, jpg, MediaMeta("jpg", 0, 0, jpg.length.toLong)),
+      MediaRow(3L, Array[Byte](1, 2, 3), MediaMeta("png", 0, 0, 3))) // corrupt
+    val ds = spark.createDataset(rows)
+    val out = Multimodal.extractFeatures(ds, Multimodal.ImageCodec).collect().sortBy(_.id)
+    // real decode: 18 features, histograms normalized, corrupt -> empty
+    assert(out(0).features.length == 18 && out(1).features.length == 18)
+    assert(out(2).features.isEmpty)
+    assert(out(0).features.forall(f => f >= 0f && f <= 1f))
+    assert(math.abs(out(0).features.take(8).sum - 1f) < 1e-5) // lum hist sums to 1
+    // PNG is lossless: features must match a direct local featurize
+    val local = Multimodal.ImageCodec.decodeAndFeaturize(png,
+      MediaMeta("png", 0, 0, png.length.toLong))
+    assert(out(0).features.sameElements(local))
+    // PNG and JPEG of the SAME image decode to near-identical features
+    // (JPEG is lossy, so approximate agreement, not bit-equality)
+    out(0).features.zip(out(1).features).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.08, s"png=$a jpg=$b")
+    }
+    // different images -> different features
+    val other = Multimodal.ImageCodec.decodeAndFeaturize(
+      encode(fixtureImage(13, 57), "png"), MediaMeta("png", 0, 0, 0L))
+    assert(!local.sameElements(other))
+  }
+
+  test("multimodal: resize really rescales decodable images (and stamps true meta)") {
+    import spark.implicits._
+    val png = encode(fixtureImage(64, 48), "png")
+    val ds = spark.createDataset(Seq(
+      MediaRow(1L, png, MediaMeta("png", 64, 48, png.length.toLong))))
+    val out = Multimodal.resize(ds, 16, 12).collect()(0)
+    assert(out.meta.width == 16 && out.meta.height == 12)
+    assert(out.meta.nBytes == out.media.length)
+    // the payload is a real PNG of the target geometry
+    val back = Multimodal.ImageCodec.decode(out.media)
+    assert(back != null && back.getWidth == 16 && back.getHeight == 12)
+    // lossless round trip: resampling the original locally gives the
+    // exact same pixels as decoding the resized payload
+    val expect = Multimodal.ImageCodec.resampleRgb(
+      Multimodal.ImageCodec.decode(png), 16, 12)
+    for (y <- 0 until 12; x <- 0 until 16)
+      assert((back.getRGB(x, y) & 0xffffff) == (expect.getRGB(x, y) & 0xffffff))
+  }
+
+  test("multimodal: withImageMeta probes real dimensions from headers") {
+    import spark.implicits._
+    val png = encode(fixtureImage(31, 17), "png")
+    val df = Seq((1L, png), (2L, Array[Byte](0, 1, 2))).toDF("id", "payload")
+    val m = Multimodal.withImageMeta(df, "id", "payload", "png").collect()
+      .map(r => r.getLong(0) -> {
+        val s = r.getStruct(2); (s.getAs[Int]("width"), s.getAs[Int]("height"))
+      }).toMap
+    assert(m(1L) == ((31, 17)))
+    assert(m(2L) == ((0, 0))) // non-image: dims stay 0
+  }
+
   test("multimodal: frame sampling emits n slices per payload") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
