@@ -255,6 +255,52 @@ object Profiler {
       .orderBy("column")
   }
 
+  /** Certification query for [[numericStatsApprox]]'s GK quantiles:
+    * for each column × quantile q emits the EXACT order statistics at
+    * ranks ⌊(q−ε)·n⌋ and ⌈(q+ε)·n⌉ (ε = 1/accuracy — the GK rank
+    * guarantee) plus `within` = 1 iff the approx value lands between
+    * them. A SQL oracle recomputes lo/hi exactly and asserts
+    * `within = 1`, turning the sketch's accuracy contract into a
+    * deterministic BETWEEN instead of a hand-waved tolerance.
+    * CORRECTNESS PATH ONLY: the exact bounds need a global sort per
+    * column (single-partition window) — the production profiling
+    * flavor remains [[numericStatsApprox]], which never sorts.
+    */
+  def approxQuantileCheck(df: DataFrame, cols: Seq[String],
+                          accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eps = 1.0 / accuracy
+    val qs = Seq(0.25, 0.5, 0.75)
+    val perCol = cols.map { c =>
+      val v = col(c).cast(DoubleType)
+      // unrounded approx values, one GK sketch for all three quantiles
+      val approx = df.agg(
+        approx_percentile(v, array(qs.map(lit): _*), lit(accuracy)).as("_av"))
+      val vals = graft.CacheScope.persist(
+        df.select(v.as("v")).filter(col("v").isNotNull)
+          .withColumn("rn", row_number().over(Window.orderBy("v"))))
+      val n = vals.agg(count(lit(1)).as("n"))
+      val rows = qs.zipWithIndex.map { case (q, i) =>
+        val lo = vals.crossJoin(broadcast(n))
+          .filter(col("rn") === greatest(floor(lit(q - eps) * col("n")), lit(1L)))
+          .select(col("v").as("_lo"))
+        val hi = vals.crossJoin(broadcast(n))
+          .filter(col("rn") === least(ceil(lit(q + eps) * col("n")), col("n")))
+          .select(col("v").as("_hi"))
+        lo.crossJoin(hi).crossJoin(broadcast(approx))
+          .select(
+            lit(c).as("col_name"),
+            lit(f"$q%.2f").as("q"),
+            round(col("_lo"), 4).as("lo"),
+            round(col("_hi"), 4).as("hi"),
+            when(element_at(col("_av"), i + 1).between(col("_lo"), col("_hi")), 1)
+              .otherwise(0).as("within"))
+      }
+      rows.reduce(_ union _)
+    }
+    perCol.reduce(_ union _).orderBy("col_name", "q")
+  }
+
   /** Skewness / excess kurtosis per numeric column, one scan, from
     * raw moments (m3/m2^1.5, m4/m2^2 - 3). Computed with an explicit
     * E[x^k] formula rather than builtin skewness()/kurtosis() so the

@@ -12,10 +12,12 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle keys without a query: $orphans")
   }
 
-  test("rows-only queries are the documented approximate set") {
+  test("every query has an oracle (no rows-only queries since r8)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_a14_approx_stats", "q_d7_ann_lsh", "q_d8_ann_ivf"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty,
+      s"queries without an oracle: $rowsOnly — the r8 gate-row scheme " +
+        "(exact rows + deterministic claim literals) covers even the " +
+        "approximate operators; new queries must follow it")
   }
 
   test("flagship entry returns rows at sf0.001") {
