@@ -792,7 +792,64 @@ object SparkEntry {
           lit("contact "), emailCol, lit(" id "),
           (lit(10000000000L) + col("c_custkey") * 7919).cast("string"), lit(" end")))
           .as("redacted"))
-      .orderBy("c_custkey"))
+      .orderBy("c_custkey")),
+
+    // ---- end-to-end composed pipeline: the operators chained the way
+    // a real training-data build would chain them, with ONE DuckDB
+    // oracle re-deriving every stage. What this gates beyond the
+    // per-operator queries is COMPOSITION: column contracts across
+    // stages, dedup-before-decontam ordering, driver-side mixture
+    // collect (bounded per-source dimension), and hash-bucket
+    // consistency (sample, split, and packing all derive from the
+    // same md5-head bucket). Chain: quality filter → repair →
+    // exactDedup → minhashPairs+dedupByPairsBest → decontaminate →
+    // tokenBudgetFractions → stratifiedSampleByHash → withSplit →
+    // packSequences.
+    "q_e2e_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // 1. quality gate: keep docs the composite filter passes
+      val keepIds = TextAnalysis.qualityFilterReport(docs, "text", "doc_id")
+        .filter(col("reason") === "keep").select("doc_id")
+      val kept = docs.join(keepIds, "doc_id")
+      // 2. repair: collapse space runs + strip (the reference's two
+      //    whitespace fixes), into text_norm
+      val repaired = Corrector.strip(
+        Corrector.collapseSpaces(
+          kept.withColumn("text_norm", col("text")), "text_norm"), "text_norm")
+      // 3. exact dedup on normalized content (min doc_id wins)
+      val exact = Dedup.exactDedup(repaired, "text_norm", "doc_id")
+      // 4. near-dup collapse at jaccard >= 0.9, keeping the
+      //    most-token member per component
+      val pairs = Dedup.minhashPairs(exact, "text_norm", "doc_id", 0.9)
+      val collapsed = graft.dedup.Components.dedupByPairsBest(exact, "doc_id",
+        pairs, "id_a", "id_b", size(split(trim(col("text_norm")), " +")))
+      // 5. decontaminate vs the held-out benchmark slice (5-gram overlap)
+      val bench = Corrector.strip(Corrector.collapseSpaces(
+        docs.filter(col("doc_id") % 11 === 0).withColumn("text_norm", col("text")),
+        "text_norm"), "text_norm")
+      val corpus = collapsed.filter(col("doc_id") % 11 =!= 0)
+      val dirty = Dedup.contaminatedIds(corpus, "text_norm", "doc_id",
+        bench, "text_norm", n = 5)
+      val clean = corpus.join(dirty, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", TextAnalysis.wordCount(col("text_norm")))
+      // 6. mixture design for a 5000-token budget at temperature 0.5;
+      //    the per-source table is a bounded dimension, so collecting
+      //    it to drive the sampler is the documented pattern
+      val fracs = graft.pipeline.Pipeline.tokenBudgetFractions(
+          clean, col("n_tokens"), col("source"), budgetTokens = 5000,
+          temperature = 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      // 7. materialize mixture, assign reproducible splits, pack
+      val sampled = graft.pipeline.Pipeline.stratifiedSampleByHash(
+        clean, col("doc_id"), col("source"), fracs)
+      val split_ = graft.pipeline.Pipeline.withSplit(sampled, "doc_id")
+      graft.pipeline.Pipeline.packSequences(split_, col("doc_id"),
+          col("n_tokens"), contextLen = 256, buckets = 8)
+        .select(col("doc_id"), col("source"), col("split"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("pack_id"), col("pack_offset").cast("long").as("pack_offset"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1918,6 +1975,87 @@ object SparkEntry {
         | array_to_string(list_transform(range(1, 9), i ->
         |   CAST(CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS FLOAT)
         |        / CAST(15 AS FLOAT) AS VARCHAR)), ',') AS features_csv
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the whole pipeline re-derived in one WITH chain: quality gate
+    // (q_d35's CTEs), whitespace repair, exact dedup (min-id per
+    // md5), near-dup components (recursive CTE, q_d42's keeper rule),
+    // 5-gram decontamination (q_d23), sqrt-temperature mixture
+    // (q_d41), md5-head buckets for sample/split/packing (q_d25/
+    // q_d16/q_d26 — ONE hash value, three moduli), and the packing
+    // window. Near-dup pairs use exact jaccard >= 0.9 — the same
+    // recall-1 equivalence q_d2 establishes for minhashPairs on this
+    // corpus.
+    "q_e2e_pipeline" ->
+      """WITH RECURSIVE
+        |tok0 AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok1 AS (SELECT doc_id, t FROM tok0 WHERE length(t) > 0),
+        |tcq AS (SELECT doc_id, t, count(*) AS c FROM tok1 GROUP BY 1,2),
+        |mq AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(max(c)*1.0/sum(c), 4) AS top_word_frac,
+        |  round(count(*)*1.0/sum(c), 4) AS distinct_ratio FROM tcq GROUP BY 1),
+        |keepq AS (SELECT d.doc_id, d.source,
+        |  trim(regexp_replace(d.text, ' +', ' ', 'g')) AS tn
+        |  FROM documents d JOIN mq USING (doc_id)
+        |  WHERE mq.n_tokens >= 20 AND mq.n_tokens <= 90
+        |    AND mq.top_word_frac <= 0.15 AND mq.distinct_ratio >= 0.40),
+        |ex AS (SELECT doc_id, source, tn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(tn) ORDER BY doc_id) AS rn
+        |  FROM keepq) WHERE rn = 1),
+        |wsx AS (SELECT doc_id, list_distinct(regexp_split_to_array(tn,' +')) AS ws FROM ex),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM wsx a JOIN wsx b ON a.doc_id < b.doc_id
+        |  WHERE round(len(list_intersect(a.ws,b.ws))*1.0
+        |    /(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.9),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM edges),
+        |cc(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a),
+        |comp AS (SELECT n AS doc_id, MIN(lbl) AS cluster_id FROM cc GROUP BY n),
+        |scorex AS (SELECT doc_id, len(regexp_split_to_array(trim(tn),' +')) AS sc FROM ex),
+        |rankedx AS (SELECT c.doc_id, row_number() OVER (
+        |    PARTITION BY c.cluster_id ORDER BY s.sc DESC, c.doc_id ASC) AS rn
+        |  FROM comp c JOIN scorex s USING (doc_id)),
+        |losers AS (SELECT doc_id FROM rankedx WHERE rn > 1),
+        |collapsed AS (SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |corpus0 AS (SELECT * FROM collapsed WHERE doc_id % 11 <> 0),
+        |benchw AS (SELECT regexp_split_to_array(trim(regexp_replace(text,' +',' ','g')),' +') AS w
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |bsh AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(w)-4,1)+1),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS sh FROM benchw),
+        |cw AS (SELECT doc_id, regexp_split_to_array(tn,' +') AS w FROM corpus0),
+        |csh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-4,1)+1),
+        |    i -> array_to_string(w[i:i+4], ' '))) AS sh FROM cw),
+        |dirty AS (SELECT DISTINCT doc_id FROM csh JOIN bsh USING (sh)),
+        |clean AS (SELECT c.doc_id, c.source,
+        |    len(regexp_split_to_array(trim(c.tn),' +')) AS n_tokens
+        |  FROM corpus0 c WHERE c.doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |t2 AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tokens FROM clean GROUP BY 1),
+        |w2 AS (SELECT source, tokens,
+        |  CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wt FROM t2),
+        |n2a AS (SELECT sum(wt) AS wsum FROM w2),
+        |fr AS (SELECT source,
+        |  round(least(1.0, (5000.0 * wt / (SELECT wsum FROM n2a)) / tokens), 4) AS keep_frac
+        |  FROM w2),
+        |bkt AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hv FROM clean),
+        |sampled AS (SELECT c.doc_id, c.source, c.n_tokens,
+        |    CASE WHEN b.hv % 100 < 80 THEN 'train'
+        |         WHEN b.hv % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+        |    b.hv % 8 AS bkt8
+        |  FROM clean c JOIN bkt b USING (doc_id) JOIN fr USING (source)
+        |  WHERE b.hv % 10000 < CAST(round(fr.keep_frac * 10000) AS BIGINT)),
+        |packed AS (SELECT doc_id, source, split, n_tokens, bkt8,
+        |    sum(n_tokens) OVER (PARTITION BY bkt8 ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cb
+        |  FROM sampled)
+        |SELECT doc_id, source, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(bkt8 AS VARCHAR) || '_' || CAST(cb // 256 AS VARCHAR) AS pack_id,
+        |  CAST(cb % 256 AS BIGINT) AS pack_offset
+        |FROM packed ORDER BY doc_id""".stripMargin
   )
 }
