@@ -153,8 +153,9 @@ object Components {
     * the full table never shuffles by anything but the join key.
     */
   def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
-                   aCol: String, bCol: String): DataFrame = {
-    val losers = connectedComponents(pairs, aCol, bCol)
+                   aCol: String, bCol: String,
+                   smallGraphMaxEdges: Long = 500000): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol, smallGraphMaxEdges = smallGraphMaxEdges)
       .filter(col("node") =!= col("component"))
       .select(col("node"))
     df.join(losers, df(idCol) === losers("node"), "left_anti")
@@ -173,8 +174,9 @@ object Components {
     */
   def dedupByPairsBest(df: DataFrame, idCol: String, pairs: DataFrame,
                        aCol: String, bCol: String,
-                       scoreCol: Column): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+                       scoreCol: Column,
+                       smallGraphMaxEdges: Long = 500000): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, smallGraphMaxEdges = smallGraphMaxEdges)
     val scored = df
       .select(col(idCol).cast("long").as("node"), scoreCol.cast("double").as("_score"))
       .join(comp, "node")

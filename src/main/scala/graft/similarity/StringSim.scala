@@ -41,6 +41,18 @@ object StringSim {
     * `relDfCap = Double.NaN` (and leave `dfCap` at its default) for
     * the exact-recall single-pass plan. Both caps resolve inside the
     * plan (broadcast-scalar N) — no driver-side count.
+    *
+    * MEASURED AT SCALE (SCALE_SWEEP.md, r8): the relative default is
+    * a skew guard, not a volume bound — mid-frequency grams from
+    * shared prefixes/templates (df « 0.5·N but in the thousands)
+    * contribute Σdf² candidates, measured at 112 s for 15k
+    * TPC-H-style names. Corpora with shared prefixes want an
+    * ABSOLUTE `dfCap` (≈64 ran the same corpus in 4.9 s, flat to
+    * 150k names). The converse trade-off: an absolute cap finds a
+    * pair only if it shares ≥1 sub-cap gram — sequential key-like
+    * strings where near-identical pairs share only common grams lose
+    * recall; THAT shape wants banded minhash (`Dedup.minhashPairs`
+    * prunes by similarity, not gram rarity) instead of a gram index.
     */
   def similarPairs(df: DataFrame, strCol: String, idCol: String,
                    minSimilarity: Double, n: Int = 3,

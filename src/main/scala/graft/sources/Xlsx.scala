@@ -61,6 +61,15 @@ object Xlsx {
     * raw numerics; values via Row.toString semantics per field).
     * Throws rather than silently truncating past the sheet cap —
     * an export that needs more rows wants a lake format instead.
+    *
+    * SIZE BOUND (by design): rows stream through the DRIVER via
+    * `toLocalIterator` — one partition in memory at a time, so the
+    * bound is the 1,048,575-row sheet cap and driver throughput, not
+    * driver heap. This mirrors the reference's single-file download
+    * (downloader.py); it is an ergonomics sink for human-facing
+    * extracts. For bulk export use [[writeXlsxPartitioned]] (one
+    * workbook per partition, written BY THE EXECUTORS — no driver
+    * funnel) or a lake format.
     */
   def writeXlsx(df: DataFrame, path: String,
                 maxRows: Int = 1048575): Unit = {
@@ -81,6 +90,41 @@ object Xlsx {
         }
       })
     } finally fs.close()
+  }
+
+  /** Distributed multi-file export: one workbook PER PARTITION,
+    * written by the executors into `dir/part-<i>.xlsx` — the scale
+    * path [[writeXlsx]]'s driver-streamed single file is not. Caller
+    * controls file count/size via an upstream `repartition(n)`; each
+    * partition must respect the per-sheet row cap (enforced — the
+    * task throws rather than truncating). `dir` must be visible to
+    * the executors (shared FS on a real cluster). [[readXlsx]] reads
+    * the resulting directory back as one DataFrame.
+    */
+  def writeXlsxPartitioned(df: DataFrame, dir: String,
+                           maxRowsPerFile: Int = 1048575): Unit = {
+    val cols = df.columns.toSeq
+    new java.io.File(dir).mkdirs()
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = new java.io.FileOutputStream(s"$dir/part-$pid.xlsx")
+        try {
+          writeWorkbook(fs, cols, new Iterator[Seq[Any]] {
+            private var n = 0
+            def hasNext: Boolean = it.hasNext
+            def next(): Seq[Any] = {
+              n += 1
+              if (n > maxRowsPerFile)
+                throw new IllegalArgumentException(
+                  s"partition exceeds $maxRowsPerFile rows/sheet — repartition smaller")
+              val r = it.next()
+              (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
+            }
+          })
+        } finally fs.close()
+      }
+    }
   }
 
   // ---------- parsing ----------

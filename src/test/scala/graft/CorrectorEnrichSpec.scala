@@ -130,4 +130,28 @@ class CorrectorEnrichSpec extends SparkSpec {
     assert(sorted == Seq(3, 2, 1))
     assert(Corrector.reorder(df, Seq("s", "k")).columns.toSeq == Seq("s", "k"))
   }
+
+  test("full-size synthetic TR name catalog (12,826 rows) drives genderFromTable through the dim contract") {
+    import graft.tools.GenTrNameCatalog
+    val rows = GenTrNameCatalog.rows(12826)
+    assert(rows.size == 12826)
+    assert(rows.map(_._1).distinct.size == 12826, "catalog names must be unique")
+    assert(rows == GenTrNameCatalog.rows(12826), "generator must be deterministic")
+    assert(rows.count(_._2 == "F") > 4000 && rows.count(_._2 == "M") > 4000,
+      "both genders realistically represented")
+    // write -> readCsv -> enrich, at the reference catalog's cardinality
+    val csv = java.nio.file.Files.createTempDirectory("cat").resolve("tr.csv")
+    GenTrNameCatalog.writeCsv(csv.toString)
+    val dim = graft.sources.Sources.readCsv(spark, csv.toString)
+    assert(dim.count() == 12826)
+    import spark.implicits._
+    val facts = rows.take(200).map { case (n, _) => n + " Yılmaz" }
+      .zipWithIndex.map(_.swap).toDF("id", "full_name")
+    val out = Enrich.genderFromTable(facts, "full_name", dim)
+    val got = out.select("full_name", "gender").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rows.take(200).foreach { case (n, g) =>
+      assert(got(n + " Yılmaz") == g, s"catalog lookup for $n")
+    }
+  }
 }

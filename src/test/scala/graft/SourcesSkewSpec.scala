@@ -35,6 +35,21 @@ class SourcesSkewSpec extends SparkSpec {
     assert(rows(2) == ("3", null, "-0.25"))
   }
 
+  test("partitioned xlsx export: one workbook per partition, executors write, reader reassembles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsxp").toString + "/multi"
+    val df = (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "name").repartition(3)
+    Xlsx.writeXlsxPartitioned(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(files.length == 3, "one workbook per non-empty partition")
+    val back = Xlsx.readXlsx(spark, dir)
+    assert(back.count() == 100)
+    assert(back.collect().map(_.getString(0).toLong).sorted.toSeq == (1L to 100L))
+    // per-sheet cap is enforced, not silently truncated
+    intercept[org.apache.spark.SparkException] {
+      Xlsx.writeXlsxPartitioned(df.repartition(1), dir + "2", maxRowsPerFile = 10)
+    }
+  }
+
   test("xlsx reader handles shared strings and sparse cells (openpyxl-style part layout)") {
     // hand-crafted workbook using the sharedStrings part + a gap cell,
     // the layout pandas/openpyxl emit (our writer uses inline strings,
