@@ -218,6 +218,167 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec for WAV/PCM payloads, JDK-only
+    * (`javax.sound.sampled` ships WAV/AU/AIFF parsers and PCM
+    * decoding — no native libraries): decode → mono-mix → a 12-float
+    * feature vector: RMS energy, zero-crossing rate, 8-band
+    * log-spaced FFT spectral energy profile, duration seconds,
+    * sample rate / 100kHz.
+    * All arithmetic is fixed-order doubles over the decoded samples
+    * — deterministic for a given payload. Undecodable payloads
+    * (compressed codecs, corrupt files) featurize to an EMPTY array,
+    * same contract as [[ImageCodec]]. Compressed audio (mp3/aac)
+    * genuinely needs native decoders and stays out of scope.
+    */
+  object AudioCodec extends Codec {
+    def decodeAndFeaturize(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val decoded = decodePcm(bytes)
+      if (decoded == null) return Array.empty[Float]
+      val (samples, rate) = decoded
+      val n = samples.length
+      if (n == 0) return Array.empty[Float]
+      var sumSq = 0.0
+      var zc = 0
+      var i = 0
+      while (i < n) {
+        val s = samples(i)
+        sumSq += s * s
+        if (i > 0 && (s >= 0) != (samples(i - 1) >= 0)) zc += 1
+        i += 1
+      }
+      // 8 log-spaced spectral bands from a 4096-point FFT of the
+      // first samples (bounded work per payload): band b sums bin
+      // energies over [2^(b+3), 2^(b+4)) — i.e. rate·8/4096 up to
+      // Nyquist/2 — so a tone lands squarely in its band instead of
+      // smearing into resonator sidelobes
+      val mag2 = AudioCodec.fftMag2(samples, 4096)
+      val bands = new Array[Double](8)
+      var b = 0
+      while (b < 8) {
+        var k = 1 << (b + 3)
+        val hi = 1 << (b + 4)
+        var acc = 0.0
+        while (k < hi) { acc += mag2(k); k += 1 }
+        bands(b) = acc
+        b += 1
+      }
+      val bandSum = bands.sum
+      val out = new Array[Float](12)
+      out(0) = math.sqrt(sumSq / n).toFloat                    // rms
+      out(1) = (zc.toDouble / math.max(n - 1, 1)).toFloat      // zcr
+      i = 0
+      while (i < 8) {
+        out(2 + i) = (if (bandSum > 0) bands(i) / bandSum else 0.0).toFloat
+        i += 1
+      }
+      out(10) = (n.toDouble / rate).toFloat                    // seconds
+      out(11) = (rate / 100000.0).toFloat
+      out
+    }
+
+    /** Squared magnitudes of a radix-2 FFT over the first `size`
+      * samples (zero-padded; `size` must be a power of two).
+      * Iterative Cooley-Tukey in fixed evaluation order —
+      * deterministic doubles.
+      */
+    def fftMag2(samples: Array[Double], size: Int): Array[Double] = {
+      val re = new Array[Double](size)
+      val im = new Array[Double](size)
+      val m = math.min(samples.length, size)
+      System.arraycopy(samples, 0, re, 0, m)
+      // bit-reversal permutation
+      var i = 1
+      var j = 0
+      while (i < size) {
+        var bit = size >> 1
+        while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+        j |= bit
+        if (i < j) {
+          val tr = re(i); re(i) = re(j); re(j) = tr
+          val ti = im(i); im(i) = im(j); im(j) = ti
+        }
+        i += 1
+      }
+      var len = 2
+      while (len <= size) {
+        val ang = -2.0 * math.Pi / len
+        val wr = math.cos(ang)
+        val wi = math.sin(ang)
+        var base = 0
+        while (base < size) {
+          var cr = 1.0; var ci = 0.0
+          var k = 0
+          while (k < len / 2) {
+            val ur = re(base + k); val ui = im(base + k)
+            val vr = re(base + k + len / 2) * cr - im(base + k + len / 2) * ci
+            val vi = re(base + k + len / 2) * ci + im(base + k + len / 2) * cr
+            re(base + k) = ur + vr; im(base + k) = ui + vi
+            re(base + k + len / 2) = ur - vr; im(base + k + len / 2) = ui - vi
+            val ncr = cr * wr - ci * wi
+            ci = cr * wi + ci * wr; cr = ncr
+            k += 1
+          }
+          base += len
+        }
+        len <<= 1
+      }
+      val out = new Array[Double](size)
+      i = 0
+      while (i < size) { out(i) = re(i) * re(i) + im(i) * im(i); i += 1 }
+      out
+    }
+
+    /** Decode to mono [-1, 1] doubles + sample rate; null when the
+      * payload is not a parseable PCM container.
+      */
+    def decodePcm(bytes: Array[Byte]): (Array[Double], Float) =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val enc = fmt.getEncoding
+          val ok = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          if (!ok || fmt.getSampleSizeInBits % 8 != 0) null
+          else {
+            val raw = in.readAllBytes()
+            val bytesPerSample = fmt.getSampleSizeInBits / 8
+            val ch = fmt.getChannels
+            val frames = raw.length / (bytesPerSample * ch)
+            val outArr = new Array[Double](frames)
+            val big = fmt.isBigEndian
+            val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val full = 1L << (fmt.getSampleSizeInBits - 1)
+            var f = 0
+            while (f < frames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                val off = (f * ch + c) * bytesPerSample
+                var v = 0L
+                var k = 0
+                while (k < bytesPerSample) {
+                  val byteVal = raw(off + (if (big) k else bytesPerSample - 1 - k)) & 0xffL
+                  v = (v << 8) | byteVal
+                  k += 1
+                }
+                if (signed) { // sign-extend
+                  val bits = bytesPerSample * 8
+                  if ((v & (1L << (bits - 1))) != 0) v -= 1L << bits
+                } else v -= full // center unsigned at 0
+                acc += v.toDouble / full
+                c += 1
+              }
+              outArr(f) = acc / ch
+              f += 1
+            }
+            (outArr, fmt.getSampleRate)
+          }
+        } finally in.close()
+      } catch { case _: Exception => null }
+  }
+
   /** Build a media table from any source with an id + binary column.
     * Metadata is derived cheaply (no decode) so filters on
     * format/size push down before the expensive stage.

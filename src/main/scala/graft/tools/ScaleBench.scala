@@ -87,7 +87,13 @@ object ScaleBench {
       // rare grams, so the pairs that matter survive
       "b4_cap64" -> (() =>
         graft.similarity.StringSim.similarPairs(cust, "c_name", "c_custkey", 0.9,
-          dfCap = 64).count()))
+          dfCap = 64).count()),
+      // the COMPOSED 10-operator pipeline exactly as the driver gate
+      // runs it (q_e2e_pipeline) — its internal gates are left at
+      // their production defaults, so at x10 the minhash stage takes
+      // the banded-LSH branch naturally (50k docs > allPairsMaxSets)
+      "e2e_pipeline" -> (() =>
+        graft.SparkEntry.queries("q_e2e_pipeline")(spark, dir).count()))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory

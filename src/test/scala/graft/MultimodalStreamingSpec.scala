@@ -123,6 +123,66 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(m(2L) == ((0, 0))) // non-image: dims stay 0
   }
 
+  // real WAV/PCM fixture: 16-bit little-endian sine wave, built via
+  // javax.sound.sampled (the same stack the codec decodes with)
+  private def wavBytes(freq: Double, rate: Float, secs: Double, amp: Double,
+                       channels: Int = 1): Array[Byte] = {
+    val n = (rate * secs).toInt
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+    val data = new Array[Byte](n * 2 * channels)
+    for (i <- 0 until n; c <- 0 until channels) {
+      val v = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt.toShort
+      val off = (i * channels + c) * 2
+      data(off) = (v & 0xff).toByte
+      data(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("multimodal: AudioCodec decodes real WAV bytes end-to-end") {
+    import spark.implicits._
+    val mono = wavBytes(440.0, 8000f, 0.5, 0.5)
+    val stereo = wavBytes(440.0, 8000f, 0.5, 0.5, channels = 2)
+    val rows = Seq(
+      MediaRow(1L, mono, MediaMeta("wav", 0, 0, mono.length.toLong)),
+      MediaRow(2L, stereo, MediaMeta("wav", 0, 0, stereo.length.toLong)),
+      MediaRow(3L, Array[Byte](1, 2, 3, 4), MediaMeta("wav", 0, 0, 4L)))
+    val out = Multimodal.extractFeatures(spark.createDataset(rows),
+      Multimodal.AudioCodec).collect().sortBy(_.id)
+    assert(out(0).features.length == 12)
+    assert(out(2).features.isEmpty, "corrupt payload -> empty features")
+    val f = out(0).features
+    // amp-0.5 sine: rms = 0.5/sqrt(2) ~ 0.354; 440 Hz at 8 kHz: zcr ~ 0.11
+    assert(math.abs(f(0) - 0.354f) < 0.02, s"rms=${f(0)}")
+    assert(math.abs(f(1) - 0.11f) < 0.015, s"zcr=${f(1)}")
+    // spectral profile: 440 Hz at 8 kHz -> FFT bin 225 -> band
+    // [128,256) = index 4 dominates; profile sums to 1
+    assert(math.abs(f.slice(2, 10).sum - 1f) < 1e-4)
+    val bandsF = f.slice(2, 10)
+    assert(bandsF.indexOf(bandsF.max) == 4, bandsF.mkString(","))
+    assert(bandsF(4) > 0.8f, "tone energy concentrated in its band")
+    // a different tone lands in a different band (1500 Hz -> bin 768
+    // -> band [512,1024) = index 6)
+    val hi = Multimodal.AudioCodec.decodeAndFeaturize(
+      wavBytes(1500.0, 8000f, 0.5, 0.5), MediaMeta("wav", 0, 0, 0L)).slice(2, 10)
+    assert(hi.indexOf(hi.max) == 6, hi.mkString(","))
+    assert(math.abs(f(10) - 0.5f) < 1e-3, s"duration=${f(10)}")
+    assert(math.abs(f(11) - 0.08f) < 1e-6, s"rate=${f(11)}")
+    // stereo mixes to the same mono content -> near-identical features
+    out(0).features.zip(out(1).features).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-3, s"mono=$a stereo=$b")
+    }
+    // determinism
+    val again = Multimodal.AudioCodec.decodeAndFeaturize(mono,
+      MediaMeta("wav", 0, 0, mono.length.toLong))
+    assert(again.sameElements(f))
+  }
+
   test("multimodal: frame sampling emits n slices per payload") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(

@@ -125,4 +125,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"bounded vocab must broadcast, not shuffle the token stream by token:\n$p")
   }
+
+  test("production approx stats never sort: no window, no Expand, one scan") {
+    // the r8 certification query (q_a14) deliberately sorts for exact
+    // rank bounds — but the PRODUCTION operator must stay sort-free
+    val p = graft.profile.Profiler.numericStatsApprox(
+      Tables.load(spark, dir, "lineitem"), Seq("l_quantity", "l_extendedprice"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Window"), s"numericStatsApprox must not plan a window:\n$p")
+    assert(!p.contains("Expand"), s"numericStatsApprox must not Expand:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"one scan expected:\n$p")
+  }
+
+  test("e2e pipeline keeps its reused frames pinned (InMemoryRelation in plan)") {
+    // without the CacheScope pins every downstream consumer re-derives
+    // filter+repair+dedup (measured: the difference between one 2.9 s
+    // pair job and re-running the whole upstream chain per stage)
+    val p = plan("q_e2e_pipeline")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"expected pinned intermediates in the e2e plan:\n${p.take(2000)}")
+    CacheScope.clear()
+  }
 }
