@@ -85,7 +85,14 @@ object GenCorpus {
         concat(col("c_name"), lit(s" v$r")).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
 
-    for ((reps, name, files) <- Seq((1, "x1", 4), (3, "x3", 8), (10, "x10", 24))) {
+    // x50 exists to push the near-dup EDGE count past the components'
+    // default 500k union-find gate (C(50,2)·4286 non-exact clusters
+    // ≈ 5M+ edges), so the distributed pointer-jumping path engages
+    // with NO forced gates
+    val sizes = Seq((1, "x1", 4), (3, "x3", 8), (10, "x10", 24), (50, "x50", 48))
+    val wanted = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
+    for ((reps, name, files) <- sizes
+         if wanted.isEmpty || wanted.contains(name)) {
       (0 until reps).map(docRep).reduce(_ union _)
         .repartition(files)
         .write.mode("overwrite").parquet(s"$out/$name/documents.parquet")

@@ -62,6 +62,11 @@ object ScaleBench {
       "d21_components" -> (() =>
         Components.connectedComponents(minhash(), "id_a", "id_b",
           smallGraphMaxEdges = 0).count()),
+      // PRODUCTION defaults (no forced gate): at x50 the ~6M-edge
+      // graph exceeds the 500k union-find bound, so the distributed
+      // pointer-jumping fixpoint engages because the DATA demands it
+      "d21_natural" -> (() =>
+        Components.connectedComponents(minhash(), "id_a", "id_b").count()),
       "d33_sempairs" -> (() => {
         val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 64)
         Ann.semanticPairs(emb, "embedding", "vec_id", cents, 0.99).count()
