@@ -80,7 +80,8 @@ object Bench {
         .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     }
     def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true,
-               unit: Boolean = true, load: Boolean = true): String = {
+               unit: Boolean = true, load: Boolean = true,
+               loadDec: Int = 2): String = {
       // values that round to zero render as "0", not "0.000": with 90+
       // queries mostly under 50ms, those two characters per entry are
       // the difference between keeping and losing the per-query map
@@ -107,7 +108,7 @@ object Bench {
         }
       val loadJson =
         if (!load) ""
-        else s""","load":[${BigDecimal(loadBefore).setScale(2, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(2, BigDecimal.RoundingMode.HALF_UP)}]"""
+        else s""","load":[${BigDecimal(loadBefore).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)}]"""
       val unitJson = if (unit) """"unit":"sec",""" else ""
       s"""{"metric":"total","value":${f(total)},$unitJson$errJson$loadJson,"queries":$qs,"sf":$sfJson}"""
     }
@@ -124,13 +125,22 @@ object Bench {
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}],"queries":{},"sf":$sfJson}"""
     }
     // degrade gracefully: decimals -> q_ prefixes -> error detail ->
-    // the "unit" field -> the load indicator -> (absolute last) the
-    // per-query map itself
-    val line = Seq(render(3, false), render(2, false), render(3, true),
+    // the "unit" field -> load PRECISION (integers still answer "was
+    // the box contended", which is the field's whole job — r8's
+    // 95-query map pushed the 2-decimal load render 17 chars over
+    // budget and silently dropped the field) -> the load indicator ->
+    // (absolute last) the per-query map itself
+    // the integer-load render gets a relaxed cap: the driver tail is
+    // 2000 chars and sbt's trailing success line eats ≤ ~85, so 1912
+    // still parses — better to spend the last 12 chars of reserve on
+    // keeping the contention indicator than to lose it entirely
+    val line = (Seq(render(3, false), render(2, false), render(3, true),
         render(2, true), render(1, true), render(1, true, errDetail = false),
-        render(1, true, errDetail = false, unit = false),
-        render(1, true, errDetail = false, unit = false, load = false))
-      .find(_.length <= 1900).getOrElse(renderMinimal)
+        render(1, true, errDetail = false, unit = false)).map((_, 1900)) ++ Seq(
+        (render(1, true, errDetail = false, unit = false, loadDec = 0), 1912),
+        (render(1, true, errDetail = false, unit = false, load = false), 1900)))
+      .collectFirst { case (s, cap) if s.length <= cap => s }
+      .getOrElse(renderMinimal)
     println(line)
     spark.stop()
   }
