@@ -462,10 +462,42 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL frame sampling for demuxable containers: RIFF/AVI payloads
+    * (MJPEG — each frame a complete JPEG that [[ImageCodec]] decodes)
+    * are parsed with the JDK-only [[Avi]] demuxer and `n` evenly-
+    * spaced REAL frames are emitted with their source frame indices.
+    * Non-demuxable payloads fall back to [[sampleFrames]]' byte
+    * slicer so the stage stays total. Inter-frame compressed codecs
+    * (H.264 …) genuinely need native decoders — out of scope.
+    */
+  def sampleVideoFrames(ds: Dataset[MediaRow], n: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.flatMap { r =>
+      val fr = Avi.frames(r.media)
+      if (fr.nonEmpty) {
+        val k = math.max(math.min(n, fr.size), 1)
+        (0 until k).iterator.map { i =>
+          val idx = (i.toLong * fr.size / k).toInt // evenly spaced
+          (r.id, idx, fr(idx))
+        }
+      } else sliceFrames(r, n)
+    }.toDF("id", "frame_idx", "frame_bytes")
+  }
+
+  private def sliceFrames(r: MediaRow, n: Int): Iterator[(Long, Int, Array[Byte])] = {
+    val sz = math.max(r.media.length / math.max(n, 1), 1)
+    (0 until n).iterator.map { i =>
+      val from = math.min(i * sz, math.max(r.media.length - 1, 0))
+      val until = math.min(from + sz, r.media.length)
+      (r.id, i, java.util.Arrays.copyOfRange(r.media, from, until))
+    }
+  }
+
   /** Frame-sampling stub for video payloads: emits `n` byte-slices
-    * per payload with frame indices — the real implementation swaps
-    * the slicer for a demuxer; the explode/partitioning shape is
-    * identical.
+    * per payload with frame indices — [[sampleVideoFrames]] is the
+    * real path for demuxable containers; this keeps a deterministic
+    * shape for payloads whose codec is out of scope.
     */
   def sampleFrames(ds: Dataset[MediaRow], n: Int): DataFrame = {
     val spark = ds.sparkSession

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Avi, Multimodal}
 import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
 import graft.streaming.StreamingDQ
 import graft.quality.Rule
@@ -181,6 +181,48 @@ class MultimodalStreamingSpec extends SparkSpec {
     val again = Multimodal.AudioCodec.decodeAndFeaturize(mono,
       MediaMeta("wav", 0, 0, mono.length.toLong))
     assert(again.sameElements(f))
+  }
+
+  // minimal MJPEG AVI built by hand: RIFF(AVI ) -> LIST(movi) ->
+  // '00dc' chunks, each a complete JPEG
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, data: Array[Byte]) =
+      ascii(id) ++ le32(data.length) ++ data ++
+        (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val movi = ascii("movi") ++ frames.flatMap(f => chunk("00dc", f))
+    val lst = chunk("LIST", movi)
+    ascii("RIFF") ++ le32(4 + lst.length) ++ ascii("AVI ") ++ lst
+  }
+
+  test("multimodal: real MJPEG AVI demux — evenly sampled frames decode as images") {
+    import spark.implicits._
+    // 6 frames with distinct content (varying geometry pattern)
+    val jpegs = (0 until 6).map(i => encode(fixtureImage(24 + i, 16), "jpg"))
+    val avi = mjpegAvi(jpegs)
+    assert(Avi.frames(avi).size == 6)
+    val rows = Seq(
+      MediaRow(1L, avi, MediaMeta("avi", 0, 0, avi.length.toLong)),
+      MediaRow(2L, Array.tabulate[Byte](20)(_.toByte), MediaMeta("mp4", 0, 0, 20L)))
+    val out = Multimodal.sampleVideoFrames(spark.createDataset(rows), 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    val vid = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(vid.map(_._2).toSeq == Seq(0, 2, 4), "evenly spaced source frame indices")
+    // each sampled frame is the EXACT source JPEG and decodes with real dims
+    vid.foreach { case (_, idx, bytes) =>
+      assert(bytes.sameElements(jpegs(idx)))
+      val img = Multimodal.ImageCodec.decode(bytes)
+      assert(img != null && img.getWidth == 24 + idx && img.getHeight == 16)
+    }
+    // non-demuxable payload falls back to the byte slicer (3 slices)
+    assert(out.count(_._1 == 2L) == 3)
+    // corrupt/truncated container -> no frames, no throw
+    assert(Avi.frames(avi.take(30)).isEmpty ||
+      Avi.frames(avi.take(30)).size < 6)
+    assert(Avi.frames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
   test("multimodal: frame sampling emits n slices per payload") {
