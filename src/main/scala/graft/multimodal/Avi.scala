@@ -29,7 +29,7 @@ object Avi {
         return Vector.empty
       val out = Vector.newBuilder[Array[Byte]]
       walk(bytes, 12, math.min(12L + u32(bytes, 4) - 4, bytes.length.toLong).toInt,
-        inMovi = false, out)
+        inMovi = false, depth = 0, out)
       out.result()
     } catch { case _: Exception => Vector.empty }
   }
@@ -45,21 +45,34 @@ object Avi {
     id.length == 4 && id(0).isDigit && id(1).isDigit &&
       id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
 
+  /** RIFF practical nesting is ~3 (RIFF > movi > rec ); 32 tolerates
+    * exotic-but-legal files while making a crafted LIST-of-LIST bomb
+    * a clean empty return instead of a StackOverflowError.
+    */
+  private val MaxDepth = 32
+
   private def walk(b: Array[Byte], start: Int, end: Int, inMovi: Boolean,
+                   depth: Int,
                    out: scala.collection.mutable.Builder[Array[Byte], _]): Unit = {
+    if (depth > MaxDepth) return
     var off = start
     while (off + 8 <= end) {
       val id = fourCC(b, off)
-      val size = u32(b, off + 4)
+      val size = u32(b, off + 4) // unsigned 32-bit: keep ALL arithmetic in Long
       val dataOff = off + 8
       val dataEnd = math.min(dataOff + size, end.toLong).toInt
       if (id == "LIST" && dataEnd - dataOff >= 4) {
         val listType = fourCC(b, dataOff)
-        walk(b, dataOff + 4, dataEnd, inMovi || listType == "movi", out)
+        walk(b, dataOff + 4, dataEnd, inMovi || listType == "movi", depth + 1, out)
       } else if (inMovi && isFrameId(id) && size > 0 && dataEnd <= b.length) {
         out += java.util.Arrays.copyOfRange(b, dataOff, dataEnd)
       }
-      off = dataOff + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // Word-aligned advance, computed in Long: a crafted size near
+      // 2^32 must terminate the scan, never step 0/backwards (which
+      // would hang the executor task with no exception to catch).
+      val next = dataOff.toLong + size + (size & 1L)
+      if (next <= off || next > end) return
+      off = next.toInt
     }
   }
 }

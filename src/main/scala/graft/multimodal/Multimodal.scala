@@ -124,12 +124,14 @@ object Multimodal {
     /** Decode via `javax.imageio`; null for unrecognized/corrupt
       * payloads (ImageIO returns null for the former and throws for
       * the latter — both collapse to "not an image here").
-      * The memory-cache flag is per-stream, so the off-heap temp-file
-      * cache `ImageIO` would otherwise use on executors is avoided.
+      * A [[javax.imageio.stream.MemoryCacheImageInputStream]] is
+      * constructed directly (NOT `ImageIO.createImageInputStream`,
+      * which consults the global use-cache flag — default true — and
+      * would write a temp FILE per decode on executors).
       */
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
       try {
-        val in = javax.imageio.ImageIO.createImageInputStream(
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -146,7 +148,7 @@ object Multimodal {
       */
     def probeDims(bytes: Array[Byte]): Option[(Int, Int)] =
       try {
-        val in = javax.imageio.ImageIO.createImageInputStream(
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -430,7 +432,11 @@ object Multimodal {
         if (img != null) {
           val scaled = ImageCodec.resampleRgb(img, width, height)
           val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(scaled, "png", baos)
+          // Memory-cache output stream for the same reason as decode():
+          // ImageIO.write(img, fmt, OutputStream) would otherwise spill
+          // a temp FILE per encoded image on executors.
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          try javax.imageio.ImageIO.write(scaled, "png", ios) finally ios.close()
           val bytes = baos.toByteArray
           MediaRow(r.id, bytes, MediaMeta("png", width, height, bytes.length.toLong))
         } else {

@@ -100,29 +100,56 @@ object Xlsx {
     * task throws rather than truncating). `dir` must be visible to
     * the executors (shared FS on a real cluster). [[readXlsx]] reads
     * the resulting directory back as one DataFrame.
+    *
+    * Overwrite semantics: stale `part-*.xlsx` from a previous (wider)
+    * export are deleted up front — otherwise a re-export with fewer
+    * partitions would leave orphan part files that [[readXlsx]]
+    * silently merges into the result. Each task writes to a
+    * per-attempt temp name and renames into place on success, so a
+    * retried/speculative attempt can never interleave bytes into the
+    * final `part-<i>.xlsx` (rename within a directory is atomic on
+    * POSIX; last successful attempt wins with identical content).
     */
   def writeXlsxPartitioned(df: DataFrame, dir: String,
                            maxRowsPerFile: Int = 1048575): Unit = {
     val cols = df.columns.toSeq
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val stale = Option(d.listFiles()).getOrElse(Array.empty).filter { f =>
+      val n = f.getName
+      n.startsWith("part-") && (n.endsWith(".xlsx") || n.contains(".xlsx.tmp-"))
+    }
+    stale.foreach { f =>
+      if (!f.delete() && f.exists())
+        throw new java.io.IOException(s"cannot delete stale export file $f")
+    }
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val fs = new java.io.FileOutputStream(s"$dir/part-$pid.xlsx")
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val tmp = new java.io.File(s"$dir/part-$pid.xlsx.tmp-${tc.taskAttemptId()}")
+        val dst = new java.io.File(s"$dir/part-$pid.xlsx")
+        val fs = new java.io.FileOutputStream(tmp)
         try {
-          writeWorkbook(fs, cols, new Iterator[Seq[Any]] {
-            private var n = 0
-            def hasNext: Boolean = it.hasNext
-            def next(): Seq[Any] = {
-              n += 1
-              if (n > maxRowsPerFile)
-                throw new IllegalArgumentException(
-                  s"partition exceeds $maxRowsPerFile rows/sheet — repartition smaller")
-              val r = it.next()
-              (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
-            }
-          })
-        } finally fs.close()
+          try {
+            writeWorkbook(fs, cols, new Iterator[Seq[Any]] {
+              private var n = 0
+              def hasNext: Boolean = it.hasNext
+              def next(): Seq[Any] = {
+                n += 1
+                if (n > maxRowsPerFile)
+                  throw new IllegalArgumentException(
+                    s"partition exceeds $maxRowsPerFile rows/sheet — repartition smaller")
+                val r = it.next()
+                (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
+              }
+            })
+          } finally fs.close()
+          java.nio.file.Files.move(tmp.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        } finally { if (tmp.exists()) tmp.delete(); () }
       }
     }
   }

@@ -225,6 +225,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Avi.frames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("multimodal: adversarial AVI terminates (overflow sizes, LIST bombs)") {
+    def le32(v: Long) = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def ascii(s: String) = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    // chunk size 0xFFFFFFF8: size.toInt = -8, a naive Int advance steps
+    // exactly 0 and spins forever — must return (empty) instead
+    val spin = ascii("RIFF") ++ le32(200) ++ ascii("AVI ") ++
+      ascii("00dc") ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](64)(0)
+    assert(Avi.frames(spin).isEmpty)
+    // size 0xFFFFFFF7 (odd): pad bit makes the naive advance 0 too
+    val spin2 = ascii("RIFF") ++ le32(200) ++ ascii("AVI ") ++
+      ascii("00dc") ++ le32(0xFFFFFFF7L) ++ Array.fill[Byte](64)(0)
+    assert(Avi.frames(spin2).isEmpty)
+    // deeply nested LIST-of-LIST (size covering rest of file each level):
+    // must not StackOverflowError; bounded depth returns cleanly
+    val depth = 10000
+    // a complete LIST(movi) holding one 2-byte frame chunk
+    val moviList = ascii("LIST") ++ le32(14) ++ ascii("movi") ++
+      ascii("00dc") ++ le32(2) ++ Array[Byte](1, 2)
+    val nested = (1 to depth).foldLeft(moviList) { (acc, _) =>
+      ascii("LIST") ++ le32(acc.length + 4L) ++ ascii("rec ") ++ acc
+    }
+    val bomb = ascii("RIFF") ++ le32(nested.length + 4L) ++ ascii("AVI ") ++ nested
+    val res = Avi.frames(bomb) // must terminate without throwing
+    assert(res.isEmpty, "frames below MaxDepth-nested LISTs are skipped, not crashed on")
+    // sanity: modest legal nesting still demuxes
+    val shallow = (1 to 3).foldLeft(moviList) { (acc, _) =>
+      ascii("LIST") ++ le32(acc.length + 4L) ++ ascii("rec ") ++ acc
+    }
+    val ok = ascii("RIFF") ++ le32(shallow.length + 4L) ++ ascii("AVI ") ++ shallow
+    assert(Avi.frames(ok).size == 1)
+  }
+
   test("multimodal: frame sampling emits n slices per payload") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(

@@ -48,6 +48,14 @@ class SourcesSkewSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       Xlsx.writeXlsxPartitioned(df.repartition(1), dir + "2", maxRowsPerFile = 10)
     }
+    // re-export with FEWER partitions must not leave stale part files
+    // for readXlsx to silently merge in
+    Xlsx.writeXlsxPartitioned(df.limit(10).repartition(1), dir)
+    val after = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(after.length == 1, s"stale parts survived: ${after.map(_.getName).mkString(",")}")
+    assert(Xlsx.readXlsx(spark, dir).count() == 10)
+    // no temp files left behind
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")))
   }
 
   test("xlsx reader handles shared strings and sparse cells (openpyxl-style part layout)") {
