@@ -107,7 +107,9 @@ object Dedup {
                      idCol: String, threshold: Double,
                      dfCap: Long = Long.MaxValue,
                      relDfCap: Double = 0.5,
-                     allPairsMaxDocs: Long = 10000L): DataFrame = {
+                     allPairsMaxDocs: Long = 10000L,
+                     candidateBudget: Long =
+                       graft.similarity.CandidateGuard.DefaultBudget): DataFrame = {
     // tokenized sides are re-read by the probe, the dict, and the
     // scoring plan — pin them for the call (CacheScope-tracked, the
     // host clears between units of work) instead of re-tokenizing the
@@ -157,15 +159,25 @@ object Dedup {
       if (uncapped) si0
       else {
         // relative cap resolves the store size with a broadcast-scalar
-        // cross join INSIDE the plan — no driver-side count action
-        val grouped = si0.groupBy("tok").agg(count(lit(1)).as("df_"))
-        val keep =
-          if (relDfCap.isNaN) grouped.filter(col("df_") <= dfCap).select("tok")
-          else grouped
-            .crossJoin(broadcast(sd.agg(count(lit(1)).as("_n"))))
-            .filter(col("df_") <= least(lit(dfCap), floor(lit(relDfCap) * col("_n"))))
-            .select("tok")
-        si0.join(keep, "tok")
+        // cross join INSIDE the plan — no driver-side count action.
+        // Persisted (one row per distinct store token, batch df rides
+        // along for the volume guard): probed once, filtered once.
+        val sbase = si0.groupBy("tok").agg(count(lit(1)).as("df_"))
+        val grouped = graft.CacheScope.persist(
+          (if (relDfCap.isNaN) sbase
+           else sbase.crossJoin(broadcast(sd.agg(count(lit(1)).as("_n")))))
+            .join(bi.groupBy("tok").agg(count(lit(1)).as("bdf_")), Seq("tok"), "left")
+            .withColumn("bdf_", coalesce(col("bdf_"), lit(0L))))
+        val effCap =
+          if (relDfCap.isNaN) lit(dfCap)
+          else least(lit(dfCap), floor(lit(relDfCap) * col("_n")))
+        // volume guard (SCALE_SWEEP Finding 1), bipartite flavor: a
+        // surviving token contributes batchDf·storeDf candidate rows
+        val capCol = graft.similarity.CandidateGuard
+          .resolve(grouped, col("df_"), effCap, candidateBudget,
+            "Dedup.nearDupMatches", volume = Some(col("bdf_") * col("df_")))
+          .map(c => least(effCap, lit(c))).getOrElse(effCap)
+        si0.join(grouped.filter(col("df_") <= capCol).select("tok"), "tok")
       }
     val scored =
       if (uncapped)
@@ -200,9 +212,11 @@ object Dedup {
                             threshold: Double,
                             dfCap: Long = Long.MaxValue,
                             relDfCap: Double = 0.5,
-                            allPairsMaxDocs: Long = 10000L): DataFrame = {
+                            allPairsMaxDocs: Long = 10000L,
+                            candidateBudget: Long =
+                              graft.similarity.CandidateGuard.DefaultBudget): DataFrame = {
     val hit = nearDupMatches(batch, store, textCol, idCol, threshold, dfCap,
-      relDfCap, allPairsMaxDocs)
+      relDfCap, allPairsMaxDocs, candidateBudget)
       .select(col("batch_id"))
     batch.join(hit, batch(idCol) === hit("batch_id"), "left_anti")
   }
@@ -550,7 +564,9 @@ object Dedup {
   def jaccardJoin(df: DataFrame, textCol: String, idCol: String,
                   threshold: Double, dfCap: Long = Long.MaxValue,
                   relDfCap: Double = 0.5,
-                  allPairsMaxDocs: Long = 10000L): DataFrame = {
+                  allPairsMaxDocs: Long = 10000L,
+                  candidateBudget: Long =
+                    graft.similarity.CandidateGuard.DefaultBudget): DataFrame = {
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("sz", size(col("ws")))
     val inv = docs.select(col("id"), col("sz"), explode(col("ws")).as("tok"))
@@ -605,13 +621,22 @@ object Dedup {
       // then recomputed exactly on the full sets, so a surviving pair
       // is never mis-scored; recall requires sharing >= 1 rare token.
       // A relative cap resolves N with a broadcast-scalar cross join
-      // inside the plan — no driver-side docs.count() action.
-      val grouped = inv.groupBy("tok").agg(count(lit(1)).as("df_"))
-      val keep =
-        if (relDfCap.isNaN) grouped.filter(col("df_") <= dfCap)
-        else grouped
-          .crossJoin(broadcast(docs.agg(count(lit(1)).as("_n"))))
-          .filter(col("df_") <= least(lit(dfCap), floor(lit(relDfCap) * col("_n"))))
+      // inside the plan — no driver-side docs.count() action. The df
+      // frame is persisted (one row per distinct token): the volume
+      // guard probes it once, then the keep-filter re-reads it.
+      val base = inv.groupBy("tok").agg(count(lit(1)).as("df_"))
+      val grouped = graft.CacheScope.persist(
+        if (relDfCap.isNaN) base
+        else base.crossJoin(broadcast(docs.agg(count(lit(1)).as("_n")))))
+      val effCap =
+        if (relDfCap.isNaN) lit(dfCap)
+        else least(lit(dfCap), floor(lit(relDfCap) * col("_n")))
+      // volume guard (SCALE_SWEEP Finding 1): tighten the cap in-plan
+      // when Σ_{df≤cap} df² candidate rows would blow the budget
+      val capCol = graft.similarity.CandidateGuard
+        .resolve(grouped, col("df_"), effCap, candidateBudget, "Dedup.jaccardJoin")
+        .map(c => least(effCap, lit(c))).getOrElse(effCap)
+      val keep = grouped.filter(col("df_") <= capCol)
       val capped = inv.join(keep.select("tok"), "tok")
       val cands = capped.select(col("tok"), col("id").as("id_a"))
         .join(capped.select(col("tok"), col("id").as("id_b")), "tok")

@@ -46,18 +46,30 @@ object StringSim {
     * a skew guard, not a volume bound — mid-frequency grams from
     * shared prefixes/templates (df « 0.5·N but in the thousands)
     * contribute Σdf² candidates, measured at 112 s for 15k
-    * TPC-H-style names. Corpora with shared prefixes want an
-    * ABSOLUTE `dfCap` (≈64 ran the same corpus in 4.9 s, flat to
-    * 150k names). The converse trade-off: an absolute cap finds a
-    * pair only if it shares ≥1 sub-cap gram — sequential key-like
-    * strings where near-identical pairs share only common grams lose
-    * recall; THAT shape wants banded minhash (`Dedup.minhashPairs`
-    * prunes by similarity, not gram rarity) instead of a gram index.
+    * TPC-H-style names where the absolute `dfCap = 64` plan took
+    * 4.9 s (flat to 150k names). The engine therefore GUARDS the
+    * capped plan ([[CandidateGuard]]): the exact candidate volume
+    * Σ_{df ≤ cap} df² is measured from the already-built gram-df
+    * frame in one single-row probe job, and when it exceeds
+    * `candidateBudget` the cap auto-degrades to the largest absolute
+    * cap that fits (warning on stderr; scores stay exact — recall
+    * then requires a shared sub-cap gram), failing loudly when no
+    * cap can bound the corpus. Sequential key-like strings whose
+    * near-identical pairs share only common grams lose recall under
+    * ANY gram cap — THAT shape wants banded minhash
+    * (`Dedup.minhashPairs` prunes by similarity, not gram rarity)
+    * instead of a gram index.
     */
   def similarPairs(df: DataFrame, strCol: String, idCol: String,
                    minSimilarity: Double, n: Int = 3,
                    dfCap: Long = Long.MaxValue,
-                   relDfCap: Double = 0.5): DataFrame = {
+                   relDfCap: Double = 0.5,
+                   candidateBudget: Long = 2000000L): DataFrame = {
+    // candidateBudget default is LOWER than CandidateGuard.DefaultBudget:
+    // a surviving candidate here costs ~2·(grams per string) re-score
+    // join rows (the pair re-joins BOTH sides' full gram-weight lists),
+    // vs one array_intersect row for the jaccard family — measured
+    // 5.4e6 candidates ↔ 28.7 s but 3e5 ↔ 6.9 s on 32 local cores.
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
 
@@ -73,10 +85,13 @@ object StringSim {
     val nDocs = base.agg(count(lit(1)).cast("double").as("_n"))
 
     // FULL gram document frequency -> idf weight (no cap here: these
-    // weights are what pairs are scored with)
-    val dfTbl = grams.groupBy("gram").agg(count(lit(1)).as("df_"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("idf", log(col("_n") / col("df_")))
+    // weights are what pairs are scored with). Persisted: one row per
+    // distinct gram, re-read by the weighting plan AND the volume
+    // guard's single-row probe.
+    val dfTbl = graft.CacheScope.persist(
+      grams.groupBy("gram").agg(count(lit(1)).as("df_"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("idf", log(col("_n") / col("df_"))))
 
     val weighted = grams.join(dfTbl, "gram")
       .select(col("id"), col("gram"), (col("tf") * col("idf")).as("w"),
@@ -98,9 +113,14 @@ object StringSim {
           .agg(sum(col("w_a") * col("w_b")).as("dot"))
       } else {
         // capped path: stop-grams generate no candidates...
-        val sub = weighted
-          .filter(col("df_") <= least(lit(dfCap),
-            floor(lit(if (relDfCap.isNaN) 1.0 else relDfCap) * col("_n"))))
+        val effCap = least(lit(dfCap),
+          floor(lit(if (relDfCap.isNaN) 1.0 else relDfCap) * col("_n")))
+        // volume guard: ONE single-row probe over the cached gram-df
+        // frame; tightens the cap when Σ_{df≤cap} df² blows the budget
+        val capped = CandidateGuard.resolve(dfTbl, col("df_"), effCap,
+            candidateBudget, "StringSim.similarPairs")
+          .map(c => least(effCap, lit(c))).getOrElse(effCap)
+        val sub = weighted.filter(col("df_") <= capped)
         val cands = sub.select(col("gram"), col("id").as("id_a"))
           .join(sub.select(col("gram"), col("id").as("id_b")), "gram")
           .filter(col("id_a") < col("id_b"))
