@@ -757,6 +757,48 @@ object SparkEntry {
           concat_ws(",", transform(col("features"), f => f.cast("string"))).as("features_csv"))
         .orderBy("id")
     }),
+    "q_d13b_real_image" -> ((s, d) => {
+      // REAL ImageCodec, driver-gated: fixture PNGs built from pure
+      // arithmetic on the driver (PNG is lossless, so decode recovers
+      // the exact constructed pixel grid; features are then fixed-order
+      // double math) — expected vectors pinned as literal VALUES in
+      // the oracle. Row 3 is a corrupt payload: featurizes EMPTY
+      // (nfeat=0, null features), never kills the task.
+      import org.apache.spark.sql.Encoders
+      val M = graft.multimodal.Multimodal
+      val F = graft.multimodal.Fixtures
+      val rows = Seq(
+        M.MediaRow(1L, F.encodePng(F.gradientImage(40, 24)), M.MediaMeta("png", 40, 24, 0L)),
+        M.MediaRow(2L, F.encodePng(F.checkerImage(32, 32, 4)), M.MediaMeta("png", 32, 32, 0L)),
+        M.MediaRow(3L, Array[Byte](1, 2, 3, 4), M.MediaMeta("png", 0, 0, 4L)))
+      val ds = s.createDataset(rows)(Encoders.product[M.MediaRow])
+      M.extractFeatures(ds, new M.ImageCodec()).toDF()
+        .select(col("id") +: size(col("features")).as("nfeat") +:
+          (0 until 18).map(i =>
+            round(get(col("features"), lit(i)).cast("double"), 6).as(f"f$i%02d")): _*)
+        .orderBy("id")
+    }),
+    "q_d13c_real_audio" -> ((s, d) => {
+      // REAL AudioCodec, driver-gated: 16-bit PCM sine WAVs (exact
+      // constructed samples; WAV is lossless) -> RMS/ZCR/8-band FFT/
+      // duration/rate features, pinned as oracle VALUES. Row 2 is
+      // stereo at a different tone — exercises mono-mix + band
+      // placement; row 3 corrupt -> EMPTY.
+      import org.apache.spark.sql.Encoders
+      val M = graft.multimodal.Multimodal
+      val F = graft.multimodal.Fixtures
+      val rows = Seq(
+        M.MediaRow(1L, F.sineWav(440.0, 8000f, 0.5, 0.5), M.MediaMeta("wav", 0, 0, 0L)),
+        M.MediaRow(2L, F.sineWav(1500.0, 8000f, 0.25, 0.25, channels = 2),
+          M.MediaMeta("wav", 0, 0, 0L)),
+        M.MediaRow(3L, Array[Byte](9, 9, 9), M.MediaMeta("wav", 0, 0, 3L)))
+      val ds = s.createDataset(rows)(Encoders.product[M.MediaRow])
+      M.extractFeatures(ds, M.AudioCodec).toDF()
+        .select(col("id") +: size(col("features")).as("nfeat") +:
+          (0 until 12).map(i =>
+            round(get(col("features"), lit(i)).cast("double"), 6).as(f"g$i%02d")): _*)
+        .orderBy("id")
+    }),
     "q_d9_langid" -> ((s, d) => t(s, d, "documents")
       .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("cnt")).orderBy("lang_pred")),
@@ -1985,6 +2027,42 @@ object SparkEntry {
         |   CAST(CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS FLOAT)
         |        / CAST(15 AS FLOAT) AS VARCHAR)), ',') AS features_csv
         |FROM documents ORDER BY id""".stripMargin,
+
+    // REAL-codec gate rows: the fixture payloads are deterministic by
+    // construction (lossless PNG/WAV of exact constructed pixels/
+    // samples + fixed-order double feature math, rounded to 6 dp), so
+    // the expected vectors are pinned as literals — any decode/
+    // resample/FFT drift hash-mismatches. Row 3 pins the corrupt-
+    // payload totality contract (empty features, task survives).
+    "q_d13b_real_image" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
+        | f00, f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11,
+        | f12, f13, f14, f15, f16, f17
+        |FROM (VALUES
+        | (1, 18, 0.0, 0.0, 0.091797, 0.208008, 0.350586, 0.349609, 0.0, 0.0,
+        |  0.003142, 0.002037, 0.453887, 0.375309, 0.165626, 0.0, 0.0, 0.0,
+        |  0.553987, 0.104353),
+        | (2, 18, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.5,
+        |  0.0, 0.059067, 0.190933, 0.059067, 0.190933, 0.059067, 0.190933, 0.25,
+        |  0.5, 0.5),
+        | (3, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
+        |) AS t(id, nfeat, f00, f01, f02, f03, f04, f05, f06, f07, f08, f09,
+        |       f10, f11, f12, f13, f14, f15, f16, f17)
+        |ORDER BY id""".stripMargin,
+    "q_d13c_real_audio" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
+        | g00, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11
+        |FROM (VALUES
+        | (1, 12, 0.353526, 0.109777, 0.000036, 0.000114, 0.000112, 0.000398,
+        |  0.99826, 0.001038, 0.000035, 0.000007, 0.5, 0.08),
+        | (2, 12, 0.176758, 0.374687, 0.000004, 0.000008, 0.000018, 0.000036,
+        |  0.000082, 0.000289, 0.999252, 0.000309, 0.25, 0.08),
+        | (3, 0, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |  NULL, NULL)
+        |) AS t(id, nfeat, g00, g01, g02, g03, g04, g05, g06, g07, g08, g09,
+        |       g10, g11)
+        |ORDER BY id""".stripMargin,
 
     // the whole pipeline re-derived in one WITH chain: quality gate
     // (q_d35's CTEs), whitespace repair, exact dedup (min-id per
