@@ -26,7 +26,24 @@ object Bench {
       val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       if (la >= 0) la else 0.0
     }
-    val loadBefore = loadAvg
+    // Contention self-defense (r8: a load-4->8 driver run read as a 2x
+    // regression until a judge rerun). Threshold per tools/bench.md:
+    // ~8 on this 32-CPU box. One retry after a backoff when the box is
+    // busy at start; if load stays high, the artifact stamps
+    // "contended":true so round-over-round comparison is voided by the
+    // artifact itself, not by someone noticing the canary query.
+    val contentionThreshold =
+      sys.env.get("SPARK_GRAFT_LOAD_THRESHOLD").map(_.toDouble).getOrElse(8.0)
+    val loadBefore = {
+      val first = loadAvg
+      if (first <= contentionThreshold) first
+      else {
+        System.err.println(
+          f"BENCH: 1-min load $first%.1f > $contentionThreshold%.1f at start; backing off 60 s")
+        Thread.sleep(60000)
+        loadAvg
+      }
+    }
     // one run; a throwing query must NOT be timed as ~0s and reported as
     // success (that made a broken query look *faster* — r6 verdict #1).
     // Returns (seconds, error-class-or-null).
@@ -61,6 +78,12 @@ object Bench {
     val errs = results.collect { case (n, _, e) if e != null => (n, e) }
     val total = results.map(_._2).sum
     val loadAfter = loadAvg
+    // stamped into EVERY rendering (14 chars) when either sample is
+    // over threshold: a contended artifact must say so itself
+    val contendedJson =
+      if (loadBefore > contentionThreshold || loadAfter > contentionThreshold)
+        ""","contended":true"""
+      else ""
     // The driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that tail; sbt's trailing "[success] Total time:
     // ..." line eats at most ~85 of them (longest month name + 4-digit
@@ -81,7 +104,14 @@ object Bench {
     }
     def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true,
                unit: Boolean = true, load: Boolean = true,
-               loadDec: Int = 2): String = {
+               loadDec: Int = 2, tokenNames: Boolean = false): String = {
+      // token mode: "d13b_img" -> "d13b" — ~8 chars/query, the
+      // difference between keeping and losing the whole map once the
+      // query count outgrew the 2-decimal budget (96 queries in r9).
+      // Only safe while first tokens are unique; collision disables it
+      // so two queries can never alias one entry.
+      val tokens = results.map(_._1.stripPrefix("q_").takeWhile(_ != '_'))
+      val useTokens = tokenNames && tokens.distinct.size == tokens.size
       // values that round to zero render as "0", not "0.000": with 90+
       // queries mostly under 50ms, those two characters per entry are
       // the difference between keeping and losing the per-query map
@@ -90,7 +120,9 @@ object Bench {
         if (r.signum == 0) "0" else r.toString
       }
       val qs = results.map { case (k, v, _) =>
-        val name = if (stripPrefix) k.stripPrefix("q_") else k
+        val name =
+          if (useTokens) k.stripPrefix("q_").takeWhile(_ != '_')
+          else if (stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
       }.mkString("{", ",", "}")
       // errors: per-query failure classes + a count that's nonzero iff any
@@ -110,7 +142,7 @@ object Bench {
         if (!load) ""
         else s""","load":[${BigDecimal(loadBefore).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)}]"""
       val unitJson = if (unit) """"unit":"sec",""" else ""
-      s"""{"metric":"total","value":${f(total)},$unitJson$errJson$loadJson,"queries":$qs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${f(total)},$unitJson$errJson$loadJson$contendedJson,"queries":$qs,"sf":$sfJson}"""
     }
     // prefer keeping FULL query names (cross-round comparability)
     // over a third decimal; strip the q_ prefix next; then drop
@@ -122,7 +154,7 @@ object Bench {
     // no matter what (the full detail is still on stdout above).
     def renderMinimal: String = {
       def f2(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}],"queries":{},"sf":$sfJson}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}]$contendedJson,"queries":{},"sf":$sfJson}"""
     }
     // degrade gracefully: decimals -> q_ prefixes -> error detail ->
     // the "unit" field -> load PRECISION (integers still answer "was
@@ -134,10 +166,17 @@ object Bench {
     // 2000 chars and sbt's trailing success line eats ≤ ~85, so 1912
     // still parses — better to spend the last 12 chars of reserve on
     // keeping the contention indicator than to lose it entirely
+    // ...then FIRST-TOKEN query names (unique across the current map;
+    // ~700 chars reclaimed, restores 2-decimal values + full load
+    // precision + error detail) as the last rung that still carries a
+    // per-query map — 96 full names no longer fit any full-name rung
     val line = (Seq(render(3, false), render(2, false), render(3, true),
         render(2, true), render(1, true), render(1, true, errDetail = false),
         render(1, true, errDetail = false, unit = false)).map((_, 1900)) ++ Seq(
         (render(1, true, errDetail = false, unit = false, loadDec = 0), 1912),
+        (render(2, true, tokenNames = true), 1900),
+        (render(1, true, errDetail = false, unit = false, loadDec = 0,
+          tokenNames = true), 1912),
         (render(1, true, errDetail = false, unit = false, load = false), 1900)))
       .collectFirst { case (s, cap) if s.length <= cap => s }
       .getOrElse(renderMinimal)

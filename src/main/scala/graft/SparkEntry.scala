@@ -757,7 +757,7 @@ object SparkEntry {
           concat_ws(",", transform(col("features"), f => f.cast("string"))).as("features_csv"))
         .orderBy("id")
     }),
-    "q_d13b_real_image" -> ((s, d) => {
+    "q_d13b_img" -> ((s, d) => {
       // REAL ImageCodec, driver-gated: fixture PNGs built from pure
       // arithmetic on the driver (PNG is lossless, so decode recovers
       // the exact constructed pixel grid; features are then fixed-order
@@ -778,7 +778,7 @@ object SparkEntry {
             round(get(col("features"), lit(i)).cast("double"), 6).as(f"f$i%02d")): _*)
         .orderBy("id")
     }),
-    "q_d13c_real_audio" -> ((s, d) => {
+    "q_d13c_wav" -> ((s, d) => {
       // REAL AudioCodec, driver-gated: 16-bit PCM sine WAVs (exact
       // constructed samples; WAV is lossless) -> RMS/ZCR/8-band FFT/
       // duration/rate features, pinned as oracle VALUES. Row 2 is
@@ -2034,7 +2034,7 @@ object SparkEntry {
     // the expected vectors are pinned as literals — any decode/
     // resample/FFT drift hash-mismatches. Row 3 pins the corrupt-
     // payload totality contract (empty features, task survives).
-    "q_d13b_real_image" ->
+    "q_d13b_img" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
         | f00, f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11,
         | f12, f13, f14, f15, f16, f17
@@ -2050,7 +2050,7 @@ object SparkEntry {
         |) AS t(id, nfeat, f00, f01, f02, f03, f04, f05, f06, f07, f08, f09,
         |       f10, f11, f12, f13, f14, f15, f16, f17)
         |ORDER BY id""".stripMargin,
-    "q_d13c_real_audio" ->
+    "q_d13c_wav" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
         | g00, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11
         |FROM (VALUES
