@@ -98,7 +98,52 @@ object ScaleBench {
       // their production defaults, so at x10 the minhash stage takes
       // the banded-LSH branch naturally (50k docs > allPairsMaxSets)
       "e2e_pipeline" -> (() =>
-        graft.SparkEntry.queries("q_e2e_pipeline")(spark, dir).count()))
+        graft.SparkEntry.queries("q_e2e_pipeline")(spark, dir).count()),
+      // ---- ANN + profile families (r8 verdict #4): embeddings grow
+      // 2k -> 20k -> 100k across x1/x10/x50, customer 15k -> 750k.
+      // One query vector, collected once per run (1-row action).
+      "d6_brute_topk" -> (() => {
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+        Ann.cosineTopK(emb, "embedding", "vec_id", q, 20).count()
+      }),
+      "d7_lsh_topk" -> (() => {
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+        Ann.lshTopKMultiProbe(emb, "embedding", "vec_id", q, 10).count()
+      }),
+      "d8_ivf_topk" -> (() => {
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+        val cents = Ann.trainCentroidsKMeans(emb, "embedding", "vec_id", 8, iters = 2)
+        Ann.ivfTopK(emb, "embedding", "vec_id", cents, q, 10, nprobe = 3).count()
+      }),
+      "d29_assign" -> (() => {
+        val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 64)
+        Ann.assignClusters(emb, "embedding", "vec_id", cents).count()
+      }),
+      "d36_pq_topk" -> (() => {
+        val cb = graft.ann.Pq.codebooksBySample(emb, "embedding", "vec_id",
+          m = 4, k = 4, dim = 64)
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+        graft.ann.Pq.adcTopK(
+          graft.ann.Pq.encode(emb, "embedding", "vec_id", cb), "vec_id", cb, q, 10)
+          .count()
+      }),
+      // single-scan profiler claim above sf0.1: the approx report is
+      // ONE aggregate pass whatever the row count; reportBy adds one
+      // shuffle on the group key
+      "a15_report" -> (() =>
+        graft.profile.Profiler.report(cust, approx = true).count()),
+      "a16_report_by" -> (() =>
+        graft.profile.Profiler.reportBy(cust, "c_mktsegment", approx = true).count()),
+      "b17_dq_summary" -> (() =>
+        graft.quality.Detector.dqSummary(cust, Seq(
+          "c_name" -> Seq(graft.quality.Rule.LenBetween(5, 40)),
+          "c_acctbal" -> Seq(graft.quality.Rule.NumBetween(-1000, 10000)),
+          "c_mktsegment" -> Seq(graft.quality.Rule.NoDigits, graft.quality.Rule.NoSpaces)))
+          .count()))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory

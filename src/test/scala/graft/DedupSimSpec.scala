@@ -300,6 +300,35 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStars agrees with the label loop on chains, cliques, random graphs") {
+    val rnd = new scala.util.Random(7)
+    // 300-node random graph (sparse => many nontrivial components) +
+    // a 40-node chain + a 12-clique + an isolated pair
+    val randomEdges = Seq.fill(260)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+    val chain = (1000L until 1039L).map(i => (i, i + 1))
+    val clique = (for (a <- 2000L until 2012L; b <- a + 1 until 2012L) yield (a, b)).toSeq
+    val pairs = (randomEdges ++ chain ++ clique :+ (5000L, 5001L)).toDF("id_a", "id_b")
+    val expect = graft.dedup.Components
+      .connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = graft.dedup.Components
+      .connectedComponentsStars(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == expect)
+  }
+
+  test("connectedComponents fails loud when the round budget is exhausted") {
+    // a 40-node chain cannot converge in 1 round — the valve must
+    // throw (round count in the message), never return unconverged
+    // labels (distributed path forced; the union-find needs no rounds)
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.dedup.Components.connectedComponents(chain, "id_a", "id_b",
+        maxIters = 1, smallGraphMaxEdges = 0).collect()
+    }
+    assert(e.getMessage.contains("did not converge in 1"))
+  }
+
   test("dedupByPairs keeps the canonical doc per component plus untouched docs") {
     val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
