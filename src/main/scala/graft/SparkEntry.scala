@@ -778,6 +778,37 @@ object SparkEntry {
             round(get(col("features"), lit(i)).cast("double"), 6).as(f"f$i%02d")): _*)
         .orderBy("id")
     }),
+    "q_e2e_media" -> ((s, d) => {
+      // multimodal COMPOSED chain (r8 verdict #7): withMeta -> resize
+      // (text payloads take the deterministic byte-budget stub path:
+      // 16*16/8 = 32 bytes) -> stub featurize (md5-nibble 8-vector)
+      // -> multi-table LSH cosine pairs at threshold 1.0 (identical
+      // feature vectors only — identical vectors share every bucket,
+      // so LSH recall is exactly 1 and the oracle can re-derive pairs
+      // as first-8-md5-nibble groups) -> component collapse keeping
+      // the min doc id. Corpus doctored with exact re-ingests
+      // (doc_id+10000 for doc_id%20==0) so the chain has guaranteed
+      // media-level duplicates to find; meta propagation is gated via
+      // the resized byte count riding into the output.
+      import org.apache.spark.sql.Encoders
+      val M = graft.multimodal.Multimodal
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 10000).cast("long"), col("text")))
+      val media = M.withMeta(corpus.withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "txt")
+      val ds = media.selectExpr("id", "media",
+          "named_struct('format', meta.format, 'width', meta.width, 'height', meta.height, 'nBytes', meta.nBytes) AS meta")
+        .as(Encoders.product[M.MediaRow])
+      val resized = M.resize(ds, 16, 16)
+      val feats = M.extractFeatures(resized, M.StubCodec).toDF()
+      val pairs = graft.ann.Ann.cosinePairs(feats, "features", "id", 1.0, dim = 8)
+      val kept = graft.dedup.Components.dedupByPairs(corpus, "doc_id", pairs, "id_a", "id_b")
+      val sizes = resized.toDF().select(col("id").as("doc_id"),
+        col("meta.nBytes").as("n_resized"))
+      kept.select("doc_id").join(sizes, "doc_id").orderBy("doc_id")
+    }),
     "q_d13c_wav" -> ((s, d) => {
       // REAL AudioCodec, driver-gated: 16-bit PCM sine WAVs (exact
       // constructed samples; WAV is lossless) -> RMS/ZCR/8-band FFT/
@@ -2050,6 +2081,27 @@ object SparkEntry {
         |) AS t(id, nfeat, f00, f01, f02, f03, f04, f05, f06, f07, f08, f09,
         |       f10, f11, f12, f13, f14, f15, f16, f17)
         |ORDER BY id""".stripMargin,
+    // the media chain re-derived: stub resize = first-32-byte
+    // truncation (16*16/8 budget), stub features = first 8 md5
+    // nibbles, cosine==1.0 pairs = identical nibble prefixes, collapse
+    // = min id per group. length() is byte-accurate here because the
+    // synthetic documents are ASCII.
+    "q_e2e_media" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 10000 AS BIGINT) AS id, text
+        |  FROM documents WHERE doc_id % 20 = 0
+        |), resized AS (
+        |  SELECT id, substr(text, 1, 32) AS rz FROM corpus
+        |), grp AS (
+        |  SELECT id, CAST(length(rz) AS BIGINT) AS n_resized,
+        |         min(id) OVER (PARTITION BY substr(md5(rz), 1, 8)) AS keeper
+        |  FROM resized
+        |)
+        |SELECT id AS doc_id, n_resized
+        |FROM grp WHERE id = keeper ORDER BY doc_id""".stripMargin,
+
     "q_d13c_wav" ->
       """SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
         | g00, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11
