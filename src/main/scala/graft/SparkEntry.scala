@@ -1466,12 +1466,21 @@ object SparkEntry {
         |FROM (SELECT text FROM documents
         |      UNION ALL SELECT text FROM documents WHERE doc_id%10=0)""".stripMargin,
 
+    // inverted-index formulation (r9): a >=0.9-jaccard pair shares a
+    // token by definition, so candidates from the token join are
+    // recall-complete — identical result set to the old all-pairs
+    // cross join, but Σdf² candidates instead of n²/2 (the all-pairs
+    // SQL was intractable against the 50k-doc x10 corpus)
     "q_d2_minhash" ->
-      """WITH docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) AS jaccard
-        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-        |WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.9
+      """WITH docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws FROM documents),
+        |toks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM docs),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |                any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+        |         FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(inter*1.0/(sz_a+sz_b-inter),4) AS jaccard
+        |FROM cand
+        |WHERE round(inter*1.0/(sz_a+sz_b-inter),4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_d4_jaccard" ->
@@ -1602,15 +1611,25 @@ object SparkEntry {
         |SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT n FROM losers)
         |ORDER BY vec_id""".stripMargin,
 
+    // bipartite inverted-index formulation (r9, same reasoning as
+    // q_d2): a >=0.7 batch-store near-dup shares a token, so the
+    // token join's candidates are recall-complete and the old
+    // NOT EXISTS over the batch x store cross product is equivalent
     "q_d34_near_store_dedup" ->
       """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
         |  FROM documents WHERE doc_id%3=0),
         |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
-        |  FROM documents WHERE doc_id%3<>0)
+        |  FROM documents WHERE doc_id%3<>0),
+        |stoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM store),
+        |btoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM batch),
+        |cand AS (SELECT b.doc_id AS bid, s.doc_id AS sid, count(*) AS inter,
+        |                any_value(b.sz) AS bsz, any_value(s.sz) AS ssz
+        |         FROM btoks b JOIN stoks s ON b.tok = s.tok
+        |         GROUP BY 1, 2),
+        |hit AS (SELECT DISTINCT bid FROM cand
+        |        WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.7)
         |SELECT b.doc_id FROM batch b
-        |WHERE NOT EXISTS (SELECT 1 FROM store s
-        |  WHERE round(len(list_intersect(b.ws, s.ws))*1.0
-        |    / (len(b.ws)+len(s.ws)-len(list_intersect(b.ws, s.ws))), 4) >= 0.7)
+        |WHERE b.doc_id NOT IN (SELECT bid FROM hit)
         |ORDER BY b.doc_id""".stripMargin,
 
     "q_d35_quality_filter" ->
@@ -2143,10 +2162,13 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY md5(tn) ORDER BY doc_id) AS rn
         |  FROM keepq) WHERE rn = 1),
         |wsx AS (SELECT doc_id, list_distinct(regexp_split_to_array(tn,' +')) AS ws FROM ex),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM wsx a JOIN wsx b ON a.doc_id < b.doc_id
-        |  WHERE round(len(list_intersect(a.ws,b.ws))*1.0
-        |    /(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.9),
+        |wtok AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM wsx),
+        |pairs AS (SELECT id_a, id_b FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+        |         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+        |  FROM wtok a JOIN wtok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |  WHERE round(inter*1.0/(sz_a+sz_b-inter),4) >= 0.9),
         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
         |nodes AS (SELECT DISTINCT a AS n FROM edges),
         |cc(n, lbl) AS (
