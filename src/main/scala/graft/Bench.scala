@@ -108,10 +108,13 @@ object Bench {
       // token mode: "d13b_img" -> "d13b" — ~8 chars/query, the
       // difference between keeping and losing the whole map once the
       // query count outgrew the 2-decimal budget (96 queries in r9).
-      // Only safe while first tokens are unique; collision disables it
-      // so two queries can never alias one entry.
-      val tokens = results.map(_._1.stripPrefix("q_").takeWhile(_ != '_'))
-      val useTokens = tokenNames && tokens.distinct.size == tokens.size
+      // A name whose first token collides (e2e_media vs e2e_pipeline)
+      // keeps its full stripped name — per-name fallback, so two
+      // queries can never alias one entry and one collision doesn't
+      // forfeit the whole map.
+      val tokenOf: String => String = _.stripPrefix("q_").takeWhile(_ != '_')
+      val collided: Set[String] = results.map(r => tokenOf(r._1))
+        .groupBy(identity).collect { case (t, hits) if hits.size > 1 => t }.toSet
       // values that round to zero render as "0", not "0.000": with 90+
       // queries mostly under 50ms, those two characters per entry are
       // the difference between keeping and losing the per-query map
@@ -121,8 +124,8 @@ object Bench {
       }
       val qs = results.map { case (k, v, _) =>
         val name =
-          if (useTokens) k.stripPrefix("q_").takeWhile(_ != '_')
-          else if (stripPrefix) k.stripPrefix("q_") else k
+          if (tokenNames && !collided(tokenOf(k))) tokenOf(k)
+          else if (tokenNames || stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
       }.mkString("{", ",", "}")
       // errors: per-query failure classes + a count that's nonzero iff any
