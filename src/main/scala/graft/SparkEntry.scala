@@ -801,6 +801,14 @@ object SparkEntry {
       val ds = media.selectExpr("id", "media",
           "named_struct('format', meta.format, 'width', meta.width, 'height', meta.height, 'nBytes', meta.nBytes) AS meta")
         .as(Encoders.product[M.MediaRow])
+      // resized feeds BOTH the featurize branch and the meta output,
+      // so the withMeta->resize chain executes once per consumer.
+      // Deliberately NOT pinned: here the recompute is a 32-byte
+      // truncation over a scan (A/B measured 2.8 s unpinned vs 3.5 s
+      // pinned at sf0.1 — cache materialization costs more than the
+      // recompute). A real image pipeline, where re-running resize
+      // means decoding every image twice, persists the NARROW
+      // (id, features, nBytes) projection at this point instead.
       val resized = M.resize(ds, 16, 16)
       val feats = M.extractFeatures(resized, M.StubCodec).toDF()
       val pairs = graft.ann.Ann.cosinePairs(feats, "features", "id", 1.0, dim = 8)
