@@ -147,6 +147,44 @@ class PropertySpec extends SparkSpec {
         s"pair ($a,$b) lost despite sharing a sub-cap token") }
   }
 
+  test("guard-degraded plans stay sound subsets with identical scores (random corpora)") {
+    // same corpus shape as the capped-subset property, but the cap is
+    // tightened by CandidateGuard (tiny candidateBudget forces a
+    // ladder rung) rather than by the caller — the guard must never
+    // mis-score a surviving pair, only lose pairs whose every shared
+    // gram/token is above the tightened cap
+    val hot = Gen.oneOf("h1", "h2")
+    val cold = Gen.oneOf((1 to 40).map(i => s"c$i"))
+    val docGen = for {
+      nh <- Gen.chooseNum(1, 2); nc <- Gen.chooseNum(0, 6)
+      hs <- Gen.listOfN(nh, hot); cs <- Gen.listOfN(nc, cold)
+    } yield (hs ++ cs).distinct.mkString(" ")
+    val docs = sample(docGen, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val exactJ = graft.dedup.Dedup
+      .jaccardJoin(docs, "text", "doc_id", 0.6, relDfCap = Double.NaN, allPairsMaxDocs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val degradedJ = graft.dedup.Dedup
+      .jaccardJoin(docs, "text", "doc_id", 0.6, relDfCap = 1.0, allPairsMaxDocs = 0L,
+        candidateBudget = 1000L) // forces a ladder rung (requested ~3.2k rows) without tripping the no-rung-fits failure (rung-16 volume ~730)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    degradedJ.foreach { case (pair, score) =>
+      assert(exactJ.get(pair).contains(score), s"guard-degraded jaccard mis-scored $pair") }
+
+    val exactS = graft.similarity.StringSim
+      .similarPairs(docs, "text", "doc_id", 0.6, relDfCap = Double.NaN)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val degradedS = graft.similarity.StringSim
+      .similarPairs(docs, "text", "doc_id", 0.6, relDfCap = 1.0, candidateBudget = 3000L) // char-3-gram dfs run higher than word dfs: rung-16 volume ~2.2k
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    degradedS.foreach { case (pair, score) =>
+      assert(exactS.get(pair).contains(score), s"guard-degraded stringsim mis-scored $pair") }
+    // the degrade must have actually engaged on at least one family
+    // (otherwise this property tested nothing) — with budget 1000 and
+    // hot-token df ~ 30-60, the requested volume always exceeds it
+    assert(degradedJ.size <= exactJ.size && degradedS.size <= exactS.size)
+  }
+
   test("crossEntropy is positive and PSI is zero against self on random corpora") {
     val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6")
     val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
