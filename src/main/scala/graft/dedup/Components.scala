@@ -190,8 +190,11 @@ object Components {
                                maxIters: Int = 50): DataFrame = {
     val e0 = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
-    val nodes = e0.select(explode(array(col("src"), col("dst"))).as("node"))
-      .distinct().persist()
+    // CacheScope-tracked (not a bare .persist()): the node frame
+    // outlives this call inside the returned plan, so the host's
+    // clear() must be able to unpin it (same leak class as ADVICE r2)
+    val nodes = graft.CacheScope.persist(
+      e0.select(explode(array(col("src"), col("dst"))).as("node")).distinct())
     var edges = e0.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
