@@ -261,7 +261,10 @@ object Xlsx {
             case "c" if row != null =>
               val raw = text.toString
               val value = cellType match {
-                case "s" => shared.lift(raw.trim.toInt).orNull
+                // malformed shared-string index -> null cell, same as
+                // the existing out-of-range behavior (shared.lift):
+                // one corrupt cell must not kill the workbook's task
+                case "s" => raw.trim.toIntOption.flatMap(shared.lift).orNull
                 case _ if raw.isEmpty => null
                 case _ => raw
               }
@@ -277,9 +280,23 @@ object Xlsx {
     rows.result()
   }
 
-  /** "BC12" → 0-based column 54. */
-  private[sources] def colIndex(ref: String): Int =
-    ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+  /** "BC12" → 0-based column 54. Bounded by the SpreadsheetML grid
+    * (max column XFD = 16,383): a crafted ref like "ZZZZZZ1" would
+    * otherwise drive the sparse-gap padding loop to append hundreds
+    * of millions of null cells — a memory bomb from one corrupt/
+    * adversarial workbook. Out-of-grid refs fail LOUD (naming the
+    * ref) rather than clamping: a ref beyond XFD is not legal
+    * SpreadsheetML, so silently remapping it would fabricate data.
+    */
+  private[sources] def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    require(letters.nonEmpty && letters.length <= 3,
+      s"cell ref '$ref' is outside the SpreadsheetML A1 grid (max column XFD)")
+    val i = letters.foldLeft(0)((a, c) => a * 26 + (c.toUpper - 'A' + 1)) - 1
+    require(i <= 16383,
+      s"cell ref '$ref' is outside the SpreadsheetML A1 grid (max column XFD)")
+    i
+  }
 
   // ---------- writing ----------
 

@@ -86,6 +86,37 @@ class SourcesSkewSpec extends SparkSpec {
     assert(r.getString(2) == "9.5")      // untyped numeric cell
   }
 
+  test("xlsx reader: out-of-grid cell refs fail loud; malformed shared index yields null") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx3").toString
+    def workbook(name: String, sheetXml: String): String = {
+      val f = new java.io.FileOutputStream(s"$dir/$name")
+      val z = new java.util.zip.ZipOutputStream(f)
+      def entry(n: String, c: String): Unit = {
+        z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+      }
+      entry("xl/sharedStrings.xml",
+        """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>hello</t></si></sst>""")
+      entry("xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetXml</sheetData></worksheet>""")
+      z.finish(); f.close()
+      s"$dir/$name"
+    }
+    // a crafted "ZZZZZZ1" ref would pad ~3e8 null cells without the
+    // grid bound — must fail loud naming the ref, not OOM the task
+    val bomb = workbook("bomb.xlsx",
+      """<row r="1"><c r="A1"><v>x</v></c><c r="ZZZZZZ1"><v>y</v></c></row>""")
+    val e = intercept[Exception] {
+      Xlsx.readXlsx(spark, bomb, header = false).collect()
+    }
+    assert(e.getMessage.contains("ZZZZZZ1") ||
+      Option(e.getCause).exists(_.getMessage.contains("ZZZZZZ1")))
+    // malformed shared-string index: null cell, workbook still parses
+    val junkIdx = workbook("junk.xlsx",
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>zz</v></c></row>""")
+    val rows = Xlsx.readXlsx(spark, junkIdx, header = false).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "hello" && rows(0).getString(1) == null)
+  }
+
   test("jsonField parses embedded JSON without a UDF") {
     val r = Seq("""{"k": 42}""", """{"k": 7}""", "not json").toDF("props")
       .select(Sources.jsonField(col("props"), "k INT", "k").as("k"))
