@@ -210,7 +210,14 @@ object SparkEntry {
       val corpus = n.select(col("n_nationkey").cast("long").as("id"), col("n_name").as("s"))
         .union(n.select((col("n_nationkey") + 100).cast("long").as("id"),
           concat(col("n_name"), lit(" X")).as("s")))
-      graft.similarity.StringSim.similarPairs(corpus, "s", "id", 0.52)
+      // candidateBudget pinned to MaxValue: the GATE compares fixed
+      // relative-cap semantics against the oracle's uncapped scoring,
+      // so the auto-degrade (a function of corpus statistics) must
+      // not be able to change this query's result set on a future
+      // corpus. The guard itself is gated by CandidateGuardSpec and
+      // the PropertySpec soundness property.
+      graft.similarity.StringSim.similarPairs(corpus, "s", "id", 0.52,
+          candidateBudget = Long.MaxValue)
         .orderBy("id_a", "id_b")
     }),
     "q_b5_rule_numeric" -> ((s, d) => t(s, d, "lineitem")
@@ -405,8 +412,11 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, d, "documents"), "text", "doc_id", 3)
         .orderBy("id_a", "id_b")),
     "q_d4_jaccard" -> ((s, d) =>
+      // candidateBudget pinned (same reasoning as q_b4): the gate's
+      // oracle is uncapped, so corpus-statistic-driven auto-degrade
+      // must not be able to shift this query's recall
       Dedup.jaccardJoin(t(s, d, "documents").filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", 0.8)
+        "text", "doc_id", 0.8, candidateBudget = Long.MaxValue)
         .orderBy("id_a", "id_b")),
     // concat-and-chunk sequence packing into 512-token contexts,
     // 8 parallel bucket streams; window arithmetic mirrored in SQL
@@ -793,9 +803,13 @@ object SparkEntry {
       import org.apache.spark.sql.Encoders
       val M = graft.multimodal.Multimodal
       val docs = t(s, d, "documents")
+      // re-ingest offset 1e9, NOT 10000: a corpus with >=10k docs
+      // (bigdata/x10) would otherwise collide re-ingest ids with real
+      // ids, and duplicate ids break the loser anti-join one way in
+      // Spark and another in the oracle's per-row window
       val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .union(docs.filter(col("doc_id") % 20 === 0)
-          .select((col("doc_id") + 10000).cast("long"), col("text")))
+          .select((col("doc_id") + 1000000000L).cast("long"), col("text")))
       val media = M.withMeta(corpus.withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", "txt")
       val ds = media.selectExpr("id", "media",
@@ -811,7 +825,18 @@ object SparkEntry {
       // (id, features, nBytes) projection at this point instead.
       val resized = M.resize(ds, 16, 16)
       val feats = M.extractFeatures(resized, M.StubCodec).toDF()
-      val pairs = graft.ann.Ann.cosinePairs(feats, "features", "id", 1.0, dim = 8)
+      // exact-equality VERIFY on the LSH candidates: rounded cosine
+      // 1.0 also admits proportional-but-unequal vectors (a ~1e-5
+      // latent corpus-dependent mismatch vs the oracle's md5-prefix
+      // grouping) — the verify stage pins pair semantics to "same
+      // feature vector", which is exactly what the oracle derives
+      val cand = graft.ann.Ann.cosinePairs(feats, "features", "id", 1.0, dim = 8)
+      val fv = feats.select(col("id"), col("features"))
+      val pairs = cand
+        .join(fv.select(col("id").as("id_a"), col("features").as("f_a")), "id_a")
+        .join(fv.select(col("id").as("id_b"), col("features").as("f_b")), "id_b")
+        .filter(col("f_a") === col("f_b"))
+        .select("id_a", "id_b")
       val kept = graft.dedup.Components.dedupByPairs(corpus, "doc_id", pairs, "id_a", "id_b")
       val sizes = resized.toDF().select(col("id").as("doc_id"),
         col("meta.nBytes").as("n_resized"))
@@ -2117,7 +2142,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
         |  UNION ALL
-        |  SELECT CAST(doc_id + 10000 AS BIGINT) AS id, text
+        |  SELECT CAST(doc_id + 1000000000 AS BIGINT) AS id, text
         |  FROM documents WHERE doc_id % 20 = 0
         |), resized AS (
         |  SELECT id, substr(text, 1, 32) AS rz FROM corpus

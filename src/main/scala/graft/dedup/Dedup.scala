@@ -159,7 +159,8 @@ object Dedup {
       if (uncapped) si0
       else {
         // relative cap resolves the store size with a broadcast-scalar
-        // cross join INSIDE the plan — no driver-side count action.
+        // cross join INSIDE the plan; the guard's bounded single-row
+        // volume probe is the only driver action on this path.
         // Persisted (one row per distinct store token, batch df rides
         // along for the volume guard): probed once, filtered once.
         val sbase = si0.groupBy("tok").agg(count(lit(1)).as("df_"))
@@ -621,7 +622,8 @@ object Dedup {
       // then recomputed exactly on the full sets, so a surviving pair
       // is never mis-scored; recall requires sharing >= 1 rare token.
       // A relative cap resolves N with a broadcast-scalar cross join
-      // inside the plan — no driver-side docs.count() action. The df
+      // inside the plan (no docs.count(); the guard's bounded
+      // single-row volume probe is the capped path's one action). The df
       // frame is persisted (one row per distinct token): the volume
       // guard probes it once, then the keep-filter re-reads it.
       val base = inv.groupBy("tok").agg(count(lit(1)).as("df_"))

@@ -76,6 +76,10 @@ object CandidateGuard {
               opName: String = "pair generator",
               volume: Option[Column] = None): Option[Long] = {
     require(budget > 0, s"candidateBudget must be positive, got $budget")
+    // Long.MaxValue = guard explicitly disabled (correctness gates pin
+    // fixed cap semantics this way) — skip the probe job entirely, no
+    // volume can exceed it
+    if (budget == Long.MaxValue) return None
     val d = dfCol.cast("double")
     val volTerm = volume.map(_.cast("double")).getOrElse(d * d)
     def vol(cap: Column) = sum(when(dfCol <= cap, volTerm))

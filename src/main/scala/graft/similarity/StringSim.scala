@@ -40,7 +40,8 @@ object StringSim {
     * that idf-weighting pushes toward similarity 0 anyway. Pass
     * `relDfCap = Double.NaN` (and leave `dfCap` at its default) for
     * the exact-recall single-pass plan. Both caps resolve inside the
-    * plan (broadcast-scalar N) — no driver-side count.
+    * plan (broadcast-scalar N); the only driver action on the capped
+    * path is the guard's bounded single-row volume probe.
     *
     * MEASURED AT SCALE (SCALE_SWEEP.md, r8): the relative default is
     * a skew guard, not a volume bound — mid-frequency grams from
@@ -80,8 +81,10 @@ object StringSim {
       .groupBy("id", "gram").agg(count(lit(1)).as("tf")))
 
     // N rides along as a broadcast 1-row cross join instead of a
-    // driver-side count(): no action, the whole pipeline stays lazy
-    // (ids are distinct in `base`, so count == countDistinct)
+    // driver-side count() (ids are distinct in `base`, so count ==
+    // countDistinct). Note the capped path is no longer fully lazy:
+    // CandidateGuard's bounded single-row probe job runs at plan
+    // construction (same contract as Dedup's limit-probe gates).
     val nDocs = base.agg(count(lit(1)).cast("double").as("_n"))
 
     // FULL gram document frequency -> idf weight (no cap here: these

@@ -101,55 +101,83 @@ object Xlsx {
     * the executors (shared FS on a real cluster). [[readXlsx]] reads
     * the resulting directory back as one DataFrame.
     *
-    * Overwrite semantics: stale `part-*.xlsx` from a previous (wider)
-    * export are deleted up front — otherwise a re-export with fewer
-    * partitions would leave orphan part files that [[readXlsx]]
-    * silently merges into the result. Each task writes to a
-    * per-attempt temp name and renames into place on success, so a
-    * retried/speculative attempt can never interleave bytes into the
-    * final `part-<i>.xlsx` (rename within a directory is atomic on
-    * POSIX; last successful attempt wins with identical content).
+    * Overwrite semantics, commit-style: tasks write into an
+    * underscore-prefixed STAGING subdirectory (invisible to
+    * [[readXlsx]] — Spark's hidden-path filter skips `_`/`.` names),
+    * each task via a per-attempt temp name + atomic rename so a
+    * retried/speculative attempt can never interleave bytes. Only
+    * after the whole job succeeds does the driver delete stale
+    * `part-*.xlsx` from a previous (possibly wider) export and move
+    * the staged parts into place — a FAILED re-export therefore
+    * leaves the previous export fully intact (deleting stale parts
+    * up front destroyed it and then served a partial directory). The
+    * final swap is per-file (not one atomic directory commit): a
+    * driver crash mid-swap can leave a mix, but the window is
+    * file-moves on one directory, and the staging dir survives for
+    * manual recovery.
     */
   def writeXlsxPartitioned(df: DataFrame, dir: String,
                            maxRowsPerFile: Int = 1048575): Unit = {
     val cols = df.columns.toSeq
     val d = new java.io.File(dir)
     d.mkdirs()
-    val stale = Option(d.listFiles()).getOrElse(Array.empty).filter { f =>
-      val n = f.getName
-      n.startsWith("part-") && (n.endsWith(".xlsx") || n.contains(".xlsx.tmp-"))
-    }
-    stale.foreach { f =>
-      if (!f.delete() && f.exists())
-        throw new java.io.IOException(s"cannot delete stale export file $f")
-    }
-    df.foreachPartition { (it: Iterator[Row]) =>
-      if (it.hasNext) {
-        val tc = org.apache.spark.TaskContext.get()
-        val pid = tc.partitionId()
-        val tmp = new java.io.File(s"$dir/part-$pid.xlsx.tmp-${tc.taskAttemptId()}")
-        val dst = new java.io.File(s"$dir/part-$pid.xlsx")
-        val fs = new java.io.FileOutputStream(tmp)
-        try {
+    val staging = new java.io.File(d, s"_staging-${java.util.UUID.randomUUID()}")
+    staging.mkdirs()
+    val stagingPath = staging.getAbsolutePath
+    var committed = false
+    try {
+      df.foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val tmp = new java.io.File(s"$stagingPath/part-$pid.xlsx.tmp-${tc.taskAttemptId()}")
+          val dst = new java.io.File(s"$stagingPath/part-$pid.xlsx")
+          val fs = new java.io.FileOutputStream(tmp)
           try {
-            writeWorkbook(fs, cols, new Iterator[Seq[Any]] {
-              private var n = 0
-              def hasNext: Boolean = it.hasNext
-              def next(): Seq[Any] = {
-                n += 1
-                if (n > maxRowsPerFile)
-                  throw new IllegalArgumentException(
-                    s"partition exceeds $maxRowsPerFile rows/sheet — repartition smaller")
-                val r = it.next()
-                (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
-              }
-            })
-          } finally fs.close()
-          java.nio.file.Files.move(tmp.toPath, dst.toPath,
+            try {
+              writeWorkbook(fs, cols, new Iterator[Seq[Any]] {
+                private var n = 0
+                def hasNext: Boolean = it.hasNext
+                def next(): Seq[Any] = {
+                  n += 1
+                  if (n > maxRowsPerFile)
+                    throw new IllegalArgumentException(
+                      s"partition exceeds $maxRowsPerFile rows/sheet — repartition smaller")
+                  val r = it.next()
+                  (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
+                }
+              })
+            } finally fs.close()
+            java.nio.file.Files.move(tmp.toPath, dst.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          } finally { if (tmp.exists()) tmp.delete(); () }
+        }
+      }
+      // job succeeded — swap: drop the previous export's parts, move
+      // the staged parts in
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val n = f.getName
+        if (f.isFile && n.startsWith("part-") && n.endsWith(".xlsx") &&
+            !f.delete() && f.exists())
+          throw new java.io.IOException(s"cannot delete stale export file $f")
+      }
+      Option(staging.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".xlsx"))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath, new java.io.File(d, f.getName).toPath,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          ()
-        } finally { if (tmp.exists()) tmp.delete(); () }
+        }
+      committed = true
+    } finally {
+      // success: remove the now-empty staging dir. Failure: leave it
+      // (hidden from readXlsx) for diagnosis; the old export is intact.
+      if (committed) {
+        Option(staging.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        staging.delete()
+        ()
       }
     }
   }

@@ -79,11 +79,14 @@ object ScaleBench {
       "d42_dedup_best" -> (() =>
         Components.dedupByPairsBest(docs, "doc_id", minhash(), "id_a", "id_b",
           size(split(trim(col("text")), " +")), smallGraphMaxEdges = 0).count()),
-      // default RELATIVE cap: 88.9 s at just 15k names (x1) — the
-      // customer keys share 5 leading digits, so mid-frequency digit
-      // grams (df ≈ 1500 < 0.5·N) generate ~1e8 candidates. Kept in
-      // the sweep at x1 ONLY (skip-listed above that) as the measured
-      // scale-killer the absolute cap fixes.
+      // DEFAULT settings — which, since r9, means CandidateGuard is
+      // live: the requested relative-cap plan measures ~1e8 candidate
+      // rows here (112 s in the r8 sweep) and the guard auto-degrades
+      // it to an absolute rung (8.8 s at x1, same pair set as the
+      // hand-tuned cap-64 plan). This entry now measures the GUARDED
+      // default a user actually gets; b4_cap64 below is the hand-
+      // tuned reference it should track. The historical unguarded
+      // number lives in SCALE_SWEEP.md Finding 1.
       "b4_string_sim" -> (() =>
         graft.similarity.StringSim.similarPairs(cust, "c_name", "c_custkey", 0.9)
           .count()),

@@ -51,11 +51,20 @@ class SourcesSkewSpec extends SparkSpec {
     // re-export with FEWER partitions must not leave stale part files
     // for readXlsx to silently merge in
     Xlsx.writeXlsxPartitioned(df.limit(10).repartition(1), dir)
-    val after = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    val after = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".xlsx"))
     assert(after.length == 1, s"stale parts survived: ${after.map(_.getName).mkString(",")}")
     assert(Xlsx.readXlsx(spark, dir).count() == 10)
     // no temp files left behind
     assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")))
+    // a FAILED re-export must leave the previous export fully intact
+    // (commit-style staging: stale parts are only dropped after the
+    // job succeeds) — and the surviving staging dir must stay hidden
+    // from the reader
+    intercept[org.apache.spark.SparkException] {
+      Xlsx.writeXlsxPartitioned(df.repartition(1), dir, maxRowsPerFile = 10)
+    }
+    assert(Xlsx.readXlsx(spark, dir).count() == 10, "failed re-export clobbered the old data")
   }
 
   test("xlsx reader handles shared strings and sparse cells (openpyxl-style part layout)") {
