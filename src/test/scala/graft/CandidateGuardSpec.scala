@@ -38,6 +38,14 @@ class CandidateGuardSpec extends SparkSpec {
     assert(CandidateGuard.resolve(t, col("df_"), lit(100L), budget = 10000L).isEmpty)
   }
 
+  test("guard: Long.MaxValue budget disables the guard without running a probe") {
+    // a frame whose evaluation would throw proves no job ran
+    val poisoned = spark.range(1).selectExpr(
+      "id AS gram", "CAST(raise_error('probe must not run') AS LONG) AS df_")
+    assert(CandidateGuard.resolve(poisoned, col("df_"), lit(10L),
+      budget = Long.MaxValue).isEmpty)
+  }
+
   test("guard: fails loudly when even the tightest rung exceeds budget") {
     // 5 grams × df 2 → every rung's volume = 20 > budget 10
     val t = dfTbl(Seq.fill(5)(2L))
