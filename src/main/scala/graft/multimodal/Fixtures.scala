@@ -56,7 +56,10 @@ object Fixtures {
     val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
     val data = new Array[Byte](n * 2 * channels)
     for (i <- 0 until n; c <- 0 until channels) {
-      val v = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt.toShort
+      // StrictMath: bitwise-identical on every JVM/arch — math.sin may
+      // use platform intrinsics, and a 1-ulp flip near a zero crossing
+      // survives the .toInt quantization into the pinned oracle vectors
+      val v = (StrictMath.sin(2 * StrictMath.PI * freq * i / rate) * amp * 32767).toInt.toShort
       val off = (i * channels + c) * 2
       data(off) = (v & 0xff).toByte
       data(off + 1) = ((v >> 8) & 0xff).toByte

@@ -36,6 +36,43 @@ import org.apache.spark.sql.functions._
   */
 object CandidateGuard {
 
+  /** One guard decision that MOVED a knob (fit-within-budget calls
+    * record nothing — they are the common case and would be noise).
+    * `degradedCap = Some(c)` means the plan was auto-degraded to the
+    * absolute cap `c` (whose measured volume is `degradedVolume`);
+    * `degradedCap = None` means no ladder rung fit and the call threw.
+    * This is the PROGRAMMATIC signal the stderr warning cannot give a
+    * pipeline: after building a plan, `lastEvent`/`drainEvents` tell
+    * the caller whether recall semantics shifted and by how much.
+    */
+  final case class GuardEvent(opName: String, requestedVolume: Double,
+                              budget: Long, degradedCap: Option[Long],
+                              degradedVolume: Option[Double])
+
+  // bounded lock-free ring of recent knob-moving decisions; 128 is
+  // plenty (one entry per DEGRADED plan construction, not per task)
+  private val EventCap = 128
+  private val events = new java.util.concurrent.ConcurrentLinkedDeque[GuardEvent]()
+
+  private def record(e: GuardEvent): Unit = {
+    events.addLast(e)
+    while (events.size > EventCap) events.pollFirst()
+  }
+
+  /** Most recent knob-moving decision, if any. */
+  def lastEvent: Option[GuardEvent] = Option(events.peekLast())
+
+  /** Remove and return all recorded decisions, oldest first. */
+  def drainEvents(): Seq[GuardEvent] = {
+    val b = Seq.newBuilder[GuardEvent]
+    var e = events.pollFirst()
+    while (e != null) { b += e; e = events.pollFirst() }
+    b.result()
+  }
+
+  /** Drop all recorded decisions. */
+  def clearEvents(): Unit = events.clear()
+
   /** Default candidate-row budget. Calibrated against SCALE_SWEEP
     * Finding 1 on 32 local cores: ~1e8 candidate join rows measured
     * 112 s; 2e7 keeps the candidate stage in the low seconds while
@@ -66,15 +103,24 @@ object CandidateGuard {
     *               BIPARTITE index (batch × store) passes
     *               `Some(batchDf · storeDf)` while capping on the
     *               store df alone
+    * @param strict opt-in: refuse to auto-degrade — when the requested
+    *               cap's volume blows the budget, throw with the
+    *               measured estimate instead of silently trading
+    *               recall. For pipelines where reduced recall is worse
+    *               than a failed job (e.g. a legal-hold dedup pass).
     * @return None = requested caps fit, leave the plan untouched;
-    *         Some(c) = tighten to `least(effCap, c)`
-    * @throws IllegalStateException when no ladder rung fits — message
-    *         carries the measured volumes and the minhash pointer
+    *         Some(c) = tighten to `least(effCap, c)`; either way a
+    *         knob-moving decision is recorded in [[lastEvent]]
+    * @throws IllegalStateException when no ladder rung fits (or, in
+    *         strict mode, whenever the requested cap does not fit) —
+    *         message carries the measured volumes and the minhash
+    *         pointer
     */
   def resolve(dfTbl: DataFrame, dfCol: Column, effCap: Column,
               budget: Long = DefaultBudget,
               opName: String = "pair generator",
-              volume: Option[Column] = None): Option[Long] = {
+              volume: Option[Column] = None,
+              strict: Boolean = false): Option[Long] = {
     require(budget > 0, s"candidateBudget must be positive, got $budget")
     // Long.MaxValue = guard explicitly disabled (correctness gates pin
     // fixed cap semantics this way) — skip the probe job entirely, no
@@ -90,12 +136,22 @@ object CandidateGuard {
     def v(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
     val req = v(0)
     if (req <= budget.toDouble) None
+    else if (strict) {
+      record(GuardEvent(opName, req, budget, None, None))
+      throw new IllegalStateException(
+        f"[graft] $opName (strict): candidate volume ~${req}%.3g rows exceeds " +
+          f"the $budget%d budget and guardStrict=true forbids auto-degrade. " +
+          "Raise candidateBudget, loosen the caps yourself, or use banded " +
+          "minhash (Dedup.minhashPairs).")
+    }
     else Ladder.zipWithIndex
       .collectFirst { case (c, i) if v(i + 1) <= budget.toDouble => (c, v(i + 1)) }
       .map { case (c, est) =>
         // Loud but non-fatal: the degraded plan is semantically valid
         // (exact scores, documented recall trade) — the caller just
-        // needs to know the knob moved and why.
+        // needs to know the knob moved and why. The stderr line is for
+        // humans; the recorded GuardEvent is the programmatic signal.
+        record(GuardEvent(opName, req, budget, Some(c), Some(est)))
         System.err.println(
           f"[graft] $opName: requested df cap -> ~${req}%.3g candidate rows " +
             f"(budget $budget%d); auto-degrading to absolute dfCap=$c%d " +
@@ -104,6 +160,7 @@ object CandidateGuard {
         c
       }
       .orElse {
+        record(GuardEvent(opName, req, budget, None, None))
         throw new IllegalStateException(
           f"[graft] $opName: candidate volume ~${req}%.3g rows exceeds the " +
             f"$budget%d budget and even dfCap=${Ladder.last}%d measures " +

@@ -55,7 +55,11 @@ object StringSim {
     * `candidateBudget` the cap auto-degrades to the largest absolute
     * cap that fits (warning on stderr; scores stay exact — recall
     * then requires a shared sub-cap gram), failing loudly when no
-    * cap can bound the corpus. Sequential key-like strings whose
+    * cap can bound the corpus. Every knob-moving decision is ALSO
+    * recorded programmatically ([[CandidateGuard.lastEvent]] /
+    * `drainEvents`), and `guardStrict = true` turns would-degrade
+    * into a loud failure for callers who can't tolerate a recall
+    * change. Sequential key-like strings whose
     * near-identical pairs share only common grams lose recall under
     * ANY gram cap — THAT shape wants banded minhash
     * (`Dedup.minhashPairs` prunes by similarity, not gram rarity)
@@ -65,7 +69,8 @@ object StringSim {
                    minSimilarity: Double, n: Int = 3,
                    dfCap: Long = Long.MaxValue,
                    relDfCap: Double = 0.5,
-                   candidateBudget: Long = 2000000L): DataFrame = {
+                   candidateBudget: Long = 2000000L,
+                   guardStrict: Boolean = false): DataFrame = {
     // candidateBudget default is LOWER than CandidateGuard.DefaultBudget:
     // a surviving candidate here costs ~2·(grams per string) re-score
     // join rows (the pair re-joins BOTH sides' full gram-weight lists),
@@ -121,7 +126,7 @@ object StringSim {
         // volume guard: ONE single-row probe over the cached gram-df
         // frame; tightens the cap when Σ_{df≤cap} df² blows the budget
         val capped = CandidateGuard.resolve(dfTbl, col("df_"), effCap,
-            candidateBudget, "StringSim.similarPairs")
+            candidateBudget, "StringSim.similarPairs", strict = guardStrict)
           .map(c => least(effCap, lit(c))).getOrElse(effCap)
         val sub = weighted.filter(col("df_") <= capped)
         val cands = sub.select(col("gram"), col("id").as("id_a"))

@@ -46,6 +46,54 @@ class CandidateGuardSpec extends SparkSpec {
       budget = Long.MaxValue).isEmpty)
   }
 
+  test("guard: degrade records a programmatic GuardEvent; fitting calls record nothing") {
+    CandidateGuard.clearEvents()
+    // under budget → no event
+    assert(CandidateGuard.resolve(dfTbl(Seq.fill(10)(3L)), col("df_"),
+      lit(1000L), budget = 100L).isEmpty)
+    assert(CandidateGuard.lastEvent.isEmpty)
+    // degrade → event carries op name, measured volumes, chosen rung
+    val t = dfTbl(500L +: Seq.fill(50)(4L))
+    assert(CandidateGuard.resolve(t, col("df_"), lit(1000L), budget = 10000L,
+      opName = "spec-op").contains(256L))
+    val e = CandidateGuard.lastEvent.get
+    assert(e.opName == "spec-op")
+    assert(e.budget == 10000L)
+    assert(e.requestedVolume == 250800.0)
+    assert(e.degradedCap.contains(256L))
+    assert(e.degradedVolume.contains(800.0))
+    // drain empties the buffer
+    assert(CandidateGuard.drainEvents().nonEmpty)
+    assert(CandidateGuard.lastEvent.isEmpty)
+  }
+
+  test("guard: strict mode throws instead of degrading (and records the refusal)") {
+    CandidateGuard.clearEvents()
+    val t = dfTbl(500L +: Seq.fill(50)(4L)) // same corpus that degrades to 256 above
+    val e = intercept[IllegalStateException] {
+      CandidateGuard.resolve(t, col("df_"), lit(1000L), budget = 10000L,
+        opName = "strict-op", strict = true)
+    }
+    assert(e.getMessage.contains("strict"))
+    val ev = CandidateGuard.lastEvent.get
+    assert(ev.opName == "strict-op" && ev.degradedCap.isEmpty)
+    CandidateGuard.clearEvents()
+  }
+
+  test("jaccardJoin: guardStrict=true surfaces the would-degrade as a failure") {
+    // the same corpus shape as the degrade test below, but strict
+    val docs = (0 until 120).map { i =>
+      val rare = if (i <= 1) "alpha beta gamma" else s"tail$i taily$i tailz$i"
+      (i.toLong, s"stopA stopB stopC $rare")
+    }.toDF("id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.jaccardJoin(docs, "text", "id", 0.4,
+        relDfCap = 1.0, allPairsMaxDocs = 10L, candidateBudget = 2000L,
+        guardStrict = true).collect()
+    }
+    assert(e.getMessage.contains("guardStrict"))
+  }
+
   test("guard: fails loudly when even the tightest rung exceeds budget") {
     // 5 grams × df 2 → every rung's volume = 20 > budget 10
     val t = dfTbl(Seq.fill(5)(2L))
