@@ -554,6 +554,34 @@ object SparkEntry {
         "id_a", "id_b", size(split(trim(col("text")), " +")))
         .select("doc_id").orderBy("doc_id")
     }),
+    // sliding-window chunking (RAG/context prep): map-only, 64-token
+    // windows advancing by 48 (16-token overlap), final chunk ragged
+    "q_d43_chunking" -> ((s, d) =>
+      graft.pipeline.Pipeline.chunkDocs(
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", chunkLen = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+    // bigram-LM fluency scoring (CCNet-style, one order above d28):
+    // self-scored corpus, p(w2|w1) = cnt(w1,w2)/cnt(w1,·), micro-nat
+    // integer sums for reduction-order-independent float results
+    "q_d44_bigram_xent" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.text.TokenStats.bigramCrossEntropy(docs, "text", "doc_id",
+        graft.text.TokenStats.bigramCounts(docs, "text", "doc_id"))
+        .orderBy("doc_id")
+    }),
+    // leakage-safe split: near-dup components assigned to train/val/
+    // test as a unit (split key = component's min member id)
+    "q_d45_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      // candidateBudget pinned (same reasoning as q_b4): the gate's
+      // oracle is uncapped, so guard auto-degrade must stay off
+      val pairs = Dedup.jaccardJoin(docs, "text", "doc_id", 0.8,
+        candidateBudget = Long.MaxValue)
+      graft.pipeline.Pipeline.leakageSafeSplit(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy("doc_id")
+    }),
     // dataset-card topline numbers in one pass over per-doc features
     "q_d40_datasheet" -> ((s, d) =>
       graft.text.TextAnalysis.corpusDatasheet(
@@ -1581,6 +1609,64 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS token_count,
         |  round((sum(nll_micro) / count(*)) / 1e6, 4) AS cross_entropy
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // chunk arithmetic re-derived: stride 48, ceil via integer floor
+    // form, 1-based list slices mirror Spark's slice()
+    "q_d43_chunking" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM documents WHERE doc_id%5=0 AND length(trim(text)) > 0),
+        |n AS (SELECT doc_id, t, len(t) AS n FROM d),
+        |c AS (SELECT doc_id, t, unnest(generate_series(0,
+        |    CASE WHEN n <= 64 THEN 0 ELSE CAST(floor((n - 64 + 47) * 1.0 / 48) AS BIGINT) END)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS chunk_start,
+        |  len(t[chunk_id*48+1 : chunk_id*48+64]) AS chunk_tokens,
+        |  array_to_string(t[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // bigram LM re-derived end-to-end: adjacent pairs from 1-based
+    // list indexing, p(w2|w1) over the same corpus (every pair seen
+    // -> no smoothing branch), micro-nat quantization before the sum
+    "q_d44_bigram_xent" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |d2 AS (SELECT doc_id, t FROM d WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, unnest(generate_series(1, len(t)-1)) AS i, t FROM d2),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM b),
+        |lm AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1,2),
+        |cx AS (SELECT w1, sum(cnt) AS ctx FROM lm GROUP BY 1),
+        |s AS (SELECT bg.doc_id,
+        |  CAST(round(-ln(lm.cnt * 1.0 / cx.ctx) * 1e6) AS BIGINT) AS nll_micro
+        |  FROM bg JOIN lm USING (w1, w2) JOIN cx USING (w1))
+        |SELECT doc_id, count(*) AS bigram_count,
+        |  round((sum(nll_micro) / count(*)) / 1e6, 4) AS cross_entropy
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q_d21's recursive-CTE closure gives the component; the split is
+    // then q_d16's md5-bucket arithmetic keyed on the component's min
+    // member id (singletons key on their own id)
+    "q_d45_leakage_split" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        | FROM documents WHERE doc_id%10=0),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        | WHERE round(len(list_intersect(a.ws,b.ws))*1.0/(len(a.ws)+len(b.ws)-len(list_intersect(a.ws,b.ws))),4) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM edges),
+        |cc(n, lbl) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT e.b, cc.lbl FROM cc JOIN edges e ON cc.n = e.a
+        |),
+        |comp AS (SELECT n AS doc_id, MIN(lbl) AS grp FROM cc GROUP BY n),
+        |g AS (SELECT d.doc_id, COALESCE(c.grp, d.doc_id) AS group_id
+        |      FROM docs d LEFT JOIN comp c USING (doc_id)),
+        |bk AS (SELECT doc_id, group_id, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(CAST(group_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 100 AS bkt FROM g)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     // argmax cosine vs the first-4-by-id centroid bank; LATER
     // centroid index wins exact ties (the native expression's

@@ -206,4 +206,75 @@ object Pipeline {
       .filter(col("_rk") <= k)
       .drop("_rk")
   }
+
+  /** Sliding-window document chunking: each document's whitespace
+    * token sequence is cut into windows of `chunkLen` tokens
+    * advancing by `chunkLen − overlap` (the RAG / context-prep
+    * shape — every token is covered, consecutive chunks share
+    * `overlap` tokens, the final chunk may be shorter). Output one
+    * row per (doc, chunk): (id, chunk_id, chunk_start, chunk_tokens,
+    * chunk_text), chunk_id and the token offset 0-based.
+    *
+    * Scale shape: MAP-ONLY — the token array, the chunk-index
+    * sequence, and the slices are all computed inside the scan stage
+    * (no shuffle, no window function, no per-doc state), so the
+    * operator is embarrassingly parallel and row-output-bounded:
+    * ~n_tokens/(chunkLen−overlap) rows per doc regardless of corpus
+    * size. Whitespace-only documents produce no chunks (there is
+    * nothing to pack); documents shorter than `chunkLen` produce
+    * exactly one.
+    */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                chunkLen: Int, overlap: Int = 0): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be positive, got $chunkLen")
+    require(overlap >= 0 && overlap < chunkLen,
+      s"overlap must be in [0, chunkLen), got $overlap")
+    val stride = chunkLen - overlap
+    val base = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), " +").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    // last chunk index: 0 when the doc fits one window, else
+    // ceil((n − chunkLen)/stride) — integer-exact via the floor form
+    val lastChunk = when(col("_n") <= chunkLen, lit(0L))
+      .otherwise(floor((col("_n") - chunkLen + (stride - 1))
+        .cast("double") / stride).cast("long"))
+    base
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+      .withColumn("_slice",
+        slice(col("_toks"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkLen)))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        size(col("_slice")).cast("long").as("chunk_tokens"),
+        array_join(col("_slice"), " ").as("chunk_text"))
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a val/test doc with a near-dup
+    * in train is contamination, not evaluation). Given the near-dup
+    * `pairs` frame (from `Dedup.jaccardJoin` / `minhashPairs` /
+    * `Ann.embeddingNearDupPairs`), every connected COMPONENT of the
+    * pair graph is assigned as a unit: the split key is the
+    * component's canonical (minimum) member id, so all members hash
+    * into the same bucket; documents untouched by any pair key on
+    * their own id — identical to [[withSplit]] for them. Output =
+    * `df` + (group_id, split).
+    *
+    * Scale shape: components via the distributed min-label/pointer-
+    * jumping pass (O(log diameter) rounds, see
+    * [[graft.dedup.Components.connectedComponents]]); the label frame
+    * is pair-graph-sized (usually ≪ corpus), joined back LEFT so the
+    * untouched majority of the corpus takes one broadcast-or-shuffle
+    * join and the scan-local hash — no per-doc state, no global sort.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String = "id_a", bCol: String = "id_b",
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = graft.dedup.Components.connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as("_n"), col("component").as("_c"))
+    df.join(comp, df(idCol) === col("_n"), "left")
+      .withColumn("group_id", coalesce(col("_c"), df(idCol).cast("long")))
+      .drop("_n", "_c")
+      .withColumn("split", splitLabel(col("group_id"), trainPct, valPct))
+  }
 }

@@ -57,6 +57,64 @@ object TokenStats {
           .as("cross_entropy"))
   }
 
+  /** (w1, w2, cnt) corpus bigram counts over adjacent whitespace
+    * tokens. The bigram list is built scan-locally from the token
+    * array (no window function — a per-doc window would shuffle the
+    * corpus by doc just to see each token's neighbor, which the array
+    * already provides); the only shuffle is the groupBy on the bigram
+    * key with map-side combine. One-token documents contribute
+    * nothing (they have no adjacent pair).
+    */
+  def bigramCounts(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    bigrams(df, textCol, idCol).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  // (id, w1, w2) adjacent-token pairs, scan-local (t[] is 0-based)
+  private def bigrams(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), " +").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  /** Per-document BIGRAM cross-entropy (mean −ln p(w2|w1), nats) —
+    * the CCNet-style fluency signal one order above [[crossEntropy]]:
+    * a unigram model cannot see scrambled word order or unnatural
+    * collocations; a bigram model scores them as surprising. `lm` is
+    * (w1, w2, cnt) from [[bigramCounts]] (self-scored or a reference
+    * corpus); context totals derive from `lm` itself, so
+    * p(w2|w1) = cnt(w1,w2) / Σ_w cnt(w1,w). Backoff for cross-corpus
+    * scoring: a seen context with an unseen continuation gets
+    * add-one mass 1/(ctx+1); an unseen context gets 1/(total+1) —
+    * the same smoothing family as the unigram operator.
+    *
+    * Determinism: per-bigram −ln p quantizes to micro-nats and sums
+    * as integers (reduction-order-independent), the same float
+    * discipline as [[crossEntropy]]. Two shuffles total beyond the
+    * LM build: the bigram join (keyed (w1,w2)) and the per-doc agg.
+    */
+  def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+                         lm: DataFrame): DataFrame = {
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
+    val total = lm.agg(sum(col("cnt")).as("_total"))
+    val nll = when(col("cnt").isNotNull,
+        -log(col("cnt").cast("double") / col("ctx").cast("double")))
+      .when(col("ctx").isNotNull,
+        -log(lit(1.0) / (col("ctx") + 1L).cast("double")))
+      .otherwise(-log(lit(1.0) / (col("_total") + 1L).cast("double")))
+    bigrams(df, textCol, idCol)
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), round(nll * 1e6).cast("long").as("nll_micro"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("bigram_count"),
+        round((sum(col("nll_micro")) / count(lit(1))).cast("double") / 1e6, 4)
+          .as("cross_entropy"))
+  }
+
   /** The `vocabSize` most frequent tokens (count desc, token asc —
     * total order, reproducible across runs and engines). The top-k
     * is a `TakeOrderedAndProject` (per-partition heads, no global

@@ -128,4 +128,63 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(half("small") > prop("small") && half("big") < uni("big") + 1.0)
   }
+
+  test("chunkDocs: window arithmetic, overlap coverage, ragged tail, short/empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens, 2 chunks at L=6,S=4
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, "   "),                                    // whitespace-only: no chunks
+      (4L, (1 to 14).map(i => s"t$i").mkString("  ")) // multi-space; 14 toks -> 3 chunks
+    ).toDF("doc_id", "text")
+    val out = Pipeline.chunkDocs(docs, "text", "doc_id", chunkLen = 6, overlap = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // doc 1: chunk0 = w1..w6 at 0, chunk1 = w5..w10 at 4 (stride 4)
+    val d1 = byDoc(1L)
+    assert(d1.length == 2)
+    assert(d1(0).getLong(2) == 0 && d1(0).getLong(3) == 6
+      && d1(0).getString(4) == "w1 w2 w3 w4 w5 w6")
+    assert(d1(1).getLong(2) == 4 && d1(1).getLong(3) == 6
+      && d1(1).getString(4) == "w5 w6 w7 w8 w9 w10")
+    // doc 2: one short chunk, whole doc
+    val d2 = byDoc(2L)
+    assert(d2.length == 1 && d2(0).getLong(3) == 3 && d2(0).getString(4) == "a b c")
+    // doc 3 gone entirely
+    assert(!byDoc.contains(3L))
+    // doc 4: 14 tokens -> last chunk index ceil((14-6)/4)=2; tail is
+    // ragged (tokens 9..14, 6 long here since 14-8=6 exactly fills)
+    val d4 = byDoc(4L)
+    assert(d4.length == 3 && d4(2).getLong(2) == 8 && d4(2).getLong(3) == 6)
+    // overlap coverage: consecutive chunks share exactly `overlap`
+    // tokens and their union covers every token once in order
+    val rebuilt = d4.map(_.getString(4).split(" ")).reduce { (acc, next) =>
+      assert(acc.takeRight(2).sameElements(next.take(2)), "chunks must overlap by 2")
+      acc ++ next.drop(2)
+    }
+    assert(rebuilt.sameElements((1 to 14).map(i => s"t$i")))
+  }
+
+  test("leakageSafeSplit: a component never straddles a split; singletons match withSplit") {
+    val docs = (1L to 300L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    // two engineered near-dup clusters: {1,2,3} (chain) and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Pipeline.leakageSafeSplit(docs, "doc_id", pairs)
+      .select("doc_id", "group_id", "split").collect()
+    val m = out.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(Seq(1L, 2L, 3L).map(m(_)).distinct.size == 1,
+      "cluster {1,2,3} must share group AND split")
+    assert(m(10L) == m(11L))
+    assert(m(1L)._1 == 1L && m(10L)._1 == 10L, "group id = min member")
+    // untouched docs: group = own id, split identical to plain withSplit
+    val plain = Pipeline.withSplit(docs.filter(col("doc_id") > 20), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    plain.foreach { case (id, s) =>
+      assert(m(id)._1 == id && m(id)._2 == s, s"singleton $id must match withSplit")
+    }
+    // determinism across partitionings
+    val out2 = Pipeline.leakageSafeSplit(docs.repartition(7), "doc_id", pairs.repartition(3))
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out2 == m)
+  }
 }

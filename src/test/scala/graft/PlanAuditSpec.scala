@@ -104,6 +104,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
+  test("document chunking is map-only: no exchange beyond the output sort, no join, no window") {
+    val p = SparkEntry.queries("q_d43_chunking")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the query's orderBy adds the output sort's range exchange; the
+    // chunking itself (tokenize → sequence → explode → slice) must
+    // stay inside the scan stage
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking grew a shuffle ($exchanges):\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"chunking must not join or window:\n$p")
+  }
+
   test("epoch shuffle is a range-partitioned sort, never a global row-number window") {
     val p = plan("q_d31_epoch_shuffle")
     assert(!p.contains("Window"),

@@ -60,6 +60,35 @@ class TokenStatsSpec extends SparkSpec {
     assert(unseen.getDouble(2) == expUnseen)
   }
 
+  test("bigramCrossEntropy: hand-computed conditionals; context and total backoff tiers") {
+    // corpus: "a b a b a c" -> bigrams (a,b)x2 (b,a)x2 (a,c)x1
+    // contexts: a·=3, b·=2; total bigrams = 5
+    val corpus = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val lm = TokenStats.bigramCounts(corpus, "text", "doc_id")
+    val cnts = lm.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cnts == Map(("a", "b") -> 2L, ("b", "a") -> 2L, ("a", "c") -> 1L))
+    def micro(p: Double) = math.round(-math.log(p) * 1e6)
+    def exp4(micros: Seq[Long]) =
+      BigDecimal(micros.sum / micros.size.toDouble / 1e6)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc "a b a": bigrams (a,b) p=2/3 and (b,a) p=2/2
+    val seen = TokenStats.bigramCrossEntropy(
+      Seq((7L, "a b a")).toDF("doc_id", "text"), "text", "doc_id", lm).collect()(0)
+    assert(seen.getLong(1) == 2L)
+    assert(seen.getDouble(2) == exp4(Seq(micro(2.0 / 3), micro(1.0))))
+    // doc "a a": context 'a' seen (ctx=3) but pair unseen -> 1/(3+1);
+    // doc "z z": context unseen -> 1/(total+1) = 1/6
+    val ctxBack = TokenStats.bigramCrossEntropy(
+      Seq((8L, "a a")).toDF("doc_id", "text"), "text", "doc_id", lm).collect()(0)
+    assert(ctxBack.getDouble(2) == exp4(Seq(micro(1.0 / 4))))
+    val totBack = TokenStats.bigramCrossEntropy(
+      Seq((9L, "z z")).toDF("doc_id", "text"), "text", "doc_id", lm).collect()(0)
+    assert(totBack.getDouble(2) == exp4(Seq(micro(1.0 / 6))))
+    // one-token docs contribute no bigrams at all
+    assert(TokenStats.bigramCrossEntropy(
+      Seq((10L, "solo")).toDF("doc_id", "text"), "text", "doc_id", lm).count() == 0L)
+  }
+
   test("topVocab breaks count ties by token ascending; oovRate counts misses") {
     val corpus = Seq((1L, "b b a a c")).toDF("doc_id", "text")
     val lm = TokenStats.unigramCounts(corpus, "text", "doc_id")
