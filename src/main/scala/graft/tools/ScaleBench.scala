@@ -146,15 +146,34 @@ object ScaleBench {
           "c_name" -> Seq(graft.quality.Rule.LenBetween(5, 40)),
           "c_acctbal" -> Seq(graft.quality.Rule.NumBetween(-1000, 10000)),
           "c_mktsegment" -> Seq(graft.quality.Rule.NoDigits, graft.quality.Rule.NoSpaces)))
-          .count()))
+          .count()),
+      // ---- r10 additions: chunking is map-only (should track the
+      // scan, i.e. ~linear); bigram xent is two token-keyed shuffles;
+      // leakage split composes minhash pairs + components + hash
+      "d43_chunking" -> (() =>
+        graft.pipeline.Pipeline.chunkDocs(docs, "text", "doc_id",
+          chunkLen = 64, overlap = 16).count()),
+      "d44_bigram" -> (() => {
+        val lm = graft.text.TokenStats.bigramCounts(docs, "text", "doc_id")
+        graft.text.TokenStats.bigramCrossEntropy(docs, "text", "doc_id", lm).count()
+      }),
+      "d45_leakage_split" -> (() =>
+        graft.pipeline.Pipeline.leakageSafeSplit(docs, "doc_id",
+          minhash()).count()))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
       if (la >= 0) la else 0.0
     }
+    // optional 4th arg: run ONLY these (comma-separated) — the
+    // incremental-sweep complement of the skip list
+    val only = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
     val loadBefore = loadAvg
-    val results = queries.filterNot(q => skip.contains(q._1)).map { case (name, fn) =>
+    val results = queries
+      .filterNot(q => skip.contains(q._1))
+      .filter(q => only.isEmpty || only(q._1))
+      .map { case (name, fn) =>
       val timed = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         val res =
