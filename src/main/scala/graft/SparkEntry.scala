@@ -582,6 +582,14 @@ object SparkEntry {
         .select(col("doc_id"), col("group_id"), col("split"))
         .orderBy("doc_id")
     }),
+    // duplicate-span detection (exact-substring-dedup family): hashed
+    // 8-token windows at stride 1; a span occurrence is duplicated
+    // when its 60-bit fingerprint repeats corpus-wide (within-doc
+    // repeats count — self-repetition is part of the signal)
+    "q_d47_dup_spans" -> ((s, d) =>
+      graft.dedup.Spans.duplicatedSpanStats(
+        t(s, d, "documents"), "text", "doc_id", spanLen = 8)
+        .orderBy("doc_id")),
     // dataset-card topline numbers in one pass over per-doc features
     "q_d40_datasheet" -> ((s, d) =>
       graft.text.TextAnalysis.corpusDatasheet(
@@ -1667,6 +1675,25 @@ object SparkEntry {
         |SELECT doc_id, group_id,
         |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
         |FROM bk ORDER BY doc_id""".stripMargin,
+
+    // duplicate spans re-derived end-to-end: 1-based window starts
+    // from generate_series, 8-element inclusive list slices, and the
+    // same 15-nibble md5 head as the Spark fingerprint (identical
+    // equivalence classes, so the long-vs-hex representation washes
+    // out in the grouping)
+    "q_d47_dup_spans" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |d2 AS (SELECT doc_id, t FROM d WHERE len(t) >= 8),
+        |s AS (SELECT doc_id, unnest(generate_series(1, len(t)-7)) AS p, t FROM d2),
+        |h AS (SELECT doc_id, p - 1 AS span_pos,
+        |  substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp FROM s),
+        |o AS (SELECT fp, count(*) AS occ FROM h GROUP BY 1),
+        |j AS (SELECT h.doc_id, o.occ FROM h JOIN o USING (fp))
+        |SELECT doc_id, count(*) AS span_count,
+        |  count(CASE WHEN occ >= 2 THEN 1 END) AS dup_span_count,
+        |  round(count(CASE WHEN occ >= 2 THEN 1 END) * 1.0 / count(*), 4) AS dup_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // argmax cosine vs the first-4-by-id centroid bank; LATER
     // centroid index wins exact ties (the native expression's

@@ -1,0 +1,107 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-SPAN detection — the exact-substring-dedup family (Lee
+  * et al., "Deduplicating Training Data Makes Language Models
+  * Better", ACL 2022): repeated L-token spans across (and within)
+  * documents are the contamination signal document-level near-dup
+  * (D2-D4) misses — licensing boilerplate, quoted passages, and
+  * templated fragments embedded in otherwise-distinct documents.
+  *
+  * Spark-first shape: the paper's suffix array is a single-node
+  * device and does not distribute; the scalable equivalent is hashed
+  * fixed-length span fingerprints. Span construction is MAP-ONLY
+  * inside the scan stage (token array + index sequence + slices, the
+  * same arithmetic as [[graft.pipeline.Pipeline.chunkDocs]]); the
+  * only shuffles are ONE span-fingerprint groupBy (map-side combined)
+  * and ONE fingerprint-keyed join back. Everything is corpus-linear —
+  * Σ (tokens − L)/stride + 1 spans, never pairwise. `stride` trades
+  * resolution for volume at 100 TB (stride 1 = every window, the
+  * paper's semantics; stride L = disjoint windows, L× cheaper).
+  */
+object Spans {
+
+  /** 60-bit portable span fingerprint: the first 15 md5 nibbles of
+    * the space-joined window. Any engine (or offline auditor)
+    * recomputes it from the same bytes — the same portability
+    * contract as [[graft.pipeline.Pipeline.hashBucket]] — and 15
+    * nibbles keep the value inside a signed long.
+    */
+  def spanFingerprint(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** One row per L-token window: (id, span_pos, span_hash), span_pos
+    * the 0-based token offset, windows advancing by `stride`. Only
+    * FULL windows are emitted — a document with fewer than `spanLen`
+    * tokens contributes no spans (it cannot contain a duplicated
+    * L-token passage). Map-only: no shuffle appears until a caller
+    * aggregates.
+    */
+  def spanHashes(df: DataFrame, textCol: String, idCol: String,
+                 spanLen: Int, stride: Int = 1): DataFrame = {
+    require(spanLen > 0, s"spanLen must be positive, got $spanLen")
+    require(stride > 0, s"stride must be positive, got $stride")
+    val base = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), " +").as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .filter(col("_n") >= spanLen)
+    // last window index: floor((n − L)/stride) — integer-exact
+    val lastSpan = floor((col("_n") - spanLen).cast("double") / stride).cast("long")
+    base
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0L), lastSpan)).as("_k"))
+      .select(col(idCol),
+        (col("_k") * stride).as("span_pos"),
+        spanFingerprint(array_join(
+          slice(col("_toks"), (col("_k") * stride + 1).cast("int"), lit(spanLen)),
+          " ")).as("span_hash"))
+  }
+
+  /** Per-document duplicated-span statistics:
+    * (id, span_count, dup_span_count, dup_frac). A span OCCURRENCE is
+    * duplicated when its fingerprint occurs at least `minCount` times
+    * corpus-wide — within-document repeats count toward the total
+    * (self-repetition is part of the paper's finding), so a document
+    * that repeats its own boilerplate twice is flagged even if no
+    * other document shares it. `dup_frac` is the filter signal: docs
+    * above a threshold are dominated by text that exists elsewhere.
+    *
+    * Plan: spans (map-only) → one fingerprint groupBy with map-side
+    * combine → one fingerprint-keyed join back → one per-doc agg.
+    * Both shuffles key on high-cardinality columns (fingerprint, id);
+    * no broadcast of corpus-sized state, no pairwise blowup.
+    */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
+                          spanLen: Int, stride: Int = 1,
+                          minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val spans = spanHashes(df, textCol, idCol, spanLen, stride)
+    val occ = spans.groupBy(col("span_hash")).agg(count(lit(1)).as("_occ"))
+    spans.join(occ, Seq("span_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("span_count"),
+        count(when(col("_occ") >= minCount, 1)).as("dup_span_count"))
+      .withColumn("dup_frac",
+        round(col("dup_span_count") / col("span_count").cast("double"), 4))
+  }
+
+  /** The flagged occurrences themselves — (id, span_pos, span_hash,
+    * occurrences) for every span whose fingerprint repeats at least
+    * `minCount` times — the inspection/removal worklist behind
+    * [[duplicatedSpanStats]]'s counters. The duplicated-fingerprint
+    * frame is typically tiny relative to the corpus (AQE broadcasts
+    * it when it is), so the join back is cheap.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     spanLen: Int, stride: Int = 1,
+                     minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val spans = spanHashes(df, textCol, idCol, spanLen, stride)
+    val dup = spans.groupBy(col("span_hash")).agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") >= minCount)
+    spans.join(dup, Seq("span_hash"))
+      .select(col(idCol), col("span_pos"), col("span_hash"), col("occurrences"))
+  }
+}

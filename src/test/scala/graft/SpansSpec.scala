@@ -1,0 +1,80 @@
+package graft
+
+import graft.dedup.Spans
+import org.apache.spark.sql.functions._
+
+/** D47 duplicate-span detection: window arithmetic, within-doc
+  * repeats, stride semantics, and the map-only span-construction
+  * plan shape.
+  */
+class SpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cross-document duplicated spans are flagged; unique docs score zero") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // identical to doc 2
+      (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w")         // unique
+    ).toDF("doc_id", "text")
+    val stats = Spans.duplicatedSpanStats(docs, "text", "doc_id", spanLen = 8)
+      .orderBy("doc_id").collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 1L, 0L)))
+    assert(stats(0).getDouble(3) == 1.0 && stats(2).getDouble(3) == 0.0)
+  }
+
+  test("within-document repetition counts as duplication") {
+    // 16 tokens = the same 8-gram twice: 9 windows, the ones at pos 0
+    // and pos 8 share a fingerprint, the 7 middles are unique
+    val docs = Seq((1L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val r = Spans.duplicatedSpanStats(docs, "text", "doc_id", spanLen = 8).collect()(0)
+    assert(r.getLong(1) == 9L)
+    assert(r.getLong(2) == 2L)
+    assert(r.getDouble(3) == math.rint(2.0 / 9.0 * 1e4) / 1e4)
+  }
+
+  test("stride emits only full windows at stride offsets") {
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val spans = Spans.spanHashes(docs, "text", "doc_id", spanLen = 4, stride = 4)
+      .orderBy("span_pos").collect()
+    // 10 tokens, L=4, stride 4: windows at 0 and 4 (a window at 8
+    // would be ragged and is not emitted)
+    assert(spans.map(_.getLong(1)).toSeq == Seq(0L, 4L))
+  }
+
+  test("documents shorter than spanLen contribute no spans") {
+    val docs = Seq((1L, "a b c"), (2L, "   "), (3L, "a b c d")).toDF("doc_id", "text")
+    val spans = Spans.spanHashes(docs, "text", "doc_id", spanLen = 4)
+    assert(spans.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("duplicateSpans returns the exact flagged occurrences") {
+    val docs = Seq(
+      (1L, "x y z w a b c d"),
+      (2L, "x y z w q r s t"),
+      (3L, "m n o p q r s t")
+    ).toDF("doc_id", "text")
+    // L=4: "x y z w" occurs in docs 1+2 (pos 0); "q r s t" in docs
+    // 2+3 (pos 4); everything else is unique
+    val dup = Spans.duplicateSpans(docs, "text", "doc_id", spanLen = 4)
+      .orderBy("doc_id", "span_pos").collect()
+    assert(dup.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((1L, 0L, 2L), (2L, 0L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+  }
+
+  test("span construction is map-only (no Exchange before aggregation)") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = Spans.spanHashes(docs, "text", "doc_id", spanLen = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free span plan:\n$plan")
+  }
+
+  test("fingerprint is the md5 15-nibble head (portable contract)") {
+    val fp = Seq("a b c d").toDF("s")
+      .select(Spans.spanFingerprint(col("s"))).collect()(0).getLong(0)
+    val md5Head = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    assert(fp == java.lang.Long.parseLong(md5Head, 16))
+  }
+}
