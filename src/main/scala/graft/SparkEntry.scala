@@ -590,6 +590,19 @@ object SparkEntry {
       graft.dedup.Spans.duplicatedSpanStats(
         t(s, d, "documents"), "text", "doc_id", spanLen = 8)
         .orderBy("doc_id")),
+    // DSIR importance resampling: hashed unigram+bigram buckets,
+    // target = the English slice, raw = the whole corpus; Gumbel
+    // top-50 on the exact micro-nat importance key (content-hash
+    // Gumbel draw — deterministic sampling ∝ importance weight)
+    "q_d46_dsir" -> ((s, d) => {
+      val raw = t(s, d, "documents")
+      val w = graft.pipeline.Dsir.importanceWeights(
+        raw, raw.filter(col("lang") === "en"), "text", "doc_id", buckets = 10000)
+      graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 50)
+        .select(col("doc_id"), col("feat_count"), col("lr_micro"),
+          col("log_ratio"), col("gumbel_key"))
+        .orderBy("doc_id")
+    }),
     // dataset-card topline numbers in one pass over per-doc features
     "q_d40_datasheet" -> ((s, d) =>
       graft.text.TextAnalysis.corpusDatasheet(
@@ -1694,6 +1707,44 @@ object SparkEntry {
         |  count(CASE WHEN occ >= 2 THEN 1 END) AS dup_span_count,
         |  round(count(CASE WHEN occ >= 2 THEN 1 END) * 1.0 / count(*), 4) AS dup_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR re-derived end-to-end: md5-horner feature buckets, add-one
+    // smoothed target/raw bucket models, micro-nat log-ratio table,
+    // exact integer per-doc sums, content-hash Gumbel keys, top-50
+    "q_d46_dsir" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |feats AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(f), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 10000 AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |fc AS (SELECT doc_id, bucket, count(*) AS cnt FROM feats GROUP BY 1, 2),
+        |tc AS (SELECT bucket, sum(cnt) AS tcnt FROM fc
+        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, sum(cnt) AS rcnt FROM fc GROUP BY 1),
+        |m AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+        |  COALESCE(tcnt, 0) AS tcnt, COALESCE(rcnt, 0) AS rcnt
+        |  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+        |tot AS (SELECT sum(tcnt) AS tt, sum(rcnt) AS rt FROM m),
+        |lr AS (SELECT bucket, CAST(round((ln((tcnt + 1) / (tt + 10000))
+        |  - ln((rcnt + 1) / (rt + 10000))) * 1e6) AS BIGINT) AS lrm
+        |  FROM m CROSS JOIN tot),
+        |w AS (SELECT doc_id, sum(cnt) AS feat_count,
+        |  sum(cnt * lrm) AS lr_micro
+        |  FROM fc JOIN lr USING (bucket) GROUP BY 1),
+        |g AS (SELECT doc_id, feat_count, lr_micro,
+        |  round(lr_micro / 1e6, 4) AS log_ratio,
+        |  lr_micro + CAST(round(-ln(-ln((list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef',
+        |      substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) + 0.5) / 4294967296.0)) * 1e6) AS BIGINT) AS gumbel_key
+        |  FROM w)
+        |SELECT doc_id, feat_count, lr_micro, log_ratio, gumbel_key
+        |FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 50""".stripMargin,
 
     // argmax cosine vs the first-4-by-id centroid bank; LATER
     // centroid index wins exact ties (the native expression's

@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling",
+  * NeurIPS 2023): score each RAW document by how much more likely its
+  * hashed n-gram bag is under a TARGET corpus model than under the
+  * raw corpus model, then sample the raw corpus with Gumbel top-k on
+  * the importance weights — the standard recipe for tilting a web
+  * crawl toward a high-quality target domain without hard filters.
+  *
+  * Spark-first shape, all corpus-linear:
+  *  - features: unigram + bigram tokens hashed into `buckets` via the
+  *    portable md5-head bucket ([[Pipeline.hashBucket]] mechanics) —
+  *    map-only explode inside the scan stage;
+  *  - the two bag-of-buckets models are ONE map-side-combined groupBy
+  *    per corpus (bounded output: ≤ `buckets` rows each);
+  *  - per-doc scores are one bucket-keyed join against the bounded
+  *    log-ratio table (broadcast when it fits, which `buckets` ≤ 1e5
+  *    guarantees) + one per-doc aggregation;
+  *  - the resample is a TakeOrdered top-k on a deterministic
+  *    content-hash Gumbel key — no RNG state, no global sort: same
+  *    selection on every run, cluster layout, and engine.
+  *
+  * Float discipline (repo-wide): per-bucket log ratios quantize to
+  * MICRO-NATS (long) so every per-doc score is an exact integer sum —
+  * reduction-order-independent, bit-stable across partitionings and
+  * engines — the same contract as
+  * [[graft.text.TokenStats.crossEntropy]].
+  */
+object Dsir {
+
+  /** Hashed unigram+bigram bag-of-features: (id, bucket, cnt).
+    * Bigram features hash the space-joined pair, which cannot collide
+    * with a unigram feature by construction (tokens are whitespace-
+    * split, so no unigram contains a space). Map-only until the
+    * per-doc bucket groupBy.
+    */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+                     buckets: Int = 10000): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), " +").as("_t"))
+    val uni = toks.select(col(idCol), explode(col("_t")).as("_f"))
+    val bi = toks.filter(size(col("_t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_t) - 1), i -> concat(_t[i-1], ' ', _t[i]))"))
+        .as("_f"))
+    uni.unionByName(bi)
+      .select(col(idCol), Pipeline.hashBucket(col("_f"), buckets).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-bucket importance log-ratio table from the target and raw
+    * corpora: (bucket, lr_micro) with
+    * λ_b = ln((t_b + 1)/(T + B)) − ln((r_b + 1)/(R + B))
+    * (add-one smoothing over the `buckets`-sized feature space, so
+    * buckets unseen in either corpus are defined). Output is bounded
+    * by `buckets` — a dimension, not a corpus: safe to broadcast.
+    * The totals ride as broadcast one-row aggregates (no driver
+    * count action).
+    */
+  def bucketLogRatios(target: DataFrame, raw: DataFrame,
+                      textCol: String, idCol: String,
+                      buckets: Int = 10000): DataFrame = {
+    def corpusCounts(df: DataFrame, cn: String): DataFrame =
+      hashedFeatures(df, textCol, idCol, buckets)
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as(cn))
+    val t = corpusCounts(target, "_tc")
+    val r = corpusCounts(raw, "_rc")
+    val joined = t.join(r, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("_tc"), lit(0L)).as("_tc"),
+        coalesce(col("_rc"), lit(0L)).as("_rc"))
+    val totals = joined.agg(sum(col("_tc")).as("_tt"), sum(col("_rc")).as("_rt"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("_tc") + 1L).cast("double") / (col("_tt") + buckets).cast("double"))
+          - log((col("_rc") + 1L).cast("double") / (col("_rt") + buckets).cast("double")))
+          * 1e6).cast("long").as("lr_micro"))
+  }
+
+  /** Per-document importance weights of the RAW corpus against the
+    * TARGET: (id, feat_count, lr_micro, log_ratio) where lr_micro is
+    * the EXACT integer micro-nat sum Σ_b c_b·λ_b (the Gumbel key
+    * input) and log_ratio the human-readable total in nats (4 dp).
+    * Positive = the document looks more like the target than like
+    * the raw corpus.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+                        textCol: String, idCol: String,
+                        buckets: Int = 10000): DataFrame = {
+    val lr = bucketLogRatios(target, raw, textCol, idCol, buckets)
+    hashedFeatures(raw, textCol, idCol, buckets)
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("feat_count"),
+        sum(col("cnt") * col("lr_micro")).as("lr_micro"))
+      .withColumn("log_ratio", round(col("lr_micro") / 1e6, 4))
+  }
+
+  /** Deterministic Gumbel top-k resample over [[importanceWeights]]
+    * output: key = lr_micro + round(g·1e6) with
+    * g = −ln(−ln((h + 0.5)/2³²)) and h the 32-bit md5 head of
+    * (seed, id) — the content-hash stand-in for the uniform draw, so
+    * the sample is a pure function of (seed, id set, weights):
+    * reproducible across runs, clusters, and engines, and a new seed
+    * gives an independent resample (exactly the epoch-shuffle
+    * contract of [[Pipeline.shuffleKey]]). Gumbel top-k on
+    * log-weight + noise IS sampling-without-replacement ∝ weights
+    * (the Gumbel-max trick), which is DSIR's sampling step. Top-k
+    * resolves as TakeOrdered (per-partition heads, no global sort);
+    * ties (same key) break on id ascending.
+    */
+  def resampleTopK(weights: DataFrame, idCol: String, k: Int,
+                   seed: String = "dsir"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val gumbelMicro = round(-log(-log(u)) * 1e6).cast("long")
+    weights
+      .withColumn("gumbel_key", col("lr_micro") + gumbelMicro)
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+}
