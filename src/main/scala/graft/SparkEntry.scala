@@ -590,6 +590,19 @@ object SparkEntry {
       graft.dedup.Spans.duplicatedSpanStats(
         t(s, d, "documents"), "text", "doc_id", spanLen = 8)
         .orderBy("doc_id")),
+    // cluster-balanced subsample: quotas ∝ |cluster|^0.5 over the
+    // D29 assignment (small topic clusters upweighted), 100-row
+    // budget floor-allocated in exact integer arithmetic, members
+    // picked by md5 rank within the cluster
+    "q_d48_cluster_sample" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
+      val asg = Ann.assignClusters(emb, "embedding", "vec_id", cents)
+      graft.pipeline.Pipeline.clusterBalancedSample(
+        asg, col("cluster_id"), col("vec_id"), budget = 100, temperature = 0.5)
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    }),
     // DSIR importance resampling: hashed unigram+bigram buckets,
     // target = the English slice, raw = the whole corpus; Gumbel
     // top-50 on the exact micro-nat importance key (content-hash
@@ -1760,6 +1773,28 @@ object SparkEntry {
         |SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
         |  FROM s) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // d29's assignment CTE + sqrt-temperature quotas floor-allocated
+    // in integer arithmetic + md5-rank member selection per cluster
+    "q_d48_cluster_sample" ->
+      """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |s AS (SELECT e.vec_id, c.cid,
+        |  list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+        |  FROM embeddings e CROSS JOIN c),
+        |asg AS (SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
+        |  FROM s) WHERE rn = 1),
+        |sz AS (SELECT cluster_id, count(*) AS n FROM asg GROUP BY 1),
+        |wq AS (SELECT cluster_id, n, CAST(round(sqrt(n) * 1e6) AS BIGINT) AS w FROM sz),
+        |tot AS (SELECT sum(w) AS sw FROM wq),
+        |qt AS (SELECT cluster_id, least(n, (100 * w) // sw) AS q FROM wq CROSS JOIN tot),
+        |rk AS (SELECT vec_id, cluster_id, row_number() OVER (PARTITION BY cluster_id
+        |  ORDER BY md5('cb:' || CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) AS r FROM asg)
+        |SELECT vec_id, cluster_id FROM rk JOIN qt USING (cluster_id)
+        |WHERE r <= q ORDER BY vec_id""".stripMargin,
 
     "q_d30_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS token

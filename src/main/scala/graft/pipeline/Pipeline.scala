@@ -207,6 +207,56 @@ object Pipeline {
       .drop("_rk")
   }
 
+  /** Cluster-balanced subsample — the diversity-preserving selection
+    * step of the SemDeDup/DataComp pipeline family: given a cluster
+    * assignment (e.g. [[graft.ann.Ann.assignClusters]] output), keep
+    * `budget` rows total with per-cluster quotas ∝ |c|^temperature —
+    * τ=1 proportional, τ=0.5 upweights small clusters (topic
+    * long-tail), τ=0 uniform across clusters. Deduplicating or
+    * subsampling per SEMANTIC CLUSTER instead of uniformly keeps the
+    * long tail a uniform sample would starve.
+    *
+    * Determinism contract (engine/partitioning-exact, no float
+    * boundary anywhere):
+    *  - cluster weights micro-quantize (τ∈{0,0.5,1} recommended where
+    *    oracle-exactness matters, as [[tokenBudgetFractions]]);
+    *  - quotas FLOOR-allocate in pure integer arithmetic
+    *    (budget·w_c DIV Σw, capped at the cluster size) — never a
+    *    float round, so no half-up/half-even boundary; the floor may
+    *    leave a few of the `budget` seats unfilled, documented
+    *    behavior;
+    *  - members are picked by md5 rank within the cluster (the
+    *    [[samplePerStratum]] window: parallel across clusters, same
+    *    rows on every run/engine).
+    *
+    * Plan: one size aggregation (bounded by the cluster count — a
+    * dimension), a broadcast-scalar normalizer, a broadcast quota
+    * join, and ONE rank window partitioned by cluster. No global
+    * sort, no corpus-sized broadcast.
+    */
+  def clusterBalancedSample(df: DataFrame, clusterCol: Column, keyCol: Column,
+                            budget: Long, temperature: Double = 0.5,
+                            seed: String = "cb"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val sizes = df.groupBy(clusterCol.as("_cl")).agg(count(lit(1)).as("_n"))
+    val w =
+      if (temperature == 1.0) col("_n").cast("double")
+      else if (temperature == 0.5) sqrt(col("_n").cast("double"))
+      else if (temperature == 0.0) lit(1.0)
+      else pow(col("_n").cast("double"), lit(temperature))
+    val weighted = sizes.withColumn("_w", round(w * 1e6).cast("long"))
+    val norm = weighted.agg(sum(col("_w")).as("_wsum"))
+    val quotas = weighted.crossJoin(broadcast(norm))
+      .select(col("_cl"),
+        least(col("_n"), expr(s"${budget}L * _w DIV _wsum")).as("_quota"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(clusterCol).orderBy(shuffleKey(keyCol, seed), keyCol.cast("string"))
+    df.join(broadcast(quotas), clusterCol === col("_cl"))
+      .withColumn("_rk", row_number().over(rk))
+      .filter(col("_rk") <= col("_quota"))
+      .drop("_cl", "_quota", "_rk")
+  }
+
   /** Sliding-window document chunking: each document's whitespace
     * token sequence is cut into windows of `chunkLen` tokens
     * advancing by `chunkLen − overlap` (the RAG / context-prep

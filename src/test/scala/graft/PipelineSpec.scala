@@ -187,4 +187,48 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(out2 == m)
   }
+
+  // --- D48 cluster-balanced subsample ---
+
+  private def clustered(sizes: Map[Int, Int]) =
+    sizes.toSeq.flatMap { case (cl, n) =>
+      (1 to n).map(i => (cl * 1000L + i, cl))
+    }.toDF("id", "cluster")
+
+  test("clusterBalancedSample: proportional quotas at temperature 1") {
+    val df = clustered(Map(0 -> 8, 1 -> 2))
+    val kept = Pipeline.clusterBalancedSample(df, col("cluster"), col("id"),
+      budget = 5, temperature = 1.0)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // w = n·1e6 → quotas = floor(5·8/10)=4, floor(5·2/10)=1
+    assert(kept == Map(0 -> 4L, 1 -> 1L))
+  }
+
+  test("clusterBalancedSample: uniform at temperature 0, capped at cluster size") {
+    val df = clustered(Map(0 -> 8, 1 -> 1))
+    val kept = Pipeline.clusterBalancedSample(df, col("cluster"), col("id"),
+      budget = 10, temperature = 0.0)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // uniform quota 5 per cluster; cluster 1 only has 1 member
+    assert(kept == Map(0 -> 5L, 1 -> 1L))
+  }
+
+  test("clusterBalancedSample: floor allocation may underfill, never overfills") {
+    val df = clustered(Map(0 -> 3, 1 -> 3))
+    val n = Pipeline.clusterBalancedSample(df, col("cluster"), col("id"),
+      budget = 5, temperature = 1.0).count()
+    // equal weights: floor(5/2)=2 each — 4 kept out of budget 5
+    assert(n == 4L)
+  }
+
+  test("clusterBalancedSample is partitioning-invariant") {
+    val df = clustered(Map(0 -> 20, 1 -> 7, 2 -> 3))
+    val a = Pipeline.clusterBalancedSample(df, col("cluster"), col("id"),
+      budget = 12).select("id").collect().map(_.getLong(0)).toSet
+    val b = Pipeline.clusterBalancedSample(df.repartition(13), col("cluster"),
+      col("id"), budget = 12).select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size <= 12)
+  }
 }
