@@ -31,6 +31,16 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other columnar lake format Spark ships natively
+    * (predicate pushdown, column pruning, and splittable stripes,
+    * same as parquet; pick whichever the lake standardized on).
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Write `df` as a bucketed parquet table registered in the session
     * catalog (external, at `path`). Two tables bucketed on the same
     * key with the same bucket count join WITHOUT a shuffle: the scan

@@ -19,6 +19,18 @@ class SourcesSkewSpec extends SparkSpec {
     assert(Sources.readJsonLines(spark, s"$dir/j").count() == 2)
   }
 
+  test("orc round-trips and pushes filters into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = (1 to 100).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    Sources.writeOrc(df, s"$dir/o")
+    val back = Sources.readOrc(spark, s"$dir/o")
+    assert(back.count() == 100)
+    assert(back.orderBy("id").collect()(0).getString(1) == "row1")
+    val plan = back.filter(col("id") > 90).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(id,90)"),
+      s"expected ORC pushdown:\n$plan")
+  }
+
   test("xlsx round-trips through the native writer/reader (numbers, strings, nulls, escaping)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xlsx").toString
     val df = Seq(
