@@ -159,7 +159,25 @@ object ScaleBench {
       }),
       "d45_leakage_split" -> (() =>
         graft.pipeline.Pipeline.leakageSafeSplit(docs, "doc_id",
-          minhash()).count()))
+          minhash()).count()),
+      // ---- r10 late additions: DSIR (two bounded bucket models +
+      // one broadcast log-ratio join), dup-span detection (corpus-
+      // linear fingerprints: one groupBy + one join back), cluster-
+      // balanced sample (bounded quota frame + per-cluster rank)
+      "d46_dsir" -> (() => {
+        val tgt = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val w = graft.pipeline.Dsir.importanceWeights(docs, tgt, "text", "doc_id")
+        graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 100).count()
+      }),
+      "d47_dup_spans" -> (() =>
+        graft.dedup.Spans.duplicatedSpanStats(docs, "text", "doc_id",
+          spanLen = 8).count()),
+      "d48_cluster_sample" -> (() => {
+        val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 64)
+        val asg = Ann.assignClusters(emb, "embedding", "vec_id", cents)
+        graft.pipeline.Pipeline.clusterBalancedSample(asg, col("cluster_id"),
+          col("vec_id"), budget = 1000, temperature = 0.5).count()
+      }))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory
