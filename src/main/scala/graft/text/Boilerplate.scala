@@ -63,4 +63,49 @@ object Boilerplate {
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
+
+  /** C4-style KEEP-FIRST line deduplication (Raffel et al. 2020 §2.2:
+    * "we discarded all but one of any three-sentence span occurring
+    * more than once", here at line granularity): every duplicated
+    * line keeps exactly ONE occurrence corpus-wide — the one with
+    * the globally smallest (id, pos) — and loses the rest; documents
+    * reassemble from their surviving lines. Complementary to
+    * [[stripBoilerplate]], which removes ALL occurrences of
+    * high-frequency lines: keep-first preserves the content once
+    * (quotes, shared passages) instead of deleting it everywhere.
+    *
+    * Lines shorter than `minLineLen` characters are exempt from
+    * dedup (kept everywhere): blank lines and one-word separators
+    * are structure, not duplicated content.
+    *
+    * Scale shape: one explode, one per-line `min(struct(id, pos))`
+    * aggregation (map-side combined — the keeper of each line
+    * resolves without materializing occurrence lists), one line-keyed
+    * join back, one per-doc reassembly — all shuffles keyed on
+    * high-cardinality columns; no broadcast of corpus-sized state,
+    * no pairwise joins. The keeper rule is a total order, so the
+    * result is partitioning/engine-invariant.
+    */
+  def keepFirstLineOccurrence(df: DataFrame, textCol: String, idCol: String,
+                              delim: String = "\n",
+                              minLineLen: Int = 1): DataFrame = {
+    val ls = lines(df, textCol, idCol, delim)
+    val dedupable = ls.filter(length(col("line")) >= minLineLen)
+    val keeper = dedupable
+      .groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_keep"))
+    val keptDedupable = dedupable.join(keeper, Seq("line"))
+      .filter(col(idCol) === col("_keep").getField(idCol) &&
+        col("pos") === col("_keep").getField("pos"))
+      .select(col(idCol), col("pos"), col("line"))
+    val kept = keptDedupable
+      .unionByName(ls.filter(length(col("line")) < minLineLen))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        delim).as(textCol))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }
