@@ -590,6 +590,20 @@ object SparkEntry {
       graft.dedup.Spans.duplicatedSpanStats(
         t(s, d, "documents"), "text", "doc_id", spanLen = 8)
         .orderBy("doc_id")),
+    // C4-style keep-first line dedup: every duplicated line keeps
+    // exactly one occurrence corpus-wide (globally smallest
+    // (doc, pos)); the doctored corpus injects shared lines at
+    // varying positions so the keeper rule is exercised cross-doc
+    "q_d49_keep_first_lines" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit("\nShared attribution line"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("\nCommon footer quote"))
+            .otherwise(lit(""))))
+      graft.text.Boilerplate.keepFirstLineOccurrence(docs, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     // cluster-balanced subsample: quotas ∝ |cluster|^0.5 over the
     // D29 assignment (small topic clusters upweighted), 100-row
     // budget floor-allocated in exact integer arithmetic, members
@@ -1773,6 +1787,26 @@ object SparkEntry {
         |SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
         |  FROM s) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // keep-first re-derived: row_number over (doc, pos) within each
+    // line picks the same keeper as Spark's min(struct); 1-based vs
+    // 0-based pos washes out (only the ORDER matters to the argmin)
+    "q_d49_keep_first_lines" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id%3=0 THEN chr(10) || 'Shared attribution line' ELSE '' END ||
+        |  CASE WHEN doc_id%2=0 THEN chr(10) || 'Common footer quote' ELSE '' END AS text
+        |  FROM documents WHERE doc_id%4=0),
+        |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |  unnest(range(1, len(string_split(text, chr(10)))+1)) AS pos FROM d),
+        |el AS (SELECT * FROM l WHERE length(line) >= 1),
+        |rk AS (SELECT doc_id, pos, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM el),
+        |k AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1
+        |  UNION ALL SELECT doc_id, pos, line FROM l WHERE length(line) < 1),
+        |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM k GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, coalesce(r.text, '') AS text
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // d29's assignment CTE + sqrt-temperature quotas floor-allocated
     // in integer arithmetic + md5-rank member selection per cluster

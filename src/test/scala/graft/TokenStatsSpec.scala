@@ -248,4 +248,40 @@ class TokenStatsSpec extends SparkSpec {
     assert(m("top_lang_share") == 0.6)   // en = 3/5
     assert(m("avg_tokens") == 2.4)
   }
+
+  test("keepFirstLineOccurrence: globally smallest (doc,pos) wins; within-doc repeats collapse") {
+    val docs = Seq(
+      (1L, "quote\nunique1"),
+      (2L, "unique2\nquote"),       // 'quote' already seen at (1,0)
+      (3L, "rep\nmid\nrep")         // within-doc repeat: (3,2) loses to (3,0)
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.keepFirstLineOccurrence(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "quote\nunique1", 2L -> "unique2", 3L -> "rep\nmid"))
+  }
+
+  test("keepFirstLineOccurrence: short lines are exempt; emptied docs come back empty") {
+    val docs = Seq(
+      (1L, "a\n\nb"),
+      (2L, "c\n\nb"),               // blank line kept in BOTH; 'b' deduped
+      (3L, "a")                     // whole doc is a dup of (1,0)
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.keepFirstLineOccurrence(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a\n\nb", 2L -> "c\n", 3L -> ""))
+    // minLineLen exempts one-char lines from dedup entirely
+    val out2 = Boilerplate.keepFirstLineOccurrence(docs, "text", "doc_id",
+      minLineLen = 2).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> "a\n\nb", 2L -> "c\n\nb", 3L -> "a"))
+  }
+
+  test("keepFirstLineOccurrence is partitioning-invariant") {
+    val docs = (1L to 40L).map(i => (i, s"shared line\nown $i")).toDF("doc_id", "text")
+    val a = Boilerplate.keepFirstLineOccurrence(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Boilerplate.keepFirstLineOccurrence(docs.repartition(11), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b && a(1L) == "shared line\nown 1" && a(2L) == "own 2")
+  }
 }
