@@ -590,6 +590,14 @@ object SparkEntry {
       graft.dedup.Spans.duplicatedSpanStats(
         t(s, d, "documents"), "text", "doc_id", spanLen = 8)
         .orderBy("doc_id")),
+    // winnowing (MOSS) overlap detection: min-hash fingerprint per
+    // 4-window of 5-gram spans (~2/(w+1) of span volume), pairs
+    // sharing >= 2 fingerprints — the long-shared-run detector
+    "q_d50_winnow" -> ((s, d) =>
+      graft.dedup.Spans.winnowOverlapPairs(
+        t(s, d, "documents").filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", k = 5, window = 4, minShared = 2)
+        .orderBy("id_a", "id_b")),
     // C4-style keep-first line dedup: every duplicated line keeps
     // exactly one occurrence corpus-wide (globally smallest
     // (doc, pos)); the doctored corpus injects shared lines at
@@ -1787,6 +1795,28 @@ object SparkEntry {
         |SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
         |  FROM s) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // winnowing re-derived: the 15-hex-digit md5 head orders exactly
+    // like Spark's 60-bit long (fixed-width hex ⇒ lexicographic =
+    // numeric), so min-in-window, distinct, df-cap and the bucketed
+    // pair join all reproduce in string space
+    "q_d50_winnow" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM documents WHERE doc_id%2=0 AND length(trim(text)) > 0),
+        |d2 AS (SELECT doc_id, t FROM d WHERE len(t) >= 5),
+        |s AS (SELECT doc_id, unnest(generate_series(1, len(t)-4)) AS p, t FROM d2),
+        |h AS (SELECT doc_id, p - 1 AS sp,
+        |  substr(md5(list_aggregate(t[p:p+4], 'string_agg', ' ')), 1, 15) AS fp FROM s),
+        |w AS (SELECT doc_id, sp,
+        |  min(fp) OVER (PARTITION BY doc_id ORDER BY sp
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |  count(*) OVER (PARTITION BY doc_id) AS n FROM h),
+        |f AS (SELECT DISTINCT doc_id, mn AS fp FROM w WHERE sp <= greatest(n - 4, 0)),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS c FROM f GROUP BY 1) WHERE c <= 1000),
+        |fr AS (SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM rare))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+        |FROM fr a JOIN fr b USING (fp) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
 
     // keep-first re-derived: row_number over (doc, pos) within each
     // line picks the same keeper as Spark's min(struct); 1-based vs

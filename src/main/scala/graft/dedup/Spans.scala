@@ -87,6 +87,68 @@ object Spans {
         round(col("dup_span_count") / col("span_count").cast("double"), 4))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): from the k-gram span hashes, select
+    * the MINIMUM hash in every window of `window` consecutive spans.
+    * The winnowing guarantee: any shared token run of length
+    * ≥ window + k − 1 contributes at least one shared fingerprint,
+    * while only ~2/(window+1) of the span hashes are stored —
+    * overlap detection at a fraction of D47's span volume, robust to
+    * edits outside the shared run. Documents with at least one span
+    * but fewer than `window` of them emit the min of what they have
+    * (every fingerprint-able doc gets ≥ 1 fingerprint).
+    *
+    * Output (id, fingerprint), distinct per doc. Plan: map-only span
+    * construction, then ONE window pass partitioned BY DOCUMENT
+    * (parallel across docs — never a global sort) and a distinct.
+    */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         k: Int, window: Int = 4): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val spans = spanHashes(df, textCol, idCol, k, stride = 1)
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val fwd = byDoc.orderBy(col("span_pos")).rowsBetween(0, window - 1)
+    spans
+      .withColumn("_mn", min(col("span_hash")).over(fwd))
+      .withColumn("_nspans", count(lit(1)).over(byDoc))
+      // windows that would extend past the last span are suffixes of
+      // the final full window and can only re-select; keep them ONLY
+      // when the doc has no full window at all (short-doc fallback)
+      .filter(col("span_pos") <= greatest(col("_nspans") - window, lit(0)))
+      .select(col(idCol), col("_mn").as("fingerprint"))
+      .distinct()
+  }
+
+  /** Candidate overlap pairs via shared winnowing fingerprints:
+    * (id_a, id_b, shared_fps) for document pairs sharing at least
+    * `minShared` fingerprints — the plagiarism/quotation-detection
+    * join at winnowed (not full-span) volume. Pair generation is the
+    * inverted-index shape: one self-join WITHIN fingerprint buckets,
+    * bounded by Σ df² over fingerprints; `dfCap` drops fingerprints
+    * shared by more than `dfCap` documents (template fragments —
+    * the same absolute-cap semantics as the Jaccard family: caps
+    * affect candidate RECALL, never a reported count, and a pair of
+    * near-identical docs still meets on its sub-cap fingerprints).
+    */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+                         k: Int, window: Int = 4, minShared: Int = 2,
+                         dfCap: Int = 1000): DataFrame = {
+    require(minShared > 0, s"minShared must be positive, got $minShared")
+    require(dfCap > 1, s"dfCap must be > 1, got $dfCap")
+    val fps = winnowFingerprints(df, textCol, idCol, k, window)
+    val rare = fps.groupBy(col("fingerprint")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= dfCap)
+      .select("fingerprint")
+    val pruned = fps.join(rare, Seq("fingerprint"))
+    val a = pruned.select(col("fingerprint"), col(idCol).as("id_a"))
+    val b = pruned.select(col("fingerprint"), col(idCol).as("id_b"))
+    a.join(b, Seq("fingerprint"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** The flagged occurrences themselves — (id, span_pos, span_hash,
     * occurrences) for every span whose fingerprint repeats at least
     * `minCount` times — the inspection/removal worklist behind

@@ -69,6 +69,50 @@ class SpansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free span plan:\n$plan")
   }
 
+  test("winnowing: shared runs of window+k-1 tokens always share a fingerprint") {
+    // doc 1 and 2 share an 8-token run (window 4 + k 5 - 1 = 8);
+    // winnowing must give them >= 1 common fingerprint despite
+    // different surrounding text
+    val docs = Seq(
+      (1L, "p1 p2 s1 s2 s3 s4 s5 s6 s7 s8 q1 q2"),
+      (2L, "r1 r2 r3 s1 s2 s3 s4 s5 s6 s7 s8 u1 u2 u3")
+    ).toDF("doc_id", "text")
+    val fps = Spans.winnowFingerprints(docs, "text", "doc_id", k = 5, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, s"shared run must share a fingerprint: $f1 vs $f2")
+  }
+
+  test("winnowing stores fewer fingerprints than spans; short docs still fingerprint") {
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val spans1 = Spans.spanHashes(docs.filter($"doc_id" === 1), "text", "doc_id", 5).count()
+    val fps = Spans.winnowFingerprints(docs, "text", "doc_id", k = 5, window = 4)
+    val byDoc = fps.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) < spans1, "winnowing must thin the span set")
+    // doc 2: 6 tokens -> 2 spans < window -> fallback emits exactly
+    // the min of what exists
+    assert(byDoc(2L) == 1L)
+  }
+
+  test("winnowOverlapPairs finds duplicated docs, dfCap drops template fingerprints") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val docs = Seq(
+      (1L, shared), (2L, shared),              // near-identical pair
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8")          // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Spans.winnowOverlapPairs(docs, "text", "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // dfCap = 2 drops fingerprints present in > 2 docs: make the
+    // shared text appear in 3 docs and every fingerprint dies
+    val tri = Seq((1L, shared), (2L, shared), (3L, shared)).toDF("doc_id", "text")
+    val capped = Spans.winnowOverlapPairs(tri, "text", "doc_id", k = 5, dfCap = 2)
+    assert(capped.count() == 0)
+  }
+
   test("fingerprint is the md5 15-nibble head (portable contract)") {
     val fp = Seq("a b c d").toDF("s")
       .select(Spans.spanFingerprint(col("s"))).collect()(0).getLong(0)
