@@ -177,7 +177,17 @@ object ScaleBench {
         val asg = Ann.assignClusters(emb, "embedding", "vec_id", cents)
         graft.pipeline.Pipeline.clusterBalancedSample(asg, col("cluster_id"),
           col("vec_id"), budget = 1000, temperature = 0.5).count()
-      }))
+      }),
+      // keep-first line dedup (corpus doctored with a shared line per
+      // doc so the keeper groupBy has real work) and winnowing pairs
+      "d49_keep_first" -> (() =>
+        graft.text.Boilerplate.keepFirstLineOccurrence(
+          docs.withColumn("text",
+            concat(col("text"), lit("\nshared attribution line"))),
+          "text", "doc_id").count()),
+      "d50_winnow" -> (() =>
+        graft.dedup.Spans.winnowOverlapPairs(docs, "text", "doc_id",
+          k = 5, window = 4, minShared = 2).count()))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory

@@ -116,6 +116,32 @@ class PlanAuditSpec extends SparkSpec {
       s"chunking must not join or window:\n$p")
   }
 
+  test("DSIR importance join broadcasts the bounded log-ratio table") {
+    val p = SparkEntry.queries("q_d46_dsir")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the bucket log-ratio table (<= buckets rows) to broadcast:\n$p")
+  }
+
+  test("winnowing's window pass partitions by document, never a global window") {
+    val p = SparkEntry.queries("q_d50_winnow")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // a Window with no PARTITION BY funnels the corpus through one
+    // task; every window spec in this plan must carry the doc_id
+    // partition key as its first argument
+    assert(p.contains("windowspecdefinition("), s"expected a window pass:\n$p")
+    assert("windowspecdefinition\\((\\w+)#".r.findAllMatchIn(p)
+      .forall(_.group(1) == "doc_id"),
+      s"window must be doc-partitioned:\n$p")
+  }
+
+  test("cluster-balanced sample broadcasts the quota frame") {
+    val p = SparkEntry.queries("q_d48_cluster_sample")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the per-cluster quota frame (a dimension) to broadcast:\n$p")
+  }
+
   test("epoch shuffle is a range-partitioned sort, never a global row-number window") {
     val p = plan("q_d31_epoch_shuffle")
     assert(!p.contains("Window"),
