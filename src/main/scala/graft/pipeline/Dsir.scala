@@ -64,12 +64,19 @@ object Dsir {
     */
   def bucketLogRatios(target: DataFrame, raw: DataFrame,
                       textCol: String, idCol: String,
-                      buckets: Int = 10000): DataFrame = {
-    def corpusCounts(df: DataFrame, cn: String): DataFrame =
-      hashedFeatures(df, textCol, idCol, buckets)
-        .groupBy(col("bucket")).agg(sum(col("cnt")).as(cn))
-    val t = corpusCounts(target, "_tc")
-    val r = corpusCounts(raw, "_rc")
+                      buckets: Int = 10000): DataFrame =
+    bucketLogRatiosFromFeatures(
+      hashedFeatures(target, textCol, idCol, buckets),
+      hashedFeatures(raw, textCol, idCol, buckets), buckets)
+
+  // the λ table from PRE-COMPUTED (id, bucket, cnt) feature frames —
+  // lets importanceWeights featurize the raw corpus ONCE and reuse
+  // the persisted frame for both the model and the scoring pass
+  private def bucketLogRatiosFromFeatures(targetFeats: DataFrame,
+                                          rawFeats: DataFrame,
+                                          buckets: Int): DataFrame = {
+    val t = targetFeats.groupBy(col("bucket")).agg(sum(col("cnt")).as("_tc"))
+    val r = rawFeats.groupBy(col("bucket")).agg(sum(col("cnt")).as("_rc"))
     val joined = t.join(r, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("_tc"), lit(0L)).as("_tc"),
@@ -92,8 +99,15 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         textCol: String, idCol: String,
                         buckets: Int = 10000): DataFrame = {
-    val lr = bucketLogRatios(target, raw, textCol, idCol, buckets)
-    hashedFeatures(raw, textCol, idCol, buckets)
+    // the raw corpus is featurized ONCE: the persisted frame feeds
+    // both the raw-side bucket model and the per-doc scoring join
+    // (without the pin, Spark executes the tokenize+md5 explode
+    // twice — measured 2× the operator's real cost at x10)
+    val rawFeats = graft.CacheScope.persist(
+      hashedFeatures(raw, textCol, idCol, buckets))
+    val lr = bucketLogRatiosFromFeatures(
+      hashedFeatures(target, textCol, idCol, buckets), rawFeats, buckets)
+    rawFeats
       .join(broadcast(lr), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("feat_count"),
