@@ -1009,6 +1009,32 @@ object SparkEntry {
     // exactDedup → minhashPairs+dedupByPairsBest → decontaminate →
     // tokenBudgetFractions → stratifiedSampleByHash → withSplit →
     // packSequences.
+    // composed r10-wave curation chain: duplicated-span gate (d47) →
+    // DSIR importance weights toward the English slice (d46) →
+    // deterministic Gumbel top-100 → reproducible split (d16) — the
+    // whole chain re-derived in ONE SQL WITH-chain by the oracle
+    "q_e2e_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+      // 1. span gate: drop docs whose 8-token spans are > 50%
+      //    duplicated corpus-wide; span-less short docs pass
+      val stats = graft.dedup.Spans.duplicatedSpanStats(
+        docs, "text", "doc_id", spanLen = 8)
+      // pinned: the survivor corpus feeds DSIR's raw featurization
+      // AND the target-slice featurization
+      val kept = graft.CacheScope.persist(
+        docs.join(stats.filter(col("dup_frac") > 0.5).select("doc_id"),
+          Seq("doc_id"), "left_anti"))
+      // 2-3. DSIR toward the English survivors, Gumbel top-100
+      val w = graft.pipeline.Dsir.importanceWeights(
+        kept, kept.filter(col("lang") === "en"), "text", "doc_id",
+        buckets = 10000)
+      val sel = graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 100)
+      // 4. reproducible 80/10/10 split of the selection
+      graft.pipeline.Pipeline.withSplit(
+        sel.select(col("doc_id"), col("feat_count"), col("lr_micro"),
+          col("log_ratio"), col("gumbel_key")), "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_e2e_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // 1. quality gate: keep docs the composite filter passes
@@ -1772,7 +1798,7 @@ object SparkEntry {
         |  sum(cnt * lrm) AS lr_micro
         |  FROM fc JOIN lr USING (bucket) GROUP BY 1),
         |g AS (SELECT doc_id, feat_count, lr_micro,
-        |  round(lr_micro / 1e6, 4) AS log_ratio,
+        |  CAST(round(lr_micro / 100.0) AS BIGINT) / 10000.0 AS log_ratio,
         |  lr_micro + CAST(round(-ln(-ln((list_reduce(list_transform(range(1, 9),
         |    i -> strpos('0123456789abcdef',
         |      substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
@@ -2454,6 +2480,62 @@ object SparkEntry {
     // window. Near-dup pairs use exact jaccard >= 0.9 — the same
     // recall-1 equivalence q_d2 establishes for minhashPairs on this
     // corpus.
+    // the span gate, the DSIR model, the Gumbel draw and the split
+    // bucket re-derived in one chain; `kept` replaces `documents` in
+    // the d46 fragment verbatim
+    "q_e2e_curation" ->
+      """WITH b AS (SELECT * FROM documents WHERE doc_id%2=0),
+        |dd AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM b WHERE length(trim(text)) > 0),
+        |d2 AS (SELECT doc_id, t FROM dd WHERE len(t) >= 8),
+        |sp AS (SELECT doc_id, unnest(generate_series(1, len(t)-7)) AS p, t FROM d2),
+        |hh AS (SELECT doc_id,
+        |  substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp FROM sp),
+        |oc AS (SELECT fp, count(*) AS occ FROM hh GROUP BY 1),
+        |st AS (SELECT hh.doc_id,
+        |  count(CASE WHEN occ >= 2 THEN 1 END) * 1.0 / count(*) AS df_raw
+        |  FROM hh JOIN oc USING (fp) GROUP BY hh.doc_id),
+        |kept AS (SELECT * FROM b WHERE doc_id NOT IN
+        |  (SELECT doc_id FROM st WHERE round(df_raw, 4) > 0.5)),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM kept WHERE length(trim(text)) > 0),
+        |uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |feats AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(f), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 10000 AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |fc AS (SELECT doc_id, bucket, count(*) AS cnt FROM feats GROUP BY 1, 2),
+        |tc AS (SELECT bucket, sum(cnt) AS tcnt FROM fc
+        |  JOIN kept USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, sum(cnt) AS rcnt FROM fc GROUP BY 1),
+        |m AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+        |  COALESCE(tcnt, 0) AS tcnt, COALESCE(rcnt, 0) AS rcnt
+        |  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+        |tot AS (SELECT sum(tcnt) AS tt, sum(rcnt) AS rt FROM m),
+        |lr AS (SELECT bucket, CAST(round((ln((tcnt + 1) / (tt + 10000))
+        |  - ln((rcnt + 1) / (rt + 10000))) * 1e6) AS BIGINT) AS lrm
+        |  FROM m CROSS JOIN tot),
+        |w AS (SELECT doc_id, sum(cnt) AS feat_count, sum(cnt * lrm) AS lr_micro
+        |  FROM fc JOIN lr USING (bucket) GROUP BY 1),
+        |g AS (SELECT doc_id, feat_count, lr_micro,
+        |  CAST(round(lr_micro / 100.0) AS BIGINT) / 10000.0 AS log_ratio,
+        |  lr_micro + CAST(round(-ln(-ln((list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef',
+        |      substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) + 0.5) / 4294967296.0)) * 1e6) AS BIGINT) AS gumbel_key
+        |  FROM w),
+        |sel AS (SELECT * FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 100),
+        |bk AS (SELECT sel.*, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 100 AS bkt FROM sel)
+        |SELECT doc_id, feat_count, lr_micro, log_ratio, gumbel_key,
+        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
+
     "q_e2e_pipeline" ->
       """WITH RECURSIVE
         |tok0 AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS t

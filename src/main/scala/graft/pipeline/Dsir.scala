@@ -112,7 +112,15 @@ object Dsir {
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("feat_count"),
         sum(col("cnt") * col("lr_micro")).as("lr_micro"))
-      .withColumn("log_ratio", round(col("lr_micro") / 1e6, 4))
+      // 4-dp display value derived by rounding in INTEGER micro-nat
+      // space (x/100.0 puts every rounding tie on an exactly-
+      // representable .5, which both engines round away from zero) —
+      // round(lr_micro/1e6, 4) instead parks ties on unrepresentable
+      // 6-decimal doubles, where Spark's BigDecimal shortest-string
+      // rounding and DuckDB's binary-value rounding can disagree by
+      // one ulp of the last decimal (observed at sf0.01)
+      .withColumn("log_ratio",
+        round(col("lr_micro") / 100.0).cast("long") / 10000.0)
   }
 
   /** Deterministic Gumbel top-k resample over [[importanceWeights]]
