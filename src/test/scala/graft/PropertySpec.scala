@@ -198,4 +198,47 @@ class PropertySpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(psi.forall(_ == 0.0))
   }
+
+  test("span/winnow invariants on random corpora: counts, containment, guarantee") {
+    val gen = Gen.listOfN(30, Gen.chooseNum(3, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee")).map(_.mkString(" "))))
+    val texts = gen(Gen.Parameters.default, Seed(4242L)).get
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val spans = graft.dedup.Spans.spanHashes(docs, "text", "doc_id", spanLen = 4)
+    // span count per doc == max(n_tokens - 3, 0 when < 4)
+    val expect = texts.zipWithIndex.map { case (t, i) =>
+      val n = t.split(" ").length
+      i.toLong -> (if (n >= 4) (n - 3).toLong else 0L)
+    }.filter(_._2 > 0).toMap
+    val got = spans.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // stats conserve the span multiset: sum(span_count) == total spans
+    val stats = graft.dedup.Spans.duplicatedSpanStats(docs, "text", "doc_id", 4)
+    assert(stats.agg(sum("span_count")).collect()(0).getLong(0) == spans.count())
+    assert(stats.collect().forall { r =>
+      r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)
+    })
+    // winnow fingerprints are a subset of the doc's span hashes
+    val fps = graft.dedup.Spans.winnowFingerprints(docs, "text", "doc_id", k = 4,
+      window = 3)
+    val bad = fps.as("f").join(spans.as("s"),
+      col("f.doc_id") === col("s.doc_id") &&
+        col("f.fingerprint") === col("s.span_hash"), "left_anti")
+    assert(bad.count() == 0, "every fingerprint must be one of the doc's span hashes")
+  }
+
+  test("DSIR self-target degenerates to smoothing-only weights; resample is a subset") {
+    // target == raw -> tcnt == rcnt per bucket and T == R, so
+    // λ_b = ln((c+1)/(T+B)) − ln((c+1)/(T+B)) = 0 for every bucket:
+    // all documents get lr_micro == 0 and selection is pure Gumbel
+    val docs = (1L to 30L).map(i => (i, s"t$i u$i v${i % 5}")).toDF("doc_id", "text")
+    val w = graft.pipeline.Dsir.importanceWeights(docs, docs, "text", "doc_id",
+      buckets = 1000)
+    assert(w.collect().forall(_.getAs[Long]("lr_micro") == 0L))
+    val sel = graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel.size == 7 && sel.subsetOf((1L to 30L).toSet))
+  }
 }
