@@ -185,4 +185,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected pinned intermediates in the e2e plan:\n${p.take(2000)}")
     CacheScope.clear()
   }
+
+  test("e2e curation keeps the survivor corpus and raw features pinned") {
+    // two pins: the span-gate survivor frame (feeds DSIR's raw AND
+    // target featurization) and DSIR's raw feature frame (feeds the
+    // bucket model AND the scoring join)
+    val p = plan("q_e2e_curation")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"expected pinned intermediates in the curation plan:\n${p.take(2000)}")
+    CacheScope.clear()
+  }
 }
