@@ -40,7 +40,8 @@ object Spans {
     * aggregates.
     */
   def spanHashes(df: DataFrame, textCol: String, idCol: String,
-                 spanLen: Int, stride: Int = 1): DataFrame = {
+                 spanLen: Int, stride: Int = 1,
+                 portableHash: Boolean = true): DataFrame = {
     require(spanLen > 0, s"spanLen must be positive, got $spanLen")
     require(stride > 0, s"stride must be positive, got $stride")
     val base = df.filter(length(trim(col(textCol))) > 0)
@@ -53,10 +54,16 @@ object Spans {
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0L), lastSpan)).as("_k"))
       .select(col(idCol),
-        (col("_k") * stride).as("span_pos"),
-        spanFingerprint(array_join(
-          slice(col("_toks"), (col("_k") * stride + 1).cast("int"), lit(spanLen)),
-          " ")).as("span_hash"))
+        (col("_k") * stride).as("span_pos"), {
+          val joined = array_join(
+            slice(col("_toks"), (col("_k") * stride + 1).cast("int"), lit(spanLen)),
+            " ")
+          // portableHash=false is the 100 TB knob: xxhash64 beats md5
+          // ~20x per span and is deterministic within Spark; only the
+          // cross-engine-auditable fingerprint identity is given up
+          (if (portableHash) spanFingerprint(joined) else xxhash64(joined))
+            .as("span_hash")
+        })
   }
 
   /** Per-document duplicated-span statistics:
@@ -75,9 +82,10 @@ object Spans {
     */
   def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String,
                           spanLen: Int, stride: Int = 1,
-                          minCount: Int = 2): DataFrame = {
+                          minCount: Int = 2,
+                          portableHash: Boolean = true): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val spans = spanHashes(df, textCol, idCol, spanLen, stride)
+    val spans = spanHashes(df, textCol, idCol, spanLen, stride, portableHash)
     val occ = spans.groupBy(col("span_hash")).agg(count(lit(1)).as("_occ"))
     spans.join(occ, Seq("span_hash"))
       .groupBy(col(idCol))
@@ -103,9 +111,11 @@ object Spans {
     * (parallel across docs — never a global sort) and a distinct.
     */
   def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
-                         k: Int, window: Int = 4): DataFrame = {
+                         k: Int, window: Int = 4,
+                         portableHash: Boolean = true): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
-    val spans = spanHashes(df, textCol, idCol, k, stride = 1)
+    val spans = spanHashes(df, textCol, idCol, k, stride = 1,
+      portableHash = portableHash)
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val fwd = byDoc.orderBy(col("span_pos")).rowsBetween(0, window - 1)
     spans
@@ -132,10 +142,11 @@ object Spans {
     */
   def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
                          k: Int, window: Int = 4, minShared: Int = 2,
-                         dfCap: Int = 1000): DataFrame = {
+                         dfCap: Int = 1000,
+                         portableHash: Boolean = true): DataFrame = {
     require(minShared > 0, s"minShared must be positive, got $minShared")
     require(dfCap > 1, s"dfCap must be > 1, got $dfCap")
-    val fps = winnowFingerprints(df, textCol, idCol, k, window)
+    val fps = winnowFingerprints(df, textCol, idCol, k, window, portableHash)
     val rare = fps.groupBy(col("fingerprint")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= dfCap)
       .select("fingerprint")

@@ -39,7 +39,8 @@ object Dsir {
     * per-doc bucket groupBy.
     */
   def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
-                     buckets: Int = 10000): DataFrame = {
+                     buckets: Int = 10000,
+                     portableHash: Boolean = true): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val toks = df.filter(length(trim(col(textCol))) > 0)
       .select(col(idCol), split(trim(col(textCol)), " +").as("_t"))
@@ -48,8 +49,15 @@ object Dsir {
       .select(col(idCol), explode(expr(
         "transform(sequence(1, size(_t) - 1), i -> concat(_t[i-1], ' ', _t[i]))"))
         .as("_f"))
+    val bucket =
+      if (portableHash) Pipeline.hashBucket(col("_f"), buckets)
+      // the 100 TB knob: xxhash64 is ~20x cheaper per feature than
+      // md5 and deterministic within Spark — same statistics, same
+      // plan; only the cross-engine (DuckDB-auditable) bucket
+      // identity is given up
+      else pmod(xxhash64(col("_f")), lit(buckets.toLong))
     uni.unionByName(bi)
-      .select(col(idCol), Pipeline.hashBucket(col("_f"), buckets).as("bucket"))
+      .select(col(idCol), bucket.as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -98,15 +106,17 @@ object Dsir {
     */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         textCol: String, idCol: String,
-                        buckets: Int = 10000): DataFrame = {
+                        buckets: Int = 10000,
+                        portableHash: Boolean = true): DataFrame = {
     // the raw corpus is featurized ONCE: the persisted frame feeds
     // both the raw-side bucket model and the per-doc scoring join
     // (without the pin, Spark executes the tokenize+md5 explode
     // twice — measured 2× the operator's real cost at x10)
     val rawFeats = graft.CacheScope.persist(
-      hashedFeatures(raw, textCol, idCol, buckets))
+      hashedFeatures(raw, textCol, idCol, buckets, portableHash))
     val lr = bucketLogRatiosFromFeatures(
-      hashedFeatures(target, textCol, idCol, buckets), rawFeats, buckets)
+      hashedFeatures(target, textCol, idCol, buckets, portableHash),
+      rawFeats, buckets)
     rawFeats
       .join(broadcast(lr), Seq("bucket"))
       .groupBy(col(idCol))

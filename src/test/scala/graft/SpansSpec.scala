@@ -113,6 +113,29 @@ class SpansSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("xxhash64 fast path reproduces the span statistics (identities differ, counts agree)") {
+    val docs = Seq(
+      (1L, "a b c d e f g h a b c d e f g h"),
+      (2L, "a b c d e f g h x y z w q r s t"),
+      (3L, "p q r s t u v w m n o p q r s t")
+    ).toDF("doc_id", "text")
+    def stats(portable: Boolean) =
+      Spans.duplicatedSpanStats(docs, "text", "doc_id", spanLen = 8,
+        portableHash = portable).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // occurrence counts are a pure function of span EQUALITY, so any
+    // collision-free hash gives identical statistics
+    assert(stats(true) == stats(false))
+    // winnowing's min-per-window SELECTION depends on the hash (a
+    // different function picks different representatives), so only
+    // the guarantee is invariant: docs 1+2 share an 8-token run
+    // (window+k-1) and must pair under EITHER hash
+    def pairIds(portable: Boolean) =
+      Spans.winnowOverlapPairs(docs, "text", "doc_id", k = 5, minShared = 1,
+        portableHash = portable).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairIds(true).contains((1L, 2L)) && pairIds(false).contains((1L, 2L)))
+  }
+
   test("fingerprint is the md5 15-nibble head (portable contract)") {
     val fp = Seq("a b c d").toDF("s")
       .select(Spans.spanFingerprint(col("s"))).collect()(0).getLong(0)
