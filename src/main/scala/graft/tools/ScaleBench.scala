@@ -178,6 +178,21 @@ object ScaleBench {
         graft.pipeline.Pipeline.clusterBalancedSample(asg, col("cluster_id"),
           col("vec_id"), budget = 1000, temperature = 0.5).count()
       }),
+      // the portableHash=false fast path (xxhash64 instead of md5):
+      // same plans, same statistics — measures what the 100 TB
+      // configuration saves by giving up cross-engine auditability
+      "d46_fast_hash" -> (() => {
+        val tgt = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val w = graft.pipeline.Dsir.importanceWeights(docs, tgt, "text", "doc_id",
+          portableHash = false)
+        graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 100).count()
+      }),
+      "d47_fast_hash" -> (() =>
+        graft.dedup.Spans.duplicatedSpanStats(docs, "text", "doc_id",
+          spanLen = 8, portableHash = false).count()),
+      "d50_fast_hash" -> (() =>
+        graft.dedup.Spans.winnowOverlapPairs(docs, "text", "doc_id",
+          k = 5, window = 4, minShared = 2, portableHash = false).count()),
       // keep-first line dedup (corpus doctored with a shared line per
       // doc so the keeper groupBy has real work) and winnowing pairs
       "d49_keep_first" -> (() =>
