@@ -590,6 +590,17 @@ object SparkEntry {
       graft.dedup.Spans.duplicatedSpanStats(
         t(s, d, "documents"), "text", "doc_id", spanLen = 8)
         .orderBy("doc_id")),
+    // incremental span dedup: the batch (doc_id%3==1) scored against
+    // the accumulated store (doc_id%3==0) — share of each ingested
+    // doc's 8-token spans already present in the store
+    "q_d51_novel_spans" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      graft.dedup.Spans.novelSpanStats(
+        all.filter(col("doc_id") % 3 === 1),
+        all.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", spanLen = 8)
+        .orderBy("doc_id")
+    }),
     // winnowing (MOSS) overlap detection: min-hash fingerprint per
     // 4-window of 5-gram spans (~2/(w+1) of span volume), pairs
     // sharing >= 2 fingerprints — the long-shared-run detector
@@ -1821,6 +1832,24 @@ object SparkEntry {
         |SELECT vec_id, CAST(cid AS INT) AS cluster_id FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn
         |  FROM s) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // batch spans vs the store fingerprint set, both re-derived from
+    // the same window arithmetic; membership via IN on the distinct
+    // store fingerprints
+    "q_d51_novel_spans" ->
+      """WITH sp AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS p
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE len(t) >= 8),
+        |h AS (SELECT doc_id,
+        |  substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp FROM sp),
+        |store AS (SELECT DISTINCT fp FROM h WHERE doc_id % 3 = 0),
+        |b AS (SELECT doc_id, fp, fp IN (SELECT fp FROM store) AS stale
+        |  FROM h WHERE doc_id % 3 = 1)
+        |SELECT doc_id, count(*) AS span_count,
+        |  count(CASE WHEN stale THEN 1 END) AS stale_span_count,
+        |  round(count(CASE WHEN stale THEN 1 END) * 1.0 / count(*), 4) AS stale_frac
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // winnowing re-derived: the 15-hex-digit md5 head orders exactly
     // like Spark's 60-bit long (fixed-width hex ⇒ lexicographic =

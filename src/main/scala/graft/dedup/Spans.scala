@@ -160,6 +160,38 @@ object Spans {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Incremental span dedup — the batch-vs-store flavor of
+    * [[duplicatedSpanStats]] (the D19/D34 ingest pattern at span
+    * granularity): for each document of an incoming BATCH, the share
+    * of its L-token spans already present in the accumulated STORE
+    * corpus. Output (id, span_count, stale_span_count, stale_frac) —
+    * a freshness/contamination signal per ingested doc; filter on
+    * `stale_frac` to drop re-posts and quote-heavy mirrors before
+    * they enter the corpus.
+    *
+    * Plan: batch spans (map-only) LEFT SEMI-shaped join against the
+    * DISTINCT store fingerprint set, keyed on the fingerprint — the
+    * store never joins pairwise with itself or the batch; both sides
+    * shuffle on the high-cardinality hash (or the store side
+    * broadcasts when small). Store fingerprints can be materialized
+    * once and reused across batches — they ARE the store.
+    */
+  def novelSpanStats(batch: DataFrame, store: DataFrame,
+                     textCol: String, idCol: String,
+                     spanLen: Int, stride: Int = 1,
+                     portableHash: Boolean = true): DataFrame = {
+    val batchSpans = spanHashes(batch, textCol, idCol, spanLen, stride, portableHash)
+    val storeFps = spanHashes(store, textCol, idCol, spanLen, stride, portableHash)
+      .select(col("span_hash")).distinct()
+      .withColumn("_in_store", lit(1))
+    batchSpans.join(storeFps, Seq("span_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("span_count"),
+        count(col("_in_store")).as("stale_span_count"))
+      .withColumn("stale_frac",
+        round(col("stale_span_count") / col("span_count").cast("double"), 4))
+  }
+
   /** The flagged occurrences themselves — (id, span_pos, span_hash,
     * occurrences) for every span whose fingerprint repeats at least
     * `minCount` times — the inspection/removal worklist behind

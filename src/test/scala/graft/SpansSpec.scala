@@ -113,6 +113,20 @@ class SpansSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("novelSpanStats: store membership per ingested doc, batch never self-counts") {
+    val store = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "a b c d e f g h"),            // entirely stale
+      (2L, "p q r s t u v w"),            // entirely novel
+      (3L, "p q r s t u v w x")           // 2 spans, both novel — doc 2's
+                                          // identical span is BATCH, not store
+    ).toDF("doc_id", "text")
+    val out = Spans.novelSpanStats(batch, store, "text", "doc_id", spanLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 1.0), (2L, 1L, 0L, 0.0), (3L, 2L, 0L, 0.0)))
+  }
+
   test("xxhash64 fast path reproduces the span statistics (identities differ, counts agree)") {
     val docs = Seq(
       (1L, "a b c d e f g h a b c d e f g h"),
