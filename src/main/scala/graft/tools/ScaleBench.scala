@@ -190,6 +190,11 @@ object ScaleBench {
       "d47_fast_hash" -> (() =>
         graft.dedup.Spans.duplicatedSpanStats(docs, "text", "doc_id",
           spanLen = 8, portableHash = false).count()),
+      "d51_novel_spans" -> (() =>
+        graft.dedup.Spans.novelSpanStats(
+          docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "text", "doc_id", spanLen = 8).count()),
       "d50_fast_hash" -> (() =>
         graft.dedup.Spans.winnowOverlapPairs(docs, "text", "doc_id",
           k = 5, window = 4, minShared = 2, portableHash = false).count()),
