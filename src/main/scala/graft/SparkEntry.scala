@@ -1777,7 +1777,7 @@ object SparkEntry {
         |j AS (SELECT h.doc_id, o.occ FROM h JOIN o USING (fp))
         |SELECT doc_id, count(*) AS span_count,
         |  count(CASE WHEN occ >= 2 THEN 1 END) AS dup_span_count,
-        |  round(count(CASE WHEN occ >= 2 THEN 1 END) * 1.0 / count(*), 4) AS dup_frac
+        |  round(count(CASE WHEN occ >= 2 THEN 1 END) * 10000.0 / count(*)) / 10000.0 AS dup_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // DSIR re-derived end-to-end: md5-horner feature buckets, add-one
@@ -1848,7 +1848,7 @@ object SparkEntry {
         |  FROM h WHERE doc_id % 3 = 1)
         |SELECT doc_id, count(*) AS span_count,
         |  count(CASE WHEN stale THEN 1 END) AS stale_span_count,
-        |  round(count(CASE WHEN stale THEN 1 END) * 1.0 / count(*), 4) AS stale_frac
+        |  round(count(CASE WHEN stale THEN 1 END) * 10000.0 / count(*)) / 10000.0 AS stale_frac
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // winnowing re-derived: the 15-hex-digit md5 head orders exactly
@@ -2522,10 +2522,10 @@ object SparkEntry {
         |  substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp FROM sp),
         |oc AS (SELECT fp, count(*) AS occ FROM hh GROUP BY 1),
         |st AS (SELECT hh.doc_id,
-        |  count(CASE WHEN occ >= 2 THEN 1 END) * 1.0 / count(*) AS df_raw
+        |  round(count(CASE WHEN occ >= 2 THEN 1 END) * 10000.0 / count(*)) / 10000.0 AS df_raw
         |  FROM hh JOIN oc USING (fp) GROUP BY hh.doc_id),
         |kept AS (SELECT * FROM b WHERE doc_id NOT IN
-        |  (SELECT doc_id FROM st WHERE round(df_raw, 4) > 0.5)),
+        |  (SELECT doc_id FROM st WHERE df_raw > 0.5)),
         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
         |  FROM kept WHERE length(trim(text)) > 0),
         |uni AS (SELECT doc_id, unnest(t) AS f FROM toks),

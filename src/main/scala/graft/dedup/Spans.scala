@@ -91,8 +91,14 @@ object Spans {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("span_count"),
         count(when(col("_occ") >= minCount, 1)).as("dup_span_count"))
+      // scale-0 round of ratio*1e4: every tie sits on an exactly-
+      // representable z.5 (integers ±.5 are exact doubles), which
+      // both engines round away from zero — round(ratio, 4) instead
+      // parks ties on unrepresentable 4-decimal doubles where Spark's
+      // shortest-string rounding and DuckDB's binary rounding can
+      // split (the same mechanism documented at Dsir.log_ratio)
       .withColumn("dup_frac",
-        round(col("dup_span_count") / col("span_count").cast("double"), 4))
+        round(col("dup_span_count") * 10000.0 / col("span_count")) / 10000.0)
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
@@ -188,8 +194,9 @@ object Spans {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("span_count"),
         count(col("_in_store")).as("stale_span_count"))
+      // tie-safe 4-dp derivation — see dup_frac above
       .withColumn("stale_frac",
-        round(col("stale_span_count") / col("span_count").cast("double"), 4))
+        round(col("stale_span_count") * 10000.0 / col("span_count")) / 10000.0)
   }
 
   /** The flagged occurrences themselves — (id, span_pos, span_hash,
@@ -201,9 +208,10 @@ object Spans {
     */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      spanLen: Int, stride: Int = 1,
-                     minCount: Int = 2): DataFrame = {
+                     minCount: Int = 2,
+                     portableHash: Boolean = true): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val spans = spanHashes(df, textCol, idCol, spanLen, stride)
+    val spans = spanHashes(df, textCol, idCol, spanLen, stride, portableHash)
     val dup = spans.groupBy(col("span_hash")).agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") >= minCount)
     spans.join(dup, Seq("span_hash"))

@@ -246,9 +246,16 @@ object Pipeline {
       else pow(col("_n").cast("double"), lit(temperature))
     val weighted = sizes.withColumn("_w", round(w * 1e6).cast("long"))
     val norm = weighted.agg(sum(col("_w")).as("_wsum"))
+    // the budget·w product runs in DECIMAL(38,0): with long arithmetic
+    // budget·n·1e6 overflows (and silently drops whole clusters via a
+    // negative quota) already at budget 1e4 × a 1e9-row cluster —
+    // decimal keeps the product exact to 38 digits and DIV is still
+    // the exact integral floor
     val quotas = weighted.crossJoin(broadcast(norm))
       .select(col("_cl"),
-        least(col("_n"), expr(s"${budget}L * _w DIV _wsum")).as("_quota"))
+        least(col("_n"),
+          expr(s"CAST(${budget} AS DECIMAL(38,0)) * _w DIV _wsum"))
+          .as("_quota"))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy(clusterCol).orderBy(shuffleKey(keyCol, seed), keyCol.cast("string"))
     df.join(broadcast(quotas), clusterCol === col("_cl"))

@@ -49,17 +49,23 @@ object Boilerplate {
     val hot = lineDocFreq(df, textCol, idCol, delim)
       .filter(col("doc_freq") > minRepeatDocs).select("line")
     val kept = ls.join(broadcast(hot), Seq("line"), "left_anti")
-    // reassembly: per-doc ordered fold of (pos, line) structs.
-    // sort_array on the struct orders by pos; the transform lambda is
-    // interpreted, but it touches one short array per DOCUMENT (not
-    // per token/pair), so it is not a hot path.
+    reassemble(df, kept, textCol, idCol, delim)
+  }
+
+  // reassembly shared by both line-removal operators: per-doc ordered
+  // fold of (pos, line) structs — sort_array orders by pos; the
+  // transform lambda is interpreted, but it touches one short array
+  // per DOCUMENT (not per token/pair), so it is not a hot path. Docs
+  // whose every line was removed drop out of the aggregation; the
+  // left join restores them with empty text so the output covers
+  // every input doc.
+  private def reassemble(df: DataFrame, kept: DataFrame, textCol: String,
+                         idCol: String, delim: String): DataFrame = {
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")),
         delim).as(textCol))
-    // docs whose every line was boilerplate drop out of `rebuilt`;
-    // restore them with empty text so the output covers every input doc
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
@@ -100,12 +106,6 @@ object Boilerplate {
       .select(col(idCol), col("pos"), col("line"))
     val kept = keptDedupable
       .unionByName(ls.filter(length(col("line")) < minLineLen))
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(array_join(
-        transform(sort_array(collect_list(struct(col("pos"), col("line")))),
-          x => x.getField("line")),
-        delim).as(textCol))
-    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    reassemble(df, kept, textCol, idCol, delim)
   }
 }
