@@ -166,6 +166,33 @@ object Spans {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** The DISTINCT store fingerprint set — materialize (or persist)
+    * once and reuse across ingest batches or a stream: this frame IS
+    * the span store.
+    */
+  def storeFingerprints(store: DataFrame, textCol: String, idCol: String,
+                        spanLen: Int, stride: Int = 1,
+                        portableHash: Boolean = true): DataFrame =
+    spanHashes(store, textCol, idCol, spanLen, stride, portableHash)
+      .select(col("span_hash")).distinct()
+
+  /** Stale span occurrences of an ingest batch against the store
+    * fingerprint set — and the STREAMING ingest guard: `batch` may be
+    * a `readStream` source, because span construction is map-only and
+    * the membership check is a stateless STREAM-STATIC inner join —
+    * append-mode, no watermark, no state store (the D39 ingest-guard
+    * shape at span granularity; per-doc ratios aggregate downstream
+    * per micro-batch where needed). Output (id, span_pos, span_hash)
+    * for every span already present in the store.
+    */
+  def staleSpans(batch: DataFrame, storeFps: DataFrame,
+                 textCol: String, idCol: String,
+                 spanLen: Int, stride: Int = 1,
+                 portableHash: Boolean = true): DataFrame =
+    spanHashes(batch, textCol, idCol, spanLen, stride, portableHash)
+      .join(storeFps, Seq("span_hash"))
+      .select(col(idCol), col("span_pos"), col("span_hash"))
+
   /** Incremental span dedup — the batch-vs-store flavor of
     * [[duplicatedSpanStats]] (the D19/D34 ingest pattern at span
     * granularity): for each document of an incoming BATCH, the share
@@ -187,10 +214,9 @@ object Spans {
                      spanLen: Int, stride: Int = 1,
                      portableHash: Boolean = true): DataFrame = {
     val batchSpans = spanHashes(batch, textCol, idCol, spanLen, stride, portableHash)
-    val storeFps = spanHashes(store, textCol, idCol, spanLen, stride, portableHash)
-      .select(col("span_hash")).distinct()
+    val fps = storeFingerprints(store, textCol, idCol, spanLen, stride, portableHash)
       .withColumn("_in_store", lit(1))
-    batchSpans.join(storeFps, Seq("span_hash"), "left")
+    batchSpans.join(fps, Seq("span_hash"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("span_count"),
         count(col("_in_store")).as("stale_span_count"))

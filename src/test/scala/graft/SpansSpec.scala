@@ -150,6 +150,27 @@ class SpansSpec extends SparkSpec {
     assert(pairIds(true).contains((1L, 2L)) && pairIds(false).contains((1L, 2L)))
   }
 
+  test("staleSpans runs as a stateless STREAM-static join (append mode, no state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = Seq((10L, "a b c d e f g h")).toDF("doc_id", "text")
+    val fps = Spans.storeFingerprints(store, "text", "doc_id", spanLen = 8)
+    val mem = MemoryStream[(Long, String)]
+    val q = Spans.staleSpans(mem.toDF().toDF("doc_id", "text"), fps,
+      "text", "doc_id", spanLen = 8)
+      .writeStream.format("memory").queryName("stale_spans")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      q.processAllAvailable()
+      mem.addData((3L, "z a b c d e f g h"))   // stale span at pos 1
+      q.processAllAvailable()
+      val rows = spark.table("stale_spans").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 0L), (3L, 1L)))
+    } finally q.stop()
+  }
+
   test("fingerprint is the md5 15-nibble head (portable contract)") {
     val fp = Seq("a b c d").toDF("s")
       .select(Spans.spanFingerprint(col("s"))).collect()(0).getLong(0)
