@@ -570,6 +570,61 @@ object SparkEntry {
         graft.text.TokenStats.bigramCounts(docs, "text", "doc_id"))
         .orderBy("doc_id")
     }),
+    // CCNet perplexity tiers: self-scored unigram CE per doc, exact
+    // per-language tertile ranks (window partitioned by lang; the
+    // approx-threshold flavor is the 100 TB path, spec'd separately)
+    "q_d53_ppl_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val ce = graft.text.TokenStats.crossEntropy(docs, "text", "doc_id",
+        graft.text.TokenStats.unigramCounts(docs, "text", "doc_id"))
+      graft.text.TokenStats.perplexityBuckets(
+        ce.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "doc_id", "lang")
+        .select(col("doc_id"), col("lang"), col("cross_entropy"),
+          col("ppl_rank"), col("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+    // fastText-style linear classifier inference: deterministic
+    // hash-weight model (a REAL trained model arrives as the same
+    // (bucket, w_micro) dim), exact integer dot products, sigmoid of
+    // the ROUNDED logit so both engines exponentiate identical input
+    "q_d54_linear_score" -> ((s, d) =>
+      graft.text.Classifier.linearScore(t(s, d, "documents"), "text", "doc_id",
+        graft.text.Classifier.hashWeights(s, 4096, "qw"), buckets = 4096)
+        .orderBy("doc_id")),
+    // soft dedup: duplicate content classes down-weighted 1/occ
+    // instead of removed; per-doc weight + effective token mass
+    "q_d55_soft_dedup" -> ((s, d) =>
+      Dedup.softDedupWeights(t(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("occ"), col("weight"), col("eff_tokens"))
+        .orderBy("doc_id")),
+    // KMV bottom-k sketch: deterministic corpus-overlap estimate of
+    // two overlapping slices, exact numbers alongside (gate flavor)
+    "q_d56_kmv" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.dedup.Sketch.corpusJaccardKmv(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 3 === 0), "text",
+        k = 256, withExact = true)
+    }),
+    // full Gopher rule battery over a doctored corpus (bullet /
+    // ellipsis / symbol lines injected deterministically so several
+    // rule classes fire; the doctoring is mirrored in the oracle)
+    "q_d57_gopher" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\n- bullet point one\n- bullet point two")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("\nto be continued...")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\n#tag #tag2 ### 123 456")).otherwise(lit(""))))
+      graft.text.TextAnalysis.gopherRules(docs, "text", "doc_id",
+        minWords = 20, maxWords = 80, minMeanWordLen = 3.0,
+        maxMeanWordLen = 10.0, maxSymbolWordRatio = 0.05,
+        maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 0.3,
+        minAlphaWordRatio = 0.9, minStopwords = 2)
+        .orderBy("doc_id")
+    }),
     // leakage-safe split: near-dup components assigned to train/val/
     // test as a unit (split key = component's min member id)
     "q_d45_leakage_split" -> ((s, d) => {
@@ -1702,6 +1757,144 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS token_count,
         |  round((sum(nll_micro) / count(*)) / 1e6, 4) AS cross_entropy
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d28's CE derivation + per-language tertile ranks: integer
+    // bucket arithmetic ⌊(r−1)·3/n⌋ (// is DuckDB integer division),
+    // ties broken doc_id asc on both engines
+    "q_d53_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+        |lm AS (SELECT token, count(*) AS cnt FROM tok2 GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM lm),
+        |s AS (SELECT t.doc_id,
+        |  CAST(round(-ln(lm.cnt * 1.0 / ((SELECT total FROM tot) + 1)) * 1e6) AS BIGINT) AS nll_micro
+        |  FROM tok2 t JOIN lm USING (token)),
+        |ce AS (SELECT doc_id, round((sum(nll_micro) / count(*)) / 1e6, 4) AS cross_entropy
+        |  FROM s GROUP BY doc_id),
+        |j AS (SELECT ce.doc_id, d.lang, ce.cross_entropy
+        |  FROM ce JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, lang, cross_entropy,
+        |  row_number() OVER (PARTITION BY lang ORDER BY cross_entropy, doc_id) AS ppl_rank,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM j)
+        |SELECT doc_id, lang, cross_entropy, ppl_rank,
+        |  CASE ((ppl_rank - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |    ELSE 'tail' END AS ppl_bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // d46's hashed unigram+bigram bucket features at 4096, weight =
+    // md5-horner('qw:bucket') in [-1e6, 1e6] micro-units, exact
+    // integer dot product, sigmoid of the 4-dp-rounded logit
+    "q_d54_linear_score" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+        |bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS f
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |feats AS (SELECT doc_id, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(f), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 4096 AS bucket
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |fc AS (SELECT doc_id, bucket, count(*) AS cnt FROM feats GROUP BY 1, 2),
+        |w AS (SELECT b.bucket, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef',
+        |      substr(md5('qw:' || CAST(b.bucket AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 2000001 - 1000000 AS w_micro
+        |  FROM (SELECT DISTINCT bucket FROM fc) b),
+        |d AS (SELECT doc_id, sum(cnt) AS feat_count, sum(cnt * w_micro) AS dot_micro
+        |  FROM fc JOIN w USING (bucket) GROUP BY 1),
+        |g AS (SELECT doc_id, feat_count, dot_micro,
+        |  CAST(round(dot_micro / feat_count) AS BIGINT) AS logit_micro FROM d),
+        |g2 AS (SELECT doc_id, feat_count, dot_micro, logit_micro,
+        |  CAST(round(logit_micro / 100.0) AS BIGINT) / 10000.0 AS logit FROM g)
+        |SELECT doc_id, feat_count, dot_micro, logit_micro, logit,
+        |  round(1.0 / (1.0 + exp(-logit)), 4) AS prob,
+        |  CASE WHEN round(1.0 / (1.0 + exp(-logit)), 4) >= 0.5 THEN 1 ELSE 0 END AS label
+        |FROM g2 ORDER BY doc_id""".stripMargin,
+
+    // weight = 1/occ(md5 content class), effective tokens =
+    // tokens/occ; 4-dp via integer-space rounding (ties on exact .5)
+    "q_d55_soft_dedup" ->
+      """WITH o AS (SELECT md5(text) AS ck, count(*) AS occ FROM documents GROUP BY 1)
+        |SELECT d.doc_id, o.occ,
+        |  CAST(round(10000.0 / o.occ) AS BIGINT) / 10000.0 AS weight,
+        |  CAST(round((CASE WHEN length(trim(d.text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(d.text),' +')) END) * 10000.0 / o.occ)
+        |    AS BIGINT) / 10000.0 AS eff_tokens
+        |FROM documents d JOIN o ON md5(d.text) = o.ck
+        |ORDER BY doc_id""".stripMargin,
+
+    // KMV re-derived: normalized-content 15-nibble hashes, full-outer
+    // membership merge, bottom-256 by hex order (= numeric order),
+    // estimates + exact numbers from the same merged frame
+    "q_d56_kmv" ->
+      """WITH a AS (SELECT DISTINCT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT DISTINCT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |m AS (SELECT COALESCE(a.h, b.h) AS h,
+        |  CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+        |  CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+        |  FROM a FULL OUTER JOIN b ON a.h = b.h),
+        |bot AS (SELECT * FROM m ORDER BY h LIMIT 256),
+        |est AS (SELECT count(*) AS k_used, sum(in_a * in_b) AS inter_cnt,
+        |  max(list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x)) AS vk FROM bot),
+        |ex AS (SELECT count(*) AS union_exact,
+        |  CAST(round(sum(in_a * in_b) * 10000.0 / count(*)) AS BIGINT) / 10000.0 AS j_exact
+        |  FROM m)
+        |SELECT 256 AS k, est.k_used, est.inter_cnt,
+        |  CAST(round(est.inter_cnt * 10000.0 / est.k_used) AS BIGINT) / 10000.0 AS j_est,
+        |  CASE WHEN est.k_used < 256 THEN est.k_used
+        |    ELSE CAST(round((est.k_used - 1) * 1152921504606846976.0 / est.vk) AS BIGINT) END AS union_est,
+        |  ex.union_exact, ex.j_exact
+        |FROM est CROSS JOIN ex""".stripMargin,
+
+    // Gopher battery re-derived with list lambdas over the same
+    // doctored text: word stats on the space-collapsed form, line
+    // stats on chr(10) splits, alphabetic words via per-token regex,
+    // distinct-stopword presence, identical cascade order
+    "q_d57_gopher" ->
+      """WITH doc AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '- bullet point one' || chr(10) || '- bullet point two' ELSE '' END
+        |       || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+        |       || CASE WHEN doc_id % 11 = 0 THEN chr(10) || '#tag #tag2 ### 123 456' ELSE '' END AS text
+        |  FROM documents),
+        |b AS (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS wn FROM doc),
+        |c AS (SELECT doc_id,
+        |  CASE WHEN length(wn) = 0 THEN 0 ELSE len(string_split(wn, ' ')) END AS n_words,
+        |  length(replace(wn, ' ', '')) AS word_chars,
+        |  (length(text) - length(replace(text, '#', ''))) + len(regexp_extract_all(text, '\.\.\.')) AS symbols,
+        |  len(string_split(text, chr(10))) AS n_lines,
+        |  len(list_filter(string_split(text, chr(10)),
+        |    l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS bullet_lines,
+        |  len(list_filter(string_split(text, chr(10)), l -> l LIKE '%...')) AS ellipsis_lines,
+        |  len(list_filter(string_split(wn, ' '), w -> NOT regexp_matches(w, '[a-zA-Z]'))) AS non_alpha,
+        |  len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    sw -> list_contains(string_split(lower(wn), ' '), sw))) AS stop_present
+        |  FROM b),
+        |s AS (SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN CAST(round(word_chars * 10000.0 / n_words) AS BIGINT) / 10000.0 END AS mean_word_len,
+        |  CASE WHEN n_words > 0 THEN CAST(round(symbols * 10000.0 / n_words) AS BIGINT) / 10000.0 END AS symbol_word_ratio,
+        |  CASE WHEN n_lines > 0 THEN CAST(round(bullet_lines * 10000.0 / n_lines) AS BIGINT) / 10000.0 END AS bullet_line_frac,
+        |  CASE WHEN n_lines > 0 THEN CAST(round(ellipsis_lines * 10000.0 / n_lines) AS BIGINT) / 10000.0 END AS ellipsis_line_frac,
+        |  CASE WHEN n_words > 0 THEN CAST(round((n_words - non_alpha) * 10000.0 / n_words) AS BIGINT) / 10000.0 END AS alpha_word_ratio,
+        |  stop_present AS stopwords_present
+        |  FROM c)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+        |  ellipsis_line_frac, alpha_word_ratio, stopwords_present,
+        |  CASE WHEN n_words < 20 THEN 'too_few_words'
+        |       WHEN n_words > 80 THEN 'too_many_words'
+        |       WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len_out_of_range'
+        |       WHEN symbol_word_ratio > 0.05 THEN 'too_many_symbols'
+        |       WHEN bullet_line_frac > 0.5 THEN 'too_many_bullets'
+        |       WHEN ellipsis_line_frac > 0.3 THEN 'too_many_ellipses'
+        |       WHEN alpha_word_ratio < 0.9 THEN 'low_alpha'
+        |       WHEN stopwords_present < 2 THEN 'few_stopwords'
+        |       ELSE 'keep' END AS reason
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // chunk arithmetic re-derived: stride 48, ceil via integer floor
     // form, 1-based list slices mirror Spark's slice()

@@ -57,6 +57,33 @@ object Dedup {
     df.join(keep, idCol)
   }
 
+  /** Soft (weighted) dedup: instead of REMOVING exact duplicates,
+    * down-weight them — every copy of a content class with `occ`
+    * occurrences gets sampling weight 1/occ, so the class contributes
+    * one document's worth of mass in expectation (the standard
+    * duplicate-aware loss/sampling reweighting when hard removal is
+    * too aggressive, e.g. legitimately repeated licenses or FAQs).
+    * Output: input rows + (occ, weight, eff_tokens) where weight =
+    * 1/occ and eff_tokens = token_count/occ, both 4-dp via
+    * integer-space rounding (x·10000 ties land on exact integers +
+    * .5, which Spark and DuckDB round identically — the
+    * [[graft.pipeline.Dsir]] rounding policy). Shape: one
+    * fingerprint-keyed map-side-combined groupBy (bounded by the
+    * number of DISTINCT contents) joined back — corpus-linear, no
+    * window.
+    */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val occ = df.groupBy(contentKey(col(textCol)).as("_ck"))
+      .agg(count(lit(1)).as("occ"))
+    df.withColumn("_ck", contentKey(col(textCol)))
+      .join(occ, "_ck")
+      .drop("_ck")
+      .withColumn("weight", round(lit(10000.0) / col("occ")).cast("long") / 10000.0)
+      .withColumn("eff_tokens",
+        round(graft.text.TextAnalysis.wordCount(col(textCol)) * 10000.0 / col("occ"))
+          .cast("long") / 10000.0)
+  }
+
   /** Distinct content fingerprints of a corpus — the build side of an
     * incremental dedup store (one narrow column, distinct-aggregated).
     */

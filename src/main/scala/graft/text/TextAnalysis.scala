@@ -200,6 +200,79 @@ object TextAnalysis {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Full Gopher rule battery (Rae et al. 2021, "Scaling Language
+    * Models: ...Gopher", Table A1) — the line/char-level document
+    * filters BEYOND [[qualityFilterReport]]'s token statistics:
+    * word-count bounds, mean word length bounds, symbol-to-word
+    * ratio (# and ellipsis), bullet-line and ellipsis-line
+    * fractions, alphabetic-word ratio, and distinct-stopword
+    * presence. Every signal is a scan-local Column expression
+    * (regexp counts + length arithmetic over the whitespace-
+    * normalized text) — ZERO shuffle, map-only, linear at any corpus
+    * size; ratios round 4-dp in integer space (the repo rounding
+    * policy). Output: per-doc signals + the FIRST failing rule in
+    * Gopher's published order, or `keep`.
+    *
+    * Threshold defaults are the paper's; the classifier operates on
+    * \n-delimited lines and space-delimited words (all whitespace
+    * runs collapse to one space for word statistics).
+    */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Long = 50, maxWords: Long = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolWordRatio: Double = 0.1,
+                  maxBulletLineFrac: Double = 0.9,
+                  maxEllipsisLineFrac: Double = 0.3,
+                  minAlphaWordRatio: Double = 0.8,
+                  minStopwords: Long = 2): DataFrame = {
+    val c = col(textCol)
+    val wn = regexp_replace(trim(c), "\\s+", " ") // one-space word form
+    val nWords = when(length(wn) === 0, 0L).otherwise(size(split(wn, " ")).cast("long"))
+    val wordChars = length(regexp_replace(wn, " ", ""))
+    val frac4 = (num: Column, den: Column) =>
+      when(den > 0, round(num * 10000.0 / den).cast("long") / 10000.0)
+    val meanWordLen = frac4(wordChars, nWords)
+    // '#' occurrences + non-overlapping '...' occurrences, Gopher's
+    // symbol set
+    val symbols = (length(c) - length(regexp_replace(c, "#", ""))) +
+      regexp_count(c, lit("\\.\\.\\."))
+    val nLines = size(split(c, "\n")).cast("long")
+    val bulletLines = regexp_count(c, lit("(?m)^[-*•] "))
+    // lookahead anchor (not (?m)$): a line ending in 6+ dots must
+    // count ONCE — only the final three dots of a line satisfy the
+    // lookahead, so the count is exactly |lines ending in '...'|
+    val ellipsisLines = regexp_count(c, lit("\\.\\.\\.(?=\\n|\\z)"))
+    // a word is alphabetic iff it contains >= 1 ASCII letter; count
+    // the complement (runs of non-letter chars spanning a whole
+    // token) in ONE codegen'd regex pass — no interpreted lambda
+    val nonAlphaWords = regexp_count(concat(lit(" "), wn),
+      lit("[ ][^ a-zA-Z]+(?=[ ]|\\z)"))
+    val alphaRatio = frac4(nWords - nonAlphaWords, nWords)
+    // DISTINCT presence over Gopher's 8-stopword set (>= 2 required)
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopPresent = stopSet.map(w =>
+      when(stopwordHits(lower(wn), Seq(w)) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol),
+        nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+        frac4(symbols, nWords).as("symbol_word_ratio"),
+        frac4(bulletLines, nLines).as("bullet_line_frac"),
+        frac4(ellipsisLines, nLines).as("ellipsis_line_frac"),
+        alphaRatio.as("alpha_word_ratio"),
+        stopPresent.as("stopwords_present"))
+      .withColumn("reason",
+        when(col("n_words") < minWords, "too_few_words")
+          .when(col("n_words") > maxWords, "too_many_words")
+          .when(col("mean_word_len") < minMeanWordLen
+            || col("mean_word_len") > maxMeanWordLen, "word_len_out_of_range")
+          .when(col("symbol_word_ratio") > maxSymbolWordRatio, "too_many_symbols")
+          .when(col("bullet_line_frac") > maxBulletLineFrac, "too_many_bullets")
+          .when(col("ellipsis_line_frac") > maxEllipsisLineFrac, "too_many_ellipses")
+          .when(col("alpha_word_ratio") < minAlphaWordRatio, "low_alpha")
+          .when(col("stopwords_present") < minStopwords, "few_stopwords")
+          .otherwise("keep"))
+  }
+
   /** One-call corpus "datasheet": the top-line numbers a dataset card
     * reports — size, token volume, exact-duplicate rate, empty-doc
     * rate, language spread — as a tall (metric, value) frame.

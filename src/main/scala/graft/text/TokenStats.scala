@@ -123,6 +123,62 @@ object TokenStats {
   def topVocab(lm: DataFrame, vocabSize: Int): DataFrame =
     lm.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020): within each group (language), rank documents
+    * by a fluency score ascending (lower cross-entropy = more fluent)
+    * and cut the ranking into thirds — `head` (best), `middle`,
+    * `tail` (worst) — the standard coarse quality tiers a curation
+    * pipeline mixes from. `scored` carries (id, group, score), e.g.
+    * [[crossEntropy]] joined with a language column.
+    *
+    * Bucket arithmetic is pure integers: with per-group rank r
+    * (1-based, ties broken id ascending — a total order) and group
+    * size n, the tier index is ⌊(r−1)·3/n⌋ — no float percentile
+    * whose rounding could flip a boundary document. The window
+    * partitions by GROUP (parallel across languages, no global
+    * sort); a corpus dominated by one language concentrates that
+    * group in one task, which is inherent to exact ranking — at
+    * 100 TB use [[perplexityBucketsApprox]], which replaces the rank
+    * with two per-group threshold scalars (one bounded groupBy +
+    * broadcast join, scan-local assignment).
+    */
+  def perplexityBuckets(scored: DataFrame, idCol: String, groupCol: String,
+                        scoreCol: String = "cross_entropy"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol).asc, col(idCol).asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    scored
+      .withColumn("ppl_rank", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("ppl_bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          (((col("ppl_rank") - 1) * 3) / col("_n")).cast("int") + 1))
+      .drop("_n")
+  }
+
+  /** The 100 TB flavor of [[perplexityBuckets]]: per-group
+    * approx_percentile(score, {1/3, 2/3}) thresholds (bounded GK
+    * sketch per group, output ≤ one row per group) broadcast back,
+    * assignment scan-local. Boundary documents may land one tier off
+    * the exact ranking (GK ε), which is the standard trade; tiers are
+    * deterministic for a fixed input partitioning but not an exact
+    * rank contract — the exact flavor remains the oracle path.
+    */
+  def perplexityBucketsApprox(scored: DataFrame, idCol: String, groupCol: String,
+                              scoreCol: String = "cross_entropy"): DataFrame = {
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("_c"))
+      .select(col(groupCol), col("_c")(0).as("_c1"), col("_c")(1).as("_c2"))
+    scored.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("ppl_bucket",
+        when(col(scoreCol) <= col("_c1"), "head")
+          .when(col(scoreCol) <= col("_c2"), "middle")
+          .otherwise("tail"))
+      .drop("_c1", "_c2")
+  }
+
   /** Per-document out-of-vocabulary token share against `vocab`
     * ((token) or (token, cnt) frame, e.g. [[topVocab]]'s output):
     * (doc, token_count, oov_count, oov_rate). The vocabulary is
