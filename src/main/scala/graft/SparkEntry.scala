@@ -190,12 +190,17 @@ object SparkEntry {
         .orderBy("column")),
 
     // ---- B. quality detection
-    // ts stays the raw epoch-nanos long (nanosAsLong read) — a
-    // representation-neutral value the oracle mirrors with epoch_ns();
-    // string-casting it would compare Spark's long rendering against
-    // DuckDB's timestamp rendering
-    "q_b1_useless_rows" -> ((s, d) =>
-      Detector.uselessRows(doctoredEvents(s, d)).orderBy("event_id")),
+    // ts is emitted as an epoch-nanos LONG — a representation-neutral
+    // value the oracle mirrors with epoch_ns(); comparing rendered
+    // timestamps would pit Spark's formatting against DuckDB's.
+    // Tables.epochMicros adapts to the physical ts type (null-safe:
+    // the doctored nulls survive the conversion)
+    "q_b1_useless_rows" -> ((s, d) => {
+      val de = doctoredEvents(s, d)
+      Detector.uselessRows(
+        de.withColumn("ts", Tables.epochMicros(de, "ts") * lit(1000L)))
+        .orderBy("event_id")
+    }),
     "q_b2_dup_rows" -> ((s, d) => {
       val ev = t(s, d, "events").select("event_id", "user_id", "event_type", "value", "props")
       Detector.duplicateRows(ev.union(ev.filter(col("event_type") === "click")))
@@ -729,11 +734,13 @@ object SparkEntry {
     // shuffle); the oracle is DuckDB's NATIVE ASOF JOIN — two
     // entirely different formulations of the same semantics
     "q_d24_asof" -> ((s, d) => {
-      // microsecond granularity on BOTH sides: DuckDB reads the
-      // parquet TIMESTAMP(NANOS) column as µs-truncated TIMESTAMP, so
-      // the as-of comparison itself must run at µs for the two
-      // engines to resolve sub-µs-adjacent rows identically
-      val ev = t(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+      // microsecond granularity on BOTH sides: whatever the physical
+      // ts type (epoch-nanos long or timestamp[us] — the driver has
+      // shipped both across rounds), the as-of comparison runs on the
+      // µs epoch long so the two engines resolve adjacent rows
+      // identically; the oracle reads the same parquet via epoch_us()
+      val ev0 = t(s, d, "events")
+      val ev = ev0.withColumn("ts_us", Tables.epochMicros(ev0, "ts"))
       val updates = ev.filter(col("event_id") % 50 === 0)
         .groupBy("user_id", "ts_us").agg(max("event_id").as("state_id"))
       val lhs = ev.filter(col("event_id") % 20 === 0)
@@ -846,18 +853,20 @@ object SparkEntry {
     // ---- S. streaming operators, exercised in batch (window() and
     // watermark share semantics across modes; watermark is a no-op in
     // batch, so the oracle checks the windowing logic itself)
-    // integral DIV (see q_s3): double division of epoch-nanos can
-    // round across a second — and with it, a window — boundary
+    // Tables.asTimestamp adapts to the physical ts type (epoch-nanos
+    // long vs timestamp[us]) — hour windows are insensitive to the
+    // sub-second precision difference between the two reads
     "q_s1_windowed_counts" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .withColumn("ts", expr("timestamp_seconds(ts DIV 1000000000)"))
+      val ev0 = t(s, d, "events")
+      val ev = ev0.withColumn("ts", Tables.asTimestamp(ev0, "ts"))
       graft.streaming.StreamingDQ.windowedTypeCounts(ev, "ts", "event_type", "1 hour", "1 hour")
         .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
         .orderBy("window_start", "event_type")
     }),
     "q_s2_windowed_dq" -> ((s, d) => {
-      val ev = doctoredEvents(s, d)
-        .withColumn("ts2", expr("timestamp_seconds(coalesce(ts, 0L) DIV 1000000000)"))
+      val de = doctoredEvents(s, d)
+      val ev = de.withColumn("ts2",
+        coalesce(Tables.asTimestamp(de, "ts"), timestamp_seconds(lit(0))))
       graft.streaming.StreamingDQ.windowedDqScore(ev, "ts2", "value",
         Seq(Rule.NumBetween(10, 90)), "1 day", "1 day")
         .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
@@ -866,8 +875,9 @@ object SparkEntry {
     // multi-column windowed DQ (streaming dqSummary): one row per
     // (window, column) from ONE windowed aggregation
     "q_s4_dq_summary" -> ((s, d) => {
-      val ev = doctoredEvents(s, d)
-        .withColumn("ts2", expr("timestamp_seconds(coalesce(ts, 0L) DIV 1000000000)"))
+      val de = doctoredEvents(s, d)
+      val ev = de.withColumn("ts2",
+        coalesce(Tables.asTimestamp(de, "ts"), timestamp_seconds(lit(0))))
       graft.streaming.StreamingDQ.windowedDqSummary(ev, "ts2", Seq(
         "value" -> Seq(Rule.NumBetween(10, 90)),
         "event_type" -> Seq(Rule.LenBetween(5, 8))), "1 day", "1 day")
@@ -876,12 +886,12 @@ object SparkEntry {
     }),
 
     // whole-second truncation on BOTH sides so gap comparisons and
-    // formatted session starts are bit-identical across engines.
-    // Integral DIV, not `/`: epoch-nanos exceed double's 2^53, so
-    // double division can round UP across a second boundary
+    // formatted session starts are bit-identical across engines
+    // (oracle: date_trunc('second', ts)); Tables.asTimestamp absorbs
+    // the physical ts type (epoch-nanos long vs timestamp[us])
     "q_s3_sessions" -> ((s, d) => {
-      val ev = t(s, d, "events")
-        .withColumn("ts", expr("timestamp_seconds(ts DIV 1000000000)"))
+      val ev0 = t(s, d, "events")
+      val ev = ev0.withColumn("ts", date_trunc("second", Tables.asTimestamp(ev0, "ts")))
       graft.streaming.StreamingDQ.sessionCounts(ev, "ts", "user_id", "2 hours")
         .withColumn("session_start", date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"))
         .orderBy("user_id", "session_start")

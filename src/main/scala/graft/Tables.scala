@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Table registry over the driver-generated parquet layout
   * (`TESTDATA.md`): one parquet file per table under an sf dir.
@@ -41,6 +43,49 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     sessionCache(spark).getOrElseUpdate((dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Epoch-MICROSECONDS long view of a time column, keyed on the
+    * column's ACTUAL Spark type instead of an assumed physical parquet
+    * layout. The r10 testdata regeneration flipped `events.ts` from
+    * int64 TIMESTAMP(NANOS) to timestamp[us] and every call site that
+    * hard-coded `ts DIV 1000` broke with DATATYPE_MISMATCH — this is
+    * the one place that decision now lives:
+    *  - LongType          → epoch-nanos long (the legacy nanosAsLong
+    *                        read of TIMESTAMP(NANOS)) `DIV 1000`
+    *  - TimestampType     → `unix_micros`
+    *  - TimestampNTZType  → `unix_micros` of the TimestampType cast;
+    *                        every entrypoint pins the session timezone
+    *                        to UTC, so the cast maps the naive value to
+    *                        the same instant DuckDB's `epoch_us` uses
+    *  - DateType          → midnight-UTC of the date, in µs
+    * Unknown types fail loudly at PLAN time (not silently mid-job).
+    */
+  def epochMicros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType | IntegerType => expr(s"`$c` DIV 1000")
+    case TimestampType          => unix_micros(col(c))
+    case TimestampNTZType       => unix_micros(col(c).cast(TimestampType))
+    case DateType               => unix_micros(col(c).cast(TimestampType))
+    case other => throw new IllegalArgumentException(
+      s"Tables.epochMicros: column `$c` has unsupported type $other " +
+        "(expected epoch-nanos LongType or a timestamp/date type)")
+  }
+
+  /** TimestampType view of a time column — the input shape
+    * `window()`/`session_window()` want — with the same type-adaptive
+    * contract as [[epochMicros]]. Long inputs are epoch-NANOS (the
+    * legacy nanosAsLong parquet read), truncated to µs integrally
+    * (epoch-nanos exceed double's 2^53, so float division could round
+    * across a µs — and with it a window — boundary).
+    */
+  def asTimestamp(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType | IntegerType => timestamp_micros(expr(s"`$c` DIV 1000"))
+    case TimestampType          => col(c)
+    case TimestampNTZType       => col(c).cast(TimestampType)
+    case DateType               => col(c).cast(TimestampType)
+    case other => throw new IllegalArgumentException(
+      s"Tables.asTimestamp: column `$c` has unsupported type $other " +
+        "(expected epoch-nanos LongType or a timestamp/date type)")
+  }
 
   /** Forget memoized relations under `dir` (all dirs if None) for this
     * session and refresh Spark's own file-index caches, so the next
