@@ -593,10 +593,29 @@ object SparkEntry {
     // hash-weight model (a REAL trained model arrives as the same
     // (bucket, w_micro) dim), exact integer dot products, sigmoid of
     // the ROUNDED logit so both engines exponentiate identical input
-    "q_d54_linear_score" -> ((s, d) =>
-      graft.text.Classifier.linearScore(t(s, d, "documents"), "text", "doc_id",
+    // prob derives from σ of the IDENTICAL 4-dp logit in both
+    // engines with exp's output quantized to the 1e-6 grid (the only
+    // libm step; division is IEEE-deterministic); the guard row pins
+    // that no document's e·1e6 sits within 1e-7 of its rounding
+    // boundary (cross-build libm drift ≲1e-9), so the 4-dp prob —
+    // and the threshold label — is engine-portable
+    "q_d54_linear_score" -> ((s, d) => {
+      val scored = graft.text.Classifier.linearScore(
+        t(s, d, "documents"), "text", "doc_id",
         graft.text.Classifier.hashWeights(s, 4096, "qw"), buckets = 4096)
-        .orderBy("doc_id")),
+      val docs = scored
+        .select(col("doc_id"), col("feat_count"), col("dot_micro"),
+          col("logit_micro"), col("logit"), col("prob"), col("label"),
+          lit("doc").as("tag"))
+      val guard = graft.text.Classifier.sigmoidBoundaryGuard(scored)
+        .select(lit(-1L).as("doc_id"), lit(-1L).as("feat_count"),
+          lit(-1L).as("dot_micro"), lit(-1L).as("logit_micro"),
+          lit(0.0).as("logit"),
+          when(coalesce(col("min_sigmoid_dist"), lit(1.0)) > 1e-7, 1.0)
+            .otherwise(0.0).as("prob"),
+          lit(-1).as("label"), lit("sigmoid_guard").as("tag"))
+      docs.unionByName(guard).orderBy("tag", "doc_id")
+    }),
     // soft dedup: duplicate content classes down-weighted 1/occ
     // instead of removed; per-doc weight + effective token mass
     "q_d55_soft_dedup" -> ((s, d) =>
@@ -700,14 +719,27 @@ object SparkEntry {
     // target = the English slice, raw = the whole corpus; Gumbel
     // top-50 on the exact micro-nat importance key (content-hash
     // Gumbel draw — deterministic sampling ∝ importance weight)
+    // The compared projection carries NO raw transcendental-derived
+    // integers (lr_micro / gumbel_key flip on one libm ulp at a
+    // quantization boundary — the r10 driver failure): doc ids +
+    // 4-dp coarse values only, plus two guard rows pinning that every
+    // pre-round double sat > 1e-7 micro from its boundary, which
+    // certifies any engine's re-derivation picks the identical top-k
     "q_d46_dsir" -> ((s, d) => {
       val raw = t(s, d, "documents")
-      val w = graft.pipeline.Dsir.importanceWeights(
+      val (w, lg) = graft.pipeline.Dsir.importanceWeightsAndGuard(
         raw, raw.filter(col("lang") === "en"), "text", "doc_id", buckets = 10000)
-      graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 50)
-        .select(col("doc_id"), col("feat_count"), col("lr_micro"),
-          col("log_ratio"), col("gumbel_key"))
-        .orderBy("doc_id")
+      val gg = graft.pipeline.Dsir.gumbelBoundaryGuard(w, "doc_id")
+      val sel = graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 50)
+        .select(col("doc_id"), col("feat_count"), col("log_ratio"),
+          lit("sel").as("tag"))
+      val guards = lg.select(lit(-1L).as("doc_id"), lit(-1L).as("feat_count"),
+          when(col("min_lambda_dist") > 1e-7, 1.0).otherwise(0.0).as("log_ratio"),
+          lit("lambda_guard").as("tag"))
+        .unionByName(gg.select(lit(-2L).as("doc_id"), lit(-1L).as("feat_count"),
+          when(col("min_gumbel_dist") > 1e-7, 1.0).otherwise(0.0).as("log_ratio"),
+          lit("gumbel_guard").as("tag")))
+      sel.unionByName(guards).orderBy("tag", "doc_id")
     }),
     // dataset-card topline numbers in one pass over per-doc features
     "q_d40_datasheet" -> ((s, d) =>
@@ -1100,16 +1132,26 @@ object SparkEntry {
       val kept = graft.CacheScope.persist(
         docs.join(stats.filter(col("dup_frac") > 0.5).select("doc_id"),
           Seq("doc_id"), "left_anti"))
-      // 2-3. DSIR toward the English survivors, Gumbel top-100
-      val w = graft.pipeline.Dsir.importanceWeights(
+      // 2-3. DSIR toward the English survivors, Gumbel top-100.
+      // Compared projection: no raw transcendental-derived integers
+      // (see q_d46) — coarse values + the two boundary-guard rows
+      val (w, lg) = graft.pipeline.Dsir.importanceWeightsAndGuard(
         kept, kept.filter(col("lang") === "en"), "text", "doc_id",
         buckets = 10000)
+      val gg = graft.pipeline.Dsir.gumbelBoundaryGuard(w, "doc_id")
       val sel = graft.pipeline.Dsir.resampleTopK(w, "doc_id", k = 100)
       // 4. reproducible 80/10/10 split of the selection
-      graft.pipeline.Pipeline.withSplit(
-        sel.select(col("doc_id"), col("feat_count"), col("lr_micro"),
-          col("log_ratio"), col("gumbel_key")), "doc_id")
-        .orderBy("doc_id")
+      val split = graft.pipeline.Pipeline.withSplit(
+        sel.select(col("doc_id"), col("feat_count"), col("log_ratio")), "doc_id")
+        .select(col("doc_id"), col("feat_count"), col("log_ratio"),
+          col("split"), lit("sel").as("tag"))
+      val guards = lg.select(lit(-1L).as("doc_id"), lit(-1L).as("feat_count"),
+          when(col("min_lambda_dist") > 1e-7, 1.0).otherwise(0.0).as("log_ratio"),
+          lit("guard").as("split"), lit("lambda_guard").as("tag"))
+        .unionByName(gg.select(lit(-2L).as("doc_id"), lit(-1L).as("feat_count"),
+          when(col("min_gumbel_dist") > 1e-7, 1.0).otherwise(0.0).as("log_ratio"),
+          lit("guard").as("split"), lit("gumbel_guard").as("tag")))
+      split.unionByName(guards).orderBy("tag", "doc_id")
     }),
     "q_e2e_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1817,11 +1859,17 @@ object SparkEntry {
         |g AS (SELECT doc_id, feat_count, dot_micro,
         |  CAST(round(dot_micro / feat_count) AS BIGINT) AS logit_micro FROM d),
         |g2 AS (SELECT doc_id, feat_count, dot_micro, logit_micro,
-        |  CAST(round(logit_micro / 100.0) AS BIGINT) / 10000.0 AS logit FROM g)
-        |SELECT doc_id, feat_count, dot_micro, logit_micro, logit,
-        |  round(1.0 / (1.0 + exp(-logit)), 4) AS prob,
-        |  CASE WHEN round(1.0 / (1.0 + exp(-logit)), 4) >= 0.5 THEN 1 ELSE 0 END AS label
-        |FROM g2 ORDER BY doc_id""".stripMargin,
+        |  CAST(round(logit_micro / 100.0) AS BIGINT) / 10000.0 AS logit FROM g),
+        |g3 AS (SELECT doc_id, feat_count, dot_micro, logit_micro, logit,
+        |  CASE WHEN logit > 20.0 THEN 1.0 WHEN logit < -20.0 THEN 0.0
+        |    ELSE CAST(round(10000.0 / (1.0
+        |      + CAST(round(exp(-logit) * 1e6) AS BIGINT) / 1e6)) AS BIGINT) / 10000.0
+        |  END AS prob FROM g2)
+        |SELECT * FROM (
+        |  SELECT doc_id, feat_count, dot_micro, logit_micro, logit, prob,
+        |    CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS label, 'doc' AS tag FROM g3
+        |  UNION ALL SELECT -1, -1, -1, -1, 0.0, 1.0, -1, 'sigmoid_guard')
+        |ORDER BY tag, doc_id""".stripMargin,
 
     // weight = 1/occ(md5 content class), effective tokens =
     // tokens/occ; 4-dp via integer-space rounding (ties on exact .5)
@@ -1853,12 +1901,13 @@ object SparkEntry {
         |    i -> strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1),
         |    (a, x) -> a * 16 + x)) AS vk FROM bot),
         |ex AS (SELECT count(*) AS union_exact,
-        |  CAST(round(sum(in_a * in_b) * 10000.0 / count(*)) AS BIGINT) / 10000.0 AS j_exact
+        |  ((2*sum(in_a * in_b)*10000 + count(*)) // (2*greatest(count(*), 1))) / 10000.0 AS j_exact
         |  FROM m)
         |SELECT 256 AS k, est.k_used, est.inter_cnt,
-        |  CAST(round(est.inter_cnt * 10000.0 / est.k_used) AS BIGINT) / 10000.0 AS j_est,
+        |  ((2*est.inter_cnt*10000 + est.k_used) // (2*greatest(est.k_used, 1))) / 10000.0 AS j_est,
         |  CASE WHEN est.k_used < 256 THEN est.k_used
-        |    ELSE CAST(round((est.k_used - 1) * 1152921504606846976.0 / est.vk) AS BIGINT) END AS union_est,
+        |    ELSE CAST((2*CAST(est.k_used - 1 AS HUGEINT)*1152921504606846976
+        |      + greatest(est.vk, 1)) // (2*CAST(greatest(est.vk, 1) AS HUGEINT)) AS BIGINT) END AS union_est,
         |  ex.union_exact, ex.j_exact
         |FROM est CROSS JOIN ex""".stripMargin,
 
@@ -2017,9 +2066,14 @@ object SparkEntry {
         |    i -> strpos('0123456789abcdef',
         |      substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
         |    (a, x) -> a * 16 + x) + 0.5) / 4294967296.0)) * 1e6) AS BIGINT) AS gumbel_key
-        |  FROM w)
-        |SELECT doc_id, feat_count, lr_micro, log_ratio, gumbel_key
-        |FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 50""".stripMargin,
+        |  FROM w),
+        |sel AS (SELECT doc_id, feat_count, log_ratio FROM g
+        |  ORDER BY gumbel_key DESC, doc_id LIMIT 50)
+        |SELECT * FROM (
+        |  SELECT doc_id, feat_count, log_ratio, 'sel' AS tag FROM sel
+        |  UNION ALL SELECT -1, -1, 1.0, 'lambda_guard'
+        |  UNION ALL SELECT -2, -1, 1.0, 'gumbel_guard')
+        |ORDER BY tag, doc_id""".stripMargin,
 
     // argmax cosine vs the first-4-by-id centroid bank; LATER
     // centroid index wins exact ties (the native expression's
@@ -2764,9 +2818,13 @@ object SparkEntry {
         |    i -> strpos('0123456789abcdef',
         |      substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
         |    (a, x) -> a * 16 + x) % 100 AS bkt FROM sel)
-        |SELECT doc_id, feat_count, lr_micro, log_ratio, gumbel_key,
-        |  CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM bk ORDER BY doc_id""".stripMargin,
+        |SELECT * FROM (
+        |  SELECT doc_id, feat_count, log_ratio,
+        |    CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+        |    'sel' AS tag FROM bk
+        |  UNION ALL SELECT -1, -1, 1.0, 'guard', 'lambda_guard'
+        |  UNION ALL SELECT -2, -1, 1.0, 'guard', 'gumbel_guard')
+        |ORDER BY tag, doc_id""".stripMargin,
 
     "q_e2e_pipeline" ->
       """WITH RECURSIVE

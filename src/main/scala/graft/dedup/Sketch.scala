@@ -37,7 +37,8 @@ object Sketch {
     * (k, k_used, inter_cnt, j_est, union_est[, j_exact,
     * union_exact]) where j_est = |bottom-k(A∪B) ∩ A∩B| / k_used and
     * union_est = (k_used−1)/U_(k) with U_(k) the k-th smallest hash
-    * mapped into (0,1] over the 16^15 hash space. k_used < k iff the
+    * mapped into [0,1) over the 16^15 hash space (guarded to ≥2^−60
+    * so the all-zero hash cannot divide by zero). k_used < k iff the
     * union has fewer than k distinct contents (then the sketch IS
     * the union and j_est/union_est are exact by construction).
     *
@@ -62,26 +63,37 @@ object Sketch {
         coalesce(col("in_b"), lit(0)).as("in_b"))
     val merged = if (withExact) graft.CacheScope.persist(merged0) else merged0
     val bottom = merged.orderBy(col("h").asc).limit(k)
-    // 16^15 = 2^60; (k−1)·2^60 is exact in a double (tiny mantissa)
-    // and the hash value converts identically in any engine, so the
-    // division — and therefore the rounded estimate — is bit-stable
+    // Every estimate rounds IN INTEGER SPACE: half-away-from-zero of
+    // n/d computed as (2n+d) DIV (2d) — exact for nonnegative n and
+    // positive d, so NO engine's float division/rounding ever touches
+    // the emitted digits and the whole sketch re-derives
+    // bit-identically in any SQL engine with 128-bit (HUGEINT /
+    // DECIMAL) integer arithmetic. (k−1)·2^60 exceeds int64, so that
+    // product rides in DECIMAL(38,0). U_(k) = _vk/2^60 lies in [0,1)
+    // (the all-zero 15-nibble hash maps to 0, probability 2^−60 per
+    // content but possible) — _vk is guarded to ≥1 so the estimator
+    // never divides by zero; empty inputs yield j_est = 0.0 via the
+    // same greatest() guard on the denominators.
     val est = bottom.agg(
         count(lit(1)).as("k_used"),
         sum(col("in_a") * col("in_b")).as("inter_cnt"),
         max(conv(col("h"), 16, 10).cast("long")).as("_vk"))
       .select(lit(k).as("k"), col("k_used"), col("inter_cnt"),
-        (round(col("inter_cnt") * 10000.0 / col("k_used")).cast("long") / 10000.0)
+        (expr("(2*inter_cnt*10000 + k_used) DIV (2*greatest(k_used, 1L))") / 10000.0)
           .as("j_est"),
         when(col("k_used") < k, col("k_used"))
-          .otherwise(round((col("k_used") - 1).cast("double")
-            * 1152921504606846976.0 / col("_vk")).cast("long")).as("union_est"))
+          .otherwise(expr(
+            "CAST((2*CAST(k_used - 1 AS DECIMAL(38,0))*1152921504606846976" +
+              " + greatest(_vk, 1L)) DIV (CAST(2 AS DECIMAL(38,0))*greatest(_vk, 1L))" +
+              " AS BIGINT)"))
+          .as("union_est"))
     if (!withExact) est
     else {
       val exact = merged.agg(
           count(lit(1)).as("union_exact"),
           sum(col("in_a") * col("in_b")).as("_ix"))
         .select(col("union_exact"),
-          (round(col("_ix") * 10000.0 / col("union_exact")).cast("long") / 10000.0)
+          (expr("(2*_ix*10000 + union_exact) DIV (2*greatest(union_exact, 1L))") / 10000.0)
             .as("j_exact"))
       est.crossJoin(broadcast(exact))
     }

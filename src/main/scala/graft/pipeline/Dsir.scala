@@ -76,10 +76,22 @@ object Dsir {
     bucketLogRatiosFromFeatures(
       hashedFeatures(target, textCol, idCol, buckets),
       hashedFeatures(raw, textCol, idCol, buckets), buckets)
+      .select(col("bucket"), col("lr_micro"))
 
   // the λ table from PRE-COMPUTED (id, bucket, cnt) feature frames —
   // lets importanceWeights featurize the raw corpus ONCE and reuse
-  // the persisted frame for both the model and the scoring pass
+  // the persisted frame for both the model and the scoring pass.
+  // Besides the quantized lr_micro, each bucket carries
+  // `lr_bound_dist`: the distance (in micro-nats) of the PRE-ROUND
+  // double λ·1e6 from its nearest .5 rounding boundary. ln() is a
+  // libm call whose last ulp differs across engines/builds (JVM
+  // Math.log vs a DuckDB build's libm — observed r10: 1-ulp flips at
+  // quantization boundaries on one DuckDB build but not another), so
+  // the integer λ table is only engine-portable when every bucket is
+  // FAR from its boundary relative to that ulp (~1e-8 micro at λ ≤
+  // 30 nats). Gate queries assert min(lr_bound_dist) > 1e-7 as a
+  // guard row — a violated claim fails loudly instead of producing a
+  // build-specific hash.
   private def bucketLogRatiosFromFeatures(targetFeats: DataFrame,
                                           rawFeats: DataFrame,
                                           buckets: Int): DataFrame = {
@@ -90,11 +102,13 @@ object Dsir {
         coalesce(col("_tc"), lit(0L)).as("_tc"),
         coalesce(col("_rc"), lit(0L)).as("_rc"))
     val totals = joined.agg(sum(col("_tc")).as("_tt"), sum(col("_rc")).as("_rt"))
+    val lrMicroDbl =
+      (log((col("_tc") + 1L).cast("double") / (col("_tt") + buckets).cast("double"))
+        - log((col("_rc") + 1L).cast("double") / (col("_rt") + buckets).cast("double"))) * 1e6
     joined.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        round((log((col("_tc") + 1L).cast("double") / (col("_tt") + buckets).cast("double"))
-          - log((col("_rc") + 1L).cast("double") / (col("_rt") + buckets).cast("double")))
-          * 1e6).cast("long").as("lr_micro"))
+        round(lrMicroDbl).cast("long").as("lr_micro"),
+        abs(lrMicroDbl - floor(lrMicroDbl) - lit(0.5)).as("lr_bound_dist"))
   }
 
   /** Per-document importance weights of the RAW corpus against the
@@ -107,18 +121,39 @@ object Dsir {
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         textCol: String, idCol: String,
                         buckets: Int = 10000,
-                        portableHash: Boolean = true): DataFrame = {
+                        portableHash: Boolean = true): DataFrame =
+    importanceWeightsAndGuard(raw, target, textCol, idCol, buckets, portableHash)._1
+
+  /** [[importanceWeights]] plus a ONE-ROW guard frame
+    * (`min_lambda_dist`): the minimum over the λ table of the
+    * pre-round double's distance from its quantization boundary, in
+    * micro-nats. Cross-engine libm drift on ln() is ≲1e-8 micro, so
+    * `min_lambda_dist > 1e-7` certifies the integer λ table — and
+    * with it every downstream lr_micro sum and Gumbel selection — is
+    * bit-identical in ANY engine that recomputes it (the r10 lesson:
+    * a contract that quantizes AFTER a transcendental is only
+    * portable with an explicit boundary margin).
+    */
+  def importanceWeightsAndGuard(raw: DataFrame, target: DataFrame,
+                                textCol: String, idCol: String,
+                                buckets: Int = 10000,
+                                portableHash: Boolean = true): (DataFrame, DataFrame) = {
     // the raw corpus is featurized ONCE: the persisted frame feeds
     // both the raw-side bucket model and the per-doc scoring join
     // (without the pin, Spark executes the tokenize+md5 explode
     // twice — measured 2× the operator's real cost at x10)
     val rawFeats = graft.CacheScope.persist(
       hashedFeatures(raw, textCol, idCol, buckets, portableHash))
-    val lr = bucketLogRatiosFromFeatures(
+    // the λ table is bounded by `buckets` (a dimension, not a
+    // corpus); persisted because the guard aggregate and the scoring
+    // join both consume it — without the pin the TARGET corpus would
+    // featurize twice
+    val lr = graft.CacheScope.persist(bucketLogRatiosFromFeatures(
       hashedFeatures(target, textCol, idCol, buckets, portableHash),
-      rawFeats, buckets)
-    rawFeats
-      .join(broadcast(lr), Seq("bucket"))
+      rawFeats, buckets))
+    val guard = lr.agg(min(col("lr_bound_dist")).as("min_lambda_dist"))
+    val weights = rawFeats
+      .join(broadcast(lr.select(col("bucket"), col("lr_micro"))), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("feat_count"),
         sum(col("cnt") * col("lr_micro")).as("lr_micro"))
@@ -131,6 +166,7 @@ object Dsir {
       // one ulp of the last decimal (observed at sf0.01)
       .withColumn("log_ratio",
         round(col("lr_micro") / 100.0).cast("long") / 10000.0)
+    (weights, guard)
   }
 
   /** Deterministic Gumbel top-k resample over [[importanceWeights]]
@@ -149,13 +185,36 @@ object Dsir {
   def resampleTopK(weights: DataFrame, idCol: String, k: Int,
                    seed: String = "dsir"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    weights
+      .withColumn("gumbel_key",
+        col("lr_micro") + round(gumbelMicroRaw(idCol, seed)).cast("long"))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // the Gumbel noise term g·1e6 BEFORE rounding: g = −ln(−ln(u)) with
+  // u the md5-head uniform draw of (seed, id) — shared by the key
+  // construction and the boundary guard
+  private def gumbelMicroRaw(idCol: String, seed: String): Column = {
     val h = conv(substring(md5(concat(lit(seed), lit(":"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     val u = (h.cast("double") + 0.5) / 4294967296.0
-    val gumbelMicro = round(-log(-log(u)) * 1e6).cast("long")
-    weights
-      .withColumn("gumbel_key", col("lr_micro") + gumbelMicro)
-      .orderBy(col("gumbel_key").desc, col(idCol).asc)
-      .limit(k)
+    -log(-log(u)) * 1e6
+  }
+
+  /** ONE-ROW guard (`min_gumbel_dist`) over ALL rows of a
+    * [[importanceWeights]] frame: minimum distance of the pre-round
+    * Gumbel noise double g·1e6 from its quantization boundary. The
+    * selection order compares every document's integer key, so the
+    * guard must cover the whole corpus, not just the emitted top-k —
+    * `min_gumbel_dist > 1e-7` certifies every engine recomputing the
+    * chained −ln(−ln(u)) (drift ≲1e-8 micro) rounds to the identical
+    * integer key set, i.e. picks the identical top-k.
+    */
+  def gumbelBoundaryGuard(weights: DataFrame, idCol: String,
+                          seed: String = "dsir"): DataFrame = {
+    val x = gumbelMicroRaw(idCol, seed)
+    weights.select(abs(x - floor(x) - lit(0.5)).as("_d"))
+      .agg(min(col("_d")).as("min_gumbel_dist"))
   }
 }

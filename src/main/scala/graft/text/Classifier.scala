@@ -67,8 +67,44 @@ object Classifier {
         round(col("dot_micro") / col("feat_count") + biasMicro).cast("long"))
       .withColumn("logit",
         round(col("logit_micro") / 100.0).cast("long") / 10000.0)
-      .withColumn("prob", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 4))
+      // prob = σ(logit) with exp's OUTPUT quantized to the 1e-6 grid
+      // before the division. The only cross-engine-nondeterministic
+      // step in a sigmoid is the libm exp call (last-ulp drift across
+      // builds — the r10 driver failure); float division/rounding of
+      // identical inputs is IEEE-exact in every engine. Quantizing σ
+      // itself would NOT work: 4-dp logits near 0 put σ·1e4 on
+      // quarter-steps (σ ≈ ½ + logit/4), parking documents ~1e-9
+      // from a rounding boundary STRUCTURALLY (observed at sf0.01).
+      // exp outputs carry no such rational structure, so e·1e6 sits a
+      // generic distance from its boundary — which
+      // [[sigmoidBoundaryGuard]] certifies. |logit| > 20 saturates to
+      // exact 0/1 (σ(20) is 1 − 2e-9, invisible at 4 dp) — keeps
+      // e·1e6 within int64 for any real model's logit range.
+      .withColumn("prob",
+        when(col("logit") > 20.0, lit(1.0))
+          .when(col("logit") < -20.0, lit(0.0))
+          .otherwise(round(lit(10000.0)
+            / (lit(1.0) + round(exp(-col("logit")) * 1e6).cast("long") / lit(1e6)))
+            .cast("long") / 10000.0))
       .withColumn("label", when(col("prob") >= threshold, 1).otherwise(0))
     scored
+  }
+
+  /** ONE-ROW cross-engine portability guard over a [[linearScore]]
+    * frame: `min_sigmoid_dist` = the minimum over unsaturated
+    * documents of the distance of the pre-round exp(−logit)·1e6
+    * double from its quantization boundary. Libm exp drift across
+    * engines/builds is ≲1e-9 on this grid, so
+    * `min_sigmoid_dist > 1e-7` certifies any engine recomputing
+    * exp from the SAME 4-dp logit rounds to the identical quantized
+    * e — after which prob/label follow by IEEE-deterministic
+    * division alone. A pure function of the scored frame's `logit`
+    * column, so no classifier internals are re-derived.
+    */
+  def sigmoidBoundaryGuard(scored: DataFrame): DataFrame = {
+    val x = exp(-col("logit")) * 1e6
+    scored.filter(abs(col("logit")) <= 20.0)
+      .select(abs(x - floor(x) - lit(0.5)).as("_d"))
+      .agg(min(col("_d")).as("min_sigmoid_dist"))
   }
 }

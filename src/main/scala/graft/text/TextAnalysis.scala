@@ -237,7 +237,12 @@ object TextAnalysis {
     val symbols = (length(c) - length(regexp_replace(c, "#", ""))) +
       regexp_count(c, lit("\\.\\.\\."))
     val nLines = size(split(c, "\n")).cast("long")
-    val bulletLines = regexp_count(c, lit("(?m)^[-*•] "))
+    // lookbehind anchor, NOT (?m)^: Java's MULTILINE treats \r, NEL
+    // (U+0085), and the U+2028/U+2029 separators as line starts too,
+    // while n_lines (and any SQL re-derivation via chr(10) splits)
+    // recognizes only \n — a document using \r separators would
+    // otherwise count more bullet lines than it has lines
+    val bulletLines = regexp_count(c, lit("(?<=^|\\n)[-*•] "))
     // lookahead anchor (not (?m)$): a line ending in 6+ dots must
     // count ONCE — only the final three dots of a line satisfy the
     // lookahead, so the count is exactly |lines ending in '...'|
