@@ -35,6 +35,11 @@ for name in sorted(os.listdir(outdir)):
     if not files:
         bad.append((name, "no spark output")); continue
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    if "__graft_error" in spark_df.columns:
+        # Verify's failure marker: the query threw instead of producing
+        # a result — report it as an error, never as a silent skip
+        msg = spark_df["__graft_error"].iloc[0] if len(spark_df) else "unknown"
+        bad.append((name, f"query FAILED in Verify: {msg}")); continue
     if name not in oracle:
         ok.append((name, f"rows-only ({len(spark_df)} rows)")); continue
     try:
