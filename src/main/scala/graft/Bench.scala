@@ -15,12 +15,31 @@ object Bench {
     // warm the JVM/codegen/parquet-reader paths so per-query numbers
     // reflect steady state rather than first-use compilation. A warm-up
     // failure means every number below is suspect, so it must be LOUD.
+    // The warm-up counts double as the corpus fingerprint input (below).
+    val tableCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     try {
-      Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
+      Tables.all.foreach(n => tableCounts(n) = Tables.load(spark, sfDir, n).count())
       spark.range(1000000).selectExpr("sum(id)").collect()
     } catch {
       case t: Throwable =>
         System.err.println(s"BENCH WARM-UP FAILED: ${t.getClass.getName}: ${t.getMessage}")
+    }
+    // Corpus fingerprint: one 8-hex hash over every table's (name,
+    // schema DDL, row count) plus the total row count. The r10 driver
+    // regenerated the testdata mid-round and per-query deltas read as
+    // perf regressions until a judge rerun traced the corpus change —
+    // a bench artifact must identify WHAT it measured. Two artifacts
+    // with different "data" fingerprints are not comparable
+    // round-over-round; the schema DDL inside the hash also catches
+    // physical-type flips (e.g. ts int64-nanos vs timestamp[us]) that
+    // leave row counts identical.
+    val dataJson = {
+      val sig = Tables.all.sorted.map { n =>
+        val schema = scala.util.Try(Tables.load(spark, sfDir, n).schema.sql).getOrElse("?")
+        s"$n|$schema|${tableCounts.getOrElse(n, -1L)}"
+      }.mkString(";")
+      val fp = f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
+      s""","data":{"fp":"$fp","rows":${tableCounts.values.sum}}"""
     }
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
@@ -193,7 +212,7 @@ object Bench {
           (if (extCpu < 0) ""
            else s""","ext_cpu":${BigDecimal(extCpu).setScale(1, BigDecimal.RoundingMode.HALF_UP)}""")
       val unitJson = if (unit) """"unit":"sec",""" else ""
-      s"""{"metric":"total","value":${f(total)},$unitJson$errJson$loadJson$contendedJson,"queries":$qs,"sf":$sfJson}"""
+      s"""{"metric":"total","value":${f(total)},$unitJson$errJson$loadJson$contendedJson$dataJson,"queries":$qs,"sf":$sfJson}"""
     }
     // prefer keeping FULL query names (cross-round comparability)
     // over a third decimal; strip the q_ prefix next; then drop
@@ -205,7 +224,7 @@ object Bench {
     // no matter what (the full detail is still on stdout above).
     def renderMinimal: String = {
       def f2(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}]$contendedJson,"queries":{},"sf":$sfJson}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}]$contendedJson$dataJson,"queries":{},"sf":$sfJson}"""
     }
     // degrade gracefully: decimals -> q_ prefixes -> error detail ->
     // the "unit" field -> load PRECISION (integers still answer "was

@@ -521,4 +521,62 @@ class MultimodalStreamingSpec extends SparkSpec {
       assert(kept == Set(2L, 4L), s"kept $kept")
     } finally q.stop()
   }
+
+  // Closes the loop the r10 regression exposed: the batch oracle for
+  // D14 used to read ts through a hard-coded physical representation
+  // while the streaming specs fed synthetic TimestampType columns —
+  // nothing ever STREAMED the real events parquet. This test runs
+  // windowedDqSummary as an actual file-source stream over the
+  // driver-shipped events table (whatever its current physical ts
+  // type — Tables.asTimestamp adapts) and asserts the emitted closed
+  // windows equal the batch run on the same files, the
+  // batch-streaming unification the operator claims.
+  test("streaming: windowedDqSummary over the real events parquet matches batch") {
+    val src = new java.io.File("/root/testdata/sf0.001/events.parquet")
+    assume(src.exists, s"$src not present")
+    val dir = java.nio.file.Files.createTempDirectory("graft_evstream").toFile
+    try {
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(dir, "part-00000.parquet").toPath)
+      val batchEv = spark.read.parquet(dir.getAbsolutePath)
+      val specs = Seq(
+        "value" -> Seq(Rule.NumBetween(10, 90)),
+        "event_type" -> Seq(Rule.LenBetween(5, 8)))
+      def summarize(df: org.apache.spark.sql.DataFrame) =
+        StreamingDQ.windowedDqSummary(
+          df.withColumn("ts2", Tables.asTimestamp(batchEv, "ts")),
+          "ts2", specs, "1 day", "1 day")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("column"),
+          r.getAs[Long]("total"), r.getAs[Long]("null_records"),
+          r.getAs[Long]("out_of_format_records"),
+          r.getAs[Long]("proper_format_records"), r.getAs[Double]("dq_score"))
+      // batch run (watermark is a no-op in batch): every window
+      val expected = summarize(batchEv).collect().map(key).toSet
+      assert(expected.nonEmpty)
+      val stream = spark.readStream.schema(batchEv.schema)
+        .parquet(dir.getAbsolutePath)
+      val q = summarize(stream).writeStream.format("memory")
+        .queryName("evfile_out").outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        // a sentinel event far past the data advances the watermark so
+        // every REAL window closes; its own (still-open) window is the
+        // only one append mode withholds
+        val sentinel = batchEv.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", expr("timestampadd(DAY, 30, ts)"))
+        sentinel.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+        q.processAllAvailable()
+        val got = spark.sql("SELECT * FROM evfile_out").collect().map(key).toSet
+        assert(got == expected,
+          s"streamed windows != batch windows (missing: ${expected -- got}, " +
+            s"extra: ${got -- expected})")
+      } finally q.stop()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
