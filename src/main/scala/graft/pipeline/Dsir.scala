@@ -151,7 +151,10 @@ object Dsir {
     val lr = graft.CacheScope.persist(bucketLogRatiosFromFeatures(
       hashedFeatures(target, textCol, idCol, buckets, portableHash),
       rawFeats, buckets))
-    val guard = lr.agg(min(col("lr_bound_dist")).as("min_lambda_dist"))
+    // empty λ table (both corpora empty) → vacuously safe: 0.5 is the
+    // maximum possible boundary distance, i.e. "no bucket at risk"
+    val guard = lr.agg(
+      coalesce(min(col("lr_bound_dist")), lit(0.5)).as("min_lambda_dist"))
     val weights = rawFeats
       .join(broadcast(lr.select(col("bucket"), col("lr_micro"))), Seq("bucket"))
       .groupBy(col(idCol))
@@ -215,6 +218,7 @@ object Dsir {
                           seed: String = "dsir"): DataFrame = {
     val x = gumbelMicroRaw(idCol, seed)
     weights.select(abs(x - floor(x) - lit(0.5)).as("_d"))
-      .agg(min(col("_d")).as("min_gumbel_dist"))
+      // empty corpus → vacuously safe (see the λ guard)
+      .agg(coalesce(min(col("_d")), lit(0.5)).as("min_gumbel_dist"))
   }
 }
