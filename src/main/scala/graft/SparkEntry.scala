@@ -669,6 +669,32 @@ object SparkEntry {
       graft.dedup.Spans.duplicatedSpanStats(
         t(s, d, "documents"), "text", "doc_id", spanLen = 8)
         .orderBy("doc_id")),
+    // the REPAIR half of exact-substring dedup: a shared 10-token
+    // sentence appended to every 7th doc guarantees cross-doc
+    // duplicated 8-token windows; all its occurrences except the
+    // globally-first are removed and the covered tokens dropped
+    // (natural corpus span dups removed too — the oracle re-derives
+    // keeper selection, coverage union, and reassembly end-to-end)
+    "q_d58_span_removal" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" the quick brown fox jumps over the lazy dog tonight")))
+          .otherwise(col("text")))
+      graft.dedup.Spans.removeDuplicateSpans(docs, "text", "doc_id", spanLen = 8)
+        .orderBy("doc_id")
+    }),
+    // cross-source duplication matrix over the corpus plus a
+    // deterministic 20% "mirror" slice — the dataset-card signal for
+    // which sources re-crawl each other; containment re-derived in SQL
+    "q_d59_source_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("text"), col("source"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select(col("text"), lit("mirror").as("source")))
+      graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
+        .orderBy("source_a", "source_b")
+    }),
     // incremental span dedup: the batch (doc_id%3==1) scored against
     // the accumulated store (doc_id%3==0) — share of each ingested
     // doc's 8-token spans already present in the store
@@ -2031,6 +2057,53 @@ object SparkEntry {
         |  count(CASE WHEN occ >= 2 THEN 1 END) AS dup_span_count,
         |  round(count(CASE WHEN occ >= 2 THEN 1 END) * 10000.0 / count(*)) / 10000.0 AS dup_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // keeper = rn 1 over (doc_id, pos) per fingerprint — the same
+    // total order as Spark's min(struct); coverage union via DISTINCT
+    // over the per-occurrence generate_series
+    "q_d58_span_removal" ->
+      """WITH doc AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0 THEN ' the quick brown fox jumps over the lazy dog tonight' ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+        |  FROM doc WHERE length(trim(text)) > 0),
+        |sp AS (SELECT doc_id, unnest(generate_series(1, len(t)-7)) AS p, t
+        |  FROM d WHERE len(t) >= 8),
+        |hh AS (SELECT doc_id, p - 1 AS pos,
+        |  substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp FROM sp),
+        |hh2 AS (SELECT doc_id, pos, fp,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+        |  count(*) OVER (PARTITION BY fp) AS c FROM hh),
+        |remd AS (SELECT DISTINCT doc_id, tp FROM (
+        |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tp
+        |  FROM hh2 WHERE c >= 2 AND rn > 1)),
+        |tok AS (SELECT doc_id, i - 1 AS tp, t[i] AS tok FROM (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d)),
+        |keptq AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok LEFT JOIN remd
+        |  ON tok.doc_id = remd.doc_id AND tok.tp = remd.tp WHERE remd.tp IS NULL),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text,
+        |  count(*) AS kept_n FROM keptq GROUP BY 1),
+        |cnts AS (SELECT doc_id, len(t) AS n_tokens FROM d)
+        |SELECT doc.doc_id, COALESCE(reb.text, '') AS text,
+        |  COALESCE(cnts.n_tokens, 0) AS n_tokens,
+        |  COALESCE(cnts.n_tokens, 0) - COALESCE(reb.kept_n, 0) AS removed_tokens
+        |FROM doc LEFT JOIN reb ON doc.doc_id = reb.doc_id
+        |LEFT JOIN cnts ON doc.doc_id = cnts.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    "q_d59_source_overlap" ->
+      """WITH c AS (SELECT source, text FROM documents
+        |  UNION ALL SELECT 'mirror' AS source, text FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (SELECT DISTINCT source AS src,
+        |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS h FROM c),
+        |tot AS (SELECT src, count(*) AS total FROM sh GROUP BY 1),
+        |p AS (SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared, ta.total AS total_a, tb.total AS total_b,
+        |  ((2*shared*10000 + least(ta.total, tb.total))
+        |    // (2*greatest(least(ta.total, tb.total), 1))) / 10000.0 AS overlap_frac
+        |FROM p JOIN tot ta ON p.source_a = ta.src JOIN tot tb ON p.source_b = tb.src
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // DSIR re-derived end-to-end: md5-horner feature buckets, add-one
     // smoothed target/raw bucket models, micro-nat log-ratio table,

@@ -52,6 +52,44 @@ object Sketch {
     * full aggregation — the gate/diagnostic flavor; production
     * default false keeps the whole result k-bounded).
     */
+  /** Cross-SOURCE duplication matrix — the dataset-card answer to
+    * "which of my sources are copies of each other" asked BEFORE
+    * committing to cross-source dedup (CommonCrawl snapshots overlap
+    * heavily; a mirror re-crawl duplicates its origin ~entirely).
+    * One row per unordered source pair that shares at least one
+    * distinct normalized content: (source_a, source_b, shared,
+    * total_a, total_b, overlap_frac) with source_a < source_b,
+    * totals = per-source DISTINCT content counts, and overlap_frac =
+    * shared/min(total_a, total_b) — the containment coefficient, 4-dp
+    * via pure integer rounding ((2n+d) DIV 2d, engine-exact).
+    *
+    * Plan: one (source, hash) distinct (map-side combined), a
+    * hash-keyed self-join whose per-key fan-out is bounded by the
+    * SOURCE count (≤ S rows per content, never corpus×corpus), one
+    * pair groupBy, and a broadcast join against the S-row totals —
+    * output bounded by S², corpus-linear everywhere else.
+    */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+                          sourceCol: String): DataFrame = {
+    val sh = graft.CacheScope.persist(
+      df.select(col(sourceCol).as("_src"),
+        contentHashHex(col(textCol)).as("h")).distinct())
+    val totals = sh.groupBy(col("_src")).agg(count(lit(1)).as("_total"))
+    val pairs = sh.join(sh.select(col("_src").as("_src2"), col("h")), Seq("h"))
+      .filter(col("_src") < col("_src2"))
+      .groupBy(col("_src"), col("_src2"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(totals), Seq("_src"))
+      .join(broadcast(totals.select(col("_src").as("_src2"),
+        col("_total").as("_total2"))), Seq("_src2"))
+      .select(col("_src").as("source_a"), col("_src2").as("source_b"),
+        col("shared"), col("_total").as("total_a"), col("_total2").as("total_b"),
+        (expr("(2*shared*10000 + least(_total, _total2))" +
+          " DIV (2*greatest(least(_total, _total2), 1L))") / 10000.0)
+          .as("overlap_frac"))
+  }
+
   def corpusJaccardKmv(a: DataFrame, b: DataFrame, textCol: String,
                        k: Int = 1024, withExact: Boolean = false): DataFrame = {
     require(k > 1, s"k must be > 1, got $k")

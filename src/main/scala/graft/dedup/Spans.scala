@@ -253,4 +253,68 @@ object Spans {
     spans.join(dup, Seq("span_hash"))
       .select(col(idCol), col("span_pos"), col("span_hash"), col("occurrences"))
   }
+
+  /** The REPAIR half of exact-substring dedup (Lee et al. 2022 §4.2
+    * remove ALL BUT ONE occurrence of every duplicated passage —
+    * [[duplicatedSpanStats]] detects, this rewrites): every span
+    * occurrence whose fingerprint repeats ≥ `minCount` times
+    * corpus-wide is removed UNLESS it is the canonical keeper (the
+    * globally smallest (id, span_pos) — the keep-first rule of
+    * [[graft.text.Boilerplate.keepFirstLineOccurrence]] at span
+    * granularity). A token is dropped when ANY removed occurrence
+    * covers it, so overlapping windows of one long duplicated run
+    * merge into a single removed region — exactly the paper's
+    * substring-removal semantics for runs ≥ spanLen.
+    *
+    * Output: (id, text, n_tokens, removed_tokens) for EVERY input
+    * document — text rebuilt space-joined from surviving tokens
+    * (whitespace runs normalize to one space, the repo-wide
+    * normalized-token form), docs shorter than `spanLen` tokens pass
+    * through in that normalized form with removed_tokens = 0.
+    *
+    * Plan (corpus-linear, no pairwise joins): map-only span
+    * construction (persisted — feeds the occurrence aggregate and the
+    * removal join) → ONE fingerprint groupBy (count + min keeper
+    * struct, map-side combined) → join back bounded by the DUPLICATED
+    * volume → an L-row coverage explode per removed occurrence
+    * (bounded by duplicated volume × spanLen) → distinct coverage
+    * anti-joined against the map-only token explode → per-doc ordered
+    * reassembly. Shuffles key on span_hash and id only.
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           spanLen: Int, minCount: Int = 2,
+                           portableHash: Boolean = true): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val spans = graft.CacheScope.persist(
+      spanHashes(df, textCol, idCol, spanLen, stride = 1, portableHash))
+    val keepers = spans.groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("_occ"),
+        min(struct(col(idCol), col("span_pos"))).as("_keep"))
+      .filter(col("_occ") >= minCount)
+    val removedCover = spans.join(keepers, Seq("span_hash"))
+      .filter(!(col(idCol) === col("_keep").getField(idCol) &&
+        col("span_pos") === col("_keep").getField("span_pos")))
+      .select(col(idCol),
+        explode(sequence(col("span_pos"), col("span_pos") + (spanLen - 1)))
+          .as("_tp"))
+      .distinct()
+    val toks = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(split(trim(col(textCol)), " +")))
+      .withColumnRenamed("pos", "_tp").withColumnRenamed("col", "_tok")
+    val kept = toks.join(removedCover, Seq(idCol, "_tp"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("_tp"), col("_tok")))),
+          x => x.getField("_tok")), " ").as(textCol),
+        count(lit(1)).as("_kept_n"))
+    val counts = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("_kept_n"), lit(0L)))
+          .as("removed_tokens"))
+  }
 }

@@ -195,6 +195,15 @@ object ScaleBench {
           docs.filter(pmod(col("doc_id"), lit(3)) === 1),
           docs.filter(pmod(col("doc_id"), lit(3)) === 0),
           "text", "doc_id", spanLen = 8).count()),
+      // r11: the repair half of exact-substring dedup (coverage
+      // explode bounded by duplicated volume x spanLen) and the
+      // cross-source duplication matrix (one distinct + hash-keyed
+      // join fanning out <= sources per content)
+      "d58_span_removal" -> (() =>
+        graft.dedup.Spans.removeDuplicateSpans(docs, "text", "doc_id",
+          spanLen = 8).count()),
+      "d59_source_overlap" -> (() =>
+        graft.dedup.Sketch.sourceOverlapMatrix(docs, "text", "source").count()),
       "d50_fast_hash" -> (() =>
         graft.dedup.Spans.winnowOverlapPairs(docs, "text", "doc_id",
           k = 5, window = 4, minShared = 2, portableHash = false).count()),

@@ -116,6 +116,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(n.getAs[Long]("union_exact") == 1L && n.getAs[Double]("j_exact") == 1.0)
   }
 
+  // ---- D59 cross-source duplication matrix ----
+
+  test("sourceOverlapMatrix: containment per source pair, normalization folds variants") {
+    val df = Seq(
+      ("crawlA", "shared one"), ("crawlA", "shared two"), ("crawlA", "only a"),
+      ("crawlB", "SHARED   one"), ("crawlB", "shared two"), // both shared w/ A (normalized)
+      ("crawlB", "only b1"), ("crawlB", "only b2"),
+      ("crawlC", "isolated")
+    ).toDF("source", "text")
+    val m = graft.dedup.Sketch.sourceOverlapMatrix(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("shared"), r.getAs[Long]("total_a"),
+          r.getAs[Long]("total_b"), r.getAs[Double]("overlap_frac")))).toMap
+    // only the pair that shares content appears; C is absent
+    assert(m.keySet == Set(("crawlA", "crawlB")))
+    // containment = 2 shared / min(3, 4) distinct
+    assert(m(("crawlA", "crawlB")) == ((2L, 3L, 4L, 0.6667)))
+  }
+
+  test("sourceOverlapMatrix: duplicate rows within a source do not inflate totals") {
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")
+    ).toDF("source", "text")
+    val r = graft.dedup.Sketch.sourceOverlapMatrix(df, "text", "source")
+      .collect().head
+    assert((r.getAs[Long]("shared"), r.getAs[Long]("total_a"),
+      r.getAs[Long]("total_b"), r.getAs[Double]("overlap_frac")) ==
+      ((1L, 2L, 1L, 1.0)))
+  }
+
   // ---- D57 Gopher rules ----
 
   test("gopherRules fires every rule class in cascade order") {

@@ -179,4 +179,46 @@ class SpansSpec extends SparkSpec {
       .map("%02x".format(_)).mkString.substring(0, 15)
     assert(fp == java.lang.Long.parseLong(md5Head, 16))
   }
+
+  test("removeDuplicateSpans keeps the globally-first occurrence, drops covered tokens") {
+    val docs = Seq(
+      (1L, "a1 a2 D1 D2 D3 D4 a3 a4"), // keeper of "D1 D2 D3 D4" (smallest (id,pos))
+      (2L, "b1 D1 D2 D3 D4 b2 b3 b4"), // loses the 4 covered tokens
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8"), // unique: untouched
+      (4L, "tiny doc"),                // < spanLen: passes through
+      (5L, "")                         // empty: stays empty
+    ).toDF("doc_id", "text")
+    val out = Spans.removeDuplicateSpans(docs, "text", "doc_id", spanLen = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a1 a2 D1 D2 D3 D4 a3 a4", 8L, 0L)))
+    assert(out(1) == ((2L, "b1 b2 b3 b4", 8L, 4L)))
+    assert(out(2) == ((3L, "c1 c2 c3 c4 c5 c6 c7 c8", 8L, 0L)))
+    assert(out(3) == ((4L, "tiny doc", 2L, 0L)))
+    assert(out(4) == ((5L, "", 0L, 0L)))
+  }
+
+  test("removeDuplicateSpans: overlapping windows of a long shared run merge into one removal") {
+    // the 6-token run D1..D6 shared by docs 1 and 2 produces three
+    // overlapping duplicated 4-token windows in each; in doc 2 their
+    // coverage union removes the whole run, not 3x4 tokens
+    val docs = Seq(
+      (1L, "D1 D2 D3 D4 D5 D6 x1 x2"),
+      (2L, "y1 y2 D1 D2 D3 D4 D5 D6")
+    ).toDF("doc_id", "text")
+    val out = Spans.removeDuplicateSpans(docs, "text", "doc_id", spanLen = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out(0) == ((1L, "D1 D2 D3 D4 D5 D6 x1 x2", 0L)))
+    assert(out(1) == ((2L, "y1 y2", 6L)))
+  }
+
+  test("removeDuplicateSpans: within-doc repeats keep only the first occurrence") {
+    val docs = Seq(
+      (1L, "R1 R2 R3 R4 z1 R1 R2 R3 R4 z2")
+    ).toDF("doc_id", "text")
+    val out = Spans.removeDuplicateSpans(docs, "text", "doc_id", spanLen = 4)
+      .collect().map(r => (r.getString(1), r.getLong(3))).head
+    assert(out == (("R1 R2 R3 R4 z1 z2", 4L)))
+  }
 }
