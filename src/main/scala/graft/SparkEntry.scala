@@ -261,6 +261,26 @@ object SparkEntry {
       .select((lit(1000000000L) + col("s_suppkey") * 104729).cast("string").as("tax"))
       .groupBy(Validators.taxNumValid(col("tax")).as("tax_valid"))
       .agg(count(lit(1)).as("cnt")).orderBy("tax_valid")),
+    // international checksum validators (Luhn PAN / IBAN mod-97) over
+    // deterministically synthesized identifiers with structural-
+    // corruption classes (letters, too-short, lowercase country code);
+    // per-row verdicts so a single flipped classification mismatches
+    "q_b18_intl_checksums" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+        .withColumn("card", expr(
+          "CASE WHEN c_custkey % 13 = 0 THEN concat('ABCD', lpad(cast(c_custkey AS STRING), 12, '0')) " +
+            "WHEN c_custkey % 11 = 0 THEN lpad(cast(c_custkey AS STRING), 8, '0') " +
+            "ELSE lpad(cast((c_custkey * 7919383 + 1234567890123) % 10000000000000000 AS STRING), 16, '0') END"))
+        .withColumn("iban", expr(
+          "concat(CASE WHEN c_custkey % 17 = 0 THEN 'tr' ELSE 'TR' END, " +
+            "lpad(cast(c_custkey % 100 AS STRING), 2, '0'), " +
+            "lpad(cast((c_custkey * 37 + 11) % 100000000000000 AS STRING), 14, '0'))"))
+      cust.select(col("c_custkey"), col("card"),
+        graft.functions.IntlChecksumExpr.luhnValid(col("card")).as("card_valid"),
+        col("iban"),
+        graft.functions.IntlChecksumExpr.ibanValid(col("iban")).as("iban_valid"))
+        .orderBy("c_custkey")
+    }),
     "q_b14_domain" -> ((s, d) => t(s, d, "nation")
       .select(col("n_name"), Validators.inDomain(col("n_name"), Seq(
         "BRAZIL", "CANADA", "CHINA", "FRANCE", "GERMANY", "INDIA", "JAPAN",
@@ -1565,6 +1585,36 @@ object SparkEntry {
         |  AND (d1+d2+d3+d4+d5+d6+d7+d8+d9+d10) % 10 = d11) AS tckn_valid,
         | count(*) AS cnt
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Luhn re-derived per digit over the reversed string; IBAN via
+    // letter→two-digit expansion then a left-to-right mod-97 fold
+    // (list_reduce's first element seeds the accumulator — a single
+    // digit < 97, so the seed IS the correct first remainder)
+    "q_b18_intl_checksums" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'ABCD' || lpad(CAST(c_custkey AS VARCHAR), 12, '0')
+        |       WHEN c_custkey % 11 = 0 THEN lpad(CAST(c_custkey AS VARCHAR), 8, '0')
+        |       ELSE lpad(CAST((c_custkey * 7919383 + 1234567890123) % 10000000000000000 AS VARCHAR), 16, '0') END AS card,
+        |  (CASE WHEN c_custkey % 17 = 0 THEN 'tr' ELSE 'TR' END)
+        |    || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+        |    || lpad(CAST((c_custkey * 37 + 11) % 100000000000000 AS VARCHAR), 14, '0') AS iban
+        |  FROM customer)
+        |SELECT c_custkey, card,
+        |  (regexp_matches(card, '^[0-9]{12,19}$') AND
+        |   list_sum(list_transform(range(1, length(card) + 1), i ->
+        |     CASE WHEN i % 2 = 0 THEN
+        |       CASE WHEN 2*TRY_CAST(substr(reverse(card), CAST(i AS INT), 1) AS INT) > 9
+        |         THEN 2*TRY_CAST(substr(reverse(card), CAST(i AS INT), 1) AS INT) - 9
+        |         ELSE 2*TRY_CAST(substr(reverse(card), CAST(i AS INT), 1) AS INT) END
+        |     ELSE TRY_CAST(substr(reverse(card), CAST(i AS INT), 1) AS INT) END)) % 10 = 0) AS card_valid,
+        |  iban,
+        |  (regexp_matches(iban, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$') AND
+        |   list_reduce(list_transform(string_split(
+        |     list_aggregate(list_transform(string_split(substr(iban, 5) || substr(iban, 1, 4), ''),
+        |       ch -> CASE WHEN ch BETWEEN '0' AND '9' THEN ch ELSE CAST(ascii(ch) - 55 AS VARCHAR) END),
+        |       'string_agg', ''), ''), ch -> TRY_CAST(ch AS BIGINT)),
+        |     (a, x) -> (a * 10 + x) % 97) = 1) AS iban_valid
+        |FROM c ORDER BY c_custkey""".stripMargin,
 
     "q_b13_taxnum" -> {
       val terms = (0 to 8).map { x =>

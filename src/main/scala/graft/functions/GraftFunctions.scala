@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("taxnum_valid"),
       new ExpressionInfo(classOf[TaxNumValid].getName, "taxnum_valid"),
       (children: Seq[Expression]) => TaxNumValid(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("luhn_valid"),
+      new ExpressionInfo(classOf[LuhnValid].getName, "luhn_valid"),
+      (children: Seq[Expression]) => LuhnValid(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("iban_valid"),
+      new ExpressionInfo(classOf[IbanValid].getName, "iban_valid"),
+      (children: Seq[Expression]) => IbanValid(children.head)))
   }
 }
 
@@ -40,5 +48,9 @@ object GraftFunctions {
       spark, "tckn_valid", (children: Seq[Expression]) => TcknValid(children.head))
     org.apache.spark.sql.graft.SqlBridge.registerFunction(
       spark, "taxnum_valid", (children: Seq[Expression]) => TaxNumValid(children.head))
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(
+      spark, "luhn_valid", (children: Seq[Expression]) => LuhnValid(children.head))
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(
+      spark, "iban_valid", (children: Seq[Expression]) => IbanValid(children.head))
   }
 }

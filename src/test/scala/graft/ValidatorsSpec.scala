@@ -192,4 +192,55 @@ class ValidatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(got("Ankara") && got("İzmir") && !got("Gotham"))
   }
+
+  test("luhn_valid: published test PANs pass, one-digit corruption fails, structure enforced") {
+    import graft.functions.IntlChecksumExpr
+    val got = Seq(
+      "4532015112830366",    // valid Visa test number
+      "4532015112830367",    // last digit corrupted
+      "79927398713",         // 11 digits: Luhn-consistent but below PAN length
+      "4532a15112830366",    // non-digit
+      "453201511283036642",  // 18 digits, valid check
+      ""                     // empty
+    ).toDF("s").select(col("s"), IntlChecksumExpr.luhnValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("4532015112830366"))
+    assert(!got("4532015112830367"))
+    assert(!got("79927398713"))
+    assert(!got("4532a15112830366"))
+    assert(got("453201511283036642"))
+    assert(!got(""))
+  }
+
+  test("iban_valid: ISO example IBANs pass, check-digit corruption and case errors fail") {
+    import graft.functions.IntlChecksumExpr
+    val got = Seq(
+      "GB82WEST12345698765432",      // ISO 13616 example
+      "DE89370400440532013000",      // Bundesbank example
+      "TR330006100519786457841326",  // TR example
+      "GB82WEST12345698765433",      // corrupted tail
+      "gb82WEST12345698765432",      // lowercase country code
+      "GBAAWEST12345698765432",      // letters where check digits expected
+      "GB82WEST1234"                 // too short
+    ).toDF("s").select(col("s"), IntlChecksumExpr.ibanValid(col("s")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("GB82WEST12345698765432"))
+    assert(got("DE89370400440532013000"))
+    assert(got("TR330006100519786457841326"))
+    assert(!got("GB82WEST12345698765433"))
+    assert(!got("gb82WEST12345698765432"))
+    assert(!got("GBAAWEST12345698765432"))
+    assert(!got("GB82WEST1234"))
+  }
+
+  test("luhn/iban register as SQL functions and run inside whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT luhn_valid('4532015112830366') AS l, iban_valid('DE89370400440532013000') AS i")
+      .collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    // null in -> null out (UnaryExpression null-safety)
+    val n = spark.sql("SELECT luhn_valid(CAST(NULL AS STRING)) AS l").collect().head
+    assert(n.isNullAt(0))
+  }
 }
