@@ -195,4 +195,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected pinned intermediates in the curation plan:\n${p.take(2000)}")
     CacheScope.clear()
   }
+
+  test("span removal: pinned span frame, no cartesian product anywhere") {
+    // the span frame feeds the keeper aggregate AND the removal join
+    // (one tokenize+hash pass, not two), and every join in the
+    // pipeline is keyed (fingerprint, then (id, pos)) — a cartesian
+    // appearing here would mean the coverage anti-join lost its keys
+    val p = plan("q_d58_span_removal")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"expected the pinned span frame:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span removal must stay key-joined:\n${p.take(2000)}")
+    CacheScope.clear()
+  }
+
+  test("source-overlap matrix: hash-keyed self-join + broadcast totals, no cartesian") {
+    val p = plan("q_d59_source_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast totals joins:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"matrix must stay hash-keyed:\n${p.take(2000)}")
+    CacheScope.clear()
+  }
 }
