@@ -326,6 +326,25 @@ object SparkEntry {
       graft.operators.Skew.saltedCount(
         t(s, d, "events").select("event_type"), "event_type", 16)
         .orderBy("event_type")),
+    // CDC latest-wins compaction: the events log read as a change
+    // stream keyed by (user_id, event_type) — version = (µs timestamp,
+    // unique event_id tiebreak), op doctored from value so both
+    // upserts and deletes occur; winner-is-a-delete keys vanish. The
+    // plan is ONE map-side-combined max(struct) aggregate (no window
+    // sort); the oracle is the textbook row_number formulation — two
+    // different plans, same semantics
+    "q_c22_merge" -> ((s, d) => {
+      val ev0 = t(s, d, "events")
+      val changes = ev0.select(
+        col("user_id"), col("event_type"),
+        Tables.epochMicros(ev0, "ts").as("ts_us"),
+        col("event_id"), col("value"),
+        when(col("value") > 100.0, lit("D")).otherwise(lit("U")).as("op"))
+      graft.operators.Merge.compactLatest(changes,
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq("ts_us", "event_id"), opCol = Some("op"))
+        .orderBy("user_id", "event_type")
+    }),
     // GK-quantile certification: exact rank-bound order statistics
     // (oracle-recomputable) + a within-bound verdict per quantile.
     // numericStatsApprox itself (same sketch, full stat grid) stays
@@ -714,6 +733,53 @@ object SparkEntry {
           .select(col("text"), lit("mirror").as("source")))
       graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
         .orderBy("source_a", "source_b")
+    }),
+    // per-doc tf-idf keywords: top-3 salient terms per document
+    // (score = tf·idf in integer micro-nat space; idf guard row pins
+    // the ln quantization's engine-portability — the Dsir scheme)
+    "q_d60_keywords" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+      val (kw, g) = graft.text.Keywords.tfIdfKeywordsAndGuard(
+        docs, "text", "doc_id", k = 3)
+      val guard = g.select(lit(-1L).as("doc_id"), lit("idf_guard").as("token"),
+        lit(-1L).as("tf"),
+        when(col("min_idf_dist") > 1e-7, 1.0).otherwise(0.0).as("score"))
+      kw.unionByName(guard).orderBy("doc_id", "token")
+    }),
+    // corpus-level token-distribution JS divergence: the English
+    // slice vs the rest (smoothing over the joint vocab; nano-nat
+    // integer term sums; term guard row pins ln portability)
+    "q_d61_js_div" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (out, g) = graft.text.TokenStats.jsDivergenceAndGuard(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+        "text", "doc_id")
+      val guard = g.select(lit("term_guard").as("metric"),
+        when(col("min_term_dist") > 1e-7, 1.0).otherwise(0.0).as("value"))
+      out.unionByName(guard).orderBy("metric")
+    }),
+    // semantic decontamination: every 50th embedding doubles as the
+    // "benchmark" bank, so those corpus rows are exact semantic dups
+    // (cosine 1.0) and everything else sits far below the threshold
+    // (the synthetic embeddings' max random pairwise cosine < 0.8);
+    // the oracle recomputes every corpus x bench cosine + argmax
+    "q_d62_semantic_decontam" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.semanticContamination(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") % 50 === 0), "embedding", "vec_id",
+        threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+    // JL random projection 64 -> 8 dims with the md5-derived ±1 sign
+    // matrix; components re-derived bit-for-bit in SQL via
+    // list_dot_product and emitted at tie-safe 4 dp
+    "q_d63_jl_project" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") % 5 === 0)
+      val p = Ann.randomProject(emb, "embedding", "vec_id", inDim = 64, outDim = 8)
+      p.select(col("vec_id") +: (0 until 8).map(j =>
+        (round(element_at(col("projected"), j + 1) * 1e4).cast("long") / 10000.0)
+          .as(s"p$j")): _*)
+        .orderBy("vec_id")
     }),
     // incremental span dedup: the batch (doc_id%3==1) scored against
     // the accumulated store (doc_id%3==0) — share of each ingested
@@ -1697,6 +1763,19 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k, count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // latest-wins re-derived as the window formulation: rank by the
+    // SAME total order Spark's max(struct) compares (version cols then
+    // remaining payload in frame order), keep rn=1, drop winner deletes
+    "q_c22_merge" ->
+      """WITH c AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+        |  event_id, value,
+        |  CASE WHEN value > 100.0 THEN 'D' ELSE 'U' END AS op FROM events),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts_us DESC, event_id DESC, value DESC, op DESC) AS rn FROM c)
+        |SELECT user_id, event_type, ts_us, event_id, value, op
+        |FROM w WHERE rn = 1 AND op <> 'D'
+        |ORDER BY user_id, event_type""".stripMargin,
+
     "q_c19_salted_count" ->
       """SELECT event_type, count(*) AS cnt FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2154,6 +2233,97 @@ object SparkEntry {
         |    // (2*greatest(least(ta.total, tb.total), 1))) / 10000.0 AS overlap_frac
         |FROM p JOIN tot ta ON p.source_a = ta.src JOIN tot tb ON p.source_b = tb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // tf-idf keywords re-derived: tf groupBy, df from the distinct
+    // (doc, token) frame, micro-quantized idf, integer scores, rank-3
+    // window with the same (score desc, token asc) total order
+    "q_d60_keywords" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |  FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM d),
+        |idf AS (SELECT token,
+        |  CAST(round(ln((n + 1) / (df + 1)) * 1e6) AS BIGINT) AS idf_micro
+        |  FROM dfq CROSS JOIN n),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+        |  tf.tf * idf.idf_micro AS score_micro FROM tf JOIN idf USING (token)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score_micro DESC, token ASC) AS rn FROM sc)
+        |SELECT * FROM (
+        |  SELECT doc_id, token, tf,
+        |    CAST(round(score_micro / 100.0) AS BIGINT) / 10000.0 AS score
+        |  FROM rk WHERE rn <= 3
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), 'idf_guard', CAST(-1 AS BIGINT), 1.0)
+        |ORDER BY doc_id, token""".stripMargin,
+
+    // JS divergence re-derived: per-side unigram models, full-outer
+    // vocab join, add-one smoothing over the joint vocab, nano-nat
+    // integer term sums, tie-safe 4-dp displays
+    "q_d61_js_div" ->
+      """WITH ta AS (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |  FROM documents WHERE lang = 'en'),
+        |ca AS (SELECT token, count(*) AS ac FROM ta WHERE length(token) > 0 GROUP BY 1),
+        |tb AS (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS token
+        |  FROM documents WHERE lang <> 'en'),
+        |cb AS (SELECT token, count(*) AS bc FROM tb WHERE length(token) > 0 GROUP BY 1),
+        |j AS (SELECT COALESCE(ca.token, cb.token) AS token,
+        |  COALESCE(ac, 0) AS ac, COALESCE(bc, 0) AS bc
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |tot AS (SELECT sum(ac) AS tta, sum(bc) AS ttb, count(*) AS v FROM j),
+        |terms AS (SELECT
+        |  CAST(round(((ac + 1) / (tta + v)) * ln(((ac + 1) / (tta + v))
+        |    / ((((ac + 1) / (tta + v)) + ((bc + 1) / (ttb + v))) / 2.0)) * 1e9) AS BIGINT) AS tp,
+        |  CAST(round(((bc + 1) / (ttb + v)) * ln(((bc + 1) / (ttb + v))
+        |    / ((((ac + 1) / (tta + v)) + ((bc + 1) / (ttb + v))) / 2.0)) * 1e9) AS BIGINT) AS tq
+        |  FROM j CROSS JOIN tot),
+        |s AS (SELECT COALESCE(sum(tp), 0) AS kp, COALESCE(sum(tq), 0) AS kq FROM terms)
+        |SELECT metric, value FROM (
+        |  SELECT 'js_nats' AS metric,
+        |    CAST(round((kp + kq) / 200000.0) AS BIGINT) / 10000.0 AS value FROM s
+        |  UNION ALL SELECT 'kl_pm_nats', CAST(round(kp / 100000.0) AS BIGINT) / 10000.0 FROM s
+        |  UNION ALL SELECT 'kl_qm_nats', CAST(round(kq / 100000.0) AS BIGINT) / 10000.0 FROM s
+        |  UNION ALL SELECT 'vocab', CAST(v AS DOUBLE) FROM tot
+        |  UNION ALL SELECT 'total_a', CAST(tta AS DOUBLE) FROM tot
+        |  UNION ALL SELECT 'total_b', CAST(ttb AS DOUBLE) FROM tot
+        |  UNION ALL SELECT 'term_guard', 1.0)
+        |ORDER BY metric""".stripMargin,
+
+    // every corpus x bench cosine recomputed; argmax ties on the
+    // LATER bank index = larger bench_id (the bank is ordered by
+    // bench_id ascending), hence bench_id DESC in the row_number
+    "q_d62_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, b.bench_id,
+        |  list_dot_product(CAST(e.embedding AS DOUBLE[]), b.bv)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(b.bv, b.bv))) AS sim
+        |  FROM embeddings e CROSS JOIN b),
+        |r AS (SELECT vec_id, bench_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id DESC) AS rn
+        |  FROM s)
+        |SELECT vec_id, bench_id, round(sim, 4) AS max_cosine,
+        |  round(sim, 4) >= 0.9 AS contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // JL projection re-derived bit-for-bit: the md5-nibble ±1 sign
+    // list per output dim, list_dot_product's left-to-right sum, the
+    // division applied to the sum, tie-safe 4-dp rounding
+    "q_d63_jl_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS (SELECT vec_id, list_transform(range(0, 8), j ->
+        |  round(list_dot_product(v, list_transform(range(0, 64), i ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5('jl:jl:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1 < 8
+        |    THEN 1.0 ELSE -1.0 END)) / sqrt(8) * 1e4) / 10000.0) AS pr
+        |  FROM e)
+        |SELECT vec_id, pr[1] AS p0, pr[2] AS p1, pr[3] AS p2, pr[4] AS p3,
+        |  pr[5] AS p4, pr[6] AS p5, pr[7] AS p6, pr[8] AS p7
+        |FROM p ORDER BY vec_id""".stripMargin,
 
     // DSIR re-derived end-to-end: md5-horner feature buckets, add-one
     // smoothed target/raw bucket models, micro-nat log-ratio table,

@@ -306,4 +306,84 @@ object Ann {
                     threshold: Double): DataFrame =
     graft.dedup.Components.dedupByPairs(emb, idCol,
       semanticPairs(emb, vecCol, idCol, centroids, threshold), "id_a", "id_b")
+
+  /** SEMANTIC decontamination — the embedding-space counterpart of
+    * [[graft.dedup.Dedup.contaminatedIds]]'s n-gram shingle overlap:
+    * flag corpus vectors whose max cosine against a BENCHMARK bank
+    * reaches `threshold` (paraphrased eval leakage that never shares a
+    * 5-gram). Benchmark sets are a bounded dimension by definition
+    * (eval suites are thousands of rows, not corpora), so the whole
+    * bank rides in ONE codegen'd [[graft.functions.NearestCentroid]]
+    * object: a 100 TB decontamination pass is a MAP-ONLY scan — no
+    * shuffle, no pair join; the argmax bench row joins back through a
+    * broadcast to recover its id and exact cosine.
+    *
+    * Output: (id, bench_id, max_cosine, contaminated) — bench_id is
+    * the argmax bank member (cosine ties: later bank index wins, the
+    * expression's documented order; the bank is ordered by bench id
+    * ascending); `contaminated` compares the ROUNDED (scale-dp) cosine
+    * so both engines threshold the identical display value. Use
+    * `.filter(!col("contaminated"))` for the cleansed corpus.
+    */
+  /** Deterministic ±1 sign matrix for [[randomProject]], derived from
+    * md5 so an external SQL engine reproduces it: entry (j, i) is +1
+    * iff the first hex nibble of md5("jl:seed:j:i") < 8 — the
+    * Achlioptas-style Rademacher variant of the JL projection matrix
+    * (±1 entries preserve pairwise distances in expectation exactly
+    * like gaussians, at integer-arithmetic cost; Achlioptas 2001).
+    */
+  def jlSignMatrix(outDim: Int, inDim: Int, seed: String = "jl"): Array[Array[Double]] = {
+    require(outDim > 0 && inDim > 0, s"dims must be positive, got $outDim x $inDim")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val h = md.digest(s"jl:$seed:$j:$i".getBytes("UTF-8"))
+        // first hex nibble = high nibble of byte 0
+        if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * out[j] = Σ_i v[i]·s_ji / √outDim with the deterministic
+    * [[jlSignMatrix]]. MAP-ONLY — the matrix rides in one codegen'd
+    * [[graft.functions.MatVec]] object, so reducing a 100 TB embedding
+    * table is a single scan with no shuffle; the output feeds the ANN/
+    * dedup family at outDim/inDim of the distance-computation cost
+    * (the standard pre-step before LSH or IVF at extreme scale).
+    * Component values are bit-reproducible in SQL as
+    * `list_dot_product(v, signs_j) / sqrt(outDim)` (left-to-right
+    * accumulation, division applied to the sum).
+    */
+  def randomProject(emb: DataFrame, vecCol: String, idCol: String,
+                    inDim: Int, outDim: Int, seed: String = "jl"): DataFrame =
+    emb.select(col(idCol),
+      graft.functions.MatVec(col(vecCol), jlSignMatrix(outDim, inDim, seed),
+        math.sqrt(outDim.toDouble)).as("projected"))
+
+  def semanticContamination(corpus: DataFrame, vecCol: String, idCol: String,
+                            bench: DataFrame, benchVecCol: String,
+                            benchIdCol: String, threshold: Double,
+                            scale: Int = 4): DataFrame = {
+    // bounded by the benchmark's size — same collect contract as the
+    // centroid banks (and like them, a deliberate, documented bound)
+    val bank = bench.select(col(benchIdCol).cast("long"), col(benchVecCol))
+      .orderBy(col(benchIdCol).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    require(bank.nonEmpty, "semanticContamination: benchmark bank is empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bankIds = bank.zipWithIndex
+      .map { case ((bid, _), i) => (i, bid) }.toSeq.toDF("_bi", "bench_id")
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), bank.map(_._2)).as("_bi"))
+    val benchVecs = bench.select(col(benchIdCol).cast("long").as("bench_id"),
+      col(benchVecCol).as("_bv"))
+    assigned
+      .join(broadcast(bankIds), Seq("_bi"))
+      .join(broadcast(benchVecs), Seq("bench_id"))
+      .select(col(idCol), col("bench_id"),
+        round(cosine(col(vecCol), col("_bv")), scale).as("max_cosine"))
+      .withColumn("contaminated", col("max_cosine") >= threshold)
+  }
 }

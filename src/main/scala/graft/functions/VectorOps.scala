@@ -252,3 +252,57 @@ object HyperplaneKeys {
     SqlBridge.column(HyperplaneKeys(SqlBridge.expression(vec), bank))
   }
 }
+
+/** Dense matrix–vector product: out[j] = (Σ_i v[i]·m[j][i]) / divisor
+  * — the map-only projection step of Johnson–Lindenstrauss
+  * dimensionality reduction (and any fixed linear head). The matrix
+  * rides as ONE codegen reference object (same O(1)-plan rationale as
+  * [[NearestCentroid]]); each output component accumulates
+  * left-to-right in doubles with the final division applied to the
+  * SUM, so an external SQL engine reproduces every component
+  * bit-for-bit as `list_dot_product(v, row_j) / divisor`. Null input
+  * vector → null row; null elements read as 0; input shorter than a
+  * matrix row reads missing elements as 0.
+  */
+case class MatVec(child: Expression, matrix: Array[Array[Double]],
+                  divisor: Double)
+    extends VectorBankExpression {
+
+  require(matrix.nonEmpty, "need a non-empty matrix")
+  require(divisor != 0.0, "divisor must be non-zero")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  def project(a: ArrayData): GenericArrayData = {
+    val nElems = a.numElements()
+    val out = new Array[Any](matrix.length)
+    var j = 0
+    while (j < matrix.length) {
+      val row = matrix(j)
+      val n = math.min(nElems, row.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += elem(a, i) * row(i); i += 1 }
+      out(j) = dot / divisor
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = project(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVec", this, classOf[MatVec].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.project($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVec =
+    copy(child = newChild)
+}
+
+object MatVec {
+  def apply(vec: Column, matrix: Array[Array[Double]], divisor: Double): Column = {
+    import org.apache.spark.sql.graft.SqlBridge
+    SqlBridge.column(MatVec(SqlBridge.expression(vec), matrix, divisor))
+  }
+}

@@ -195,4 +195,81 @@ object TokenStats {
         count(when(col("_in_vocab").isNull, 1)).as("oov_count"))
       .withColumn("oov_rate",
         round(col("oov_count") / col("token_count").cast("double"), 4))
+
+  /** Jensen–Shannon divergence between two corpora's unigram token
+    * distributions — the corpus-level "how different is crawl B from
+    * corpus A" drift signal at the TOKEN level (the text counterpart
+    * of [[graft.profile.Drift.psi]]'s categorical-column PSI), used to
+    * vet a new dump before mixing it in, or to monitor distribution
+    * shift between pipeline stages.
+    *
+    * Definition: with add-one smoothing over the JOINT vocabulary V
+    * (so both distributions assign every observed token nonzero mass —
+    * the [[graft.pipeline.Dsir]] smoothing), P_t = (a_t+1)/(A+V),
+    * Q_t = (b_t+1)/(B+V), M = (P+Q)/2,
+    * JS = ½·KL(P‖M) + ½·KL(Q‖M) ∈ [0, ln 2] nats. Symmetric and
+    * bounded, unlike raw KL.
+    *
+    * Spark-first shape: one map-side-combined token groupBy per side
+    * (bounded by each vocabulary), ONE full-outer join on the token
+    * key, totals as broadcast one-row aggregates, one final aggregate —
+    * corpus-linear, join bounded by vocab.
+    *
+    * Float discipline: each token's two KL terms p·ln(p/m), q·ln(q/m)
+    * quantize to NANO-nats (long; terms are O(p) ≤ 1 so the corpus sum
+    * stays far under long range) and sum exactly; display values
+    * derive from the integer sums. ln() is the one libm call — the
+    * returned guard (`min_term_dist`, one row) certifies every
+    * pre-round term sat > 1e-7 nano from its rounding boundary, the
+    * [[graft.pipeline.Dsir]] portability scheme.
+    *
+    * Output: tall (metric, value) — js_nats, kl_pm_nats, kl_qm_nats
+    * (4 dp, integer-space rounding), vocab, total_a, total_b.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                   idCol: String): DataFrame =
+    jsDivergenceAndGuard(a, b, textCol, idCol)._1
+
+  def jsDivergenceAndGuard(a: DataFrame, b: DataFrame, textCol: String,
+                           idCol: String): (DataFrame, DataFrame) = {
+    val ca = unigramCounts(a, textCol, idCol).withColumnRenamed("cnt", "_ac")
+    val cb = unigramCounts(b, textCol, idCol).withColumnRenamed("cnt", "_bc")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("_ac"), lit(0L)).as("_ac"),
+        coalesce(col("_bc"), lit(0L)).as("_bc"))
+    val totals = joined.agg(sum(col("_ac")).as("_ta"), sum(col("_bc")).as("_tb"),
+      count(lit(1)).as("_v"))
+    val p = (col("_ac") + 1L).cast("double") / (col("_ta") + col("_v")).cast("double")
+    val q = (col("_bc") + 1L).cast("double") / (col("_tb") + col("_v")).cast("double")
+    val m = (p + q) / 2.0
+    val termP = p * log(p / m) * 1e9
+    val termQ = q * log(q / m) * 1e9
+    val terms = graft.CacheScope.persist(
+      joined.crossJoin(broadcast(totals)).select(
+        round(termP).cast("long").as("_tp"),
+        round(termQ).cast("long").as("_tq"),
+        least(abs(termP - floor(termP) - lit(0.5)),
+          abs(termQ - floor(termQ) - lit(0.5))).as("_bd"),
+        col("_ta"), col("_tb"), col("_v")))
+    val guard = terms.agg(
+      coalesce(min(col("_bd")), lit(0.5)).as("min_term_dist"))
+    val agg = terms.agg(
+      coalesce(sum(col("_tp")), lit(0L)).as("_kp"),
+      coalesce(sum(col("_tq")), lit(0L)).as("_kq"),
+      max(col("_v")).as("_v"), max(col("_ta")).as("_ta"), max(col("_tb")).as("_tb"))
+    // 4-dp displays from the integer nano sums: /1e5 quotient ties sit
+    // on exactly-representable .5 (the repo-wide tie-safe rounding);
+    // js doubles the halving into the integer sum _kp+_kq (= 2·js)
+    val out = agg.select(explode(map(
+      lit("js_nats"),
+      round((col("_kp") + col("_kq")).cast("double") / 200000.0).cast("long") / 10000.0,
+      lit("kl_pm_nats"), round(col("_kp") / 100000.0).cast("long") / 10000.0,
+      lit("kl_qm_nats"), round(col("_kq") / 100000.0).cast("long") / 10000.0,
+      lit("vocab"), coalesce(col("_v"), lit(0L)).cast("double"),
+      lit("total_a"), coalesce(col("_ta"), lit(0L)).cast("double"),
+      lit("total_b"), coalesce(col("_tb"), lit(0L)).cast("double")))
+      .as(Seq("metric", "value")))
+    (out, guard)
+  }
 }

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+import graft.text.{Keywords, TokenStats}
+import graft.ann.Ann
+
+/** Specs for the r11 second-wave operators: CDC latest-wins merge
+  * (C22), tf-idf keyword extraction (D60), token-distribution JS
+  * divergence (D61), semantic decontamination (D62), and JL random
+  * projection with the native MatVec expression (D63).
+  */
+class R11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- C22 latest-wins merge ----
+
+  private def changes = Seq(
+    // k1: upsert, superseded delete, later upsert -> latest upsert wins
+    ("k1", 1L, 1L, "a", "U"),
+    ("k1", 2L, 2L, "b", "D"),
+    ("k1", 3L, 3L, "c", "U"),
+    // k2: delete is the latest change -> key vanishes
+    ("k2", 1L, 4L, "x", "U"),
+    ("k2", 2L, 5L, "y", "D"),
+    // k3: single upsert survives
+    ("k3", 1L, 6L, "z", "U")
+  ).toDF("k", "ver", "seq", "payload", "op")
+
+  test("compactLatest keeps the newest upsert and honors only WINNING deletes") {
+    val got = Merge.compactLatest(changes, Seq("k"), Seq("ver", "seq"), Some("op"))
+      .select("k", "ver", "payload", "op")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("k1", 3L, "c", "U"), ("k3", 1L, "z", "U")))
+  }
+
+  test("compactLatest without an op column is pure latest-wins") {
+    val got = Merge.compactLatest(changes.drop("op"), Seq("k"), Seq("ver", "seq"))
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "c", "k2" -> "y", "k3" -> "z"))
+  }
+
+  test("compactLatest is deterministic on duplicate version tuples (full-row order)") {
+    val dup = Seq(("k", 1L, "aaa"), ("k", 1L, "zzz")).toDF("k", "ver", "payload")
+    val got = Merge.compactLatest(dup, Seq("k"), Seq("ver"))
+      .select("payload").as[String].collect()
+    assert(got.toSeq == Seq("zzz")) // greater payload wins the struct order
+  }
+
+  test("mergeLatest: batch supersedes store, wins version ties, deletes store keys") {
+    val store = Seq(("k1", 1L, "old1"), ("k2", 1L, "old2"), ("k3", 1L, "old3"))
+      .toDF("k", "ver", "payload")
+    val batch = Seq(
+      ("k1", 2L, "new1", "U"), // newer version -> supersedes
+      ("k2", 1L, "tie2", "U"), // SAME version -> batch priority wins
+      ("k3", 2L, "gone", "D")  // delete removes the store row
+    ).toDF("k", "ver", "payload", "op")
+    val got = Merge.mergeLatest(store, batch, Seq("k"), Seq("ver"), Some("op"))
+      .select("k", "payload").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "new1", "k2" -> "tie2"))
+  }
+
+  test("compactLatest validates its column arguments") {
+    intercept[IllegalArgumentException] {
+      Merge.compactLatest(changes, Seq("k"), Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Merge.compactLatest(changes, Seq("k"), Seq("ver"), Some("nope"))
+    }
+  }
+
+  // ---- D60 tf-idf keywords ----
+
+  test("tfIdfKeywords ranks rare terms above ubiquitous ones; scores match by hand") {
+    val docs = Seq(
+      (1L, "common rare1 rare1 filler"),
+      (2L, "common rare2 filler"),
+      (3L, "common other")
+    ).toDF("doc_id", "text")
+    val (kw, guard) = Keywords.tfIdfKeywordsAndGuard(docs, "text", "doc_id", k = 1)
+    val got = kw.select("doc_id", "token", "tf", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // idf_micro(df) = round(ln(4/(df+1))*1e6); "common" df=3 -> ln(1)=0,
+    // rare1 df=1 -> ln(2), tf=2 -> score = 2*693147 micro = 1.3863 at 4dp
+    assert(got(1L) == (("rare1", 2L, 1.3863)))
+    // doc2: rare2 (df=1, tf=1, ln2) vs filler (df=2, tf=1, ln(4/3));
+    // ln2 > ln(4/3) -> rare2
+    assert(got(2L)._1 == "rare2" && got(2L)._3 == 0.6931)
+    // doc3: other (df=1) beats common (idf 0)
+    assert(got(3L)._1 == "other")
+    val d = guard.collect().head.getDouble(0)
+    assert(d > 1e-7 && d <= 0.5)
+  }
+
+  test("tfIdfKeywords breaks score ties on token ascending") {
+    val docs = Seq((1L, "beta alpha")).toDF("doc_id", "text")
+    // both tokens: tf=1, df=1 -> identical score; k=1 keeps 'alpha'
+    val got = Keywords.tfIdfKeywords(docs, "text", "doc_id", k = 1)
+      .select("token").as[String].collect()
+    assert(got.toSeq == Seq("alpha"))
+  }
+
+  test("tfIdfKeywords on an empty corpus returns no rows and a vacuous guard") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (kw, guard) = Keywords.tfIdfKeywordsAndGuard(docs, "text", "doc_id")
+    assert(kw.count() == 0L)
+    assert(guard.collect().head.getDouble(0) == 0.5)
+  }
+
+  // ---- D61 JS divergence ----
+
+  test("jsDivergence: identical corpora diverge by 0, disjoint by ~ln 2, symmetric") {
+    val a = Seq((1L, "x y z"), (2L, "x q")).toDF("doc_id", "text")
+    val b = Seq((1L, "p r"), (2L, "p s t")).toDF("doc_id", "text")
+    def metrics(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      TokenStats.jsDivergence(x, y, "text", "doc_id")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val same = metrics(a, a)
+    assert(same("js_nats") == 0.0 && same("kl_pm_nats") == 0.0 && same("kl_qm_nats") == 0.0)
+    assert(same("vocab") == 4.0 && same("total_a") == 5.0)
+    val disj = metrics(a, b)
+    // add-one smoothing over the joint vocab dominates a tiny corpus
+    // (each side's real mass is 5 tokens vs 9 smoothing units), so the
+    // divergence is small but strictly positive; ln 2 bounds it above
+    assert(disj("js_nats") > 0.01 && disj("js_nats") <= 0.6932)
+    val sym = metrics(b, a)
+    assert(sym("js_nats") == disj("js_nats"))
+    assert(sym("kl_pm_nats") == disj("kl_qm_nats") &&
+      sym("kl_qm_nats") == disj("kl_pm_nats"))
+    val g = TokenStats.jsDivergenceAndGuard(a, b, "text", "doc_id")._2
+      .collect().head.getDouble(0)
+    assert(g > 1e-7 && g <= 0.5)
+  }
+
+  // ---- D62 semantic decontamination ----
+
+  test("semanticContamination flags exact semantic dups, ties pick the later bank row") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)),   // exact dup of bench 10 -> contaminated
+      (2L, Array(0.7f, 0.7f)) // cos ~0.707 vs both benches -> clean; tie -> bench 20
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((10L, Array(1f, 0f)), (20L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticContamination(corpus, "embedding", "vec_id",
+      bench, "embedding", "vec_id", threshold = 0.9)
+      .select("vec_id", "bench_id", "max_cosine", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((10L, 1.0, true)))
+    assert(got(2L)._1 == 20L && !got(2L)._3 && math.abs(got(2L)._2 - 0.7071) < 1e-9)
+  }
+
+  test("semanticContamination rejects an empty bench") {
+    val corpus = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Ann.semanticContamination(corpus, "embedding", "vec_id",
+        corpus.filter(col("vec_id") < 0), "embedding", "vec_id", 0.9)
+    }
+  }
+
+  // ---- D63 JL random projection / MatVec ----
+
+  test("jlSignMatrix is deterministic, ±1-valued, and seed-sensitive") {
+    val m1 = Ann.jlSignMatrix(4, 8)
+    val m2 = Ann.jlSignMatrix(4, 8)
+    val m3 = Ann.jlSignMatrix(4, 8, seed = "other")
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(m1.map(_.toSeq).toSeq != m3.map(_.toSeq).toSeq)
+    // independent md5 re-derivation of entry (0, 0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nib = (md.digest("jl:jl:0:0".getBytes("UTF-8"))(0) >> 4) & 0xf
+    assert(m1(0)(0) == (if (nib < 8) 1.0 else -1.0))
+  }
+
+  test("MatVec computes (matrix · vec) / divisor; nulls and short inputs are safe") {
+    val df = Seq(
+      (1L, Array(3.0, 4.0)),
+      (2L, Array(3.0)),        // short: missing elements read 0
+      (3L, null.asInstanceOf[Array[Double]])
+    ).toDF("id", "v")
+    val m = Array(Array(1.0, 0.0), Array(0.0, 2.0))
+    val got = df.select(col("id"),
+      graft.functions.MatVec(col("v"), m, 2.0).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toSeq)).toMap
+    assert(got(1L) == Seq(1.5, 4.0))
+    assert(got(2L) == Seq(1.5, 0.0))
+    assert(got(3L) == null)
+  }
+
+  test("randomProject output has outDim components and preserves exact duplicates") {
+    val docs = Seq(
+      (1L, Array.tabulate(16)(i => i.toFloat)),
+      (2L, Array.tabulate(16)(i => i.toFloat)), // identical vector
+      (3L, Array.tabulate(16)(i => (16 - i).toFloat))
+    ).toDF("vec_id", "embedding")
+    val p = Ann.randomProject(docs, "embedding", "vec_id", inDim = 16, outDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(p(1L).size == 4)
+    assert(p(1L) == p(2L))   // projection is a pure function of the vector
+    assert(p(1L) != p(3L))
+  }
+}
