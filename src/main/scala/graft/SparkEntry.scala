@@ -734,6 +734,51 @@ object SparkEntry {
       graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
         .orderBy("source_a", "source_b")
     }),
+    // mergeable HLL distinct sketches: the two halves of documents
+    // sketched INDEPENDENTLY, merged, estimated — vs exact distincts
+    // over the union (oracle-recomputed); the claim row pins the
+    // estimate within ±5% (lgK=12 HLL rel err ≈ 1.6%)
+    "q_d64_hll_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cols = Seq("doc_id", "lang", "source")
+      val est = Profiler.mergeDistinctEstimates(Seq(
+        Profiler.distinctSketches(docs.filter(col("doc_id") % 2 === 0), cols),
+        Profiler.distinctSketches(docs.filter(col("doc_id") % 2 =!= 0), cols)))
+      val exact = docs.select(explode(map(
+        cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("column", "_v")))
+        .groupBy("column").agg(countDistinct(col("_v")).as("exact_distinct"))
+      exact.join(est, Seq("column"))
+        .select(col("column"), col("exact_distinct"),
+          when(abs(col("distinct_est") - col("exact_distinct"))
+            <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
+        .orderBy("column")
+    }),
+    // Bloom ingest guard: batch (doc_id%3==1) screened against the
+    // store's (doc_id%3==0) content-hash filter — exact_dup is
+    // oracle-recomputed membership; the claim row per doc pins the
+    // NO-FALSE-NEGATIVE property (every true dup is bloom-flagged)
+    "q_d65_bloom_guard" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      val store = all.filter(col("doc_id") % 3 === 0)
+      // the batch re-crawls a fifth of the store (id-shifted — the
+      // q_d5 re-ingestion pattern), so true dups exist and the
+      // no-false-negative claim is non-vacuous
+      val batch = all.filter(col("doc_id") % 3 === 1)
+        .unionByName(store.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val bits = graft.dedup.Bloom.buildFilter(
+        store, md5(col("text")), expectedItems = 100000)
+      val screened = graft.dedup.Bloom.screenBatch(
+        batch.select(col("doc_id"), md5(col("text")).as("_k")), col("_k"), bits)
+      val storeKeys = store.select(md5(col("text")).as("_k")).distinct()
+      screened.join(storeKeys.withColumn("_in", lit(1)), Seq("_k"), "left")
+        .select(col("doc_id"),
+          col("_in").isNotNull.as("exact_dup"),
+          when(col("_in").isNull || col("bloom_hit"), 1.0).otherwise(0.0)
+            .as("nfn_claim"))
+        .orderBy("doc_id")
+    }),
     // per-doc tf-idf keywords: top-3 salient terms per document
     // (score = tf·idf in integer micro-nat space; idf guard row pins
     // the ln quantization's engine-portability — the Dsir scheme)
@@ -2233,6 +2278,26 @@ object SparkEntry {
         |    // (2*greatest(least(ta.total, tb.total), 1))) / 10000.0 AS overlap_frac
         |FROM p JOIN tot ta ON p.source_a = ta.src JOIN tot tb ON p.source_b = tb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // exact distincts re-derived; the ±5% sketch claim and the
+    // no-false-negative Bloom claim are 1.0/0.0 verdicts the oracle
+    // pins with literal 1.0 (the d7/d8 gate-row scheme — a violated
+    // claim hash-mismatches)
+    "q_d64_hll_incremental" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", count(DISTINCT doc_id) AS exact_distinct,
+        |    1.0 AS within_5pct FROM documents
+        |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
+        |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
+        |ORDER BY "column"""".stripMargin,
+
+    "q_d65_bloom_guard" ->
+      """WITH st AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+        |SELECT doc_id, k IN (SELECT k FROM st) AS exact_dup, 1.0 AS nfn_claim
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // tf-idf keywords re-derived: tf groupBy, df from the distinct
     // (doc, token) frame, micro-quantized idf, integer scores, rank-3

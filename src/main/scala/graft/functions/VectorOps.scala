@@ -306,3 +306,53 @@ object MatVec {
     SqlBridge.column(MatVec(SqlBridge.expression(vec), matrix, divisor))
   }
 }
+
+/** Bloom-filter membership test against DRIVER-SIDE serialized filter
+  * bits (see [[graft.dedup.Bloom]]): true = possibly present, false =
+  * definitely absent. The bits ride as one codegen reference object —
+  * a broadcast-sized dimension, same rationale as the vector banks —
+  * and the test string hashes exactly like `BloomFilter.putString`
+  * (UTF-8 bytes), so a filter built by `DataFrame.stat.bloomFilter`
+  * over the same string column round-trips. Null input → null.
+  */
+case class BloomContains(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  require(filterBytes.nonEmpty, "empty filter bytes")
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected a string key (cast content hashes to string), got $other")
+    }
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  def test(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    filter.mightContainBinary(s.getBytes)
+
+  override def nullSafeEval(input: Any): Any =
+    test(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomContains", this, classOf[BloomContains].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.test($a)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContains =
+    copy(child = newChild)
+}
+
+object BloomContains {
+  def apply(key: Column, filterBytes: Array[Byte]): Column = {
+    import org.apache.spark.sql.graft.SqlBridge
+    SqlBridge.column(BloomContains(SqlBridge.expression(key), filterBytes))
+  }
+}

@@ -214,6 +214,41 @@ object Profiler {
       .orderBy("column")
   }
 
+  /** MERGEABLE per-column distinct sketches (Apache DataSketches HLL
+    * via Spark's `hll_sketch_agg`) — the incremental-profiling path a
+    * 100 TB pipeline actually needs: sketch each ingest batch /
+    * partition / day ONCE (one scan, bounded 2^lgK-register state per
+    * column), persist the binary sketches, and answer "distinct over
+    * any union of snapshots" by merging sketches instead of
+    * re-scanning history. [[distinctProfile]]'s approx flavor answers
+    * one frame; this one composes over time.
+    *
+    * Output: tall (column, sketch BINARY) — one row per column. HLL
+    * union is commutative/associative/idempotent, so merged estimates
+    * are independent of merge order and batch partitioning.
+    */
+  def distinctSketches(df: DataFrame, cols: Seq[String],
+                       lgK: Int = 12): DataFrame = {
+    val perCol = cols.map(c =>
+      hll_sketch_agg(col(c).cast(StringType), lit(lgK)).as(c))
+    df.agg(perCol.head, perCol.tail: _*)
+      .select(explode(map(
+        cols.flatMap(c => Seq(lit(c), col(c))).toIndexedSeq: _*))
+        .as(Seq("column", "sketch")))
+  }
+
+  /** Merge any number of [[distinctSketches]] frames (snapshots of
+    * the same column set) and estimate: (column, distinct_est). ONE
+    * bounded groupBy over ≤ |snapshots|·|cols| sketch rows — no
+    * re-scan of any corpus.
+    */
+  def mergeDistinctEstimates(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "mergeDistinctEstimates: need >= 1 sketch frame")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("column"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_est"))
+  }
+
   /** Pearson correlation for each column pair, one scan. */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {

@@ -191,6 +191,59 @@ class R11OpsSpec extends SparkSpec {
     assert(got(3L) == null)
   }
 
+  // ---- D64 mergeable HLL distinct sketches ----
+
+  test("distinctSketches merge: estimate is exact in the sparse range and " +
+    "independent of how the corpus was split") {
+    val docs = (1 to 200).map(i => (i.toLong, s"lang${i % 7}", s"src${i % 13}"))
+      .toDF("doc_id", "lang", "source")
+    val cols = Seq("doc_id", "lang", "source")
+    def est(parts: Seq[org.apache.spark.sql.DataFrame]) =
+      graft.profile.Profiler.mergeDistinctEstimates(
+        parts.map(p => graft.profile.Profiler.distinctSketches(p, cols)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val whole = est(Seq(docs))
+    // HLL is exact well below 2^lgK registers
+    assert(whole == Map("doc_id" -> 200L, "lang" -> 7L, "source" -> 13L))
+    val halves = est(Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)))
+    val thirds = est(Seq(docs.filter(col("doc_id") % 3 === 0),
+      docs.filter(col("doc_id") % 3 === 1), docs.filter(col("doc_id") % 3 === 2)))
+    assert(halves == whole && thirds == whole)
+    // idempotent: merging a snapshot with itself changes nothing
+    val dup = est(Seq(docs, docs))
+    assert(dup == whole)
+  }
+
+  // ---- D65 Bloom ingest guard ----
+
+  test("Bloom guard: every store member is flagged (no false negatives); " +
+    "novel keys mostly pass; nulls stay null") {
+    val store = (1 to 500).map(i => s"key-$i").toDF("k")
+    val bits = graft.dedup.Bloom.buildFilter(store, col("k"), 1000, fpp = 0.001)
+    val probe = ((1 to 500).map(i => s"key-$i") ++
+      (1 to 500).map(i => s"novel-$i")).toDF("k")
+      .unionByName(Seq.empty[String].toDF("k")
+        .unionByName(spark.sql("SELECT CAST(NULL AS STRING) AS k")))
+    val got = graft.dedup.Bloom.screenBatch(probe, col("k"), bits).collect()
+    val members = got.filter(r => !r.isNullAt(0) && r.getString(0).startsWith("key-"))
+    assert(members.length == 500 && members.forall(_.getBoolean(1)))
+    val novel = got.filter(r => !r.isNullAt(0) && r.getString(0).startsWith("novel-"))
+    // fpp=0.001 over 500 probes -> expect ~0.5 false positives; allow slack
+    assert(novel.count(_.getBoolean(1)) <= 5)
+    assert(got.filter(_.isNullAt(0)).forall(_.isNullAt(1)))
+  }
+
+  test("Bloom.buildFilter validates its parameters") {
+    val df = Seq("a").toDF("k")
+    intercept[IllegalArgumentException] {
+      graft.dedup.Bloom.buildFilter(df, col("k"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.dedup.Bloom.buildFilter(df, col("k"), 10, fpp = 1.5)
+    }
+  }
+
   test("randomProject output has outDim components and preserves exact duplicates") {
     val docs = Seq(
       (1L, Array.tabulate(16)(i => i.toFloat)),
