@@ -734,6 +734,23 @@ object SparkEntry {
       graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
         .orderBy("source_a", "source_b")
     }),
+    // Unicode NFC normalization: every 9th doc gets decomposed
+    // sequences appended (e+combining-acute, A+ring, o+diaeresis) —
+    // normalization composes them, shrinking the codepoint count and
+    // changing the content hash; the oracle re-derives via DuckDB's
+    // independent nfc_normalize implementation
+    "q_c23_nfc" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 3 === 0)
+        .withColumn("text", when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" cafe\u0301 A\u030A no\u0308el")))
+          .otherwise(col("text")))
+      val norm = Corrector.normalizeUnicode(col("text"))
+      docs.select(col("doc_id"),
+        length(col("text")).as("len_raw"),
+        length(norm).as("len_nfc"),
+        substring(md5(norm), 1, 16).as("nfc_hash"))
+        .orderBy("doc_id")
+    }),
     // mergeable HLL distinct sketches: the two halves of documents
     // sketched INDEPENDENTLY, merged, estimated — vs exact distincts
     // over the union (oracle-recomputed); the claim row pins the
@@ -2283,6 +2300,18 @@ object SparkEntry {
     // no-false-negative Bloom claim are 1.0/0.0 verdicts the oracle
     // pins with literal 1.0 (the d7/d8 gate-row scheme — a violated
     // claim hash-mismatches)
+    // independent NFC implementation (DuckDB's nfc_normalize vs JDK
+    // java.text.Normalizer) — both implement UAX#15 canonical
+    // composition, so lengths and content hashes must agree
+    "q_c23_nfc" ->
+      ("WITH d AS (SELECT doc_id, text || CASE WHEN doc_id % 9 = 0 THEN ' cafe\u0301 A\u030A no\u0308el'" +
+        """ ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, length(text) AS len_raw,
+        |  length(nfc_normalize(text)) AS len_nfc,
+        |  substr(md5(nfc_normalize(text)), 1, 16) AS nfc_hash
+        |FROM d ORDER BY doc_id""".stripMargin),
+
     "q_d64_hll_incremental" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS "column", count(DISTINCT doc_id) AS exact_distinct,

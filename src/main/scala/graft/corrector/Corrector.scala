@@ -51,6 +51,19 @@ object Corrector {
   def strip(df: DataFrame, column: String): DataFrame =
     df.withColumn(column, trim(col(column)))
 
+  /** Unicode normalization (default NFC — see
+    * [[graft.functions.UnicodeNormalize]]): run BEFORE any content
+    * hashing/dedup on multilingual corpora — composed and decomposed
+    * representations of the same text are byte-different, so every
+    * fingerprint operator (D1/D47/D55/D59…) misses the duplicate
+    * until both sides agree on a form. NFKC additionally folds
+    * compatibility variants (ligatures, full-width forms).
+    */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeNormalize(c, form)
+  def normalizeUnicode(df: DataFrame, column: String, form: String): DataFrame =
+    df.withColumn(column, normalizeUnicode(col(column), form))
+
   /** home.py:1643-1698 substring replace. */
   def replaceSubstring(df: DataFrame, column: String, from: String, to: String): DataFrame =
     df.withColumn(column, regexp_replace(col(column),

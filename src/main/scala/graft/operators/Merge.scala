@@ -15,14 +15,16 @@ import org.apache.spark.sql.functions._
   * operation between raw ingest and every downstream operator.
   *
   * Spark-first shape: ONE map-side-combined `max(struct(...))`
-  * aggregate per key — no window function, so no per-partition SORT of
-  * the change log; partial aggregation collapses each map partition to
-  * one candidate row per key before the shuffle, which is the
-  * difference between shuffling the full change log and shuffling
-  * ≤ |keys| rows per partition at 100 TB. (A `row_number() OVER
-  * (PARTITION BY key ORDER BY version DESC)` plan — the textbook
-  * formulation, and what the DuckDB oracle runs — must instead shuffle
-  * EVERY change record and sort each key group.)
+  * aggregate per key. Struct-typed max plans as a SortAggregate pair
+  * (struct buffers can't hash-aggregate), but the property that
+  * matters at 100 TB survives: PARTIAL aggregation collapses each map
+  * partition to one candidate row per key BEFORE the exchange, so the
+  * shuffle carries ≤ |keys| rows per partition — versus a
+  * `row_number() OVER (PARTITION BY key ORDER BY version DESC)` plan
+  * (the textbook formulation, and what the DuckDB oracle runs), which
+  * must shuffle EVERY change record to its key's reducer before any
+  * row can be discarded. PlanAuditSpec pins the shape (one key
+  * shuffle, partial_max, no Window).
   *
   * Determinism: the winner is the max of `struct(versionCols ++ every
   * remaining non-key column)` — a total order over rows whenever the

@@ -217,4 +217,64 @@ class PlanAuditSpec extends SparkSpec {
       s"matrix must stay hash-keyed:\n${p.take(2000)}")
     CacheScope.clear()
   }
+
+  test("CDC merge is a map-side-combined aggregate: no window, one key shuffle") {
+    val p = plan("q_c22_merge")
+    assert(!p.contains("Window"),
+      s"latest-wins must be max(struct), not a row_number window:\n${p.take(2000)}")
+    // exactly one key shuffle (the groupBy) + the output sort's range
+    // exchange; partial_max before the exchange = map-side combine, so
+    // the shuffle carries <= |keys| rows per map partition
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one key shuffle:\n${p.take(2000)}")
+    assert(p.contains("partial_max"),
+      s"expected map-side partial aggregation:\n${p.take(2000)}")
+  }
+
+  test("semantic decontamination: broadcast-only joins, assignment map-only") {
+    val p = plan("q_d62_semantic_decontam")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bank joins must broadcast:\n${p.take(2000)}")
+    // no hash shuffle anywhere — the only exchange is the output
+    // sort's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"decontamination pass must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("JL projection is map-only: no join, no window, no hash shuffle") {
+    val p = plan("q_d63_jl_project")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"projection must not join or window:\n${p.take(2000)}")
+    assert(!p.contains("hashpartitioning"),
+      s"projection must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("tf-idf keyword window partitions by document, never a single partition") {
+    val p = plan("q_d60_keywords")
+    assert(p.contains("Window"), s"expected the per-doc rank window:\n${p.take(2000)}")
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"rank window must partition by doc, not funnel one task:\n${p.take(2000)}")
+    CacheScope.clear()
+  }
+
+  test("Bloom screening is map-only: the batch never joins the store") {
+    val docs = Tables.load(spark, dir, "documents").limit(50)
+    val bits = graft.dedup.Bloom.buildFilter(docs,
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")), 1000)
+    val p = graft.dedup.Bloom.screenBatch(docs,
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")), bits)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"screening must be a pure scan-stage projection:\n${p.take(2000)}")
+  }
+
+  test("Unicode normalization stays scan-local (native expression, no shuffle)") {
+    val p = plan("q_c23_nfc")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"normalization must not join or window:\n${p.take(2000)}")
+    assert(!p.contains("hashpartitioning"),
+      s"normalization must not shuffle:\n${p.take(2000)}")
+  }
 }

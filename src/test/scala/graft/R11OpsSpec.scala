@@ -191,6 +191,33 @@ class R11OpsSpec extends SparkSpec {
     assert(got(3L) == null)
   }
 
+  // ---- C23 Unicode normalization ----
+
+  test("normalizeUnicode: NFC composes, NFKC folds compatibility forms, null-safe") {
+    val df = Seq(
+      (1L, "cafe\u0301"),    // decomposed -> NFC composes to caf\u00e9
+      (2L, "caf\u00e9"),     // already composed -> unchanged
+      (3L, "\ufb01le"),      // fi ligature: NFC keeps, NFKC folds to "file"
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = df.select(col("id"),
+      graft.corrector.Corrector.normalizeUnicode(col("s")).as("nfc"),
+      graft.corrector.Corrector.normalizeUnicode(col("s"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L) == (("caf\u00e9", "caf\u00e9")))
+    assert(got(2L) == (("caf\u00e9", "caf\u00e9")))
+    assert(got(3L) == (("\ufb01le", "file")))
+    assert(got(4L) == ((null, null)))
+    // normalization makes byte-different representations hash-equal
+    val hashes = df.filter(col("id").isin(1L, 2L))
+      .select(md5(graft.corrector.Corrector.normalizeUnicode(col("s"))))
+      .as[String].collect()
+    assert(hashes.distinct.length == 1)
+    intercept[IllegalArgumentException] {
+      graft.corrector.Corrector.normalizeUnicode(col("s"), "BOGUS")
+    }
+  }
+
   // ---- D64 mergeable HLL distinct sketches ----
 
   test("distinctSketches merge: estimate is exact in the sparse range and " +
