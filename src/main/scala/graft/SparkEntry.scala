@@ -734,6 +734,55 @@ object SparkEntry {
       graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
         .orderBy("source_a", "source_b")
     }),
+    // the INGEST path composed end-to-end: bloom screen (claim: no
+    // false negative corpus-wide) → exact dedup vs the store → span
+    // staleness gate on the novel docs (≤50% stale 8-token spans) →
+    // per-language rollup; every stage re-derived in one SQL chain
+    "q_e2e_ingest" -> ((s, d) => {
+      val all = t(s, d, "documents")
+      val store = all.filter(col("doc_id") % 3 === 0)
+      val batch = all.filter(col("doc_id") % 3 === 1)
+        .unionByName(store.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val bits = graft.dedup.Bloom.buildFilter(
+        store, md5(col("text")), expectedItems = 100000)
+      val screened = graft.dedup.Bloom.screenBatch(
+        batch.withColumn("_k", md5(col("text"))), col("_k"), bits)
+      val storeKeys = store.select(md5(col("text")).as("_k")).distinct()
+      val flagged = screened
+        .join(storeKeys.withColumn("_dup", lit(true)), Seq("_k"), "left")
+        .withColumn("exact_dup", coalesce(col("_dup"), lit(false)))
+      val novel = flagged.filter(!col("exact_dup"))
+      val spanStats = graft.dedup.Spans.novelSpanStats(
+        novel, store, "text", "doc_id", spanLen = 8)
+      val kept = novel
+        .join(spanStats.select(col("doc_id"), col("stale_frac")), Seq("doc_id"), "left")
+        .filter(coalesce(col("stale_frac"), lit(0.0)) <= 0.5)
+      val ing = batch.groupBy("lang").agg(count(lit(1)).as("ingested"))
+      val kp = kept.groupBy("lang").agg(count(lit(1)).as("kept_docs"),
+        sum(size(split(trim(col("text")), " +")).cast("long")).as("kept_tokens"))
+      val claim = flagged.agg(
+        (count(when(col("exact_dup") && !col("bloom_hit"), 1)) === 0)
+          .cast("double").as("nfn_claim"))
+      ing.join(kp, Seq("lang"), "left")
+        .crossJoin(broadcast(claim))
+        .select(col("lang"), col("ingested"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          col("nfn_claim"))
+        .orderBy("lang")
+    }),
+    // k-NN label assignment: every 100th embedding queries the corpus
+    // (self excluded), majority vote over the top-10 neighbor labels;
+    // the one scan computes ALL query dots via a single MatVec bank
+    "q_d66_knn_label" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      Ann.knnClassify(emb, "embedding", "vec_id", "label", queries, k = 10)
+        .orderBy("query_id")
+    }),
     // Unicode NFC normalization: every 9th doc gets decomposed
     // sequences appended (e+combining-acute, A+ring, o+diaeresis) —
     // normalization composes them, shrinking the codepoint count and
@@ -2300,6 +2349,65 @@ object SparkEntry {
     // no-false-negative Bloom claim are 1.0/0.0 verdicts the oracle
     // pins with literal 1.0 (the d7/d8 gate-row scheme — a violated
     // claim hash-mismatches)
+    // the ingest chain re-derived: store membership, span-staleness
+    // windows (the d51 arithmetic), keep rule on the tie-safe 4-dp
+    // fraction, per-language rollup; nfn_claim is the corpus-wide
+    // no-false-negative verdict the oracle pins at literal 1.0
+    "q_e2e_ingest" ->
+      """WITH store AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL SELECT doc_id + 1000000, text, lang FROM store WHERE doc_id % 5 = 0),
+        |sk AS (SELECT DISTINCT md5(text) AS k FROM store),
+        |novel AS (SELECT * FROM batch WHERE md5(text) NOT IN (SELECT k FROM sk)),
+        |nt AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
+        |  FROM novel WHERE length(trim(text)) > 0),
+        |nsp AS (SELECT doc_id, unnest(generate_series(1, len(t)-7)) AS p, t
+        |  FROM nt WHERE len(t) >= 8),
+        |nh AS (SELECT doc_id,
+        |  substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp FROM nsp),
+        |st2 AS (SELECT regexp_split_to_array(trim(text), ' +') AS t
+        |  FROM store WHERE length(trim(text)) > 0),
+        |ssp AS (SELECT unnest(generate_series(1, len(t)-7)) AS p, t
+        |  FROM st2 WHERE len(t) >= 8),
+        |sfp AS (SELECT DISTINCT substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp
+        |  FROM ssp),
+        |sstat AS (SELECT doc_id, count(*) AS span_count,
+        |  count(CASE WHEN fp IN (SELECT fp FROM sfp) THEN 1 END) AS stale
+        |  FROM nh GROUP BY 1),
+        |keep AS (SELECT novel.* FROM novel LEFT JOIN sstat USING (doc_id)
+        |  WHERE COALESCE(round(stale * 10000.0 / span_count) / 10000.0, 0.0) <= 0.5),
+        |ing AS (SELECT lang, count(*) AS ingested FROM batch GROUP BY 1),
+        |kp AS (SELECT lang, count(*) AS kept_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS kept_tokens
+        |  FROM keep GROUP BY 1)
+        |SELECT ing.lang, ingested, COALESCE(kept_docs, 0) AS kept_docs,
+        |  COALESCE(kept_tokens, 0) AS kept_tokens, 1.0 AS nfn_claim
+        |FROM ing LEFT JOIN kp ON ing.lang = kp.lang
+        |ORDER BY ing.lang""".stripMargin,
+
+    // every query x corpus cosine re-derived (normalized query lists,
+    // list_dot_product order = MatVec's), rank ties on neighbor id,
+    // vote ties on the smaller label — both total orders
+    "q_d66_knn_label" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |qn AS (SELECT query_id,
+        |  list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) AS qn FROM q),
+        |s AS (SELECT qn.query_id, e.vec_id, e.label,
+        |  list_dot_product(CAST(e.embedding AS DOUBLE[]), qn.qn)
+        |    / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |           CAST(e.embedding AS DOUBLE[]))) AS sim
+        |  FROM embeddings e CROSS JOIN qn WHERE e.vec_id <> qn.query_id),
+        |r AS (SELECT query_id, label,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+        |  FROM s),
+        |v AS (SELECT query_id, label, count(*) AS votes FROM r WHERE rn <= 10 GROUP BY 1, 2),
+        |wv AS (SELECT query_id, label AS pred_label, votes,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        |  FROM v)
+        |SELECT query_id, pred_label, votes FROM wv WHERE rn = 1
+        |ORDER BY query_id""".stripMargin,
+
     // independent NFC implementation (DuckDB's nfc_normalize vs JDK
     // java.text.Normalizer) — both implement UAX#15 canonical
     // composition, so lengths and content hashes must agree

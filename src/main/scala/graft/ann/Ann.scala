@@ -361,6 +361,70 @@ object Ann {
       graft.functions.MatVec(col(vecCol), jlSignMatrix(outDim, inDim, seed),
         math.sqrt(outDim.toDouble)).as("projected"))
 
+  /** k-NN neighbor lists for a BOUNDED query set in ONE corpus scan:
+    * the queries ride as a single L2-NORMALIZED matrix inside one
+    * codegen'd [[graft.functions.MatVec]] (out[q] = dot(v, q/|q|)), so
+    * the scan computes every query's dot product per row map-only; a
+    * posexplode + per-QUERY rank window (parallel across queries, no
+    * global sort) keeps the top k. cosine = out[q]/|v| with |v|
+    * computed once per row. Ties on sim break on neighbor id
+    * ascending — a total order, and every float op is IEEE-sequential
+    * (list_dot_product-reproducible), so the neighbor sets are
+    * engine-exact. Output: (query_id, rank, neighbor id, label…).
+    */
+  def knnNeighbors(corpus: DataFrame, vecCol: String, idCol: String,
+                   queries: Array[(Long, Array[Double])], k: Int,
+                   excludeSelf: Boolean = true,
+                   carryCols: Seq[String] = Seq.empty): DataFrame = {
+    require(queries.nonEmpty, "knnNeighbors: empty query set")
+    require(k > 0, s"k must be positive, got $k")
+    val qnorm = queries.map { case (_, q) =>
+      val n = math.sqrt(q.map(x => x * x).sum)
+      require(n > 0, "knnNeighbors: zero-norm query vector")
+      q.map(_ / n)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qIds = queries.zipWithIndex.map { case ((qid, _), i) => (i, qid) }
+      .toSeq.toDF("_qi", "query_id")
+    val scored = corpus
+      .withColumn("_dots", graft.functions.MatVec(col(vecCol), qnorm, 1.0))
+      .withColumn("_vn", norm(col(vecCol)))
+      .select(Seq(col(idCol), posexplode(col("_dots")).as(Seq("_qi", "_dot")),
+        col("_vn")) ++ carryCols.map(col): _*)
+      .withColumn("_sim", when(col("_vn") > 0, col("_dot") / col("_vn")))
+      .join(broadcast(qIds), Seq("_qi"))
+    val base = if (excludeSelf) scored.filter(col(idCol) =!= col("query_id"))
+               else scored
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_sim").desc_nulls_last, col(idCol).asc)
+    base.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(Seq(col("query_id"), col("rank"), col(idCol)) ++
+        carryCols.map(col) :+ col("_sim").as("sim"): _*)
+  }
+
+  /** k-NN LABEL assignment (the classic embedding-quality eval and
+    * pseudo-labeling step): majority vote over [[knnNeighbors]]'
+    * label column — vote ties break on the SMALLER label (total
+    * order). Output: (query_id, pred_label, votes).
+    */
+  def knnClassify(corpus: DataFrame, vecCol: String, idCol: String,
+                  labelCol: String, queries: Array[(Long, Array[Double])],
+                  k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val nb = knnNeighbors(corpus, vecCol, idCol, queries, k, excludeSelf,
+      carryCols = Seq(labelCol))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col(labelCol).asc)
+    nb.groupBy(col("query_id"), col(labelCol))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col(labelCol).as("pred_label"), col("votes"))
+  }
+
   def semanticContamination(corpus: DataFrame, vecCol: String, idCol: String,
                             bench: DataFrame, benchVecCol: String,
                             benchIdCol: String, threshold: Double,

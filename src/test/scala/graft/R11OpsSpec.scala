@@ -271,6 +271,47 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- D66 k-NN label assignment ----
+
+  test("knnClassify: majority label wins, vote ties take the smaller label, " +
+    "self excluded") {
+    // 2-d corpus: cluster A (label 1) near (1,0), cluster B (label 2)
+    // near (0,1); query 100 sits AT (1,0) and has label 2 itself — if
+    // self leaked into the vote, label 2 could win
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 1), (2L, Array(0.99f, 0.1f), 1), (3L, Array(0.98f, 0.2f), 1),
+      (4L, Array(0f, 1f), 2), (5L, Array(0.1f, 0.99f), 2),
+      (100L, Array(1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Array((100L, Array(1.0, 0.0)))
+    val got3 = Ann.knnClassify(corpus, "embedding", "vec_id", "label", q, k = 3)
+      .collect().head
+    assert(got3.getLong(0) == 100L && got3.getInt(1) == 1 && got3.getLong(2) == 3L)
+    // k=4: brings in one label-2 vote -> 3 vs 1, label 1 still wins
+    val got4 = Ann.knnClassify(corpus, "embedding", "vec_id", "label", q, k = 4)
+      .collect().head
+    assert(got4.getInt(1) == 1 && got4.getLong(2) == 3L)
+    // vote tie: k=2 over one of each -> smaller label wins
+    val tieCorpus = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(1f, 0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val tied = Ann.knnClassify(tieCorpus, "embedding", "vec_id", "label",
+      Array((99L, Array(1.0, 0.0))), k = 2)
+      .collect().head
+    assert(tied.getInt(1) == 3 && tied.getLong(2) == 1L)
+  }
+
+  test("knnNeighbors ranks by cosine with id tie-break and respects k") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val nb = Ann.knnNeighbors(corpus, "embedding", "vec_id",
+      Array((50L, Array(1.0, 0.0))), k = 2)
+      .select("rank", "vec_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+    // identical cosines 1.0 for ids 1,2 -> tie broken on id ascending
+    assert(nb.sorted.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
   test("randomProject output has outDim components and preserves exact duplicates") {
     val docs = Seq(
       (1L, Array.tabulate(16)(i => i.toFloat)),
