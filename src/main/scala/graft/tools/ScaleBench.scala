@@ -216,7 +216,52 @@ object ScaleBench {
           "text", "doc_id").count()),
       "d50_winnow" -> (() =>
         graft.dedup.Spans.winnowOverlapPairs(docs, "text", "doc_id",
-          k = 5, window = 4, minShared = 2).count()))
+          k = 5, window = 4, minShared = 2).count()),
+      // ---- r11 second wave: keywords (one token shuffle + per-doc
+      // rank), JS divergence (vocab-bounded full-outer join), map-only
+      // decontam/projection/bloom scans, mergeable sketches, kNN bank
+      "d60_keywords" -> (() =>
+        graft.text.Keywords.tfIdfKeywords(docs, "text", "doc_id", k = 3).count()),
+      "d61_js_div" -> (() =>
+        graft.text.TokenStats.jsDivergence(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "text", "doc_id").count()),
+      "d62_decontam" -> (() =>
+        Ann.semanticContamination(emb, "embedding", "vec_id",
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0), "embedding", "vec_id",
+          threshold = 0.9).count()),
+      "d63_jl_project" -> (() =>
+        Ann.randomProject(emb, "embedding", "vec_id", inDim = 64, outDim = 8)
+          .count()),
+      "d64_hll_merge" -> (() => {
+        val cols = Seq("doc_id", "lang", "source")
+        graft.profile.Profiler.mergeDistinctEstimates(Seq(
+          graft.profile.Profiler.distinctSketches(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), cols),
+          graft.profile.Profiler.distinctSketches(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 1), cols))).count()
+      }),
+      "d65_bloom_screen" -> (() => {
+        val store = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        val bits = graft.dedup.Bloom.buildFilter(store,
+          md5(col("text")), expectedItems = 1000000)
+        graft.dedup.Bloom.screenBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+            .withColumn("_k", md5(col("text"))), col("_k"), bits).count()
+      }),
+      "d66_knn" -> (() => {
+        val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id"), col("embedding")).orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        Ann.knnClassify(emb, "embedding", "vec_id", "label", queries, k = 10)
+          .count()
+      }),
+      "c23_nfc" -> (() =>
+        docs.select(md5(graft.corrector.Corrector.normalizeUnicode(col("text"))))
+          .count()),
+      "e2e_ingest" -> (() =>
+        graft.SparkEntry.queries("q_e2e_ingest")(spark, dir).count()))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory
