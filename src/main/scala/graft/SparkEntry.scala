@@ -734,6 +734,50 @@ object SparkEntry {
       graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
         .orderBy("source_a", "source_b")
     }),
+    // mergeable KLL quantile sketches (custom TypedImperativeAggregate):
+    // the two halves of lineitem sketched INDEPENDENTLY, merged via
+    // KllMergeAgg, quartiles extracted — certified a14-style against
+    // EXACT order statistics at rank q±3% over the union (KLL k=200
+    // two-sided rank error ~1.65%; the 3% margin makes the claim's
+    // failure probability negligible despite KLL's unseedable
+    // compaction randomness — sketch BYTES are never compared)
+    "q_d67_kll_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, d, "lineitem")
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val est = Profiler.mergeQuantileEstimates(Seq(
+        Profiler.quantileSketches(li.filter(col("l_orderkey") % 2 === 0), cols),
+        Profiler.quantileSketches(li.filter(col("l_orderkey") % 2 =!= 0), cols)),
+        Seq(0.25, 0.5, 0.75))
+      // rank bounds in PURE INTEGER arithmetic ((q±3%)·n as p·n DIV
+      // 100) — float literal arithmetic is engine-ambiguous here:
+      // DuckDB folds 0.25+0.03 as exact DECIMAL while Spark's doubles
+      // give 0.28000…0003, and ceil() flips a rank at the boundary
+      val qs = Seq(0.25, 0.5, 0.75)
+      val bounds = cols.map { c =>
+        val vals = graft.CacheScope.persist(
+          li.select(col(c).cast("double").as("v")).filter(col("v").isNotNull)
+            .withColumn("rn", row_number().over(Window.orderBy("v"))))
+        val n = vals.agg(count(lit(1)).as("n"))
+        qs.map { q =>
+          val loPct = math.round((q - 0.03) * 100).toInt
+          val hiPct = math.round((q + 0.03) * 100).toInt
+          val lo = vals.crossJoin(broadcast(n))
+            .filter(col("rn") === greatest(expr(s"($loPct * n) DIV 100"), lit(1L)))
+            .select(col("v").as("lo"))
+          val hi = vals.crossJoin(broadcast(n))
+            .filter(col("rn") === least(expr(s"($hiPct * n + 99) DIV 100"), col("n")))
+            .select(col("v").as("hi"))
+          lo.crossJoin(hi).select(lit(c).as("column"), lit(f"$q%.2f").as("q"),
+            round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+        }.reduce(_ unionByName _)
+      }.reduce(_ unionByName _)
+      bounds.join(est, Seq("column", "q"))
+        .select(col("column"), col("q"), col("lo"), col("hi"),
+          when(col("value").between(col("lo"), col("hi")), 1).otherwise(0)
+            .as("within"))
+        .orderBy("column", "q")
+    }),
     // the INGEST path composed end-to-end: bloom screen (claim: no
     // false negative corpus-wide) → exact dedup vs the store → span
     // staleness gate on the novel docs (≤50% stale 8-token spans) →
@@ -2349,6 +2393,39 @@ object SparkEntry {
     // no-false-negative Bloom claim are 1.0/0.0 verdicts the oracle
     // pins with literal 1.0 (the d7/d8 gate-row scheme — a violated
     // claim hash-mismatches)
+    // exact rank-bound order statistics over the UNION re-derived
+    // (the a14 scheme at eps=3%); the within claim is the 1.0/0.0
+    // verdict the sketch must satisfy — KLL randomness lives strictly
+    // inside the certified bound
+    "q_d67_kll_incremental" ->
+      """WITH v1 AS (SELECT CAST(l_quantity AS DOUBLE) AS v FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r1 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v1),
+        |n1 AS (SELECT count(*) AS n FROM v1),
+        |v2 AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r2 AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v2),
+        |n2 AS (SELECT count(*) AS n FROM v2)
+        |SELECT * FROM (
+        | SELECT 'l_quantity' AS "column", '0.25' AS q,
+        |  (SELECT round(v,4) FROM r1,n1 WHERE rn = greatest((22*n)//100,1)) AS lo,
+        |  (SELECT round(v,4) FROM r1,n1 WHERE rn = least((28*n+99)//100,n)) AS hi,
+        |  1 AS within
+        | UNION ALL SELECT 'l_quantity', '0.50',
+        |  (SELECT round(v,4) FROM r1,n1 WHERE rn = greatest((47*n)//100,1)),
+        |  (SELECT round(v,4) FROM r1,n1 WHERE rn = least((53*n+99)//100,n)), 1
+        | UNION ALL SELECT 'l_quantity', '0.75',
+        |  (SELECT round(v,4) FROM r1,n1 WHERE rn = greatest((72*n)//100,1)),
+        |  (SELECT round(v,4) FROM r1,n1 WHERE rn = least((78*n+99)//100,n)), 1
+        | UNION ALL SELECT 'l_extendedprice', '0.25',
+        |  (SELECT round(v,4) FROM r2,n2 WHERE rn = greatest((22*n)//100,1)),
+        |  (SELECT round(v,4) FROM r2,n2 WHERE rn = least((28*n+99)//100,n)), 1
+        | UNION ALL SELECT 'l_extendedprice', '0.50',
+        |  (SELECT round(v,4) FROM r2,n2 WHERE rn = greatest((47*n)//100,1)),
+        |  (SELECT round(v,4) FROM r2,n2 WHERE rn = least((53*n+99)//100,n)), 1
+        | UNION ALL SELECT 'l_extendedprice', '0.75',
+        |  (SELECT round(v,4) FROM r2,n2 WHERE rn = greatest((72*n)//100,1)),
+        |  (SELECT round(v,4) FROM r2,n2 WHERE rn = least((78*n+99)//100,n)), 1
+        |) ORDER BY "column", q""".stripMargin,
+
     // the ingest chain re-derived: store membership, span-staleness
     // windows (the d51 arithmetic), keep rule on the tie-safe 4-dp
     // fraction, per-language rollup; nfn_claim is the corpus-wide

@@ -249,6 +249,45 @@ object Profiler {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("distinct_est"))
   }
 
+  /** MERGEABLE per-column QUANTILE sketches (Apache DataSketches KLL
+    * via the custom [[graft.functions.KllSketchAgg]] Catalyst
+    * aggregate) — the quantile counterpart of [[distinctSketches]]:
+    * Spark's GK `approx_percentile` has no user-facing mergeable
+    * form, so "median over any union of ingest snapshots" would need
+    * a history re-scan; KLL sketches merge losslessly
+    * (~1.65% normalized rank error at k=200, certified by the
+    * `q_d67` gate against exact order statistics). Output: tall
+    * (column, sketch BINARY), one row per column, one scan.
+    */
+  def quantileSketches(df: DataFrame, cols: Seq[String],
+                       k: Int = 200): DataFrame = {
+    val perCol = cols.map(c =>
+      graft.functions.KllSketchAgg(col(c).cast(DoubleType), k).as(c))
+    df.agg(perCol.head, perCol.tail: _*)
+      .select(explode(map(
+        cols.flatMap(c => Seq(lit(c), col(c))).toIndexedSeq: _*))
+        .as(Seq("column", "sketch")))
+  }
+
+  /** Merge [[quantileSketches]] snapshot frames and extract
+    * `quantiles`: (column, q, value). One bounded groupBy over
+    * ≤ |snapshots|·|cols| sketch rows; no corpus re-scan.
+    */
+  def mergeQuantileEstimates(sketches: Seq[DataFrame],
+                             quantiles: Seq[Double],
+                             k: Int = 200): DataFrame = {
+    require(sketches.nonEmpty, "mergeQuantileEstimates: need >= 1 sketch frame")
+    require(quantiles.nonEmpty, "mergeQuantileEstimates: need >= 1 quantile")
+    val merged = sketches.reduce(_.unionByName(_))
+      .groupBy(col("column"))
+      .agg(graft.functions.KllMergeAgg(col("sketch"), k).as("_m"))
+    val qCols = quantiles.map(q => struct(
+      lit(f"$q%.2f").as("q"),
+      graft.functions.KllQuantile(col("_m"), q).as("value")))
+    merged.select(col("column"), explode(array(qCols: _*)).as("_e"))
+      .select(col("column"), col("_e.q").as("q"), col("_e.value").as("value"))
+  }
+
   /** Pearson correlation for each column pair, one scan. */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {

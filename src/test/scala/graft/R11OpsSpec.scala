@@ -242,6 +242,41 @@ class R11OpsSpec extends SparkSpec {
     assert(dup == whole)
   }
 
+  // ---- D67 mergeable KLL quantile sketches ----
+
+  test("quantileSketches merge: exact below compaction threshold, " +
+    "independent of the split") {
+    // n=100 per column < k=200: the sketch holds every value, so
+    // quantiles are exact order statistics — deterministic despite
+    // KLL's randomized compaction (which never engages here)
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, (101 - i).toDouble))
+      .toDF("id", "a", "b")
+    val cols = Seq("a", "b")
+    def est(parts: Seq[org.apache.spark.sql.DataFrame]) =
+      graft.profile.Profiler.mergeQuantileEstimates(
+        parts.map(p => graft.profile.Profiler.quantileSketches(p, cols)),
+        Seq(0.25, 0.5, 0.75))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val whole = est(Seq(df))
+    // DataSketches quantile (inclusive criterion): rank ceil(q*n)
+    assert(whole(("a", "0.25")) == 25.0 && whole(("a", "0.50")) == 50.0 &&
+      whole(("a", "0.75")) == 75.0)
+    assert(whole(("b", "0.50")) == 50.0)
+    val halves = est(Seq(df.filter(col("id") % 2 === 0), df.filter(col("id") % 2 =!= 0)))
+    assert(halves == whole)
+  }
+
+  test("KllQuantile on an empty sketch is null; KllSketchAgg skips nulls") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val sk = df.agg(graft.functions.KllSketchAgg(col("v"), 200).as("s"))
+    val q = sk.select(graft.functions.KllQuantile(col("s"), 0.5).as("m")).collect().head
+    assert(!q.isNullAt(0) && (q.getDouble(0) == 1.0 || q.getDouble(0) == 3.0))
+    val empty = df.filter(col("v") < 0)
+      .agg(graft.functions.KllSketchAgg(col("v"), 200).as("s"))
+      .select(graft.functions.KllQuantile(col("s"), 0.5)).collect().head
+    assert(empty.isNullAt(0))
+  }
+
   // ---- D65 Bloom ingest guard ----
 
   test("Bloom guard: every store member is flagged (no false negatives); " +
