@@ -734,6 +734,25 @@ object SparkEntry {
       graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
         .orderBy("source_a", "source_b")
     }),
+    // schema conformance: a "legacy" variant of events (narrowed id,
+    // stringly value, missing user_id, an extra column) conformed to
+    // the canonical target — widen-cast, parse-cast, typed null,
+    // drop; the oracle mirrors the cast chain on the DATA (round-trip
+    // double->varchar->double is identity in both engines)
+    "q_c24_conform" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val variant = t(s, d, "events").select(
+        col("event_id").cast("int").as("event_id"),
+        col("event_type"),
+        col("value").cast("string").as("value"),
+        col("props"),
+        lit("legacy").as("extra_tag"))
+      val target = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      graft.sources.Sources.conformSchema(variant, target).orderBy("event_id")
+    }),
     // mergeable KLL quantile sketches (custom TypedImperativeAggregate):
     // the two halves of lineitem sketched INDEPENDENTLY, merged via
     // KllMergeAgg, quartiles extracted — certified a14-style against
@@ -2393,6 +2412,12 @@ object SparkEntry {
     // no-false-negative Bloom claim are 1.0/0.0 verdicts the oracle
     // pins with literal 1.0 (the d7/d8 gate-row scheme — a violated
     // claim hash-mismatches)
+    "q_c24_conform" ->
+      """SELECT CAST(CAST(event_id AS INT) AS BIGINT) AS event_id,
+        |  CAST(NULL AS BIGINT) AS user_id, event_type,
+        |  CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+
     // exact rank-bound order statistics over the UNION re-derived
     // (the a14 scheme at eps=3%); the within claim is the 1.0/0.0
     // verdict the sketch must satisfy — KLL randomness lives strictly

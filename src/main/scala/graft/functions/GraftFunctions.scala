@@ -11,8 +11,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    at session build time (the standard extension mechanism);
   *  - [[GraftFunctions.register]] on an already-running session.
   */
+object UnicodeNormalizeBuilder {
+  /** `unicode_normalize(s[, form])` — form must be a foldable string
+    * literal (NFC default): the normalizer form is part of the plan,
+    * not per-row data.
+    */
+  def apply(children: Seq[Expression]): Expression = children match {
+    case Seq(c) => UnicodeNormalize(c, "NFC")
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(f, _)) if f != null =>
+      UnicodeNormalize(c, f.toString)
+    case _ => throw new IllegalArgumentException(
+      "unicode_normalize(col[, 'NFC'|'NFD'|'NFKC'|'NFKD']): form must be a string literal")
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => UnicodeNormalizeBuilder(children)))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
@@ -52,5 +70,8 @@ object GraftFunctions {
       spark, "luhn_valid", (children: Seq[Expression]) => LuhnValid(children.head))
     org.apache.spark.sql.graft.SqlBridge.registerFunction(
       spark, "iban_valid", (children: Seq[Expression]) => IbanValid(children.head))
+    org.apache.spark.sql.graft.SqlBridge.registerFunction(
+      spark, "unicode_normalize",
+      (children: Seq[Expression]) => UnicodeNormalizeBuilder(children))
   }
 }

@@ -75,6 +75,64 @@ object Sources {
     * (native `from_json` — codegen'd, no UDF), e.g.
     * `jsonField(col("props"), "k INT", "k")`.
     */
+  /** C24: conform an incoming batch to a TARGET schema — the
+    * schema-drift defense made first-class (the r10→r11 lesson: a
+    * physical-type flip in one column silently killed five queries
+    * until ingestion became type-adaptive). Per target field:
+    * present-and-same-type passes through; present-but-castable casts
+    * (when `allowCast`); missing arrives as a typed null. Extra
+    * columns drop (when `dropExtras`) — otherwise, and for any
+    * un-castable type, this FAILS AT PLAN TIME with the column name,
+    * never mid-job on executor 412. Output column order = target
+    * order. Name matching is exact (case-sensitive); normalize
+    * upstream if a source is case-sloppy.
+    */
+  def conformSchema(df: DataFrame, target: org.apache.spark.sql.types.StructType,
+                    allowCast: Boolean = true,
+                    dropExtras: Boolean = true): DataFrame = {
+    val present = df.schema.map(f => f.name -> f.dataType).toMap
+    val extras = df.columns.filterNot(target.fieldNames.contains)
+    if (!dropExtras && extras.nonEmpty)
+      throw new IllegalArgumentException(
+        s"conformSchema: unexpected columns ${extras.mkString(", ")} " +
+          "(dropExtras=false)")
+    val cols = target.fields.map { f =>
+      present.get(f.name) match {
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(dt) if allowCast &&
+            org.apache.spark.sql.catalyst.expressions.Cast.canCast(dt, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(dt) => throw new IllegalArgumentException(
+          s"conformSchema: column ${f.name} has type $dt, cannot conform to " +
+            s"${f.dataType}" + (if (allowCast) "" else " (allowCast=false)"))
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** The audit companion of [[conformSchema]]: one row per affected
+    * column — (column, action ∈ pass|cast|add_null|drop, from_type,
+    * to_type). Pure schema arithmetic (no data scan); log it with
+    * every ingest so drift is visible the batch it happens.
+    */
+  def conformReport(df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val present = df.schema.map(f => f.name -> f.dataType).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = target.fields.toSeq.map { f =>
+      present.get(f.name) match {
+        case Some(dt) if dt == f.dataType =>
+          (f.name, "pass", dt.simpleString, f.dataType.simpleString)
+        case Some(dt) => (f.name, "cast", dt.simpleString, f.dataType.simpleString)
+        case None => (f.name, "add_null", "", f.dataType.simpleString)
+      }
+    } ++ df.columns.filterNot(target.fieldNames.contains).toSeq.map { c =>
+      (c, "drop", present(c).simpleString, "")
+    }
+    rows.toDF("column", "action", "from_type", "to_type")
+  }
+
   def jsonField(c: Column, ddl: String, field: String): Column =
     from_json(c, org.apache.spark.sql.types.StructType.fromDDL(ddl)).getField(field)
 }

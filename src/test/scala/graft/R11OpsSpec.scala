@@ -242,6 +242,40 @@ class R11OpsSpec extends SparkSpec {
     assert(dup == whole)
   }
 
+  // ---- C24 schema conformance ----
+
+  test("conformSchema: pass/cast/add_null/drop; loud failures when disabled") {
+    import org.apache.spark.sql.types._
+    val df = Seq((1, "a", "2.5", "x")).toDF("id", "name", "score", "extra")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("added", IntegerType)))
+    val out = graft.sources.Sources.conformSchema(df, target)
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      target.map(f => (f.name, f.dataType)))
+    val row = out.collect().head
+    assert(row.getLong(0) == 1L && row.getString(1) == "a" &&
+      row.getDouble(2) == 2.5 && row.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      graft.sources.Sources.conformSchema(df, target, dropExtras = false)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Sources.conformSchema(df, target, allowCast = false)
+    }
+    val report = graft.sources.Sources.conformReport(df, target)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(report == Map("id" -> "cast", "name" -> "pass", "score" -> "cast",
+      "added" -> "add_null", "extra" -> "drop"))
+  }
+
+  test("unicode_normalize registers as a SQL function (literal form arg)") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT unicode_normalize('café'), unicode_normalize('ﬁle', 'NFKC')")
+      .collect().head
+    assert(got.getString(0) == "café" && got.getString(1) == "file")
+  }
+
   // ---- D67 mergeable KLL quantile sketches ----
 
   test("quantileSketches merge: exact below compaction threshold, " +
