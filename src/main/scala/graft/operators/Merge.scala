@@ -74,6 +74,15 @@ object Merge {
     * column — they are treated as upserts; the batch's `opCol` drives
     * deletes. Output column set = the batch's (store must be a
     * same-schema snapshot, minus the op column if the store lacks it).
+    *
+    * Tombstones are NOT retained: a winning delete removes the key
+    * from the snapshot entirely, so an OUT-OF-ORDER lower-versioned
+    * upsert arriving in a LATER batch would resurrect it. Incremental
+    * per-batch merging equals one-shot [[compactLatest]] over the full
+    * log exactly when batches arrive version-ordered per key (the
+    * normal CDC delivery contract — spec'd in R11OpsSpec); feeds that
+    * violate it should retain delete rows as explicit tombstone
+    * records instead of an opCol.
     */
   def mergeLatest(store: DataFrame, batch: DataFrame, keyCols: Seq[String],
                   versionCols: Seq[String],

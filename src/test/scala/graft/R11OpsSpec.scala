@@ -70,6 +70,42 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC upsert: foreachBatch mergeLatest converges to batch compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String, String)]
+    // the store is re-materialized per micro-batch (collect + recreate
+    // — the spec-scale stand-in for a parquet/Delta store rewrite)
+    var store = Seq.empty[(String, Long, String, String)]
+      .toDF("k", "ver", "payload", "op").filter(lit(false))
+    val q = mem.toDF().toDF("k", "ver", "payload", "op")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = graft.operators.Merge
+          .mergeLatest(store, batch, Seq("k"), Seq("ver"), Some("op"))
+          .collect().toSeq
+        store = spark.createDataFrame(
+          spark.sparkContext.parallelize(merged), store.schema)
+      }.start()
+    try {
+      mem.addData(("k1", 1L, "a", "U"), ("k2", 1L, "x", "U"))
+      q.processAllAvailable()
+      mem.addData(("k1", 2L, "b", "U"), ("k2", 2L, "y", "D"), ("k3", 1L, "z", "U"))
+      q.processAllAvailable()
+      val streamed = store.select("k", "ver", "payload")
+        .as[(String, Long, String)].collect().toSet
+      // the same change log compacted in ONE batch call
+      val allChanges = Seq(("k1", 1L, "a", "U"), ("k2", 1L, "x", "U"),
+        ("k1", 2L, "b", "U"), ("k2", 2L, "y", "D"), ("k3", 1L, "z", "U"))
+        .toDF("k", "ver", "payload", "op")
+      val batch = graft.operators.Merge
+        .compactLatest(allChanges, Seq("k"), Seq("ver"), Some("op"))
+        .select("k", "ver", "payload").as[(String, Long, String)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("k1", 2L, "b"), ("k3", 1L, "z")))
+    } finally q.stop()
+  }
+
   // ---- D60 tf-idf keywords ----
 
   test("tfIdfKeywords ranks rare terms above ubiquitous ones; scores match by hand") {
