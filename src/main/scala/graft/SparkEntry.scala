@@ -734,6 +734,25 @@ object SparkEntry {
       graft.dedup.Sketch.sourceOverlapMatrix(corpus, "text", "source")
         .orderBy("source_a", "source_b")
     }),
+    // markup stripping: every 6th doc gets wrapped in crawl-shaped
+    // HTML (tags, attributes, a script block, comments, entities) —
+    // the cleaning chain is mirrored regexp-for-regexp in DuckDB
+    // (RE2-portable patterns, no backreferences)
+    "q_d68_strip_markup" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .withColumn("text", when(col("doc_id") % 6 === 0,
+          concat(lit("<html><head><style>p{color:red}</style>"),
+            lit("<script type=\"text/javascript\">var x = 1 < 2;</script></head>"),
+            lit("<body><!-- nav --><div class=\"main\">"), col("text"),
+            lit(" &amp; more &lt;tags&gt; &quot;quoted&quot;</div></body></html>")))
+          .otherwise(col("text")))
+      docs.select(col("doc_id"),
+        length(col("text")).as("len_raw"),
+        length(graft.text.Boilerplate.stripMarkup(col("text"))).as("len_clean"),
+        substring(md5(graft.text.Boilerplate.stripMarkup(col("text"))), 1, 16)
+          .as("clean_hash"))
+        .orderBy("doc_id")
+    }),
     // schema conformance: a "legacy" variant of events (narrowed id,
     // stringly value, missing user_id, an extra column) conformed to
     // the canonical target — widen-cast, parse-cast, typed null,
@@ -2412,6 +2431,30 @@ object SparkEntry {
     // no-false-negative Bloom claim are 1.0/0.0 verdicts the oracle
     // pins with literal 1.0 (the d7/d8 gate-row scheme — a violated
     // claim hash-mismatches)
+    // the same rule chain, regexp-for-regexp (RE2 both sides):
+    // script/style with content first (their bodies may contain bare
+    // '<'), then comments, tags, entities (amp LAST), whitespace
+    "q_d68_strip_markup" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN
+        |    '<html><head><style>p{color:red}</style><script type="text/javascript">var x = 1 < 2;</script></head><body><!-- nav --><div class="main">'
+        |    || text || ' &amp; more &lt;tags&gt; &quot;quoted&quot;</div></body></html>'
+        |  ELSE text END AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT doc_id, text, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean FROM d)
+        |SELECT doc_id, length(text) AS len_raw, length(clean) AS len_clean,
+        |  substr(md5(clean), 1, 16) AS clean_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_c24_conform" ->
       """SELECT CAST(CAST(event_id AS INT) AS BIGINT) AS event_id,
         |  CAST(NULL AS BIGINT) AS user_id, event_type,

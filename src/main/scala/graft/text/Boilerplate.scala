@@ -30,6 +30,36 @@ object Boilerplate {
     * repeating its own line must not promote that line to corpus
     * boilerplate.
     */
+  /** Markup stripping (the C4/CommonCrawl "text extraction" repair in
+    * its rule-based form): script/style blocks removed WITH their
+    * content, remaining tags removed, the common HTML entities
+    * decoded (`&amp;` LAST, so `&amp;lt;` correctly yields `&lt;` and
+    * not `<`), whitespace collapsed. Entirely scan-local
+    * regexp_replace chains — map-only at any scale — and every
+    * pattern is RE2-portable (inline `(?is)` flags, non-greedy
+    * spans, NO backreferences), so an external SQL engine re-derives
+    * the cleaning byte-for-byte. A real extraction pipeline would
+    * parse HTML; this is the deterministic rule-based subset that
+    * handles the overwhelmingly common crawl shapes.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val ent = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&" // amp last — see scaladoc
+    ).foldLeft(noTags) { case (col0, (e, r)) =>
+      regexp_replace(col0, java.util.regex.Pattern.quote(e),
+        java.util.regex.Matcher.quoteReplacement(r))
+    }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  def stripMarkup(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, stripMarkup(col(column)))
+
   def lineDocFreq(df: DataFrame, textCol: String, idCol: String,
                   delim: String = "\n"): DataFrame =
     lines(df, textCol, idCol, delim)

@@ -145,6 +145,31 @@ class R11OpsSpec extends SparkSpec {
     assert(guard.collect().head.getDouble(0) == 0.5)
   }
 
+  // ---- D68 markup stripping ----
+
+  test("stripMarkup: script/style bodies removed whole, tags stripped, " +
+    "entities decoded in safe order") {
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "<script>if (a < b) { x(); }</script>keep"),   // bare '<' inside script
+      (3L, "<style>p { color: red }</style>text"),
+      (4L, "a &amp;lt; b"),                                // &amp;lt; -> &lt;  NOT '<'
+      (5L, "x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;y"),
+      (6L, "<!-- hidden -->shown"),
+      (7L, "no markup at all")
+    ).toDF("id", "s")
+    val got = df.select(col("id"),
+      graft.text.Boilerplate.stripMarkup(col("s")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "Hello world")
+    assert(got(2L) == "keep")
+    assert(got(3L) == "text")
+    assert(got(4L) == "a &lt; b")
+    assert(got(5L) == "x <tag> \"q\" 's' y")
+    assert(got(6L) == "shown")
+    assert(got(7L) == "no markup at all")
+  }
+
   // ---- D61 JS divergence ----
 
   test("jsDivergence: identical corpora diverge by 0, disjoint by ~ln 2, symmetric") {
