@@ -834,7 +834,9 @@ object SparkEntry {
       val flagged = screened
         .join(storeKeys.withColumn("_dup", lit(true)), Seq("_k"), "left")
         .withColumn("exact_dup", coalesce(col("_dup"), lit(false)))
-      val novel = flagged.filter(!col("exact_dup"))
+      // pinned: the novel frame feeds the span-staleness scoring AND
+      // the keep join (without it the screen + membership join re-run)
+      val novel = graft.CacheScope.persist(flagged.filter(!col("exact_dup")))
       val spanStats = graft.dedup.Spans.novelSpanStats(
         novel, store, "text", "doc_id", spanLen = 8)
       val kept = novel

@@ -50,10 +50,13 @@ object Keywords {
   def tfIdfKeywordsAndGuard(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 5): (DataFrame, DataFrame) = {
     require(k > 0, s"k must be positive, got $k")
-    val tf = df
+    // persisted: tf feeds BOTH the df_t rollup and the scoring join —
+    // without the pin the tokenize+explode+groupBy runs twice (the
+    // duplicatedSpanStats lesson, SURVEY r11)
+    val tf = graft.CacheScope.persist(df
       .select(col(idCol), explode(split(trim(col(textCol)), " +")).as("token"))
       .filter(length(col("token")) > 0)
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf")))
     // tf is distinct per (doc, token), so df_t is a plain row count;
     // bounded by the vocabulary, not the corpus
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))

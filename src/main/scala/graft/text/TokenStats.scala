@@ -234,10 +234,13 @@ object TokenStats {
                            idCol: String): (DataFrame, DataFrame) = {
     val ca = unigramCounts(a, textCol, idCol).withColumnRenamed("cnt", "_ac")
     val cb = unigramCounts(b, textCol, idCol).withColumnRenamed("cnt", "_bc")
-    val joined = ca.join(cb, Seq("token"), "full_outer")
+    // persisted: the joined vocab frame feeds the totals aggregate AND
+    // the term computation — without the pin both corpora tokenize
+    // twice (vocab-bounded cache, corpus-sized saving)
+    val joined = graft.CacheScope.persist(ca.join(cb, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("_ac"), lit(0L)).as("_ac"),
-        coalesce(col("_bc"), lit(0L)).as("_bc"))
+        coalesce(col("_bc"), lit(0L)).as("_bc")))
     val totals = joined.agg(sum(col("_ac")).as("_ta"), sum(col("_bc")).as("_tb"),
       count(lit(1)).as("_v"))
     val p = (col("_ac") + 1L).cast("double") / (col("_ta") + col("_v")).cast("double")
