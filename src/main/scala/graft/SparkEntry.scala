@@ -182,6 +182,18 @@ object SparkEntry {
     "q_a11_corr" -> ((s, d) => Profiler.correlationMatrix(
       t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
     "q_a12_histogram" -> ((s, d) => Profiler.histogram(t(s, d, "lineitem"), "l_quantity", 5.0)),
+    // robust outliers: every downstream value derives from the 4-dp
+    // ROUNDED quartiles via IEEE-exact ops only, so the verdict is
+    // engine-portable wherever the a3 quantile contract holds
+    "q_a17_outliers" -> ((s, d) => Profiler.outlierProfile(
+      t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice"))),
+    // functional-dependency profile: l_orderkey→l_returnflag holds or
+    // not per the data; l_partkey→l_suppkey is genuinely violated
+    "q_a18_fd" -> ((s, d) => Profiler.fdViolations(
+      t(s, d, "lineitem"), Seq(
+        ("l_orderkey", "l_returnflag"),
+        ("l_orderkey", "l_linestatus"),
+        ("l_partkey", "l_suppkey")))),
     // integral-valued columns: all E[x^k] sums stay exact in doubles,
     // so the higher moments are bit-identical across engines
     "q_a13_moments" -> ((s, d) =>
@@ -281,6 +293,28 @@ object SparkEntry {
         graft.functions.IntlChecksumExpr.ibanValid(col("iban")).as("iban_valid"))
         .orderBy("c_custkey")
     }),
+    // referential-integrity audit: lineitem->orders is naturally
+    // complete; orders->customer is doctored with orphan FKs (every
+    // 37th order shifted past the key space) and null FKs (every 53rd)
+    // so all three counters are non-trivial; coverage rounds tie-safe
+    // in integer space
+    "q_b19_ref_integrity" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 53 === 0, lit(null).cast("long"))
+            .when(col("o_orderkey") % 37 === 0, col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")))
+      Detector.referentialIntegrity(Seq(
+        ("lineitem->orders", t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders"), "o_orderkey"),
+        ("orders->customer", orders, "o_custkey",
+          t(s, d, "customer"), "c_custkey")))
+    }),
+    // Benford first-digit screen on order totals: per-digit observed
+    // share vs the literal log10(1+1/d) micro-table (no runtime
+    // transcendentals — the nine constants sum to exactly 1e6)
+    "q_b20_benford" -> ((s, d) =>
+      Detector.benfordDigits(t(s, d, "orders"), "o_totalprice")),
     "q_b14_domain" -> ((s, d) => t(s, d, "nation")
       .select(col("n_name"), Validators.inDomain(col("n_name"), Seq(
         "BRAZIL", "CANADA", "CHINA", "FRANCE", "GERMANY", "INDIA", "JAPAN",
@@ -1532,6 +1566,54 @@ object SparkEntry {
         .mkString("", " UNION ALL ", """ ORDER BY "column"""")
     },
 
+    // outlier profile re-derived: same rounded-quartile-first
+    // discipline — fences and MAD from the 4-dp statistics, verdicts
+    // via IEEE-exact arithmetic on them
+    "q_a17_outliers" -> {
+      Seq("l_quantity" -> "a", "l_extendedprice" -> "b").map { case (c, sfx) =>
+        s"""SELECT '$c' AS "column", count($c) AS cnt,
+           |  min(q1$sfx) AS q1, min(med$sfx) AS median, min(q3$sfx) AS q3,
+           |  min(round(q1$sfx - 1.5*(q3$sfx-q1$sfx), 5)) AS lo_fence,
+           |  min(round(q3$sfx + 1.5*(q3$sfx-q1$sfx), 5)) AS hi_fence,
+           |  min(mad$sfx) AS mad,
+           |  count(*) FILTER (WHERE $c < q1$sfx - 1.5*(q3$sfx-q1$sfx)
+           |    OR $c > q3$sfx + 1.5*(q3$sfx-q1$sfx)) AS iqr_outliers,
+           |  count(*) FILTER (WHERE abs($c - med$sfx)*0.6745 > 3.5*mad$sfx)
+           |    AS robust_outliers
+           |FROM lineitem, s, m""".stripMargin
+      }.mkString(
+        """WITH s AS (SELECT
+          |  round(quantile_cont(l_quantity, 0.25), 4) AS q1a,
+          |  round(quantile_cont(l_quantity, 0.5), 4) AS meda,
+          |  round(quantile_cont(l_quantity, 0.75), 4) AS q3a,
+          |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1b,
+          |  round(quantile_cont(l_extendedprice, 0.5), 4) AS medb,
+          |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3b
+          |  FROM lineitem),
+          |m AS (SELECT
+          |  round(quantile_cont(abs(l_quantity - meda), 0.5), 4) AS mada,
+          |  round(quantile_cont(abs(l_extendedprice - medb), 0.5), 4) AS madb
+          |  FROM lineitem, s)
+          |""".stripMargin, " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    // FD profile re-derived: per-determinant distinct-dependent counts
+    // (null dependent counts as one value), violation rollup
+    "q_a18_fd" -> {
+      Seq(("l_orderkey", "l_returnflag"), ("l_orderkey", "l_linestatus"),
+        ("l_partkey", "l_suppkey")).map { case (det, dep) =>
+        s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+           |  count(*) AS det_values,
+           |  count(*) FILTER (WHERE vals > 1) AS violating_values,
+           |  COALESCE(sum(rws) FILTER (WHERE vals > 1), 0) AS violating_rows,
+           |  count(*) FILTER (WHERE vals > 1) = 0 AS fd_holds
+           |FROM (SELECT $det, count(*) AS rws,
+           |  count(DISTINCT $dep)
+           |    + max(CASE WHEN $dep IS NULL THEN 1 ELSE 0 END) AS vals
+           |  FROM lineitem WHERE $det IS NOT NULL GROUP BY 1)""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY determinant, dependent")
+    },
+
     "q_a3_numeric_stats" -> {
       val cols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
       cols.map(c =>
@@ -1876,6 +1958,57 @@ object SparkEntry {
         |       'string_agg', ''), ''), ch -> TRY_CAST(ch AS BIGINT)),
         |     (a, x) -> (a * 10 + x) % 97) = 1) AS iban_valid
         |FROM c ORDER BY c_custkey""".stripMargin,
+
+    // FK audit re-derived: same doctoring, NOT-IN membership, tie-safe
+    // integer coverage rounding
+    "q_b19_ref_integrity" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 53 = 0 THEN NULL
+        |       WHEN o_orderkey % 37 = 0 THEN o_custkey + 10000000
+        |       ELSE o_custkey END AS fk FROM orders),
+        |r1 AS (SELECT 'orders->customer' AS relationship,
+        |  count(*) AS child_rows,
+        |  count(*) FILTER (WHERE fk IS NULL) AS null_fk_rows,
+        |  count(*) FILTER (WHERE fk IS NOT NULL
+        |    AND fk NOT IN (SELECT c_custkey FROM customer)) AS orphan_rows,
+        |  count(DISTINCT fk) FILTER (WHERE fk IS NOT NULL
+        |    AND fk NOT IN (SELECT c_custkey FROM customer)) AS orphan_keys
+        |  FROM o),
+        |r2 AS (SELECT 'lineitem->orders' AS relationship,
+        |  count(*) AS child_rows,
+        |  count(*) FILTER (WHERE l_orderkey IS NULL) AS null_fk_rows,
+        |  count(*) FILTER (WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_rows,
+        |  count(DISTINCT l_orderkey) FILTER (WHERE l_orderkey IS NOT NULL
+        |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_keys
+        |  FROM lineitem)
+        |SELECT relationship, child_rows, null_fk_rows, orphan_rows, orphan_keys,
+        |  ((2*(child_rows-null_fk_rows-orphan_rows)*10000 + greatest(child_rows,1))
+        |    // (2*greatest(child_rows,1))) / 100.0 AS coverage_pct
+        |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+        |ORDER BY relationship""".stripMargin,
+
+    // Benford re-derived: decimal-string first significant digit (the
+    // same engine-stable DECIMAL(18,2) cast), integer-space observed
+    // shares, literal micro expectation table
+    "q_b20_benford" ->
+      """WITH v AS (SELECT substr(regexp_replace(
+        |    CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |    '[^1-9]', '', 'g'), 1, 1) AS ds
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 0.005),
+        |g AS (SELECT CAST(ds AS INT) AS digit, count(*) AS obs_cnt FROM v
+        |  WHERE ds <> '' GROUP BY 1),
+        |n AS (SELECT sum(obs_cnt) AS n FROM g),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS t(digit, exp_micro))
+        |SELECT g.digit, obs_cnt,
+        |  (2*obs_cnt*1000000 + n) // (2*n) AS obs_micro,
+        |  CAST(exp_micro AS BIGINT) AS exp_micro,
+        |  abs((2*obs_cnt*1000000 + n) // (2*n) - exp_micro) AS dev_micro
+        |FROM g JOIN e ON g.digit = e.digit CROSS JOIN n
+        |ORDER BY g.digit""".stripMargin,
 
     "q_b13_taxnum" -> {
       val terms = (0 to 8).map { x =>

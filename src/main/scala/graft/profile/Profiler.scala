@@ -567,4 +567,115 @@ object Profiler {
     }
     (shape ++ nulls ++ numeric ++ corrs ++ strs, card)
   }
+
+  /** Robust outlier profile (SURVEY §2 A17): per numeric column, the
+    * two classic robust screens in one report —
+    *  - IQR fences: lo = Q1 − k·IQR, hi = Q3 + k·IQR (Tukey k = 1.5)
+    *  - modified z-score: |v − median|·0.6745 > 3.5·MAD
+    *    (Iglewicz–Hoaglin; 0.6745 = Φ⁻¹(0.75) as a LITERAL, never
+    *    computed at runtime)
+    *
+    * Engine-portability by construction: quartiles/median round to
+    * 4 dp FIRST and every downstream value (fences, MAD deviations,
+    * classifications) derives from the ROUNDED statistics with only
+    * +,−,×,comparison — IEEE-754 binary64 ops with bit-defined
+    * results, so two engines that agree on the 4-dp quartiles (the
+    * a3-proven contract) agree on every outlier verdict. Nothing
+    * downstream touches the unrounded interpolated quantile.
+    *
+    * Cost shape: THREE full scans regardless of column count (one
+    * array-percentile agg for all quartiles; one MAD agg against the
+    * broadcast one-row stats frame; one counting agg) — the exact
+    * certification flavor, like a14. The 100 TB production path is the
+    * mergeable-KLL profile (D67 `quantileSketches`): sketch once,
+    * derive fences from certified-±ε quantiles, then ONE counting
+    * scan.
+    */
+  def outlierProfile(df: DataFrame, cols: Seq[String],
+                     iqrK: Double = 1.5, madZ: Double = 3.5): DataFrame = {
+    // pass 1: quartiles + medians for all columns in ONE aggregate
+    // (the three fields per column reference the same array-percentile
+    // aggregate, which Catalyst dedupes to a single buffer — the
+    // numericStats pattern)
+    val qAggs = cols.flatMap { c =>
+      val v = col(c).cast(DoubleType)
+      val qArr = percentile(v, array(lit(0.25), lit(0.5), lit(0.75)))
+      Seq(
+        round(element_at(qArr, 1), 4).as(s"_q1_$c"),
+        round(element_at(qArr, 2), 4).as(s"_med_$c"),
+        round(element_at(qArr, 3), 4).as(s"_q3_$c"))
+    }
+    val stats = df.agg(qAggs.head, qAggs.tail.toIndexedSeq: _*)
+    // pass 2: MAD per column from the ROUNDED median (broadcast 1-row)
+    val withStats = df.crossJoin(broadcast(stats))
+    val madAggs = cols.map { c =>
+      val v = col(c).cast(DoubleType)
+      round(percentile(abs(v - col(s"_med_$c")), lit(0.5)), 4).as(s"_mad_$c")
+    }
+    val mads = withStats.agg(madAggs.head, madAggs.tail: _*)
+    // pass 3: counts against fences derived from rounded stats only
+    val withAll = withStats.crossJoin(broadcast(mads))
+    val cntStructs = cols.map { c =>
+      val v = col(c).cast(DoubleType)
+      val q1 = col(s"_q1_$c"); val q3 = col(s"_q3_$c")
+      val med = col(s"_med_$c"); val mad = col(s"_mad_$c")
+      val lo = q1 - (q3 - q1) * iqrK
+      val hi = q3 + (q3 - q1) * iqrK
+      struct(
+        lit(c).as("column"),
+        count(v).as("cnt"),
+        first(q1).as("q1"), first(med).as("median"), first(q3).as("q3"),
+        // fences display at FIVE dp: they are exact 5-dp decimals
+        // (4-dp quartile ± 1.5×4-dp IQR), so a 4-dp re-round would sit
+        // exactly on the .00005 boundary about half the time — the one
+        // place Spark's decimal-string rounding and a binary-double
+        // rounder systematically disagree (observed at sf0.1)
+        first(round(lo, 5)).as("lo_fence"),
+        first(round(hi, 5)).as("hi_fence"),
+        first(mad).as("mad"),
+        count(when(v < lo || v > hi, 1)).as("iqr_outliers"),
+        count(when(abs(v - med) * 0.6745 > mad * madZ, 1))
+          .as("robust_outliers"))
+    }
+    withAll.agg(array(cntStructs.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select("c.*")
+      .orderBy("column")
+  }
+
+  /** Functional-dependency violation profile (SURVEY §2 A18): for
+    * each declared `determinant → dependent` pair, does every
+    * determinant value map to at most one dependent value? Reports
+    * determinant cardinality, # violating determinant values, # rows
+    * under violating values, and the verdict — the profiling step
+    * before trusting a column as a lookup key or de-normalizing.
+    *
+    * Scale shape: ONE map-side-combined groupBy per pair on
+    * (determinant, dependent) — pair-distinct counts collapse before
+    * the exchange — then a ≤|distinct det| second agg. Null
+    * determinants are excluded (SQL FD semantics); null dependents
+    * count as a value (a det mapping to both NULL and 'x' violates).
+    */
+  def fdViolations(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    val reports = deps.map { case (det, dep) =>
+      df.filter(col(det).isNotNull)
+        .groupBy(col(det).as("_det"))
+        .agg(count(lit(1)).as("_rows"),
+          // exact distinct-with-null: count distinct non-null values
+          // plus 1 if any null dependent appears under this det
+          (countDistinct(col(dep)) +
+            max(when(col(dep).isNull, 1).otherwise(0))).as("_vals"))
+        .agg(
+          count(lit(1)).as("det_values"),
+          count(when(col("_vals") > 1, 1)).as("violating_values"),
+          coalesce(sum(when(col("_vals") > 1, col("_rows"))), lit(0L))
+            .as("violating_rows"))
+        .select(
+          lit(det).as("determinant"),
+          lit(dep).as("dependent"),
+          col("det_values"), col("violating_values"), col("violating_rows"),
+          (col("violating_values") === 0).as("fd_holds"))
+    }
+    reports.reduce(_ unionByName _).orderBy("determinant", "dependent")
+  }
 }

@@ -108,6 +108,110 @@ object Detector {
       .withColumn("delta", round(col("after_score") - col("before_score"), 2))
       .orderBy("column")
 
+  /** Referential-integrity audit (SURVEY §2 B19): for each declared
+    * foreign-key relationship `(childName, child, fkCol, parent,
+    * pkCol)`, one report row — child rows, null FKs, orphan rows
+    * (non-null FK with no parent), distinct orphan keys, and coverage
+    * percent. The classic DQ check a profiling tool runs before
+    * trusting a join.
+    *
+    * Scale shape: per relationship, ONE map-side-combined groupBy on
+    * the FK (≤ |distinct fk| rows cross the exchange, not the child
+    * table) and ONE join against the distinct parent keys — Spark
+    * broadcasts the parent side when it is small (dimension tables)
+    * and sort-merges otherwise; the child table itself is never
+    * re-shuffled. Coverage rounds in integer space (the repo's
+    * tie-safe `(2a+b) DIV 2b` rule) so both engines emit the same
+    * 2-dp value.
+    */
+  def referentialIntegrity(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    val reports = rels.map { case (name, child, fkCol, parent, pkCol) =>
+      val fkCounts = child
+        .groupBy(col(fkCol).as("_fk"))
+        .agg(count(lit(1)).as("_cnt"))
+      val pk = parent.select(col(pkCol).as("_fk")).distinct()
+        .withColumn("_present", lit(1))
+      fkCounts.join(pk, Seq("_fk"), "left")
+        .agg(
+          sum(col("_cnt")).as("child_rows"),
+          sum(when(col("_fk").isNull, col("_cnt")).otherwise(lit(0L)))
+            .as("null_fk_rows"),
+          sum(when(col("_fk").isNotNull && col("_present").isNull, col("_cnt"))
+            .otherwise(lit(0L))).as("orphan_rows"),
+          count(when(col("_fk").isNotNull && col("_present").isNull, lit(1)))
+            .as("orphan_keys"))
+        .select(
+          lit(name).as("relationship"),
+          coalesce(col("child_rows"), lit(0L)).as("child_rows"),
+          coalesce(col("null_fk_rows"), lit(0L)).as("null_fk_rows"),
+          coalesce(col("orphan_rows"), lit(0L)).as("orphan_rows"),
+          col("orphan_keys"),
+          (expr("(2*(child_rows - null_fk_rows - orphan_rows)*10000" +
+            " + greatest(child_rows, 1L))" +
+            " DIV (2*greatest(child_rows, 1L))") / 100.0).as("coverage_pct"))
+    }
+    reports.reduce(_ unionByName _).orderBy("relationship")
+  }
+
+  /** Orphan sample for one relationship: the child rows whose non-null
+    * FK has no parent — the drill-down after [[referentialIntegrity]]
+    * flags a relationship. Plain left-anti join; Spark picks
+    * broadcast/SMJ by parent size.
+    */
+  def orphanRows(child: DataFrame, fkCol: String,
+                 parent: DataFrame, pkCol: String): DataFrame =
+    child.filter(col(fkCol).isNotNull)
+      .join(parent.select(col(pkCol).as(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+
+  /** Benford first-significant-digit conformance (SURVEY §2 B20) —
+    * the classic fabricated-numbers screen for financial columns:
+    * naturally-occurring multi-magnitude amounts follow
+    * P(d) = log10(1+1/d); uniform or invented ones don't.
+    *
+    * Output: one row per leading digit 1-9 with observed count, the
+    * observed share and the Benford expectation in integer
+    * MICRO-units, and the absolute deviation. Engine-portable by
+    * construction: the expectation table is a LITERAL (the nine
+    * log10(1+1/d) values pre-quantized to micro, summing to exactly
+    * 1e6 — no runtime transcendentals), and the observed share rounds
+    * in integer space. The leading digit is extracted from the
+    * DECIMAL(18,2) string form (cast first — double→string rendering
+    * is engine-specific, decimal→string is not), so a value like
+    * 0.07 yields first significant digit 7.
+    *
+    * Scale shape: scan-local digit extraction, one 9-group
+    * map-side-combined groupBy — nothing else crosses the exchange.
+    */
+  def benfordDigits(df: DataFrame, column: String): DataFrame = {
+    // log10(1+1/d) in micro-units; literals, so both engines agree
+    val expMicro = Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+      8 -> 51153L, 9 -> 45757L)
+    val digitStr = substring(regexp_replace(
+      abs(col(column)).cast("decimal(18,2)").cast("string"),
+      "[^1-9]", ""), 1, 1)
+    val expCol = expMicro.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, m)) => when(col("digit") === d, lit(m)).otherwise(acc)
+    }
+    df.filter(col(column).isNotNull && abs(col(column)) >= 0.005)
+      .select(digitStr.cast("int").as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy("digit").agg(count(lit(1)).as("obs_cnt"))
+      // global window over the ≤9-row GROUPED frame (deliberate: only
+      // nine digit rows cross into the single window partition — a
+      // crossJoin'd total agg would re-scan the table instead)
+      .withColumn("_n", sum(col("obs_cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(
+        col("digit"), col("obs_cnt"),
+        expr("(2*obs_cnt*1000000 + _n) DIV (2*_n)").as("obs_micro"),
+        expCol.as("exp_micro"))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+      .orderBy("digit")
+  }
+
   /** Before/after comparison in ONE scan: when the repair is
     * expressible as per-row Column transforms (`repairs`), the
     * "after" metrics are computed from the repaired expression inside

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.profile.Profiler
+import graft.quality.Detector
+
+/** r11 wave-3 operators: referential integrity (B19), Benford digits
+  * (B20), robust outliers (A17), functional dependencies (A18).
+  */
+class Wave3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("referentialIntegrity counts orphans, nulls, and tie-safe coverage") {
+    val child = Seq(Some(1), Some(1), Some(2), None, Some(5)).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val r = Detector.referentialIntegrity(
+      Seq(("c->p", child, "fk", parent, "pk"))).collect()(0)
+    assert(r.getAs[Long]("child_rows") == 5)
+    assert(r.getAs[Long]("null_fk_rows") == 1)
+    assert(r.getAs[Long]("orphan_rows") == 1)
+    assert(r.getAs[Long]("orphan_keys") == 1)
+    assert(r.getAs[Double]("coverage_pct") == 60.0)
+  }
+
+  test("referentialIntegrity: full coverage and empty child") {
+    val child = Seq(1, 2).toDF("fk")
+    val parent = Seq(1, 2).toDF("pk")
+    val r = Detector.referentialIntegrity(
+      Seq(("ok", child, "fk", parent, "pk"))).collect()(0)
+    assert(r.getAs[Long]("orphan_rows") == 0)
+    assert(r.getAs[Double]("coverage_pct") == 100.0)
+    val e = Detector.referentialIntegrity(
+      Seq(("empty", child.filter(lit(false)), "fk", parent, "pk"))).collect()(0)
+    assert(e.getAs[Long]("child_rows") == 0)
+    assert(e.getAs[Double]("coverage_pct") == 0.0)
+  }
+
+  test("orphanRows returns exactly the unparented child rows") {
+    val child = Seq(Some(1), Some(9), None).toDF("fk")
+    val parent = Seq(1).toDF("pk")
+    val o = Detector.orphanRows(child, "fk", parent, "pk").collect()
+    assert(o.map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("benfordDigits extracts first significant digits and micro shares") {
+    val df = Seq(Some(1.0), Some(19.9), Some(2.5), Some(0.07), Some(-3.2),
+      Some(0.004), None).toDF("v")
+    val rows = Detector.benfordDigits(df, "v").collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byDigit.keySet == Set(1, 2, 3, 7))
+    assert(byDigit(1).getAs[Long]("obs_cnt") == 2) // 1.0 and 19.9
+    assert(byDigit(7).getAs[Long]("obs_cnt") == 1) // 0.07 -> digit 7
+    assert(byDigit(1).getAs[Long]("obs_micro") == 400000L) // 2/5 tie-safe
+    assert(byDigit(1).getAs[Long]("exp_micro") == 301030L)
+    assert(byDigit(1).getAs[Long]("dev_micro") == 98970L)
+  }
+
+  test("benford expectation table sums to exactly 1e6 micro") {
+    val df = Seq(1.0, 22.0, 33.0, 44.0, 55.0, 66.0, 77.0, 88.0, 99.0).toDF("v")
+    val rows = Detector.benfordDigits(df, "v").collect()
+    assert(rows.map(_.getAs[Long]("exp_micro")).sum == 1000000L)
+  }
+
+  test("outlierProfile: IQR fences and modified z-score from rounded stats") {
+    val df = ((1 to 10).map(_.toDouble) :+ 100.0).toDF("v")
+    val r = Profiler.outlierProfile(df, Seq("v")).collect()(0)
+    assert(r.getAs[Double]("q1") == 3.5)
+    assert(r.getAs[Double]("median") == 6.0)
+    assert(r.getAs[Double]("q3") == 8.5)
+    assert(r.getAs[Double]("lo_fence") == -4.0)
+    assert(r.getAs[Double]("hi_fence") == 16.0)
+    assert(r.getAs[Double]("mad") == 3.0)
+    assert(r.getAs[Long]("iqr_outliers") == 1)    // 100
+    assert(r.getAs[Long]("robust_outliers") == 1) // |100-6|*0.6745 > 10.5
+  }
+
+  test("outlierProfile: clean uniform data has no outliers; nulls ignored") {
+    val df = (1 to 100).map(i => if (i % 10 == 0) None else Some(i.toDouble))
+      .toDF("v")
+    val r = Profiler.outlierProfile(df, Seq("v")).collect()(0)
+    assert(r.getAs[Long]("cnt") == 90)
+    assert(r.getAs[Long]("iqr_outliers") == 0)
+    assert(r.getAs[Long]("robust_outliers") == 0)
+  }
+
+  test("fdViolations: null dependent counts as a value, null det excluded") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
+      (Some(2), Some("b")), (Some(3), None: Option[String]),
+      (Some(3), Some("c")), (None: Option[Int], Some("x")))
+      .toDF("det", "dep")
+    val r = Profiler.fdViolations(df, Seq(("det", "dep"))).collect()(0)
+    assert(r.getAs[Long]("det_values") == 3)
+    assert(r.getAs[Long]("violating_values") == 2) // det=2 (a,b), det=3 (null,c)
+    assert(r.getAs[Long]("violating_rows") == 4)
+    assert(!r.getAs[Boolean]("fd_holds"))
+  }
+
+  test("fdViolations: a held dependency reports fd_holds") {
+    val df = Seq((1, "x"), (1, "x"), (2, "y")).toDF("det", "dep")
+    val r = Profiler.fdViolations(df, Seq(("det", "dep"))).collect()(0)
+    assert(r.getAs[Long]("violating_values") == 0)
+    assert(r.getAs[Boolean]("fd_holds"))
+  }
+}
