@@ -367,6 +367,31 @@ object SparkEntry {
     // plan is ONE map-side-combined max(struct) aggregate (no window
     // sort); the oracle is the textbook row_number formulation — two
     // different plans, same semantics
+    // multi-format date repair: order dates rendered into five
+    // formats by key class (every 17th corrupted), re-parsed by the
+    // first-match rule; epoch_day avoids engine timestamp rendering
+    "q_c25_date_parse" -> ((s, d) => {
+      val fmts = Seq("yyyy-MM-dd", "dd/MM/yyyy", "MM-dd-yyyy",
+        "yyyyMMdd", "dd.MM.yyyy")
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+        .withColumn("raw",
+          when(col("o_orderkey") % 17 === 0, lit("not-a-date"))
+            .when(col("o_orderkey") % 5 === 0,
+              date_format(col("o_orderdate"), "yyyy-MM-dd"))
+            .when(col("o_orderkey") % 5 === 1,
+              date_format(col("o_orderdate"), "dd/MM/yyyy"))
+            .when(col("o_orderkey") % 5 === 2,
+              date_format(col("o_orderdate"), "MM-dd-yyyy"))
+            .when(col("o_orderkey") % 5 === 3,
+              date_format(col("o_orderdate"), "yyyyMMdd"))
+            .otherwise(date_format(col("o_orderdate"), "dd.MM.yyyy")))
+      Corrector.parseDatesMulti(o, "raw", fmts)
+        .select(col("o_orderkey"), col("raw"),
+          datediff(col("parsed_ts").cast("date"),
+            lit("1970-01-01").cast("date")).as("epoch_day"),
+          col("parsed_ts_format").as("fmt"))
+        .orderBy("o_orderkey")
+    }),
     "q_c22_merge" -> ((s, d) => {
       val ev0 = t(s, d, "events")
       val changes = ev0.select(
@@ -2094,6 +2119,33 @@ object SparkEntry {
     // latest-wins re-derived as the window formulation: rank by the
     // SAME total order Spark's max(struct) compares (version cols then
     // remaining payload in frame order), keep rn=1, drop winner deletes
+    // the same render→first-match-parse chain via strftime /
+    // try_strptime; the five patterns are mutually exclusive by
+    // separator, so first-match is order-independent here
+    "q_c25_date_parse" ->
+      """WITH r AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 17 = 0 THEN 'not-a-date'
+        |       WHEN o_orderkey % 5 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |       WHEN o_orderkey % 5 = 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+        |       WHEN o_orderkey % 5 = 2 THEN strftime(o_orderdate, '%m-%d-%Y')
+        |       WHEN o_orderkey % 5 = 3 THEN strftime(o_orderdate, '%Y%m%d')
+        |       ELSE strftime(o_orderdate, '%d.%m.%Y') END AS raw
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |p AS (SELECT o_orderkey, raw,
+        |  COALESCE(try_strptime(raw, '%Y-%m-%d'), try_strptime(raw, '%d/%m/%Y'),
+        |    try_strptime(raw, '%m-%d-%Y'), try_strptime(raw, '%Y%m%d'),
+        |    try_strptime(raw, '%d.%m.%Y')) AS ts,
+        |  CASE WHEN try_strptime(raw, '%Y-%m-%d') IS NOT NULL THEN 'yyyy-MM-dd'
+        |       WHEN try_strptime(raw, '%d/%m/%Y') IS NOT NULL THEN 'dd/MM/yyyy'
+        |       WHEN try_strptime(raw, '%m-%d-%Y') IS NOT NULL THEN 'MM-dd-yyyy'
+        |       WHEN try_strptime(raw, '%Y%m%d') IS NOT NULL THEN 'yyyyMMdd'
+        |       WHEN try_strptime(raw, '%d.%m.%Y') IS NOT NULL THEN 'dd.MM.yyyy'
+        |       END AS fmt FROM r)
+        |SELECT o_orderkey, raw,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT)
+        |    AS epoch_day, fmt
+        |FROM p ORDER BY o_orderkey""".stripMargin,
+
     "q_c22_merge" ->
       """WITH c AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
         |  event_id, value,

@@ -116,6 +116,45 @@ object Corrector {
   def reorder(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col).toIndexedSeq: _*)
 
+  /** Multi-format date parsing repair (SURVEY §2 C25 — the engine
+    * form of the reference's "Convert to date" repair, home.py's cast
+    * menu, made format-robust): a string date column parsed by the
+    * FIRST matching pattern from a caller-ordered candidate list.
+    * Adds `out` (TimestampType; null when nothing matches) and
+    * `out_format` (the winning pattern; null when unparsed).
+    *
+    * Entirely scan-local `try_to_timestamp` chains — strict
+    * CORRECTED-parser semantics, so a pattern either fully matches or
+    * yields null (no partial/lenient parses), which is what makes the
+    * first-match rule deterministic. Mutually-exclusive pattern lists
+    * (distinct separators) make the priority order irrelevant;
+    * ambiguous lists (dd/MM vs MM/dd) resolve by caller order —
+    * that's a POLICY input, not something the engine can infer.
+    */
+  def parseDatesMulti(df: DataFrame, column: String, formats: Seq[String],
+                      out: String = "parsed_ts"): DataFrame = {
+    require(formats.nonEmpty, "parseDatesMulti: empty format list")
+    val c = col(column)
+    val parsed = coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+    val fmt = formats.reverse.foldLeft(lit(null).cast("string")) { (acc, f) =>
+      when(try_to_timestamp(c, lit(f)).isNotNull, lit(f)).otherwise(acc)
+    }
+    df.withColumn(out, parsed).withColumn(s"${out}_format", fmt)
+  }
+
+  /** Per-format parse census for [[parseDatesMulti]]'s candidate
+    * list: how many rows each pattern wins (first-match rule), plus
+    * `(unparsed)` — the report that tells you which format a legacy
+    * extract actually uses before you repair it. One map-side-combined
+    * groupBy over ≤ |formats|+1 groups.
+    */
+  def dateFormatReport(df: DataFrame, column: String,
+                       formats: Seq[String]): DataFrame =
+    parseDatesMulti(df, column, formats, "_p")
+      .groupBy(coalesce(col("_p_format"), lit("(unparsed)")).as("format"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("format"))
+
   /** Sinks (downloader.py equivalent — distributed writers, not a
     * driver-side XLSX export).
     */

@@ -96,6 +96,43 @@ class Wave3Spec extends SparkSpec {
     assert(!r.getAs[Boolean]("fd_holds"))
   }
 
+  test("parseDatesMulti: first matching format wins; no match -> null") {
+    val df = Seq("2023-05-03", "31/12/1999", "05-20-2001", "19970806",
+      "24.12.2020", "junk", "2023-13-03").toDF("raw")
+    val fmts = Seq("yyyy-MM-dd", "dd/MM/yyyy", "MM-dd-yyyy", "yyyyMMdd",
+      "dd.MM.yyyy")
+    val r = graft.corrector.Corrector.parseDatesMulti(df, "raw", fmts)
+      .select(col("raw"), col("parsed_ts").cast("date").cast("string"),
+        col("parsed_ts_format"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2)))
+    assert(r.contains(("2023-05-03", "2023-05-03", "yyyy-MM-dd")))
+    assert(r.contains(("31/12/1999", "1999-12-31", "dd/MM/yyyy")))
+    assert(r.contains(("05-20-2001", "2001-05-20", "MM-dd-yyyy")))
+    assert(r.contains(("19970806", "1997-08-06", "yyyyMMdd")))
+    assert(r.contains(("24.12.2020", "2020-12-24", "dd.MM.yyyy")))
+    assert(r.contains(("junk", null, null)))
+    assert(r.contains(("2023-13-03", null, null))) // month 13: strict parse
+  }
+
+  test("parseDatesMulti: ambiguous value resolves by caller priority order") {
+    val df = Seq("01/02/2000").toDF("raw")
+    val ddFirst = graft.corrector.Corrector.parseDatesMulti(
+      df, "raw", Seq("dd/MM/yyyy", "MM/dd/yyyy"))
+      .select(col("parsed_ts").cast("date").cast("string")).collect()(0).getString(0)
+    val mmFirst = graft.corrector.Corrector.parseDatesMulti(
+      df, "raw", Seq("MM/dd/yyyy", "dd/MM/yyyy"))
+      .select(col("parsed_ts").cast("date").cast("string")).collect()(0).getString(0)
+    assert(ddFirst == "2000-02-01" && mmFirst == "2000-01-02")
+  }
+
+  test("dateFormatReport censuses winning formats and unparsed rows") {
+    val df = Seq("2020-01-01", "2020-01-02", "02/03/2020", "nope").toDF("raw")
+    val m = graft.corrector.Corrector.dateFormatReport(
+      df, "raw", Seq("yyyy-MM-dd", "dd/MM/yyyy")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("cnt")).toMap
+    assert(m == Map("yyyy-MM-dd" -> 2L, "dd/MM/yyyy" -> 1L, "(unparsed)" -> 1L))
+  }
+
   test("fdViolations: a held dependency reports fd_holds") {
     val df = Seq((1, "x"), (1, "x"), (2, "y")).toDF("det", "dep")
     val r = Profiler.fdViolations(df, Seq(("det", "dep"))).collect()(0)
