@@ -963,6 +963,22 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // mergeable frequent-items sketch: token streams of the two
+    // document halves sketched INDEPENDENTLY (M=64), merged — the
+    // 31-token vocabulary stays below the 0.75·M purge threshold, so
+    // est/lb/ub are EXACT and max_error = 0 (the d64
+    // exact-in-sparse-range scheme; purge-path bounds are spec-pinned)
+    "q_d69_freq_items" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def toks(half: DataFrame) = half
+        .select(explode(split(trim(col("text")), " +")).as("token"))
+        .filter(length(col("token")) > 0)
+      val m = 64
+      Profiler.mergeFrequentItems(Seq(
+        Profiler.frequencySketch(toks(docs.filter(col("doc_id") % 2 === 0)), "token", m),
+        Profiler.frequencySketch(toks(docs.filter(col("doc_id") % 2 =!= 0)), "token", m)),
+        m).orderBy("item")
+    }),
     // Bloom ingest guard: batch (doc_id%3==1) screened against the
     // store's (doc_id%3==0) content-hash filter — exact_dup is
     // oracle-recomputed membership; the claim row per doc pins the
@@ -2759,6 +2775,20 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // exact-range certification: under no purge the sketch returns
+    // the exact multiset counts, so est = lb = ub = exact and
+    // max_error = 0 — all oracle-recomputable
+    "q_d69_freq_items" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS t
+        |  FROM documents),
+        |g AS (SELECT t AS item, count(*) AS est FROM tok
+        |  WHERE length(t) > 0 GROUP BY 1),
+        |n AS (SELECT sum(est) AS sl FROM g)
+        |SELECT item, est, est AS lb, est AS ub,
+        |  CAST(0 AS BIGINT) AS max_error,
+        |  CAST(sl AS BIGINT) AS stream_length
+        |FROM g CROSS JOIN n ORDER BY item""".stripMargin,
 
     "q_d65_bloom_guard" ->
       """WITH st AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0),

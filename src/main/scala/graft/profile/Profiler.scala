@@ -288,6 +288,44 @@ object Profiler {
       .select(col("column"), col("_e.q").as("q"), col("_e.value").as("value"))
   }
 
+  /** MERGEABLE frequent-items (heavy hitters) sketch for a string
+    * column (DataSketches ItemsSketch via the custom
+    * [[graft.functions.FreqSketchAgg]] Catalyst aggregate — SURVEY §2
+    * D69): the top-k counterpart of [[distinctSketches]] (HLL, D64)
+    * and [[quantileSketches]] (KLL, D67). Sketch each ingest batch
+    * once (≤ maxMapSize counters, partial-merge capable like any
+    * builtin agg); answer "dominant values over any union of
+    * snapshots" later with NO history re-scan. Output: one row
+    * (sketch BINARY).
+    */
+  def frequencySketch(df: DataFrame, c: String,
+                      maxMapSize: Int = 1024): DataFrame =
+    df.filter(col(c).isNotNull)
+      .agg(graft.functions.FreqSketchAgg(col(c).cast(StringType), maxMapSize)
+        .as("sketch"))
+
+  /** Merge [[frequencySketch]] snapshot frames and extract the
+    * frequent items under the NO_FALSE_NEGATIVES guarantee: every
+    * item whose true count exceeds `max_error` is present, and
+    * lb ≤ true ≤ ub per item. While total distinct ≤ 0.75·maxMapSize
+    * the sketch never purges and everything is EXACT
+    * (max_error = 0) — the certified gate range. One bounded agg over
+    * ≤ |snapshots| sketch rows.
+    */
+  def mergeFrequentItems(sketches: Seq[DataFrame],
+                         maxMapSize: Int = 1024): DataFrame = {
+    require(sketches.nonEmpty, "mergeFrequentItems: need >= 1 sketch frame")
+    sketches.reduce(_.unionByName(_))
+      .agg(graft.functions.FreqMergeAgg(col("sketch"), maxMapSize).as("_m"))
+      .select(
+        graft.functions.FreqSketchStats(col("_m")).as("_s"),
+        explode(graft.functions.FreqItems(col("_m"))).as("_e"))
+      .select(col("_e.item").as("item"), col("_e.est").as("est"),
+        col("_e.lb").as("lb"), col("_e.ub").as("ub"),
+        col("_s.max_error").as("max_error"),
+        col("_s.stream_length").as("stream_length"))
+  }
+
   /** Pearson correlation for each column pair, one scan. */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {

@@ -83,6 +83,53 @@ class Wave3Spec extends SparkSpec {
     assert(r.getAs[Long]("robust_outliers") == 0)
   }
 
+  test("frequencySketch: exact in the no-purge range, nulls skipped") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(5)("c"))
+      .map(Option(_)).padTo(86, None).toDF("v") // 85 values + 1 null
+    val r = Profiler.mergeFrequentItems(
+      Seq(Profiler.frequencySketch(df, "v", 64)), 64).collect()
+      .map(x => x.getString(0) -> (x.getAs[Long]("est"), x.getAs[Long]("lb"),
+        x.getAs[Long]("ub"), x.getAs[Long]("max_error"))).toMap
+    assert(r("a") == ((50L, 50L, 50L, 0L)))
+    assert(r("b") == ((30L, 30L, 30L, 0L)))
+    assert(r("c") == ((5L, 5L, 5L, 0L)))
+  }
+
+  test("frequencySketch: split-sketch merge equals whole-corpus sketch (exact range)") {
+    val data = (1 to 300).map(i => s"t${i % 7}").toDF("v")
+    val whole = Profiler.mergeFrequentItems(
+      Seq(Profiler.frequencySketch(data, "v", 64)), 64).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("est")).toMap
+    val split = Profiler.mergeFrequentItems(Seq(
+      Profiler.frequencySketch(data.limit(100), "v", 64),
+      Profiler.frequencySketch(data.offset(100), "v", 64)), 64).collect()
+      .map(x => x.getString(0) -> x.getAs[Long]("est")).toMap
+    assert(whole == split && whole.values.sum == 300L)
+  }
+
+  test("frequencySketch under purge: NFN + bound claims hold on synthetic skew") {
+    // 5 hot items x 500 + 3000 singleton tail, M=32 -> heavy purging
+    val rows = (1 to 5).flatMap(h => Seq.fill(500)(s"hot$h")) ++
+      (1 to 3000).map(i => s"tail$i")
+    val df = rows.toDF("v")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = Profiler.mergeFrequentItems(
+      Seq(Profiler.frequencySketch(df.repartition(8), "v", 32)), 32).collect()
+    val maxErr = out.head.getAs[Long]("max_error")
+    assert(out.head.getAs[Long]("stream_length") == 5500L)
+    assert(maxErr > 0L) // purge genuinely happened
+    // published bound: maxError <= 3.5 * n / maxMapSize
+    assert(maxErr <= (3.5 * 5500 / 32).toLong + 1)
+    // every returned item's bounds bracket its exact count
+    out.foreach { x =>
+      val e = exact(x.getString(0))
+      assert(x.getAs[Long]("lb") <= e && e <= x.getAs[Long]("ub"))
+    }
+    // NO_FALSE_NEGATIVES: every item with exact > maxError is present
+    val returned = out.map(_.getString(0)).toSet
+    exact.filter(_._2 > maxErr).keys.foreach(k => assert(returned(k)))
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
