@@ -963,6 +963,38 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // URL canonicalization + per-domain cap: crawl-shaped URLs
+    // doctored from doc_id (mixed-case scheme/host, default + explicit
+    // ports, tracking params in first/last position, fragments,
+    // trailing slashes); canonical form + registered domain + the
+    // cap-5-per-domain keep verdict (score = n_chars, id tiebreak)
+    "q_d70_url_canon" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .withColumn("url", concat(
+          when(col("doc_id") % 4 === 0, lit("HTTPS")).otherwise(lit("http")),
+          lit("://WWW.Site"), (col("doc_id") % 50).cast("string"),
+          lit(".Example.COM"),
+          when(col("doc_id") % 7 === 0,
+            when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit(":80")))
+            .when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/Articles/item"), col("doc_id").cast("string"),
+          when(col("doc_id") % 13 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, concat(
+            lit("?utm_source=x&utm_campaign=y&id="),
+            (col("doc_id") % 20).cast("string")))
+            .when(col("doc_id") % 3 === 1, concat(
+              lit("?id="), (col("doc_id") % 20).cast("string"), lit("&gclid=abc")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#Section-2")).otherwise(lit(""))))
+      val kept = graft.text.Urls.capPerDomain(docs, "url", "n_chars", "doc_id", 5)
+        .select(col("doc_id"), lit(true).as("kept"))
+      docs.select(col("doc_id"),
+          graft.text.Urls.canonicalUrl(col("url")).as("url_canon"),
+          graft.text.Urls.registeredDomain(col("url")).as("domain"))
+        .join(kept, Seq("doc_id"), "left")
+        .withColumn("kept", coalesce(col("kept"), lit(false)))
+        .orderBy("doc_id")
+    }),
     // mergeable frequent-items sketch: token streams of the two
     // document halves sketched INDEPENDENTLY (M=64), merged — the
     // 31-token vocabulary stays below the 0.75·M purge threshold, so
@@ -2775,6 +2807,52 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // the canonicalization chain mirrored regexp-for-regexp (RE2 both
+    // sides; DuckDB replacement refs are \1 where Spark's are $1),
+    // then the same per-domain rank window
+    "q_d70_url_canon" ->
+      ("""WITH d AS (SELECT doc_id, n_chars,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+        |  'WWW.Site' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN
+        |     (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE ':80' END)
+        |   WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+        |  '/Articles/item' || CAST(doc_id AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0
+        |     THEN '?utm_source=x&utm_campaign=y&id=' || CAST(doc_id % 20 AS VARCHAR)
+        |   WHEN doc_id % 3 = 1
+        |     THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&gclid=abc'
+        |   ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END) AS url
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |c AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostraw,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+        |  FROM d),
+        |c2 AS (SELECT doc_id, n_chars, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |       ELSE hostraw END AS host,
+        |  regexp_replace(regexp_replace(regexp_replace(rest0, '#.*$', ''),
+        |    '[?&](utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'),
+        |    '^([^?&]*)&', """.stripMargin + "'\\1?'" + """) AS promoted,
+        |  regexp_extract(regexp_replace(regexp_replace(hostraw, ':[0-9]+$', ''),
+        |    '^www\.', ''), '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM c),
+        |c3 AS (SELECT doc_id, n_chars, domain,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN strpos(promoted, '?') = 0
+        |     THEN regexp_replace(promoted, '/+$', '')
+        |     ELSE promoted END) AS url_canon
+        |  FROM c2),
+        |r AS (SELECT doc_id, url_canon, domain,
+        |  row_number() OVER (PARTITION BY domain
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rk FROM c3)
+        |SELECT doc_id, url_canon, domain, rk <= 5 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin),
 
     // exact-range certification: under no purge the sketch returns
     // the exact multiset counts, so est = lb = ub = exact and

@@ -130,6 +130,49 @@ class Wave3Spec extends SparkSpec {
     exact.filter(_._2 > maxErr).keys.foreach(k => assert(returned(k)))
   }
 
+  test("canonicalUrl: case, ports, fragments, tracking params, slashes") {
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/Path", "https://www.example.com/Path"),
+      ("http://Example.com:80/", "http://example.com"),
+      ("http://example.com:8080/a/", "http://example.com:8080/a"),
+      ("http://e.com/p?utm_source=x&id=1#frag", "http://e.com/p?id=1"),
+      ("http://e.com/p?id=1&gclid=z", "http://e.com/p?id=1"),
+      ("http://e.com/p?utm_a=1&utm_b=2&id=3", "http://e.com/p?id=3"),
+      ("http://e.com/p?utm_a=1&utm_b=2", "http://e.com/p"),
+      ("http://e.com/p/?id=1", "http://e.com/p/?id=1"), // query'd: slash kept
+      ("not a url", "not a url"))
+    val r = cases.map(_._1).toDF("u")
+      .select(graft.text.Urls.canonicalUrl(col("u"))).collect().map(_.getString(0))
+    r.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want, s"got $got want $want") }
+  }
+
+  test("registeredDomain strips port and www, keeps last two labels") {
+    val r = Seq("https://WWW.News.Site7.Example.COM:8443/x", "http://a.b.co/y")
+      .toDF("u").select(graft.text.Urls.registeredDomain(col("u")))
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("example.com", "b.co"))
+  }
+
+  test("capPerDomain keeps best-cap rows per domain with id tiebreak") {
+    val df = Seq(
+      (1L, "http://a.com/1", 10L), (2L, "http://a.com/2", 30L),
+      (3L, "http://www.a.com/3", 30L), (4L, "http://a.com/4", 5L),
+      (5L, "http://b.com/1", 1L))
+      .toDF("id", "url", "score")
+    val kept = graft.text.Urls.capPerDomain(df, "url", "score", "id", 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a.com: scores 30(id2), 30(id3), 10(id1), 5(id4) -> keep 2,3
+    assert(kept == Set(2L, 3L, 5L))
+  }
+
+  test("domainStats counts pages and distinct canonical urls per domain") {
+    val df = Seq("http://a.com/x?utm_source=1", "http://a.com/x",
+      "http://a.com/y", "http://b.org/z").toDF("url")
+    val m = graft.text.Urls.domainStats(df, "url").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("pages"), r.getAs[Long]("distinct_urls"))).toMap
+    assert(m == Map("a.com" -> ((3L, 2L)), "b.org" -> ((1L, 1L))))
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
