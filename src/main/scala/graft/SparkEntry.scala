@@ -963,6 +963,22 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // k-anonymity drill-down: QI = (nation, 50-unit acctbal band) —
+    // fine enough that re-identifiable below-4 cells genuinely exist;
+    // sensitive = market segment (l_div = distinct segments per cell)
+    "q_d71_k_anon" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .withColumn("band", floor(col("c_acctbal") / 50).cast("long"))
+      graft.quality.Privacy.riskGroups(
+        c, Seq("c_nationkey", "band"), "c_mktsegment", k = 4)
+    }),
+    // the one-row k-anonymity rollup over the same cells
+    "q_d71b_k_report" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .withColumn("band", floor(col("c_acctbal") / 50).cast("long"))
+      graft.quality.Privacy.kAnonymityReport(
+        c, Seq("c_nationkey", "band"), k = 4)
+    }),
     // URL canonicalization + per-domain cap: crawl-shaped URLs
     // doctored from doc_id (mixed-case scheme/host, default + explicit
     // ports, tracking params in first/last position, fragments,
@@ -2807,6 +2823,29 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // below-k cells re-derived; the same null rules (null QI groups
+    // together, null sensitive counts as one value)
+    "q_d71_k_anon" ->
+      """SELECT c_nationkey, CAST(floor(c_acctbal / 50) AS BIGINT) AS band,
+        |  count(*) AS grp_size,
+        |  count(DISTINCT c_mktsegment)
+        |    + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS l_div
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 4
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_d71b_k_report" ->
+      """WITH g AS (SELECT count(*) AS sz FROM customer
+        |  GROUP BY c_nationkey, floor(c_acctbal / 50))
+        |SELECT COALESCE(sum(sz), 0) AS total_rows,
+        |  count(*) AS qi_cells,
+        |  count(*) FILTER (WHERE sz < 4) AS cells_below_k,
+        |  COALESCE(sum(sz) FILTER (WHERE sz < 4), 0) AS rows_at_risk,
+        |  COALESCE(min(sz), 0) AS min_cell_size,
+        |  ((2*COALESCE(sum(sz) FILTER (WHERE sz < 4), 0)*10000
+        |      + greatest(COALESCE(sum(sz), 0), 1))
+        |    // (2*greatest(COALESCE(sum(sz), 0), 1))) / 100.0 AS risk_pct
+        |FROM g""".stripMargin,
 
     // the canonicalization chain mirrored regexp-for-regexp (RE2 both
     // sides; DuckDB replacement refs are \1 where Spark's are $1),

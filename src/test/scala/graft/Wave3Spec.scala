@@ -173,6 +173,33 @@ class Wave3Spec extends SparkSpec {
     assert(m == Map("a.com" -> ((3L, 2L)), "b.org" -> ((1L, 1L))))
   }
 
+  test("riskGroups flags below-k cells with l-diversity; null QI is a group") {
+    val df = Seq(
+      (Some("a"), 1, "s1"), (Some("a"), 1, "s2"), (Some("a"), 1, "s1"),
+      (Some("a"), 1, "s3"), // cell (a,1): size 4, not at risk (k=4)
+      (Some("b"), 1, "s1"), (Some("b"), 1, "s1"), // cell (b,1): size 2, l=1
+      (None, 2, "s2"), // null-QI cell: size 1
+      (Some("c"), 3, null)) // cell (c,3): size 1, l_div 1 (null value)
+      .toDF("qi1", "qi2", "sens")
+    val r = graft.quality.Privacy.riskGroups(df, Seq("qi1", "qi2"), "sens", 4)
+      .collect().map(x => (Option(x.getString(0)), x.getInt(1),
+        x.getAs[Long]("grp_size"), x.getAs[Long]("l_div"))).toSet
+    assert(r == Set(
+      (Some("b"), 1, 2L, 1L), (None, 2, 1L, 1L), (Some("c"), 3, 1L, 1L)))
+  }
+
+  test("kAnonymityReport rolls up risk with tie-safe percentage") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 1), ("b", 1), ("b", 1))
+      .toDF("qi", "x")
+    val r = graft.quality.Privacy.kAnonymityReport(df, Seq("qi"), 4).collect()(0)
+    assert(r.getAs[Long]("total_rows") == 6)
+    assert(r.getAs[Long]("qi_cells") == 2)
+    assert(r.getAs[Long]("cells_below_k") == 1)
+    assert(r.getAs[Long]("rows_at_risk") == 2)
+    assert(r.getAs[Long]("min_cell_size") == 2)
+    assert(r.getAs[Double]("risk_pct") == 33.33) // 2/6 tie-safe 2dp
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
