@@ -963,6 +963,21 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // bucketed range join: every 97th event opens a 30-min interval,
+    // every 7th event is a point; 15-min buckets → equi-join + residual
+    // BETWEEN (plan-audited: no BroadcastNestedLoopJoin)
+    "q_d72_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val base = ev.select(col("event_id"), Tables.epochMicros(ev, "ts").as("pt"))
+      val points = base.filter(col("event_id") % 7 === 0)
+      val intervals = base.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("iv_id"), col("pt").as("iv_start"),
+          (col("pt") + 1800L * 1000000L).as("iv_end"))
+      graft.operators.RangeJoin.pointInInterval(
+        points, "pt", intervals, "iv_start", "iv_end", 900L * 1000000L)
+        .select(col("event_id"), col("iv_id"), col("pt"))
+        .orderBy("event_id", "iv_id")
+    }),
     // k-anonymity drill-down: QI = (nation, 50-unit acctbal band) —
     // fine enough that re-identifiable below-4 cells genuinely exist;
     // sensitive = market segment (l_div = distinct segments per cell)
@@ -2823,6 +2838,16 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // the textbook inequality-join formulation — different plan
+    // (nested loop is fine at oracle scale), same semantics
+    "q_d72_range_join" ->
+      """WITH b AS (SELECT event_id, epoch_us(ts) AS pt FROM events),
+        |p AS (SELECT * FROM b WHERE event_id % 7 = 0),
+        |i AS (SELECT event_id AS iv_id, pt AS s, pt + 1800000000 AS e
+        |  FROM b WHERE event_id % 97 = 0)
+        |SELECT p.event_id, iv_id, pt FROM p JOIN i ON pt >= s AND pt <= e
+        |ORDER BY 1, 2""".stripMargin,
 
     // below-k cells re-derived; the same null rules (null QI groups
     // together, null sensitive counts as one value)

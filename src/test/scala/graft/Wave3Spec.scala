@@ -200,6 +200,43 @@ class Wave3Spec extends SparkSpec {
     assert(r.getAs[Double]("risk_pct") == 33.33) // 2/6 tie-safe 2dp
   }
 
+  test("rangeJoin matches the naive inequality join; boundaries inclusive") {
+    val points = (0L to 200L by 7L).toDF("p").withColumn("pid", col("p"))
+    val ivs = Seq((1L, 0L, 10L), (2L, 10L, 40L), (3L, 35L, 35L),
+      (4L, 100L, 90L), // invalid: start > end, dropped
+      (5L, 150L, 300L)).toDF("iv", "s", "e")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(points, "p", ivs, "s", "e", 16L)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.join(ivs, col("p") >= col("s") && col("p") <= col("e"))
+      .filter(col("s") <= col("e"))
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive)
+    assert(got.contains((0L, 1L)) && got.contains((35L, 3L))) // inclusive ends
+    assert(!got.exists(_._2 == 4L))
+  }
+
+  test("rangeJoin result is bucket-width independent (no dup pairs)") {
+    val points = (0L to 500L by 3L).toDF("p")
+    val ivs = Seq((1L, 5L, 100L), (2L, 90L, 95L), (3L, 400L, 500L))
+      .toDF("iv", "s", "e")
+    def pairs(w: Long) = graft.operators.RangeJoin
+      .pointInInterval(points, "p", ivs, "s", "e", w)
+      .select("p", "iv").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = pairs(7L); val b = pairs(64L); val c = pairs(1000L)
+    assert(a.length == a.toSet.size) // exactly-once: no dedup needed
+    assert(a.toSet == b.toSet && b.toSet == c.toSet)
+  }
+
+  test("rangeJoin plans as an equi-join, never BroadcastNestedLoop") {
+    val points = (0L to 100L).toDF("p")
+    val ivs = Seq((1L, 5L, 50L)).toDF("iv", "s", "e")
+    val plan = graft.operators.RangeJoin
+      .pointInInterval(points, "p", ivs, "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"nested loop in plan:\n$plan")
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
