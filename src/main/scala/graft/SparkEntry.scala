@@ -963,6 +963,28 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // stream-stream interval join, batch-graded (the D14/D20 scheme:
+    // same code path, watermark a no-op on batch frames): clicks =
+    // every 7th event, impressions = every 97th, same-user correlation
+    // within 30 minutes
+    "q_d73_stream_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val base = ev.select(col("event_id"), col("user_id"),
+        Tables.asTimestamp(ev, "ts").as("t"))
+        .filter(col("user_id").isNotNull)
+      val clicks = base.filter(col("event_id") % 7 === 0)
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("t").as("c_ts"))
+      val imps = base.filter(col("event_id") % 97 === 0)
+        .select(col("event_id").as("i_id"), col("user_id").as("i_user"),
+          col("t").as("i_ts"))
+      graft.streaming.StreamingDQ.streamIntervalJoin(
+        clicks, "c_ts", "c_user", imps, "i_ts", "i_user",
+        span = "30 MINUTES", watermark = "10 minutes")
+        .select(col("c_id"), col("i_id"),
+          unix_micros(col("c_ts")).as("c_us"))
+        .orderBy("c_id", "i_id")
+    }),
     // bucketed range join: every 97th event opens a 30-min interval,
     // every 7th event is a point; 15-min buckets → equi-join + residual
     // BETWEEN (plan-audited: no BroadcastNestedLoopJoin)
@@ -2838,6 +2860,18 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // equality + time-range join re-derived on epoch-µs integers
+    "q_d73_stream_join" ->
+      """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_id AS c_id, user_id AS cu, us AS c_us FROM b
+        |  WHERE event_id % 7 = 0),
+        |i AS (SELECT event_id AS i_id, user_id AS iu, us AS i_us FROM b
+        |  WHERE event_id % 97 = 0)
+        |SELECT c_id, i_id, c_us FROM c JOIN i
+        |  ON cu = iu AND c_us >= i_us AND c_us <= i_us + 1800000000
+        |ORDER BY 1, 2""".stripMargin,
 
     // the textbook inequality-join formulation — different plan
     // (nested loop is fine at oracle scale), same semantics

@@ -252,6 +252,38 @@ object StreamingDQ {
       .select(col("w.start").as("session_start"), col(keyCol), col("cnt"))
   }
 
+  /** Stream-stream interval join (SURVEY §2 D73 / S5 — the streaming
+    * counterpart of the batch bucketed range join D72): each point
+    * event joins every opening event of the SAME KEY whose interval
+    * `[openTs, openTs + span]` contains it — the
+    * impression↔click / request↔response correlation shape.
+    *
+    * Structured Streaming executes this natively once the join has
+    * (a) an equality predicate — the state is hash-partitioned by key,
+    * exactly like the batch bucket trick but maintained incrementally —
+    * and (b) watermarks on BOTH sides plus a two-sided time-range
+    * condition, which is what lets the engine GC join state: an
+    * opening event older than `watermark + span` can never match a
+    * future point and is dropped. Without (b) state grows without
+    * bound — the one property a 100 TB/day stream cannot survive.
+    * Inner-join results emit as soon as both sides arrive (no
+    * watermark delay on output; only state cleanup waits).
+    *
+    * The two frames must have disjoint column names (the D72 rule).
+    */
+  def streamIntervalJoin(points: DataFrame, pointTs: String, pointKey: String,
+                         opens: DataFrame, openTs: String, openKey: String,
+                         span: String, watermark: String): DataFrame = {
+    val clash = points.columns.intersect(opens.columns)
+    require(clash.isEmpty,
+      s"column collision between streams: ${clash.mkString(",")} — rename one side")
+    points.withWatermark(pointTs, watermark)
+      .join(opens.withWatermark(openTs, watermark),
+        col(pointKey) === col(openKey) &&
+          col(pointTs) >= col(openTs) &&
+          col(pointTs) <= col(openTs) + expr(s"INTERVAL $span"))
+  }
+
   /** Windowed per-type event counts (profiling a stream the way the
     * batch profiler does a table).
     */

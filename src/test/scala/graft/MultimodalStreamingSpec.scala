@@ -522,6 +522,47 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamIntervalJoin correlates point events to open intervals per key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val imps = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDQ.streamIntervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user", "c_id"), "c_ts", "c_user",
+      imps.toDF().toDF("i_ts", "i_user", "i_id"), "i_ts", "i_user",
+      span = "30 MINUTES", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      imps.addData(
+        (t("2026-01-01 00:00:00"), 7L, "imp1"),
+        (t("2026-01-01 01:00:00"), 7L, "imp2"),
+        (t("2026-01-01 00:00:00"), 8L, "imp3"))
+      clicks.addData(
+        (t("2026-01-01 00:10:00"), 7L, "click_in"),     // within imp1's 30 min
+        (t("2026-01-01 00:45:00"), 7L, "click_gap"),    // between imp1 and imp2
+        (t("2026-01-01 01:05:00"), 7L, "click_in2"),    // within imp2
+        (t("2026-01-01 00:10:00"), 9L, "click_nokey"))  // no impression for user 9
+      q.processAllAvailable()
+      val got = spark.sql("SELECT c_id, i_id FROM ssjoin_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("click_in", "imp1"), ("click_in2", "imp2")), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streamIntervalJoin rejects colliding column names") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val a = MemoryStream[(Timestamp, Long)].toDF().toDF("ts", "k")
+    val b = MemoryStream[(Timestamp, Long)].toDF().toDF("ts", "k")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDQ.streamIntervalJoin(a, "ts", "k", b, "ts", "k",
+        "5 MINUTES", "1 minute")
+    }
+    assert(e.getMessage.contains("collision"))
+  }
+
   // Closes the loop the r10 regression exposed: the batch oracle for
   // D14 used to read ts through a hard-coded physical representation
   // while the streaming specs fed synthetic TimestampType columns —
