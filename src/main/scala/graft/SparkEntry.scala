@@ -182,6 +182,25 @@ object SparkEntry {
     "q_a11_corr" -> ((s, d) => Profiler.correlationMatrix(
       t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
     "q_a12_histogram" -> ((s, d) => Profiler.histogram(t(s, d, "lineitem"), "l_quantity", 5.0)),
+    // string-column type inference: five doctored columns (pure int,
+    // decimal-string, dated with 3.4% corruption, boolean with 4.3%
+    // corruption, mixed) — the 95% threshold decides in integer space
+    "q_a19_infer_types" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val df = o.select(
+        col("o_orderkey").cast("string").as("s_int"),
+        col("o_totalprice").cast("decimal(18,2)").cast("string").as("s_double"),
+        when(col("o_orderkey") % 29 === 0, lit("garbage"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("s_date"),
+        when(col("o_orderkey") % 23 === 0, lit("maybe"))
+          .when(col("o_orderstatus") === "O", lit("true"))
+          .otherwise(lit("false")).as("s_bool"),
+        when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))
+          .when(col("o_orderkey") % 3 === 1, lit("word"))
+          .otherwise(lit("12.5")).as("s_mixed"))
+      Profiler.inferTypes(df,
+        Seq("s_int", "s_double", "s_date", "s_bool", "s_mixed"))
+    }),
     // robust outliers: every downstream value derives from the 4-dp
     // ROUNDED quartiles via IEEE-exact ops only, so the verdict is
     // engine-portable wherever the a3 quantile contract holds
@@ -1690,6 +1709,44 @@ object SparkEntry {
            | count(*)-count($c) AS null_count,
            | round(count($c)*100.0/count(*),2) AS fill_pct FROM customer""".stripMargin)
         .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    // the same regex/parse detectors + first-match policy; doctoring
+    // goes through DECIMAL(18,2) for the double column so both
+    // engines render identical strings
+    "q_a19_infer_types" -> {
+      val intRe = "^[+-]?[0-9]{1,18}$"
+      val dblRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count($c) AS non_null,
+           |  ((2*count(CASE WHEN lower($c) IN ('true','false') THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS bool_pct,
+           |  ((2*count(CASE WHEN regexp_matches($c, '$intRe') THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS int_pct,
+           |  ((2*count(CASE WHEN regexp_matches($c, '$dblRe') THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS double_pct,
+           |  ((2*count(CASE WHEN try_strptime($c, '%Y-%m-%d') IS NOT NULL THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS date_pct,
+           |  CASE WHEN count($c) = 0 THEN 'string'
+           |   WHEN count(CASE WHEN lower($c) IN ('true','false') THEN 1 END)*100 >= count($c)*95 THEN 'boolean'
+           |   WHEN count(CASE WHEN regexp_matches($c, '$intRe') THEN 1 END)*100 >= count($c)*95 THEN 'bigint'
+           |   WHEN count(CASE WHEN regexp_matches($c, '$dblRe') THEN 1 END)*100 >= count($c)*95 THEN 'double'
+           |   WHEN count(CASE WHEN try_strptime($c, '%Y-%m-%d') IS NOT NULL THEN 1 END)*100 >= count($c)*95 THEN 'date'
+           |   ELSE 'string' END AS inferred_type
+           |FROM d""".stripMargin
+      """WITH d AS (SELECT
+        |  CAST(o_orderkey AS VARCHAR) AS s_int,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS s_double,
+        |  CASE WHEN o_orderkey % 29 = 0 THEN 'garbage'
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS s_date,
+        |  CASE WHEN o_orderkey % 23 = 0 THEN 'maybe'
+        |       WHEN o_orderstatus = 'O' THEN 'true' ELSE 'false' END AS s_bool,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+        |       WHEN o_orderkey % 3 = 1 THEN 'word' ELSE '12.5' END AS s_mixed
+        |  FROM orders)
+        |""".stripMargin +
+        Seq("s_int", "s_double", "s_date", "s_bool", "s_mixed").map(one)
+          .mkString("", " UNION ALL ", """ ORDER BY "column"""")
     },
 
     // outlier profile re-derived: same rounded-quartile-first

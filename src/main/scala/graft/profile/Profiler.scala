@@ -606,6 +606,58 @@ object Profiler {
     (shape ++ nulls ++ numeric ++ corrs ++ strs, card)
   }
 
+  /** String-column type inference (SURVEY §2 A19 — the engine form of
+    * the reference's column-detector dtype display, home.py:88-130,
+    * extended to STRING columns: what does this column's content
+    * actually parse as, and should the C9 cast repair run?). Per
+    * column, one row: non-null count, the share parseable as
+    * boolean / integer / double / date (tie-safe 2-dp), and the
+    * inferred type under a first-match policy
+    * (bool → bigint → double → date → string) at an integer-space
+    * threshold (`cnt·100 ≥ nn·thresholdPct` — no float compare).
+    *
+    * Detection is regex + strict-format parse only (RE2-portable
+    * patterns, `try_to_timestamp` for dates) so both engines agree
+    * row-for-row; doubles are a superset of ints by design (an
+    * all-int column reports double_pct = 100 too, and infers bigint
+    * by policy order). ONE scan for all columns (the dqSummary
+    * array-of-structs shape).
+    */
+  def inferTypes(df: DataFrame, cols: Seq[String],
+                 thresholdPct: Int = 95): DataFrame = {
+    require(thresholdPct > 0 && thresholdPct <= 100,
+      s"thresholdPct out of range: $thresholdPct")
+    val intRe = "^[+-]?[0-9]{1,18}$"
+    val dblRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+    val perCol = cols.map { name =>
+      val c = col(name).cast(StringType)
+      struct(
+        lit(name).as("column"),
+        count(c).as("nn"),
+        count(when(lower(c).isin("true", "false"), 1)).as("bool_cnt"),
+        count(when(c.rlike(intRe), 1)).as("int_cnt"),
+        count(when(c.rlike(dblRe), 1)).as("dbl_cnt"),
+        count(when(try_to_timestamp(c, lit("yyyy-MM-dd")).isNotNull, 1))
+          .as("date_cnt"))
+    }
+    df.agg(array(perCol.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select(col("c.*"))
+      .select(
+        col("column"), col("nn").as("non_null"),
+        (expr("(2*bool_cnt*10000 + greatest(nn,1L)) DIV (2*greatest(nn,1L))") / 100.0).as("bool_pct"),
+        (expr("(2*int_cnt*10000 + greatest(nn,1L)) DIV (2*greatest(nn,1L))") / 100.0).as("int_pct"),
+        (expr("(2*dbl_cnt*10000 + greatest(nn,1L)) DIV (2*greatest(nn,1L))") / 100.0).as("double_pct"),
+        (expr("(2*date_cnt*10000 + greatest(nn,1L)) DIV (2*greatest(nn,1L))") / 100.0).as("date_pct"),
+        when(col("nn") === 0, "string")
+          .when(col("bool_cnt") * 100 >= col("nn") * thresholdPct, "boolean")
+          .when(col("int_cnt") * 100 >= col("nn") * thresholdPct, "bigint")
+          .when(col("dbl_cnt") * 100 >= col("nn") * thresholdPct, "double")
+          .when(col("date_cnt") * 100 >= col("nn") * thresholdPct, "date")
+          .otherwise("string").as("inferred_type"))
+      .orderBy("column")
+  }
+
   /** Robust outlier profile (SURVEY §2 A17): per numeric column, the
     * two classic robust screens in one report —
     *  - IQR fences: lo = Q1 − k·IQR, hi = Q3 + k·IQR (Tukey k = 1.5)

@@ -237,6 +237,35 @@ class Wave3Spec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), s"nested loop in plan:\n$plan")
   }
 
+  test("inferTypes detects bool/int/double/date by policy order") {
+    val df = Seq(
+      ("true", "42", "42", "2020-01-01", "x"),
+      ("false", "-7", "12.5", "2021-12-31", "9"),
+      ("TRUE", "0", ".5", "1999-06-15", "z"),
+      (null, "999", "1e3", null, "w"))
+      .toDF("b", "i", "d", "dt", "s")
+    val m = Profiler.inferTypes(df, Seq("b", "i", "d", "dt", "s"))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("inferred_type")).toMap
+    assert(m == Map("b" -> "boolean", "i" -> "bigint", "d" -> "double",
+      "dt" -> "date", "s" -> "string"))
+  }
+
+  test("inferTypes: int columns also report 100% double; threshold in integer space") {
+    val df = Seq("1", "2", "3").toDF("v")
+    val r = Profiler.inferTypes(df, Seq("v")).collect()(0)
+    assert(r.getAs[Double]("int_pct") == 100.0)
+    assert(r.getAs[Double]("double_pct") == 100.0)
+    assert(r.getAs[String]("inferred_type") == "bigint") // policy order
+    // 19/20 ints = 95% meets the default threshold exactly
+    val df2 = ((1 to 19).map(_.toString) :+ "x").toDF("v")
+    assert(Profiler.inferTypes(df2, Seq("v")).collect()(0)
+      .getAs[String]("inferred_type") == "bigint")
+    // 18/19 = 94.7% misses it
+    val df3 = ((1 to 18).map(_.toString) :+ "x").toDF("v")
+    assert(Profiler.inferTypes(df3, Seq("v")).collect()(0)
+      .getAs[String]("inferred_type") == "string")
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
