@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.profile.Profiler
-import graft.quality.{Detector, Rule, Validators}
+import graft.quality.{Detector, Rule, RowRule, Validators}
 import graft.corrector.{Corrector, Enrich}
 import graft.dedup.Dedup
 import graft.ann.{Ann, Pq}
@@ -311,6 +311,30 @@ object SparkEntry {
         col("iban"),
         graft.functions.IntlChecksumExpr.ibanValid(col("iban")).as("iban_valid"))
         .orderBy("c_custkey")
+    }),
+    // cross-field row rules: ordering (doctored negative spans),
+    // implication (open orders under a price floor), not-both-null
+    // (doctored contact pair, both null every 77th), null-safe match
+    // (key copy perturbed every 31st)
+    "q_b21_row_rules" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val df = o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).as("lo"))
+        .withColumn("hi", col("lo") + (col("o_orderkey") % 5).cast("int") - 1)
+        .withColumn("contact_a", when(col("o_orderkey") % 7 === 0,
+          lit(null).cast("string")).otherwise(lit("a")))
+        .withColumn("contact_b", when(col("o_orderkey") % 11 === 0,
+          lit(null).cast("string")).otherwise(lit("b")))
+        .withColumn("custkey2", when(col("o_orderkey") % 31 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+      RowRule.report(df, Seq(
+        RowRule.ordered("r1_ordered", col("lo"), col("hi")),
+        RowRule.implies("r2_open_price",
+          col("o_orderstatus") === "O", col("o_totalprice") > 1000),
+        RowRule.notBothNull("r3_contact", col("contact_a"), col("contact_b")),
+        RowRule.mustMatch("r4_key_match", col("o_custkey"), col("custkey2"))))
     }),
     // referential-integrity audit: lineitem->orders is naturally
     // complete; orders->customer is doctored with orphan FKs (every
@@ -2141,6 +2165,31 @@ object SparkEntry {
         |       'string_agg', ''), ''), ch -> TRY_CAST(ch AS BIGINT)),
         |     (a, x) -> (a * 10 + x) % 97) = 1) AS iban_valid
         |FROM c ORDER BY c_custkey""".stripMargin,
+
+    // row rules re-derived with IS TRUE / IS FALSE three-valued logic
+    // and IS NOT DISTINCT FROM for the null-safe match
+    "q_b21_row_rules" -> {
+      def pct(viol: String) =
+        s"((2*$viol*10000 + greatest(count(*),1)) // (2*greatest(count(*),1))) / 100.0"
+      val r1 = "count(CASE WHEN lo > hi THEN 1 END)"
+      val r2 = "count(CASE WHEN (o_orderstatus = 'O') IS TRUE AND (o_totalprice > 1000) IS FALSE THEN 1 END)"
+      val r3 = "count(CASE WHEN ca IS NULL AND cb IS NULL THEN 1 END)"
+      val r4 = "count(CASE WHEN NOT (o_custkey IS NOT DISTINCT FROM ck2) THEN 1 END)"
+      s"""WITH d AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo
+         |  FROM orders),
+         |d2 AS (SELECT *, lo + (o_orderkey % 5) - 1 AS hi,
+         |  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE 'a' END AS ca,
+         |  CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE 'b' END AS cb,
+         |  CASE WHEN o_orderkey % 31 = 0 THEN o_custkey + 1 ELSE o_custkey END AS ck2
+         |  FROM d)
+         |SELECT 'r1_ordered' AS rule, $r1 AS violations, count(*) AS total,
+         |  ${pct(r1)} AS violation_pct FROM d2
+         |UNION ALL SELECT 'r2_open_price', $r2, count(*), ${pct(r2)} FROM d2
+         |UNION ALL SELECT 'r3_contact', $r3, count(*), ${pct(r3)} FROM d2
+         |UNION ALL SELECT 'r4_key_match', $r4, count(*), ${pct(r4)} FROM d2
+         |ORDER BY rule""".stripMargin
+    },
 
     // FK audit re-derived: same doctoring, NOT-IN membership, tie-safe
     // integer coverage rounding

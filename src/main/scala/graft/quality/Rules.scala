@@ -99,3 +99,71 @@ object Rule {
   def anyViolation(c: Column, rules: Seq[Rule]): Column =
     rules.map(_.violation(c)).reduce(_ || _)
 }
+
+/** Cross-field (row-level) consistency rules (SURVEY §2 B21) — the
+  * step past per-column rules the reference stops at: a row can be
+  * column-wise clean and still inconsistent (end before start, a
+  * shipped order with no ship date). A RowRule compiles to a boolean
+  * violation `Column` over the whole row — scan-local, codegen'd,
+  * stackable exactly like [[Rule]].
+  *
+  * Null semantics are strict three-valued logic collapsed to "null
+  * never violates": the violation expression's NULL (unknown) counts
+  * as false via a final coalesce — consistent with per-column rules,
+  * where nulls are counted separately as null_records, not as
+  * violations.
+  */
+final case class RowRule(name: String, violationExpr: Column) {
+  def violated: Column = coalesce(violationExpr, lit(false))
+}
+
+object RowRule {
+  /** cond ⇒ expected: violated when cond holds and `expected` is
+    * definitively false.
+    */
+  def implies(name: String, cond: Column, expected: Column): RowRule =
+    RowRule(name, (cond === true) && (expected === false))
+
+  /** lo ≤ hi ordering between two fields. */
+  def ordered(name: String, lo: Column, hi: Column): RowRule =
+    RowRule(name, lo > hi)
+
+  /** At least one of the fields must be present. */
+  def notBothNull(name: String, a: Column, b: Column): RowRule =
+    RowRule(name, a.isNull && b.isNull)
+
+  /** Fields must agree (null-safe equality: both-null agrees). */
+  def mustMatch(name: String, a: Column, b: Column): RowRule =
+    RowRule(name, !(a <=> b))
+
+  /** Per-rule violation census in ONE scan (the dqSummary shape):
+    * (rule, violations, total, tie-safe 2-dp violation_pct).
+    */
+  def report(df: org.apache.spark.sql.DataFrame,
+             rules: Seq[RowRule]): org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "RowRule.report: need >= 1 rule")
+    val perRule = rules.map { r =>
+      struct(lit(r.name).as("rule"),
+        count(when(r.violated, 1)).as("violations"),
+        count(lit(1)).as("total"))
+    }
+    df.agg(array(perRule.toIndexedSeq: _*).as("_c"))
+      .select(explode(col("_c")).as("c"))
+      .select(col("c.rule").as("rule"), col("c.violations").as("violations"),
+        col("c.total").as("total"),
+        (expr("(2*c.violations*10000 + greatest(c.total, 1L))" +
+          " DIV (2*greatest(c.total, 1L))") / 100.0).as("violation_pct"))
+      .orderBy("rule")
+  }
+
+  /** Flag each row with the names of the rules it violates (empty
+    * array = consistent row) — the drill-down companion of [[report]].
+    */
+  def flag(df: org.apache.spark.sql.DataFrame,
+           rules: Seq[RowRule]): org.apache.spark.sql.DataFrame = {
+    require(rules.nonEmpty, "RowRule.flag: need >= 1 rule")
+    df.withColumn("violated_rules", filter(
+      array(rules.map(r => when(r.violated, lit(r.name))).toIndexedSeq: _*),
+      _.isNotNull))
+  }
+}

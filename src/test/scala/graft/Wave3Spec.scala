@@ -266,6 +266,33 @@ class Wave3Spec extends SparkSpec {
       .getAs[String]("inferred_type") == "string")
   }
 
+  test("RowRule: implies/ordered/notBothNull/mustMatch with null semantics") {
+    import graft.quality.RowRule
+    val df = Seq(
+      (Some(1), Some(5), Some("O"), Some(10.0), Some("x"), Some("y"), Some(1)),
+      (Some(5), Some(1), Some("O"), Some(2000.0), None, Some("y"), Some(1)), // r1 viol
+      (Some(1), Some(5), Some("O"), None, None, None, Some(2)),  // r3 viol; r2 NOT (null expected)
+      (Some(1), Some(5), Some("F"), Some(1.0), Some("x"), None, None))  // none; r4: 1 vs null -> viol
+      .toDF("lo", "hi", "st", "price", "a", "b", "k2")
+      .withColumn("k", lit(1))
+    val rules = Seq(
+      RowRule.ordered("r1", col("lo"), col("hi")),
+      RowRule.implies("r2", col("st") === "O", col("price") > 1000),
+      RowRule.notBothNull("r3", col("a"), col("b")),
+      RowRule.mustMatch("r4", col("k"), col("k2")))
+    val m = RowRule.report(df, rules).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("violations")).toMap
+    // r2: row1 price 10 <= 1000 -> viol; row3 price null -> unknown, NOT viol
+    assert(m == Map("r1" -> 1L, "r2" -> 1L, "r3" -> 1L, "r4" -> 2L))
+    val flagged = RowRule.flag(df, rules)
+      .select(col("lo"), col("violated_rules")).collect()
+      .map(r => r.getSeq[String](1).toSet)
+    assert(flagged(0) == Set("r2"))
+    assert(flagged(1) == Set("r1"))
+    assert(flagged(2) == Set("r3", "r4"))
+    assert(flagged(3) == Set("r4"))
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
