@@ -410,6 +410,28 @@ object SparkEntry {
     // plan is ONE map-side-combined max(struct) aggregate (no window
     // sort); the oracle is the textbook row_number formulation — two
     // different plans, same semantics
+    // localized-number repair: four EU-format classes (grouped,
+    // plain, percent, invalid grouping) doctored from key arithmetic;
+    // value emitted in exact integer micro (no float anywhere)
+    "q_c26_localized_num" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+        .withColumn("k1", (col("o_orderkey") % 900 + 100).cast("string"))
+        .withColumn("k2", lpad((col("o_orderkey") % 1000).cast("string"), 3, "0"))
+        .withColumn("k3", lpad((col("o_orderkey") % 100).cast("string"), 2, "0"))
+        .withColumn("raw",
+          when(col("o_orderkey") % 8 === 0,
+            concat(col("k1"), lit("."), col("k2"), lit(","), col("k3")))
+            .when(col("o_orderkey") % 8 === 2,
+              concat(col("k3"), lit(",5%")))
+            .when(col("o_orderkey") % 8 === 4,
+              concat(lit("1.23,"), col("k3"))) // bad grouping -> null
+            .otherwise(concat(col("k2"), lit(","), col("k3"))))
+      o.select(col("o_orderkey"), col("raw"),
+          Corrector.localizedNumberValid(col("raw")).as("valid"),
+          (Corrector.localizedNumber(col("raw")) * 1000000).cast("long")
+            .as("value_micro"))
+        .orderBy("o_orderkey")
+    }),
     // multi-format date repair: order dates rendered into five
     // formats by key class (every 17th corrupted), re-parsed by the
     // first-match rule; epoch_day avoids engine timestamp rendering
@@ -2326,6 +2348,33 @@ object SparkEntry {
     // latest-wins re-derived as the window formulation: rank by the
     // SAME total order Spark's max(struct) compares (version cols then
     // remaining payload in frame order), keep rn=1, drop winner deletes
+    // same construction + validation regex + rewrite chain; percent
+    // scales via exact decimal multiplication, micro via integer ops
+    "q_c26_localized_num" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(o_orderkey % 900 + 100 AS VARCHAR) AS k1,
+        |  lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS k2,
+        |  lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS k3
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |d AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 8 = 0 THEN k1 || '.' || k2 || ',' || k3
+        |       WHEN o_orderkey % 8 = 2 THEN k3 || ',5%'
+        |       WHEN o_orderkey % 8 = 4 THEN '1.23,' || k3
+        |       ELSE k2 || ',' || k3 END AS raw FROM o),
+        |p AS (SELECT o_orderkey, raw,
+        |  regexp_matches(trim(raw),
+        |    '^[+-]?([0-9]{1,3}(\.[0-9]{3})*|[0-9]+)(,[0-9]+)?%?$') AS valid,
+        |  CAST(replace(replace(regexp_replace(trim(raw), '%$', ''),
+        |    '.', ''), ',', '.') AS DECIMAL(28,8)) AS v,
+        |  regexp_matches(trim(raw), '%$') AS ispct
+        |  FROM d)
+        |SELECT o_orderkey, raw, valid,
+        |  CASE WHEN NOT valid THEN NULL
+        |       WHEN ispct THEN CAST(v * CAST(0.01 AS DECIMAL(3,2))
+        |         * 1000000 AS BIGINT)
+        |       ELSE CAST(v * 1000000 AS BIGINT) END AS value_micro
+        |FROM p ORDER BY o_orderkey""".stripMargin,
+
     // the same render→first-match-parse chain via strftime /
     // try_strptime; the five patterns are mutually exclusive by
     // separator, so first-match is order-independent here

@@ -155,6 +155,46 @@ object Corrector {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("format"))
 
+  /** Localized-number parsing repair (SURVEY §2 C26 — the numeric
+    * sibling of C25, and the reference's home turf: TR/EU extracts
+    * write `1.234,56`, US ones `1,234.56`; a naive cast silently
+    * nulls — or worse, misreads — the other locale). Strict grouping
+    * validation (`1.23,4` is rejected, not guessed), optional
+    * trailing `%`, then a pure string-rewrite + DECIMAL cast — no
+    * float arithmetic anywhere: the percent scaling multiplies by the
+    * exact decimal 0.01, so every parsed value is exact and
+    * engine-portable at any scale.
+    */
+  def localizedNumberValid(c: Column, style: String = "eu"): Column =
+    trim(c).rlike(style match {
+      case "eu" => "^[+-]?([0-9]{1,3}(\\.[0-9]{3})*|[0-9]+)(,[0-9]+)?%?$"
+      case "us" => "^[+-]?([0-9]{1,3}(,[0-9]{3})*|[0-9]+)(\\.[0-9]+)?%?$"
+      case other => throw new IllegalArgumentException(
+        s"localizedNumberValid: unknown style '$other' (eu|us)")
+    })
+
+  /** Parsed numeric value as DECIMAL(28,8) — null when the string
+    * does not strictly match the locale's format; a trailing `%`
+    * scales by exact 0.01.
+    */
+  def localizedNumber(c: Column, style: String = "eu"): Column = {
+    val t = trim(c)
+    val noPct = regexp_replace(t, "%$", "")
+    val cleaned = style match {
+      case "eu" => regexp_replace(regexp_replace(noPct, "\\.", ""), ",", ".")
+      case "us" => regexp_replace(noPct, ",", "")
+      case other => throw new IllegalArgumentException(
+        s"localizedNumber: unknown style '$other' (eu|us)")
+    }
+    // gate the cast on validity BEFORE it runs: ANSI mode hard-errors
+    // on an invalid decimal cast, so the cast input must be null (not
+    // garbage) for non-matching rows
+    val v = when(localizedNumberValid(c, style), cleaned)
+      .otherwise(lit(null).cast("string")).cast("decimal(28,8)")
+    when(t.rlike("%$"), (v * lit(BigDecimal("0.01"))).cast("decimal(28,8)"))
+      .otherwise(v)
+  }
+
   /** Sinks (downloader.py equivalent — distributed writers, not a
     * driver-side XLSX export).
     */

@@ -293,6 +293,28 @@ class Wave3Spec extends SparkSpec {
     assert(flagged(3) == Set("r4"))
   }
 
+  test("localizedNumber parses EU and US styles with strict grouping") {
+    import graft.corrector.Corrector
+    val df = Seq("1.234,56", "123,45", "12", "1.234.567,8", "45,5%",
+      "1.23,4", "12,34,5", "-9.876,1", "abc").toDF("v")
+    val r = df.select(col("v"),
+      Corrector.localizedNumber(col("v"), "eu").cast("string").as("eu"))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r("1.234,56") == "1234.56000000")
+    assert(r("123,45") == "123.45000000")
+    assert(r("12") == "12.00000000")
+    assert(r("1.234.567,8") == "1234567.80000000")
+    assert(r("45,5%") == "0.45500000")
+    assert(r("1.23,4") == null)   // bad grouping
+    assert(r("12,34,5") == null)  // two decimal seps
+    assert(r("-9.876,1") == "-9876.10000000")
+    assert(r("abc") == null)
+    val us = Seq("1,234.56", "1.234,56").toDF("v")
+      .select(Corrector.localizedNumber(col("v"), "us").cast("string"))
+      .collect().map(_.getString(0))
+    assert(us(0) == "1234.56000000" && us(1) == null)
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
