@@ -1028,6 +1028,16 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // Aho-Corasick canary scan: phrase needles (present when tokens
+    // happen to be adjacent), a single-word needle, an absent canary —
+    // one automaton pass per doc; oracle = per-needle strpos branches
+    "q_d74_canary" -> ((s, d) => {
+      val needles = Seq("hash join", "slow scan", "merge", "canary_absent_xyz")
+      graft.text.TextAnalysis.canaryScan(
+        t(s, d, "documents").filter(col("doc_id") % 3 === 0),
+        "text", "doc_id", needles)
+        .orderBy("doc_id", "needle_id")
+    }),
     // stream-stream interval join, batch-graded (the D14/D20 scheme:
     // same code path, watermark a no-op on batch frames): clicks =
     // every 7th event, impressions = every 97th, same-user correlation
@@ -3015,6 +3025,19 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // presence per needle re-derived with strpos; UNION ALL branches
+    "q_d74_canary" ->
+      """SELECT doc_id, needle_id, needle FROM (
+        |  SELECT doc_id, 0 AS needle_id, 'hash join' AS needle FROM documents
+        |    WHERE doc_id % 3 = 0 AND strpos(text, 'hash join') > 0
+        |  UNION ALL SELECT doc_id, 1, 'slow scan' FROM documents
+        |    WHERE doc_id % 3 = 0 AND strpos(text, 'slow scan') > 0
+        |  UNION ALL SELECT doc_id, 2, 'merge' FROM documents
+        |    WHERE doc_id % 3 = 0 AND strpos(text, 'merge') > 0
+        |  UNION ALL SELECT doc_id, 3, 'canary_absent_xyz' FROM documents
+        |    WHERE doc_id % 3 = 0 AND strpos(text, 'canary_absent_xyz') > 0)
+        |ORDER BY doc_id, needle_id""".stripMargin,
 
     // equality + time-range join re-derived on epoch-µs integers
     "q_d73_stream_join" ->

@@ -337,4 +337,31 @@ object TextAnalysis {
         .otherwise(expr("shiftleft(1L, bucket) - 1")))
       .select(col("bucket"), col("lo"), col("hi"), col("docs"), col("tokens"))
   }
+
+  /** Exact-substring canary scan (SURVEY §2 D74): which of a bounded
+    * needle bank (eval canaries, secret markers, blocklist phrases)
+    * occurs verbatim in each document — the gap D23's shingle overlap
+    * (needs a shared n-gram) and D62's embedding bank (catches
+    * paraphrase, not verbatim) both leave. One Aho–Corasick automaton
+    * in one codegen object: a single MAP-ONLY pass regardless of bank
+    * size. Returns the matched needle ids (distinct, ascending;
+    * empty = clean).
+    */
+  def canaryHits(c: org.apache.spark.sql.Column,
+                 needles: Seq[String]): org.apache.spark.sql.Column =
+    graft.functions.MultiContains(c, needles)
+
+  /** Tall drill-down: one (id, needle_id, needle) row per hit; clean
+    * docs emit nothing. Scan-local explode — no shuffle.
+    */
+  def canaryScan(df: DataFrame, textCol: String, idCol: String,
+                 needles: Seq[String]): DataFrame = {
+    val lookup = needles.zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (acc, (n, i)) =>
+        when(col("needle_id") === i, lit(n)).otherwise(acc)
+      }
+    df.select(col(idCol), explode(canaryHits(col(textCol), needles))
+        .as("needle_id"))
+      .withColumn("needle", lookup)
+  }
 }

@@ -315,6 +315,41 @@ class Wave3Spec extends SparkSpec {
     assert(us(0) == "1234.56000000" && us(1) == null)
   }
 
+  test("canaryHits: Aho-Corasick matches overlapping and nested needles") {
+    import graft.text.TextAnalysis
+    val needles = Seq("he", "she", "his", "hers", "absent")
+    val df = Seq("ushers", "nothing here ok", "his and hers", "").toDF("t")
+    val r = df.select(TextAnalysis.canaryHits(col("t"), needles))
+      .collect().map(_.getSeq[Int](0).toSet)
+    assert(r(0) == Set(0, 1, 3)) // ushers: she, he, hers (overlapping!)
+    assert(r(1) == Set(0))       // "here" contains he
+    assert(r(2) == Set(0, 2, 3))
+    assert(r(3) == Set.empty[Int])
+  }
+
+  test("canaryHits equals per-needle contains on random-ish text; utf8 safe") {
+    import graft.text.TextAnalysis
+    val needles = Seq("ab", "bc", "cab", "ça", "日本")
+    val texts = Seq("abcabc", "xçay", "日本語テスト", "cabbage", "nothing")
+    val df = texts.toDF("t")
+    val got = df.select(TextAnalysis.canaryHits(col("t"), needles))
+      .collect().map(_.getSeq[Int](0).toSet)
+    texts.zip(got).foreach { case (txt, ids) =>
+      val want = needles.zipWithIndex.filter(p => txt.contains(p._1)).map(_._2).toSet
+      assert(ids == want, s"text '$txt': got $ids want $want")
+    }
+  }
+
+  test("canaryScan emits tall (id, needle_id, needle) rows, clean docs omitted") {
+    import graft.text.TextAnalysis
+    val df = Seq((1L, "the hash join here"), (2L, "clean"), (3L, "merge it"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.canaryScan(df, "text", "doc_id",
+      Seq("hash join", "merge")).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSet
+    assert(r == Set((1L, 0, "hash join"), (3L, 1, "merge")))
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
