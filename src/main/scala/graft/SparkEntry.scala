@@ -1028,6 +1028,19 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // integer-exact PageRank over a doctored 50-domain graph (two
+    // edge families so out-degrees vary); 3 fixed iterations, all
+    // arithmetic in micro-unit DIV — bit-identical across engines
+    "q_d75_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e1 = docs.select((col("doc_id") % 50).as("src"),
+        ((col("doc_id") * 7 + 3) % 50).as("dst"))
+      val e2 = docs.select((col("doc_id") % 50).as("src"),
+        expr("((doc_id DIV 50) * 13 + 1) % 50").as("dst"))
+      val edges = e1.unionByName(e2).filter(col("src") =!= col("dst"))
+      graft.graph.PageRank.rankMicro(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
     // Aho-Corasick canary scan: phrase needles (present when tokens
     // happen to be adjacent), a single-word needle, an absent canary —
     // one automaton pass per doc; oracle = per-needle strpos branches
@@ -3025,6 +3038,33 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // the 3 iterations unrolled as CTE pairs (contribs, ranks) in the
+    // same integer micro arithmetic
+    "q_d75_pagerank" -> {
+      val iters = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""c$i AS (SELECT dst AS node, sum((r*85) // (100*deg)) AS s
+           |  FROM e JOIN $prev ON e.src = $prev.node JOIN deg USING (src)
+           |  GROUP BY 1),
+           |r$i AS (SELECT nodes.node, (150000 // n) + COALESCE(s, 0) AS r
+           |  FROM nodes CROSS JOIN n LEFT JOIN c$i ON nodes.node = c$i.node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT doc_id % 50 AS src, (doc_id*7+3) % 50 AS dst
+         |    FROM documents WHERE doc_id % 50 <> (doc_id*7+3) % 50
+         |  UNION
+         |  SELECT DISTINCT doc_id % 50, ((doc_id // 50)*13 + 1) % 50
+         |    FROM documents WHERE doc_id % 50 <> ((doc_id // 50)*13 + 1) % 50),
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |n AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000 // n AS r FROM nodes CROSS JOIN n),
+         |$iters
+         |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
+    },
 
     // presence per needle re-derived with strpos; UNION ALL branches
     "q_d74_canary" ->

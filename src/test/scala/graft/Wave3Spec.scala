@@ -350,6 +350,32 @@ class Wave3Spec extends SparkSpec {
     assert(r == Set((1L, 0, "hash join"), (3L, 1, "merge")))
   }
 
+  test("pageRank: hand-computed star graph, integer-exact over 2 iterations") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"))
+      .toDF("s", "t")
+    val r = graft.graph.PageRank.rankMicro(edges, "s", "t", iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("rank_micro")).toMap
+    // n=3, r0=333333 each, base=50000
+    // it1: a=50000+283333*2=616666, b=c=50000+141666=191666
+    // it2: a=50000+162916*2=375832, b=c=50000+262083=312083
+    assert(r == Map("a" -> 375832L, "b" -> 312083L, "c" -> 312083L))
+  }
+
+  test("pageRank: dangling mass decays, never inflates; partitioning-invariant") {
+    val edges = Seq(("a", "b")).toDF("s", "t")
+    val r = graft.graph.PageRank.rankMicro(edges, "s", "t", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("rank_micro")).toMap
+    assert(r == Map("a" -> 75000L, "b" -> 500000L)) // b: 75000 + 425000
+    // same graph, many partitions: bit-identical (integer sums)
+    val big = Seq.tabulate(200)(i => (s"n${i % 20}", s"n${(i * 7 + 1) % 20}"))
+      .toDF("s", "t").filter(col("s") =!= col("t"))
+    val one = graft.graph.PageRank.rankMicro(big.coalesce(1), "s", "t", 3)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("rank_micro")).toMap
+    val many = graft.graph.PageRank.rankMicro(big.repartition(13), "s", "t", 3)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("rank_micro")).toMap
+    assert(one == many)
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
