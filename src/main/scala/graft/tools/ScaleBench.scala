@@ -261,7 +261,51 @@ object ScaleBench {
         docs.select(md5(graft.corrector.Corrector.normalizeUnicode(col("text"))))
           .count()),
       "e2e_ingest" -> (() =>
-        graft.SparkEntry.queries("q_e2e_ingest")(spark, dir).count()))
+        graft.SparkEntry.queries("q_e2e_ingest")(spark, dir).count()),
+      // ---- r11 third wave: snapshot freq sketches, domain-window URL
+      // cap, k-anonymity census, bucketed range join (doctored integer
+      // points), map-only canary automaton, 3-round integer PageRank
+      "d69_freq_merge" -> (() => {
+        def toks(h: org.apache.spark.sql.DataFrame) = h
+          .select(explode(split(trim(col("text")), " +")).as("token"))
+          .filter(length(col("token")) > 0)
+        graft.profile.Profiler.mergeFrequentItems(Seq(
+          graft.profile.Profiler.frequencySketch(
+            toks(docs.filter(pmod(col("doc_id"), lit(2)) === 0)), "token", 64),
+          graft.profile.Profiler.frequencySketch(
+            toks(docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)), "token", 64)),
+          64).count()
+      }),
+      "d70_url_cap" -> (() => {
+        val u = docs.withColumn("url", concat(lit("https://WWW.Site"),
+          (col("doc_id") % 50).cast("string"), lit(".example.com/item"),
+          col("doc_id").cast("string"), lit("?utm_source=x&id=1")))
+        graft.text.Urls.capPerDomain(u, "url", "n_chars", "doc_id", 5).count()
+      }),
+      "d71_k_anon" -> (() =>
+        graft.quality.Privacy.riskGroups(
+          cust.withColumn("band", floor(col("c_acctbal") / 50).cast("long")),
+          Seq("c_nationkey", "band"), "c_mktsegment", 4).count()),
+      "d72_range_join" -> (() => {
+        val pts = docs.select((col("doc_id") * 1000L).as("p"), col("doc_id"))
+        val ivs = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id").as("iv"), (col("doc_id") * 1000L).as("s"),
+            (col("doc_id") * 1000L + 50000L).as("e"))
+        graft.operators.RangeJoin.pointInInterval(pts, "p", ivs, "s", "e",
+          25000L).count()
+      }),
+      "d74_canary" -> (() =>
+        graft.text.TextAnalysis.canaryScan(docs, "text", "doc_id",
+          Seq("hash join", "slow scan", "merge", "canary_absent_xyz")).count()),
+      "d75_pagerank" -> (() => {
+        val e1 = docs.select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7 + 3) % 50).as("dst"))
+        val e2 = docs.select((col("doc_id") % 50).as("src"),
+          expr("((doc_id DIV 50) * 13 + 1) % 50").as("dst"))
+        graft.graph.PageRank.rankMicro(
+          e1.unionByName(e2).filter(col("src") =!= col("dst")),
+          "src", "dst", 3).count()
+      }))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory

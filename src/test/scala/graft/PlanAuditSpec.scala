@@ -277,4 +277,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"),
       s"normalization must not shuffle:\n${p.take(2000)}")
   }
+
+  // ---- r11 wave-3 pins
+
+  test("canary scan (D74) is map-only: no join, no shuffle") {
+    // audit the OPERATOR (the gate query adds a determinism sort)
+    val p = graft.text.TextAnalysis.canaryScan(
+      Tables.documents(spark, dir), "text", "doc_id",
+      Seq("hash join", "merge"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"automaton scan must be a pure scan-stage chain:\n${p.take(2000)}")
+  }
+
+  test("range join (D72) is an equi-join on the bucket, never nested-loop") {
+    val p = plan("q_d72_range_join")
+    assert(!p.contains("BroadcastNestedLoop"), s"no BNLJ:\n${p.take(2000)}")
+    assert(p.contains("Join"), "expected a join on the bucket key")
+  }
+
+  test("referential integrity (B19) aggregates before joining the parent") {
+    val p = plan("q_b19_ref_integrity")
+    // the child table collapses to distinct-FK counts before any join:
+    // HashAggregate must appear under the join inputs, and the join is
+    // on the fk, not a row-level nested predicate
+    assert(p.contains("HashAggregate") && !p.contains("BroadcastNestedLoop"),
+      s"expected pre-aggregated fk join:\n${p.take(2000)}")
+  }
+
+  test("URL canonicalization (D70) shuffles only for the domain window") {
+    val p = plan("q_d70_url_canon")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, // window on _domain + join back on doc_id (AQE variants)
+      s"expected bounded exchanges for window+join, saw $exchanges:\n${p.take(3000)}")
+  }
+
+  test("localized-number repair (C26) and date repair (C25) are scan-local") {
+    Seq("q_c26_localized_num", "q_c25_date_parse").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("hashpartitioning"),
+        s"$q must not join or shuffle:\n${p.take(2000)}")
+    }
+  }
+
+  test("type inference (A19) scans the table exactly once") {
+    val scanNodes = "\\(\\d+\\) Scan parquet".r.findAllIn(plan("q_a19_infer_types")).size
+    assert(scanNodes == 1, s"expected 1 scan, saw $scanNodes")
+  }
 }
