@@ -44,6 +44,31 @@ object SparkEntry {
       | CASE WHEN event_type='error' THEN NULL ELSE props END AS props
       |FROM events""".stripMargin
 
+  /** events with a doctored richer-JSON column for the A20 census
+    * (four top-level-shape classes; mirrored verbatim in SQL).
+    */
+  private def doctoredJson(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val kv = (col("event_id") % 100).cast("string")
+    ev.withColumn("props2",
+      when(col("event_id") % 4 === 0, concat(lit("{\"k\": "), kv,
+        lit(", \"device\": \"mobile\", \"score\": 1.5}")))
+        .when(col("event_id") % 4 === 1, concat(lit("{\"k\": "), kv,
+          lit(", \"device\": \"web\"}")))
+        .when(col("event_id") % 4 === 2, concat(lit("{\"k\": "), kv,
+          lit(", \"flags\": {\"new\": true}}")))
+        .otherwise(col("props")))
+  }
+  // single-line lines only: this fragment is interpolated into outer
+  // stripMargin strings, where a leading || would be re-stripped
+  private val doctoredJsonSql =
+    """SELECT CASE
+      | WHEN event_id % 4 = 0 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "device": "mobile", "score": 1.5}'
+      | WHEN event_id % 4 = 1 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "device": "web"}'
+      | WHEN event_id % 4 = 2 THEN '{"k": ' || CAST(event_id % 100 AS VARCHAR) || ', "flags": {"new": true}}'
+      | ELSE props END AS p
+      |FROM events""".stripMargin
+
   /** Synthetic e-mail column derived from customer (mirrored in SQL). */
   private def emailCol: Column = {
     val local = lower(regexp_replace(col("c_name"), "#", "."))
@@ -182,6 +207,14 @@ object SparkEntry {
     "q_a11_corr" -> ((s, d) => Profiler.correlationMatrix(
       t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
     "q_a12_histogram" -> ((s, d) => Profiler.histogram(t(s, d, "lineitem"), "l_quantity", 5.0)),
+    // JSON column profiling: four doctored top-level-shape classes
+    // (scalar extras, nested object, the original {"k": N}); census =
+    // key presence, values = A19 type shares of named scalar keys
+    "q_a20_json_census" -> ((s, d) =>
+      Profiler.jsonKeyCensus(doctoredJson(s, d), "props2")),
+    "q_a20b_json_values" -> ((s, d) =>
+      Profiler.jsonValueProfile(doctoredJson(s, d), "props2",
+        Seq("k", "device", "score"))),
     // string-column type inference: five doctored columns (pure int,
     // decimal-string, dated with 3.4% corruption, boolean with 4.3%
     // corruption, mixed) — the 95% threshold decides in integer space
@@ -1778,6 +1811,49 @@ object SparkEntry {
            | count(*)-count($c) AS null_count,
            | round(count($c)*100.0/count(*),2) AS fill_pct FROM customer""".stripMargin)
         .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    // key census via json_keys unnest; presence tie-safe against the
+    // non-null JSON row count
+    "q_a20_json_census" -> {
+      s"""WITH j AS ($doctoredJsonSql),
+         |t AS (SELECT count(p) AS t FROM j),
+         |k AS (SELECT unnest(json_keys(p)) AS key FROM j WHERE p IS NOT NULL)
+         |SELECT key, count(*) AS cnt,
+         |  ((2*count(*)*10000 + greatest(t,1)) // (2*greatest(t,1))) / 100.0
+         |    AS presence_pct
+         |FROM k CROSS JOIN t GROUP BY key, t ORDER BY key""".stripMargin
+    },
+
+    // named-key scalar extraction (json_extract_string ≡
+    // get_json_object on scalars) + the A19 detector grid
+    "q_a20b_json_values" -> {
+      val intRe = "^[+-]?[0-9]{1,18}$"
+      val dblRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count($c) AS non_null,
+           |  ((2*count(CASE WHEN lower($c) IN ('true','false') THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS bool_pct,
+           |  ((2*count(CASE WHEN regexp_matches($c, '$intRe') THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS int_pct,
+           |  ((2*count(CASE WHEN regexp_matches($c, '$dblRe') THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS double_pct,
+           |  ((2*count(CASE WHEN try_strptime($c, '%Y-%m-%d') IS NOT NULL THEN 1 END)*10000
+           |     + greatest(count($c),1)) // (2*greatest(count($c),1))) / 100.0 AS date_pct,
+           |  CASE WHEN count($c) = 0 THEN 'string'
+           |   WHEN count(CASE WHEN lower($c) IN ('true','false') THEN 1 END)*100 >= count($c)*95 THEN 'boolean'
+           |   WHEN count(CASE WHEN regexp_matches($c, '$intRe') THEN 1 END)*100 >= count($c)*95 THEN 'bigint'
+           |   WHEN count(CASE WHEN regexp_matches($c, '$dblRe') THEN 1 END)*100 >= count($c)*95 THEN 'double'
+           |   WHEN count(CASE WHEN try_strptime($c, '%Y-%m-%d') IS NOT NULL THEN 1 END)*100 >= count($c)*95 THEN 'date'
+           |   ELSE 'string' END AS inferred_type
+           |FROM d""".stripMargin
+      s"""WITH j AS ($doctoredJsonSql),
+         |d AS (SELECT json_extract_string(p, '$$.k') AS k,
+         |  json_extract_string(p, '$$.device') AS device,
+         |  json_extract_string(p, '$$.score') AS score FROM j)
+         |""".stripMargin +
+        Seq("k", "device", "score").map(one)
+          .mkString("", " UNION ALL ", """ ORDER BY "column"""")
     },
 
     // the same regex/parse detectors + first-match policy; doctoring

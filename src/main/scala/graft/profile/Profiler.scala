@@ -658,6 +658,44 @@ object Profiler {
       .orderBy("column")
   }
 
+  /** Semi-structured (JSON) column profiling (SURVEY §2 A20 — the
+    * profiling step C18's embedded-JSON EXTRACTION assumes you've
+    * already done: which keys exist, how often, and what do their
+    * values parse as?). Two census flavors:
+    *
+    * [[jsonKeyCensus]] — top-level key presence: one scan-local
+    * `json_object_keys` explode + one ≤|keys|-group groupBy.
+    * Malformed/null JSON rows contribute nothing (json_object_keys →
+    * null → explode drops them); the total row count rides along so
+    * presence is tie-safe 2-dp.
+    *
+    * [[jsonValueProfile]] — for CALLER-NAMED keys (a bounded list —
+    * dynamic per-key extraction would need literal paths anyway),
+    * the A19 type shares of the extracted scalar values. Scalars
+    * only by contract: engines agree on unquoted scalar extraction
+    * (`get_json_object` ≡ `json_extract_string`) but not on nested-
+    * object whitespace.
+    */
+  def jsonKeyCensus(df: DataFrame, c: String): DataFrame = {
+    val base = df.select(col(c))
+    val total = base.agg(count(col(c)).as("_t"))
+    base.select(explode(expr(s"json_object_keys(`$c`)")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        (expr("(2*cnt*10000 + greatest(_t,1L)) DIV (2*greatest(_t,1L))") / 100.0)
+          .as("presence_pct"))
+      .orderBy("key")
+  }
+
+  def jsonValueProfile(df: DataFrame, c: String, keys: Seq[String],
+                       thresholdPct: Int = 95): DataFrame = {
+    require(keys.nonEmpty, "jsonValueProfile: need >= 1 key")
+    val extracted = df.select(keys.map(k =>
+      get_json_object(col(c), s"$$.$k").as(k)).toIndexedSeq: _*)
+    inferTypes(extracted, keys, thresholdPct)
+  }
+
   /** Robust outlier profile (SURVEY §2 A17): per numeric column, the
     * two classic robust screens in one report —
     *  - IQR fences: lo = Q1 − k·IQR, hi = Q3 + k·IQR (Tukey k = 1.5)

@@ -376,6 +376,24 @@ class Wave3Spec extends SparkSpec {
     assert(one == many)
   }
 
+  test("jsonKeyCensus counts top-level keys; malformed and null rows drop") {
+    val df = Seq(Some("""{"a":1,"b":2}"""), Some("""{"a":3}"""),
+      Some("not json"), None).toDF("j")
+    val r = Profiler.jsonKeyCensus(df, "j").collect()
+      .map(x => x.getString(0) -> (x.getAs[Long]("cnt"),
+        x.getAs[Double]("presence_pct"))).toMap
+    // total non-null = 3 (malformed counts in the denominator)
+    assert(r == Map("a" -> ((2L, 66.67)), "b" -> ((1L, 33.33))))
+  }
+
+  test("jsonValueProfile runs the A19 grid on named scalar keys") {
+    val df = Seq("""{"n":12,"s":"x","f":1.5}""", """{"n":-3,"s":"true"}""")
+      .toDF("j")
+    val m = Profiler.jsonValueProfile(df, "j", Seq("n", "s", "f")).collect()
+      .map(x => x.getString(0) -> x.getAs[String]("inferred_type")).toMap
+    assert(m == Map("n" -> "bigint", "s" -> "string", "f" -> "double"))
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
