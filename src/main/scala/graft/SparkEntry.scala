@@ -207,6 +207,17 @@ object SparkEntry {
     "q_a11_corr" -> ((s, d) => Profiler.correlationMatrix(
       t(s, d, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))),
     "q_a12_histogram" -> ((s, d) => Profiler.histogram(t(s, d, "lineitem"), "l_quantity", 5.0)),
+    // categorical entropy in nano-nat integer space; the guard row
+    // (zz_guard) pins the ln table's engine-portability (D60 scheme)
+    "q_a21_entropy" -> ((s, d) => {
+      val (prof, g) = Profiler.entropyProfileAndGuard(
+        t(s, d, "customer"), Seq("c_mktsegment", "c_nationkey"))
+      prof.unionByName(g.select(lit("zz_guard").as("column"),
+        lit(-1L).as("n"), lit(-1L).as("distinct_vals"),
+        when(col("min_term_dist") > 1e-7, 1L).otherwise(0L)
+          .as("entropy_nano")))
+        .orderBy("column")
+    }),
     // JSON column profiling: four doctored top-level-shape classes
     // (scalar extras, nested object, the original {"k": N}); census =
     // key presence, values = A19 type shares of named scalar keys
@@ -1811,6 +1822,26 @@ object SparkEntry {
            | count(*)-count($c) AS null_count,
            | round(count($c)*100.0/count(*),2) AS fill_pct FROM customer""".stripMargin)
         .mkString("", " UNION ALL ", """ ORDER BY "column"""")
+    },
+
+    // the same nano-nat term table + exact integer sums; the guard
+    // row pins min boundary distance as a literal-1 claim
+    "q_a21_entropy" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", max(n) AS n,
+           |  count(*) AS distinct_vals,
+           |  (2*sum(cnt*t) + greatest(max(n),1)) // (2*greatest(max(n),1))
+           |    AS entropy_nano
+           |FROM (SELECT cnt, n,
+           |  CAST(round(ln(CAST(n AS DOUBLE)/CAST(cnt AS DOUBLE))*1e9) AS BIGINT) AS t
+           |  FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt FROM customer
+           |        WHERE $c IS NOT NULL GROUP BY 1) f
+           |  CROSS JOIN (SELECT count(*) AS n FROM customer WHERE $c IS NOT NULL) nn)"""
+          .stripMargin
+      Seq("c_mktsegment", "c_nationkey").map(one)
+        .mkString("", " UNION ALL ",
+          " UNION ALL SELECT 'zz_guard', -1, -1, 1" +
+            """ ORDER BY "column"""")
     },
 
     // key census via json_keys unnest; presence tie-safe against the

@@ -696,6 +696,57 @@ object Profiler {
     inferTypes(extracted, keys, thresholdPct)
   }
 
+  /** Shannon entropy of categorical columns (SURVEY §2 A21 — the
+    * one-number "how informative is this column" profile: 0 for a
+    * constant, ln(k) for uniform over k values; the screening signal
+    * for candidate keys, degenerate columns, and skew).
+    *
+    * Float discipline (the D60/D61 scheme): the only libm call is
+    * ln(n/cnt) per DISTINCT value; each term quantizes to NANO-nats
+    * (long) with a boundary-distance column, per-term products
+    * cnt·t_nano sum exactly in integer space (reduction-order
+    * independent), and the final division is the tie-safe
+    * `(2S+n) DIV 2n`. The one-row guard (`min_term_dist`) certifies
+    * any engine recomputing the ln table rounds to identical
+    * integers. Per column: one map-side-combined groupBy (the
+    * frequencyTable shuffle) with the value frame persisted so the
+    * total and the rollup share one computation.
+    */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    entropyProfileAndGuard(df, cols)._1
+
+  def entropyProfileAndGuard(df: DataFrame,
+                             cols: Seq[String]): (DataFrame, DataFrame) = {
+    require(cols.nonEmpty, "entropyProfile: need >= 1 column")
+    val parts = cols.map { c =>
+      val freq = graft.CacheScope.persist(
+        df.filter(col(c).isNotNull)
+          .groupBy(col(c).cast(StringType).as("_v"))
+          .agg(count(lit(1)).as("cnt")))
+      val n = freq.agg(sum(col("cnt")).as("_n"))
+      val tNanoDbl =
+        log(col("_n").cast(DoubleType) / col("cnt").cast(DoubleType)) * 1e9
+      val terms = freq.crossJoin(broadcast(n)).select(
+        col("cnt"), col("_n"),
+        round(tNanoDbl).cast("long").as("t_nano"),
+        abs(tNanoDbl - floor(tNanoDbl) - lit(0.5)).as("_bd"))
+      terms.agg(
+        max(col("_n")).as("n"),
+        count(lit(1)).as("distinct_vals"),
+        coalesce(sum(col("cnt") * col("t_nano")), lit(0L)).as("_s"),
+        coalesce(min(col("_bd")), lit(0.5)).as("_bd"))
+        .select(lit(c).as("column"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("distinct_vals"),
+          expr("(2*_s + greatest(n, 1L)) DIV (2*greatest(n, 1L))")
+            .as("entropy_nano"),
+          col("_bd"))
+    }
+    val all = parts.reduce(_ unionByName _)
+    val guard = all.agg(coalesce(min(col("_bd")), lit(0.5)).as("min_term_dist"))
+    (all.drop("_bd").orderBy("column"), guard)
+  }
+
   /** Robust outlier profile (SURVEY §2 A17): per numeric column, the
     * two classic robust screens in one report —
     *  - IQR fences: lo = Q1 − k·IQR, hi = Q3 + k·IQR (Tukey k = 1.5)

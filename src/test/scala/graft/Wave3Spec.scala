@@ -394,6 +394,21 @@ class Wave3Spec extends SparkSpec {
     assert(m == Map("n" -> "bigint", "s" -> "string", "f" -> "double"))
   }
 
+  test("entropyProfile: constant=0, uniform=ln(k), nulls excluded") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("a"), None).toDF("c")
+      .withColumn("u", when(col("c").isNotNull, monotonically_increasing_id() % 2))
+    val (prof, guard) = Profiler.entropyProfileAndGuard(
+      Seq("x", "x", "y", "y").toDF("two"), Seq("two"))
+    val r = prof.collect()(0)
+    assert(r.getAs[Long]("n") == 4 && r.getAs[Long]("distinct_vals") == 2)
+    // uniform over 2: H = ln 2 = 0.693147180... -> 693147181 nano (ln2*1e9 rounds)
+    assert(r.getAs[Long]("entropy_nano") == 693147181L)
+    assert(guard.collect()(0).getAs[Double]("min_term_dist") > 1e-7)
+    val const = Profiler.entropyProfile(Seq("z", "z", "z").toDF("k"), Seq("k"))
+      .collect()(0)
+    assert(const.getAs[Long]("entropy_nano") == 0L)
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
