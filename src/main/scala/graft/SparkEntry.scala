@@ -1072,6 +1072,17 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // Z-order write clustering: the Morton code for (custkey,
+    // order-day) in pure integer bucket+interleave arithmetic — the
+    // value the layout sorts by; write path itself is spec-pinned
+    "q_d77_zorder" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("od", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      graft.sources.Zorder.withZValue(o, "o_custkey", "od", bits = 16)
+        .select(col("o_orderkey"), col("z_value"))
+        .orderBy("o_orderkey")
+    }),
     // integer-exact PageRank over a doctored 50-domain graph (two
     // edge families so out-degrees vary); 3 fixed iterations, all
     // arithmetic in micro-unit DIV — bit-identical across engines
@@ -3145,6 +3156,24 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // same integer bucket + a generated 32-term shift/mask interleave
+    "q_d77_zorder" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((b1 >> $i) & 1) << ${2 * i})",
+        s"(((b2 >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey AS v1,
+         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS v2
+         |  FROM orders),
+         |b AS (SELECT min(v1) AS mn1, max(v1) AS mx1,
+         |  min(v2) AS mn2, max(v2) AS mx2 FROM o),
+         |k AS (SELECT o_orderkey,
+         |  ((v1 - mn1) * 65536) // (mx1 - mn1 + 1) AS b1,
+         |  ((v2 - mn2) * 65536) // (mx2 - mn2 + 1) AS b2
+         |  FROM o CROSS JOIN b)
+         |SELECT o_orderkey, $terms AS z_value FROM k
+         |ORDER BY o_orderkey""".stripMargin
+    },
 
     // the 3 iterations unrolled as CTE pairs (contribs, ranks) in the
     // same integer micro arithmetic

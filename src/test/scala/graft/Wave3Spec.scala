@@ -409,6 +409,47 @@ class Wave3Spec extends SparkSpec {
     assert(const.getAs[Long]("entropy_nano") == 0L)
   }
 
+  test("zorder: morton interleave and bucket edges, hand-computed") {
+    import graft.sources.Zorder
+    val df = Seq((3L, 1L)).toDF("a", "b")
+    val z = df.select(Zorder.interleave(col("a"), col("b"), 2)).collect()(0).getLong(0)
+    assert(z == 7L) // a=11, b=01 -> bits (b1 a1 b0 a0) = 0111
+    val edges = Seq((0L, 0L), (3L, 3L), (2L, 1L)).toDF("x", "y")
+    val zs = Zorder.withZValue(edges, "x", "y", bits = 2)
+      .select("x", "y", "z_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // buckets: v*4 DIV 4 = v for domain 0..3 -> z = interleave(x, y)
+    assert(zs((0L, 0L)) == 0L)
+    assert(zs((3L, 3L)) == 15L)
+    assert(zs((2L, 1L)) == 6L) // x=10 -> bits 0,1=..; interleave(10,01)=0110
+  }
+
+  test("zorderWrite round-trips rows into z-disjoint files") {
+    import graft.sources.Zorder
+    val df = (1 to 400).map(i => (i.toLong * 17 % 401, i.toLong * 31 % 397))
+      .toDF("u", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    try {
+      Zorder.zorderWrite(df, "u", "v", dir.getAbsolutePath, numFiles = 4)
+      val back = spark.read.parquet(dir.getAbsolutePath)
+      assert(back.count() == 400)
+      // per-file z ranges are disjoint (repartitionByRange guarantee)
+      import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+      val ranges = back.withColumn("f", input_file_name())
+        .groupBy("f").agg(fmin("z_value").as("lo"), fmax("z_value").as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+        case _ =>
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
