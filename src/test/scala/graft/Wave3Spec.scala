@@ -450,6 +450,40 @@ class Wave3Spec extends SparkSpec {
     }
   }
 
+  // The q_d69 gate certifies the EXACT no-purge regime (31-token
+  // driver vocab). The x10 corpus injects ~116k unique tokens — deep
+  // purge territory, where raw estimates are insertion-order-dependent
+  // and only the bound claims are checkable. This pins them at x10.
+  test("frequencySketch at x10 (116k vocab, deep purge): NFN + bounds vs exact") {
+    assume(new java.io.File("bigdata/x10/documents.parquet").exists,
+      "bigdata/x10 not generated")
+    val docs = spark.read.parquet("bigdata/x10/documents.parquet")
+    def toks(h: org.apache.spark.sql.DataFrame) = h
+      .select(explode(split(trim(col("text")), " +")).as("token"))
+      .filter(length(col("token")) > 0)
+    val m = 1024
+    val out = Profiler.mergeFrequentItems(Seq(
+      Profiler.frequencySketch(toks(docs.filter(col("doc_id") % 2 === 0)), "token", m),
+      Profiler.frequencySketch(toks(docs.filter(col("doc_id") % 2 =!= 0)), "token", m)),
+      m).collect()
+    val exact = toks(docs).groupBy("token").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("c")).toMap
+    val n = exact.values.sum
+    val maxErr = out.head.getAs[Long]("max_error")
+    assert(out.head.getAs[Long]("stream_length") == n)
+    assert(maxErr > 0L, "expected genuine purging at 116k vocab")
+    assert(maxErr <= (3.5 * n / m).toLong + 1)
+    out.foreach { x =>
+      val e = exact(x.getString(0))
+      assert(x.getAs[Long]("lb") <= e && e <= x.getAs[Long]("ub"),
+        s"bounds broken for ${x.getString(0)}")
+    }
+    val returned = out.map(_.getString(0)).toSet
+    val mustHave = exact.filter(_._2 > maxErr).keys
+    assert(mustHave.nonEmpty, "claim must be non-vacuous")
+    mustHave.foreach(k => assert(returned(k), s"NFN violated: $k missing"))
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
