@@ -1072,6 +1072,33 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // per-segment OLS trend of order totals over time, all-integer
+    // (days × cents; decimal(38,0) sums; sign-split tie-safe DIV)
+    "q_a22_trend" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("xday", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("ycents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      Profiler.trendProfile(o, "o_orderpriority", "xday", "ycents")
+    }),
+    // first-touch funnel: view -> click -> purchase per user, each
+    // step strictly after the previous step's first touch
+    "q_d79_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Funnel.firstTouch(
+        ev.withColumn("tsu", Tables.epochMicros(ev, "ts")),
+        "user_id", "tsu", "event_type", Seq("view", "click", "purchase"))
+    }),
+    // two-sample KS drift: discounted vs non-discounted line items'
+    // quantity distributions; exact integer cross-products, one
+    // tie-safe 4-dp division at display
+    "q_d78_ks_drift" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      graft.profile.Drift.ksStatistic(
+        li.filter(col("l_discount") > 0.05),
+        li.filter(col("l_discount") <= 0.05), "l_quantity")
+    }),
     // Z-order write clustering: the Morton code for (custkey,
     // order-day) in pure integer bucket+interleave arithmetic — the
     // value the layout sorts by; write path itself is spec-pinned
@@ -3156,6 +3183,70 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // HUGEINT-exact sums, the same sign-split integer division
+    "q_a22_trend" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS y
+        |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+        |a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*y) AS sxy, sum(x*x) AS sxx FROM o GROUP BY 1),
+        |b AS (SELECT g, n, sx, sy, n*sxy - sx*sy AS num,
+        |  n*sxx - sx*sx AS den FROM a),
+        |c AS (SELECT g, n, num, den, sy*den - num*sx AS inum,
+        |  n*den AS iden FROM b)
+        |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN den <= 0 THEN NULL
+        |    WHEN num < 0 THEN -CAST((2*(-num)*1000000 + den) // (2*den) AS BIGINT)
+        |    ELSE CAST((2*num*1000000 + den) // (2*den) AS BIGINT)
+        |  END AS slope_micro,
+        |  CASE WHEN iden <= 0 THEN NULL
+        |    WHEN inum < 0 THEN -CAST((2*(-inum)*1000000 + iden) // (2*iden) AS BIGINT)
+        |    ELSE CAST((2*inum*1000000 + iden) // (2*iden) AS BIGINT)
+        |  END AS intercept_micro
+        |FROM c ORDER BY 1""".stripMargin,
+
+    // the same first-touch chain as CTE steps
+    "q_d79_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |s0 AS (SELECT user_id AS u, min(tsu) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT user_id AS u, min(tsu) AS t FROM e JOIN s0
+        |  ON e.user_id = s0.u AND e.tsu > s0.t
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT user_id AS u, min(tsu) AS t FROM e JOIN s1
+        |  ON e.user_id = s1.u AND e.tsu > s1.t
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT 0 AS step_index, 'view' AS step,
+        |    (SELECT count(*) FROM s0) AS users
+        |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)),
+        |f AS (SELECT users AS fu FROM c WHERE step_index = 0)
+        |SELECT step_index, step, users,
+        |  ((2*users*10000 + greatest(fu, 1)) // (2*greatest(fu, 1))) / 100.0
+        |    AS conversion_pct
+        |FROM c CROSS JOIN f ORDER BY step_index""".stripMargin,
+
+    // cum-count cross-products re-derived over the merged value set
+    "q_d78_ks_drift" ->
+      """WITH a AS (SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS ca
+        |  FROM lineitem WHERE l_discount > 0.05 AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |b AS (SELECT CAST(l_quantity AS DOUBLE) AS v, count(*) AS cb
+        |  FROM lineitem WHERE l_discount <= 0.05 AND l_quantity IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(ca, 0) AS ca,
+        |  COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
+        |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM m),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+        |g AS (SELECT max(abs(cuma*nb - cumb*na)) AS ks_num FROM cum CROSS JOIN t)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST((2*ks_num*10000 + greatest(na*nb, 1))
+        |    // (2*greatest(na*nb, 1)) AS BIGINT) / 10000.0 AS ks
+        |FROM g CROSS JOIN t""".stripMargin,
 
     // same integer bucket + a generated 32-term shift/mask interleave
     "q_d77_zorder" -> {

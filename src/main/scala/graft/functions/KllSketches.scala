@@ -188,3 +188,43 @@ object KllQuantile {
     SqlBridge.column(KllQuantile(SqlBridge.expression(c), q))
   }
 }
+
+/** Normalized rank (empirical CDF value) of `value` in a serialized
+  * KLL sketch — the accessor the sketch-grid KS flavor (D78) needs:
+  * evaluate both sides' CDFs on a common grid, take the max gap,
+  * certified within ±2·ε by KLL's published rank error. Same
+  * bounded-frame CodegenFallback rationale as [[KllQuantile]].
+  */
+case class KllRank(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (serialized KLL sketch, double value), got $other")
+    }
+
+  override def nullable: Boolean = true
+  override def nullSafeEval(sketch: Any, v: Any): Any = {
+    val s = KllDoublesSketch.heapify(Memory.wrap(sketch.asInstanceOf[Array[Byte]]))
+    if (s.isEmpty) null else s.getRank(v.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllRank =
+    copy(left = newLeft, right = newRight)
+}
+
+object KllRank {
+  def apply(sketch: Column, value: Column): Column = {
+    import org.apache.spark.sql.graft.SqlBridge
+    SqlBridge.column(
+      KllRank(SqlBridge.expression(sketch), SqlBridge.expression(value)))
+  }
+}

@@ -66,4 +66,60 @@ object Drift {
       .agg(count(lit(1)).as("n_categories"),
         round((F.sum(col("term_nano"))).cast("double") / 1e9, 4).as("psi"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic for NUMERIC drift
+    * (SURVEY §2 D78) — the numeric counterpart of [[categoricalPsi]]:
+    * KS = max over v of |F_a(v) − F_b(v)|, the standard screen for
+    * "did this column's distribution move" without binning choices.
+    *
+    * EXACT flavor, zero floats until display: the empirical-CDF gap
+    * at value v is |cum_a(v)·n_b − cum_b(v)·n_a| / (n_a·n_b), so the
+    * maximization runs entirely over exact integer cross-products;
+    * only the final tie-safe 4-dp division touches a double. Engine-
+    * portable by construction.
+    *
+    * Cost shape: one groupBy per side on the VALUE (map-side
+    * combined), one full-outer merge, then a cumulative window over
+    * the DISTINCT values — a single-partition sort bounded by the
+    * column's distinct count, NOT the corpus (fine for discrete/
+    * bounded-cardinality columns, the certification flavor). The
+    * 100 TB path for truly continuous columns is the mergeable-KLL
+    * grid: sketch both sides (D67), evaluate both CDFs on a common
+    * quantile grid, take the max gap — within ±2·ε of exact by KLL's
+    * published rank error; see `ksOnGrid` in the spec suite.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, c: String): DataFrame = {
+    val ca = a.filter(col(c).isNotNull)
+      .groupBy(col(c).cast("double").as("v")).agg(count(lit(1)).as("ca"))
+    val cb = b.filter(col(c).isNotNull)
+      .groupBy(col(c).cast("double").as("v")).agg(count(lit(1)).as("cb"))
+    // persisted: the merged value frame feeds both the totals and the
+    // cumulative pass (the Keywords/Dsir shared-frame rule)
+    val merged = graft.CacheScope.persist(
+      ca.join(cb, Seq("v"), "full_outer")
+        .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb")))
+    val totals = merged.agg(
+      F.sum(col("ca")).as("n_a"), F.sum(col("cb")).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // DECIMAL(38,0) cross-products: exact at any corpus size (n_a·n_b
+    // overflows a long past ~3e9 rows/side — the KMV discipline)
+    merged.crossJoin(broadcast(totals))
+      .select(
+        F.sum(col("ca")).over(w).cast("decimal(38,0)").as("cuma"),
+        F.sum(col("cb")).over(w).cast("decimal(38,0)").as("cumb"),
+        col("n_a").cast("decimal(38,0)").as("na"),
+        col("n_b").cast("decimal(38,0)").as("nb"))
+      .select(abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("gap"),
+        col("na"), col("nb"))
+      .agg(F.max(col("gap")).as("ks_num"),
+        F.max(col("na")).as("na"), F.max(col("nb")).as("nb"))
+      .select(
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        (expr("CAST((2*ks_num*10000 + greatest(na*nb, CAST(1 AS DECIMAL(38,0))))" +
+          " DIV (2*greatest(na*nb, CAST(1 AS DECIMAL(38,0)))) AS LONG)") / 10000.0)
+          .as("ks"))
+  }
 }

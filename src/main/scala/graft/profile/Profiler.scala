@@ -747,6 +747,50 @@ object Profiler {
     (all.drop("_bd").orderBy("column"), guard)
   }
 
+  /** Per-group linear trend — OLS slope/intercept — in EXACT integer
+    * arithmetic (SURVEY §2 A22): the profiling question "is this
+    * metric drifting over time, per segment" answered without a
+    * single order-dependent float sum. Caller contract: x and y are
+    * INTEGRAL columns (scale money to cents, timestamps to days
+    * first) —
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    * with all sums in DECIMAL(38,0) (exact at any corpus size), so
+    * numerator/denominator are exact integers and the 6-dp micro
+    * display divides tie-safe. The division sign-splits: Spark's
+    * `DIV` truncates toward zero while DuckDB's `//` floors — they
+    * agree ONLY for non-negative operands, so negative rationals
+    * compute as −(|num| DIV den). Zero-variance groups (den = 0)
+    * yield null slope. One map-side-combined groupBy total.
+    */
+  def trendProfile(df: DataFrame, groupCol: String,
+                   xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    val d38 = "decimal(38,0)"
+    val agg = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+    def microDiv(numName: String, denName: String): Column = expr(
+      s"CASE WHEN $denName <= 0 THEN NULL" +
+        s" WHEN $numName < 0 THEN" +
+        s" -CAST((2*(-$numName)*1000000 + $denName) DIV (2*$denName) AS LONG)" +
+        s" ELSE CAST((2*$numName*1000000 + $denName) DIV (2*$denName) AS LONG)" +
+        s" END")
+    agg
+      // intercept = (Σy·den − num·Σx) / (n·den), exact rational
+      .withColumn("inum", col("sy") * col("den") - col("num") * col("sx"))
+      .withColumn("iden", col("n") * col("den"))
+      .select(col(groupCol),
+        col("n").cast("long").as("n"),
+        microDiv("num", "den").as("slope_micro"),
+        microDiv("inum", "iden").as("intercept_micro"))
+      .orderBy(groupCol)
+  }
+
   /** Robust outlier profile (SURVEY §2 A17): per numeric column, the
     * two classic robust screens in one report —
     *  - IQR fences: lo = Q1 − k·IQR, hi = Q3 + k·IQR (Tukey k = 1.5)

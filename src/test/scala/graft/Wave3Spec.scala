@@ -484,6 +484,69 @@ class Wave3Spec extends SparkSpec {
     mustHave.foreach(k => assert(returned(k), s"NFN violated: $k missing"))
   }
 
+  test("ksStatistic: hand-computed integer gap; identical sides give 0") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(3.0, 4.0).toDF("v")
+    val r = graft.profile.Drift.ksStatistic(a, b, "v").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2)
+    // max |cuma*nb - cumb*na| = 4 at v=2 -> 4/6 tie-safe 4dp
+    assert(r.getAs[Double]("ks") == 0.6667)
+    val same = graft.profile.Drift.ksStatistic(a, a, "v").collect()(0)
+    assert(same.getAs[Double]("ks") == 0.0)
+  }
+
+  test("KS on the KLL quantile grid approximates exact within 2*eps") {
+    import graft.functions.{KllRank, KllSketchAgg}
+    val a = (1 to 5000).map(_.toDouble).toDF("v")
+    val b = (1 to 5000).map(i => i.toDouble + 1000).toDF("v")
+    // exact KS = 1000/5000 = 0.2 (pure shift)
+    def sketch(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(KllSketchAgg(col("v"), 200)).collect()(0).getAs[Array[Byte]](0)
+    val (sa, sb) = (sketch(a), sketch(b))
+    val grid = (500 to 5500 by 250).map(_.toDouble).toDF("g")
+    val approx = grid.select(
+      abs(KllRank(lit(sa), col("g")) - KllRank(lit(sb), col("g"))).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(math.abs(approx - 0.2) <= 2 * 0.0165, s"grid KS $approx vs exact 0.2")
+  }
+
+  test("trendProfile: exact slope/intercept on a hand-built line, negatives safe") {
+    // y = 3x + 7 exactly -> slope_micro 3e6, intercept_micro 7e6
+    val df = Seq((1L, 10L), (2L, 13L), (3L, 16L), (10L, 37L))
+      .toDF("x", "y").withColumn("g", lit("a"))
+    val r = Profiler.trendProfile(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("slope_micro") == 3000000L)
+    assert(r.getAs[Long]("intercept_micro") == 7000000L)
+    // negative slope: y = -2x + 100
+    val neg = Seq((1L, 98L), (2L, 96L), (5L, 90L)).toDF("x", "y")
+      .withColumn("g", lit("n"))
+    val rn = Profiler.trendProfile(neg, "g", "x", "y").collect()(0)
+    assert(rn.getAs[Long]("slope_micro") == -2000000L)
+    assert(rn.getAs[Long]("intercept_micro") == 100000000L)
+    // zero variance -> null slope
+    val flat = Seq((4L, 1L), (4L, 2L)).toDF("x", "y").withColumn("g", lit("z"))
+    assert(Profiler.trendProfile(flat, "g", "x", "y").collect()(0)
+      .isNullAt(2))
+  }
+
+  test("funnel: first-touch ordering is strict; re-entries don't resurrect") {
+    import graft.operators.Funnel
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full
+      (2L, 10L, "view"), (2L, 5L, "click"),                         // click BEFORE view
+      (2L, 50L, "purchase"),                                        // no qualifying click
+      (3L, 10L, "view"),                                            // view only
+      (4L, 99L, "click"), (4L, 100L, "purchase"))                   // never viewed
+      .toDF("user_id", "ts", "event_type")
+    val r = Funnel.firstTouch(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")).collect()
+      .map(x => x.getString(1) -> (x.getAs[Long]("users"),
+        x.getAs[Double]("conversion_pct"))).toMap
+    assert(r("view") == ((3L, 100.0)))
+    assert(r("click") == ((1L, 33.33)))
+    assert(r("purchase") == ((1L, 33.33)))
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
