@@ -1072,6 +1072,25 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // missingness patterns + pairwise co-null drill-down over the
+    // doctored events (error rows null out correlated column sets)
+    "q_a23_missing" -> ((s, d) => Profiler.missingnessPatterns(
+      doctoredEvents(s, d), Seq("ts", "user_id", "value", "props"))),
+    "q_a23b_comissing" -> ((s, d) => Profiler.coMissingness(
+      doctoredEvents(s, d), Seq("ts", "user_id", "value", "props"))),
+    // deterministic pseudonymization: same salt + value -> same token
+    // in independently-derived frames (join-stability claim per row)
+    "q_c27_pseudonym" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val tok1 = c.select(col("c_custkey"),
+        Corrector.pseudonymize(col("c_name"), "graft-r11").as("token"))
+      val tok2 = c.select(col("c_custkey"),
+        Corrector.pseudonymize(col("c_name"), "graft-r11").as("token2"))
+      tok1.join(tok2, Seq("c_custkey"))
+        .select(col("c_custkey"), col("token"),
+          (col("token") === col("token2")).as("stable"))
+        .orderBy("c_custkey")
+    }),
     // per-segment OLS trend of order totals over time, all-integer
     // (days × cents; decimal(38,0) sums; sign-split tie-safe DIV)
     "q_a22_trend" -> ((s, d) => {
@@ -3183,6 +3202,42 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // pattern census re-derived from the same doctoring
+    "q_a23_missing" ->
+      s"""WITH d AS ($doctoredEventsSql),
+         |p AS (SELECT
+         |  (CASE WHEN ts IS NULL THEN '1' ELSE '0' END) ||
+         |  (CASE WHEN user_id IS NULL THEN '1' ELSE '0' END) ||
+         |  (CASE WHEN value IS NULL THEN '1' ELSE '0' END) ||
+         |  (CASE WHEN props IS NULL THEN '1' ELSE '0' END) AS pattern
+         |  FROM d),
+         |g AS (SELECT pattern, count(*) AS rows FROM p GROUP BY 1),
+         |t AS (SELECT sum(rows) AS t FROM g)
+         |SELECT pattern, rows,
+         |  ((2*rows*10000 + greatest(t,1)) // (2*greatest(t,1))) / 100.0 AS pct
+         |FROM g CROSS JOIN t ORDER BY pattern""".stripMargin,
+
+    "q_a23b_comissing" -> {
+      val cols = Seq("ts", "user_id", "value", "props")
+      val pairs = for {
+        (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+      } yield
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  count(CASE WHEN $a IS NULL AND $b IS NULL THEN 1 END) AS both_null,
+           |  count(CASE WHEN $a IS NULL THEN 1 END) AS a_null,
+           |  count(CASE WHEN $b IS NULL THEN 1 END) AS b_null
+           |FROM d""".stripMargin
+      s"WITH d AS ($doctoredEventsSql)\n" +
+        pairs.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+    },
+
+    // sha256 is sha256 in both engines; token halves re-derived
+    "q_c27_pseudonym" ->
+      """SELECT c_custkey,
+        |  substr(sha256('graft-r11:' || c_name), 1, 16) AS token,
+        |  true AS stable
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // HUGEINT-exact sums, the same sign-split integer division
     "q_a22_trend" ->

@@ -195,6 +195,31 @@ object Corrector {
       .otherwise(v)
   }
 
+  /** Deterministic pseudonymization (SURVEY §2 C27 — the repair-side
+    * partner of D18's redaction and D71's k-anonymity: replace an
+    * identifier with a salted-hash token that is STABLE, so joins and
+    * group-bys still work across tables and ingest batches, but the
+    * original value is gone). `sha2(salt ‖ ':' ‖ value)` truncated to
+    * `bits/4` hex chars; same salt + same value → same token
+    * everywhere, different salt → unlinkable corpora. Scan-local and
+    * codegen'd.
+    *
+    * Threat-model note (scaladoc'd, not hidden): salted hashing
+    * defeats casual lookup and cross-corpus linkage without the salt,
+    * but a LOW-ENTROPY domain (phone numbers, national IDs) remains
+    * brute-forceable by anyone HOLDING the salt — treat the salt as a
+    * key, rotate per corpus, and prefer dropping the column when
+    * linkability isn't needed.
+    */
+  def pseudonymize(c: Column, salt: String, bits: Int = 64): Column = {
+    require(salt.nonEmpty, "pseudonymize: empty salt")
+    require(bits >= 32 && bits <= 256 && bits % 4 == 0,
+      s"pseudonymize: bits must be a multiple of 4 in [32,256], got $bits")
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(substring(
+        sha2(concat(lit(salt), lit(":"), c.cast("string")), 256), 1, bits / 4))
+  }
+
   /** Sinks (downloader.py equivalent — distributed writers, not a
     * driver-side XLSX export).
     */

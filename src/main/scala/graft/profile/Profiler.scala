@@ -658,6 +658,49 @@ object Profiler {
       .orderBy("column")
   }
 
+  /** Missingness-pattern census (SURVEY §2 A23 — the step past
+    * per-column null counts: WHICH columns are null TOGETHER? Row
+    * patterns expose instrumentation failures — "ts and user_id are
+    * always null as a pair" — that per-column rates hide).
+    * One scan, one groupBy over ≤ 2^k patterns (k ≤ 20 loudly
+    * enforced — patterns beyond that are unreadable anyway).
+    * Pattern string is positional over `cols`: '1' = null.
+    */
+  def missingnessPatterns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 20,
+      s"missingnessPatterns: need 1..20 columns, got ${cols.size}")
+    val pat = concat(cols.map(c =>
+      when(col(c).isNull, lit("1")).otherwise(lit("0"))).toIndexedSeq: _*)
+    df.select(pat.as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("rows"))
+      // global window over the ≤2^k-row GROUPED frame (the benford
+      // rationale: a crossJoin'd total would re-scan the table)
+      .withColumn("_t", sum(col("rows")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("pattern"), col("rows"),
+        (expr("(2*rows*10000 + greatest(_t, 1L))" +
+          " DIV (2*greatest(_t, 1L))") / 100.0).as("pct"))
+      .orderBy("pattern")
+  }
+
+  /** Pairwise co-missingness: for each column pair, rows where BOTH
+    * are null — the correlation drill-down of [[missingnessPatterns]].
+    * ONE aggregation pass (array-of-structs), no joins.
+    */
+  def coMissingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "coMissingness: need >= 2 columns")
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield struct(lit(a).as("col_a"), lit(b).as("col_b"),
+      count(when(col(a).isNull && col(b).isNull, 1)).as("both_null"),
+      count(when(col(a).isNull, 1)).as("a_null"),
+      count(when(col(b).isNull, 1)).as("b_null"))
+    df.agg(array(pairs.toIndexedSeq: _*).as("_p"))
+      .select(explode(col("_p")).as("p"))
+      .select("p.*")
+      .orderBy("col_a", "col_b")
+  }
+
   /** Semi-structured (JSON) column profiling (SURVEY §2 A20 — the
     * profiling step C18's embedded-JSON EXTRACTION assumes you've
     * already done: which keys exist, how often, and what do their

@@ -547,6 +547,33 @@ class Wave3Spec extends SparkSpec {
     assert(r("purchase") == ((1L, 33.33)))
   }
 
+  test("missingnessPatterns census and pairwise co-missingness") {
+    val df = Seq(
+      (Some(1), Some("a")), (None, None), (None, None), (Some(3), None))
+      .toDF("x", "y")
+    val pats = Profiler.missingnessPatterns(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("rows"),
+        r.getAs[Double]("pct"))).toMap
+    assert(pats == Map("00" -> ((1L, 25.0)), "11" -> ((2L, 50.0)),
+      "01" -> ((1L, 25.0))))
+    val co = Profiler.coMissingness(df, Seq("x", "y")).collect()(0)
+    assert(co.getAs[Long]("both_null") == 2)
+    assert(co.getAs[Long]("a_null") == 2 && co.getAs[Long]("b_null") == 3)
+  }
+
+  test("pseudonymize: stable per salt, unlinkable across salts, null-safe") {
+    import graft.corrector.Corrector
+    val df = Seq(Some("alice"), Some("alice"), Some("bob"), None).toDF("v")
+    val toks = df.select(
+      Corrector.pseudonymize(col("v"), "s1").as("t1"),
+      Corrector.pseudonymize(col("v"), "s2").as("t2")).collect()
+    assert(toks(0).getString(0) == toks(1).getString(0)) // stable
+    assert(toks(0).getString(0) != toks(2).getString(0)) // distinct values
+    assert(toks(0).getString(0) != toks(0).getString(1)) // salt unlinkable
+    assert(toks(0).getString(0).length == 16)            // 64 bits -> 16 hex
+    assert(toks(3).isNullAt(0))                          // null passthrough
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
