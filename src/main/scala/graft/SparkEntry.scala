@@ -1072,6 +1072,16 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // PMI collocations: top-15 over-chance adjacent pairs (minCount
+    // 5) + the zz_guard ln-portability claim row
+    "q_d80_pmi" -> ((s, d) => {
+      val (top, g) = graft.text.TokenStats.pmiCollocationsAndGuard(
+        t(s, d, "documents"), "text", "doc_id", minCount = 5, k = 15)
+      top.unionByName(g.select(lit("zz_guard").as("w1"), lit("").as("w2"),
+          lit(-1L).as("cnt"),
+          when(col("min_pmi_dist") > 1e-7, 1L).otherwise(0L).as("pmi_micro")))
+        .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+    }),
     // missingness patterns + pairwise co-null drill-down over the
     // doctored events (error rows null out correlated column sets)
     "q_a23_missing" -> ((s, d) => Profiler.missingnessPatterns(
@@ -3202,6 +3212,29 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // bigram margins + N from the same pair frame; identical product
+    // order so the ln sees bit-identical inputs; guard pinned at 1
+    "q_d80_pmi" ->
+      """WITH tok AS (SELECT regexp_split_to_array(trim(text), ' +') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT unnest(generate_series(2, len(t))) AS i, t FROM tok
+        |  WHERE len(t) >= 2),
+        |p AS (SELECT t[i-1] AS w1, t[i] AS w2 FROM bg),
+        |pc AS (SELECT w1, w2, count(*) AS cnt FROM p GROUP BY 1, 2),
+        |l AS (SELECT w1, sum(cnt) AS cx FROM pc GROUP BY 1),
+        |r AS (SELECT w2, sum(cnt) AS cy FROM pc GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS n FROM pc),
+        |s AS (SELECT pc.w1, pc.w2, cnt,
+        |  CAST(round(ln(CAST(n AS DOUBLE)*cnt
+        |    / (CAST(cx AS DOUBLE)*cy))*1e6) AS BIGINT) AS pmi_micro
+        |  FROM pc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+        |  WHERE cnt >= 5),
+        |top AS (SELECT * FROM s ORDER BY pmi_micro DESC, w1, w2 LIMIT 15)
+        |SELECT * FROM (
+        |  SELECT w1, w2, cnt, pmi_micro FROM top
+        |  UNION ALL SELECT 'zz_guard', '', -1, 1)
+        |ORDER BY pmi_micro DESC, w1, w2""".stripMargin,
 
     // pattern census re-derived from the same doctoring
     "q_a23_missing" ->

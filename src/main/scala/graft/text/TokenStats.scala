@@ -275,4 +275,49 @@ object TokenStats {
       .as(Seq("metric", "value")))
     (out, guard)
   }
+
+  /** PMI collocation mining (SURVEY §2 D80 — which adjacent token
+    * pairs co-occur far beyond chance: multiword expressions, named
+    * entities, domain phrases; Church & Hanks 1990):
+    * PMI(x,y) = ln(N·c_xy / (c_x·c_y)) over the bigram frame, with
+    * margins and N derived from that SAME (persisted) frame — one
+    * corpus-sized pair groupBy, two vocabulary-bounded margin
+    * rollups, no second corpus scan. Low-count pairs are noise
+    * magnets (PMI favors rarity), hence `minCount`.
+    *
+    * Float discipline: all count products are exact in doubles
+    * (< 2^53), so the single ln sees bit-identical inputs on any
+    * engine; PMI quantizes to MICRO-nats with a boundary-distance
+    * guard (the D60/D61/A21 scheme). Top-k is a TakeOrdered over the
+    * total order (pmi desc, w1, w2).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, idCol: String,
+                      minCount: Long = 5, k: Int = 20): DataFrame =
+    pmiCollocationsAndGuard(df, textCol, idCol, minCount, k)._1
+
+  def pmiCollocationsAndGuard(df: DataFrame, textCol: String, idCol: String,
+                              minCount: Long = 5, k: Int = 20)
+      : (DataFrame, DataFrame) = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val pairs = graft.CacheScope.persist(bigramCounts(df, textCol, idCol))
+    val left = pairs.groupBy(col("w1")).agg(sum(col("cnt")).as("cx"))
+    val right = pairs.groupBy(col("w2")).agg(sum(col("cnt")).as("cy"))
+    val n = pairs.agg(sum(col("cnt")).as("_n"))
+    val pmiDbl = log(col("_n").cast("double") * col("cnt") /
+      (col("cx").cast("double") * col("cy"))) * 1e6
+    val scored = graft.CacheScope.persist(
+      pairs.filter(col("cnt") >= minCount)
+        .join(left, "w1").join(right, "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("cnt"),
+          round(pmiDbl).cast("long").as("pmi_micro"),
+          abs(pmiDbl - floor(pmiDbl) - lit(0.5)).as("_bd")))
+    val guard = scored.agg(
+      coalesce(min(col("_bd")), lit(0.5)).as("min_pmi_dist"))
+    val top = scored.drop("_bd")
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    (top, guard)
+  }
 }

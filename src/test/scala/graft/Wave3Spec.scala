@@ -574,6 +574,32 @@ class Wave3Spec extends SparkSpec {
     assert(toks(3).isNullAt(0))                          // null passthrough
   }
 
+  test("pmiCollocations: perfect pair maxes PMI; independence near zero") {
+    import graft.text.TokenStats
+    // "new york" always adjacent (PMI = ln(N/cnt... high)); "the" pairs
+    // with everything (PMI ~ 0 vs its margins)
+    val docs = (1 to 50).map(i =>
+      (i.toLong, s"the cat new york the dog new york token$i"))
+      .toDF("doc_id", "text")
+    val (top, guard) = TokenStats.pmiCollocationsAndGuard(
+      docs, "text", "doc_id", minCount = 5, k = 5)
+    val rows = top.collect().map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("cnt"), r.getAs[Long]("pmi_micro")))
+    // N=400 pairs; (new,york): cxy=100, cx=100, cy=100 -> PMI =
+    // ln(400·100/1e4) = ln 4; several deterministic-count pairs tie at
+    // ln 4 and the tiebreak is (w1, w2) asc -> (cat,new) leads
+    val ln4 = math.round(math.log(4.0) * 1e6)
+    assert(rows.head._4 == ln4)
+    assert(rows.head._1 == "cat" && rows.head._2 == "new")
+    assert(rows.contains(("new", "york", 100L, ln4)))
+    // ties are ordered lexically: every ln4 pair precedes lower-PMI rows
+    val (ties, rest) = rows.partition(_._4 == ln4)
+    assert(ties.map(r => (r._1, r._2)).sameElements(
+      ties.map(r => (r._1, r._2)).sortBy(identity)))
+    assert(rest.forall(_._4 < ln4))
+    assert(guard.collect()(0).getAs[Double]("min_pmi_dist") > 1e-7)
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
