@@ -1072,6 +1072,16 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // windowed heavy hitters, batch-graded (5-type vocab << 0.75·M →
+    // exact regime: est = lb = ub = the per-window type counts)
+    "q_d81_windowed_freq" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.StreamingDQ.windowedFrequentItems(
+        ev.withColumn("tsw", Tables.asTimestamp(ev, "ts")),
+        "tsw", "event_type", windowDur = "6 hours")
+        .withColumn("window_start", unix_micros(col("window_start")))
+        .orderBy("window_start", "item")
+    }),
     // PMI collocations: top-15 over-chance adjacent pairs (minCount
     // 5) + the zz_guard ln-portability claim row
     "q_d80_pmi" -> ((s, d) => {
@@ -3212,6 +3222,13 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // exact-regime windowed counts; epoch-aligned 6h buckets
+    "q_d81_windowed_freq" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,
+        |  event_type AS item, count(*) AS est, count(*) AS lb, count(*) AS ub
+        |FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // bigram margins + N from the same pair frame; identical product
     // order so the ln sees bit-identical inputs; guard pinned at 1

@@ -563,6 +563,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("collision"))
   }
 
+  test("windowedFrequentItems: sketch agg runs inside a streaming window") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamingDQ.windowedFrequentItems(
+      mem.toDF().toDF("ts", "item"), "ts", "item",
+      windowDur = "1 minute", watermark = "2 minutes", maxMapSize = 16)
+    val q = out.writeStream.format("memory").queryName("wfreq_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      mem.addData(
+        (t("2026-01-01 00:00:01"), "a"), (t("2026-01-01 00:00:02"), "a"),
+        (t("2026-01-01 00:00:03"), "a"), (t("2026-01-01 00:00:04"), "b"))
+      q.processAllAvailable()
+      mem.addData((t("2026-01-01 00:10:00"), "zz")) // close window 1
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT item, est, lb, ub FROM wfreq_out").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(rows == Map("a" -> ((3L, 3L, 3L)), "b" -> ((1L, 1L, 1L))))
+    } finally q.stop()
+  }
+
   // Closes the loop the r10 regression exposed: the batch oracle for
   // D14 used to read ts through a hard-coded physical representation
   // while the streaming specs fed synthetic TimestampType columns —
