@@ -305,7 +305,20 @@ object ScaleBench {
         graft.graph.PageRank.rankMicro(
           e1.unionByName(e2).filter(col("src") =!= col("dst")),
           "src", "dst", 3).count()
-      }))
+      }),
+      // ---- r11 fourth wave: exact-integer KS over acctbal halves,
+      // PMI over the corpus bigram frame, nano-nat entropy
+      "d78_ks" -> (() =>
+        graft.profile.Drift.ksStatistic(
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 0),
+          cust.filter(pmod(col("c_custkey"), lit(2)) === 1),
+          "c_acctbal").count()),
+      "d80_pmi" -> (() =>
+        graft.text.TokenStats.pmiCollocations(
+          docs, "text", "doc_id", minCount = 5, k = 20).count()),
+      "a21_entropy" -> (() =>
+        graft.profile.Profiler.entropyProfile(
+          cust, Seq("c_mktsegment", "c_nationkey")).count()))
 
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory
