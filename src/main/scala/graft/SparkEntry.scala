@@ -1072,6 +1072,23 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // duplicate-column detection over doctored copies (exact copy,
+    // perturbed every 97th, nulled every 53rd — null-safe equality)
+    "q_a24_dup_cols" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("ck_copy", col("o_custkey"))
+        .withColumn("ck_perturbed", when(col("o_orderkey") % 97 === 0,
+          col("o_custkey") + 1).otherwise(col("o_custkey")))
+        .withColumn("ck_nulled", when(col("o_orderkey") % 53 === 0,
+          lit(null).cast("long")).otherwise(col("o_custkey")))
+      Profiler.duplicateColumns(o,
+        Seq("o_custkey", "ck_copy", "ck_perturbed", "ck_nulled"))
+    }),
+    // split balance audit: per (split, lang) share vs global share in
+    // tie-safe basis points — the verification step after a D16 split
+    "q_d82_split_balance" -> ((s, d) =>
+      graft.pipeline.Pipeline.splitBalanceReport(
+        t(s, d, "documents"), "text", "lang")),
     // windowed heavy hitters, batch-graded (5-type vocab << 0.75·M →
     // exact regime: est = lb = ub = the per-window type counts)
     "q_d81_windowed_freq" -> ((s, d) => {
@@ -3222,6 +3239,46 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // pairwise null-safe mismatch counts
+    "q_a24_dup_cols" -> {
+      val cols = Seq(
+        "o_custkey" -> "o_custkey",
+        "ck_copy" -> "o_custkey",
+        "ck_perturbed" -> "CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1 ELSE o_custkey END",
+        "ck_nulled" -> "CASE WHEN o_orderkey % 53 = 0 THEN NULL ELSE o_custkey END")
+      val pairs = for {
+        ((an, ae), i) <- cols.zipWithIndex
+        ((bn, be), j) <- cols.zipWithIndex if i < j
+      } yield
+        s"""SELECT '$an' AS col_a, '$bn' AS col_b,
+           |  count(CASE WHEN NOT (($ae) IS NOT DISTINCT FROM ($be)) THEN 1 END)
+           |    AS mismatch_rows,
+           |  count(CASE WHEN NOT (($ae) IS NOT DISTINCT FROM ($be)) THEN 1 END) = 0
+           |    AS identical
+           |FROM orders""".stripMargin
+      pairs.mkString("", " UNION ALL ", " ORDER BY col_a, col_b")
+    },
+
+    // the d16 md5 bucket + the same three rollups from the cell frame
+    "q_d82_split_balance" ->
+      """WITH b AS (SELECT CAST(lang AS VARCHAR) AS stratum,
+        |  list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 100 AS bkt FROM documents),
+        |s AS (SELECT CASE WHEN bkt < 80 THEN 'train'
+        |    WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split, stratum FROM b),
+        |c AS (SELECT split, stratum, count(*) AS rows FROM s GROUP BY 1, 2),
+        |st AS (SELECT split, sum(rows) AS st FROM c GROUP BY 1),
+        |gt AS (SELECT stratum, sum(rows) AS gt FROM c GROUP BY 1),
+        |g AS (SELECT sum(rows) AS g FROM c),
+        |r AS (SELECT split, stratum, rows,
+        |  (2*rows*10000 + greatest(st,1)) // (2*greatest(st,1)) AS share_bp,
+        |  (2*gt*10000 + greatest(g,1)) // (2*greatest(g,1)) AS global_bp
+        |  FROM c JOIN st USING (split) JOIN gt USING (stratum) CROSS JOIN g)
+        |SELECT split, stratum, rows, share_bp, global_bp,
+        |  abs(share_bp - global_bp) AS dev_bp
+        |FROM r ORDER BY split, stratum""".stripMargin,
 
     // exact-regime windowed counts; epoch-aligned 6h buckets
     "q_d81_windowed_freq" ->

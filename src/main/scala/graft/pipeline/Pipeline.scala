@@ -334,4 +334,36 @@ object Pipeline {
       .drop("_n", "_c")
       .withColumn("split", splitLabel(col("group_id"), trainPct, valPct))
   }
+
+  /** Split balance audit (SURVEY §2 D82 — the verification step after
+    * [[withSplit]]: hash splitting only preserves stratum shares in
+    * EXPECTATION; a skewed or small stratum can land lopsided, and a
+    * val set missing a language is a silent eval bug). Per
+    * (split, stratum): rows, the stratum's share WITHIN the split and
+    * its GLOBAL share (tie-safe basis points), and the absolute
+    * deviation — the claim a gate can threshold.
+    *
+    * One corpus groupBy on (split, stratum); every rollup after it is
+    * over the ≤ splits×strata cell frame (persisted — it feeds three
+    * aggregates).
+    */
+  def splitBalanceReport(df: DataFrame, keyCol: String, strataCol: String,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val cells = graft.CacheScope.persist(
+      withSplit(df, keyCol, trainPct, valPct)
+        .groupBy(col("split"), col(strataCol).cast("string").as("stratum"))
+        .agg(count(lit(1)).as("rows")))
+    val splitTot = cells.groupBy("split").agg(sum(col("rows")).as("_st"))
+    val stratTot = cells.groupBy("stratum").agg(sum(col("rows")).as("_gt"))
+    val grand = cells.agg(sum(col("rows")).as("_g"))
+    cells.join(splitTot, "split").join(stratTot, "stratum")
+      .crossJoin(broadcast(grand))
+      .select(col("split"), col("stratum"), col("rows"),
+        expr("(2*rows*10000 + greatest(_st,1L)) DIV (2*greatest(_st,1L))")
+          .as("share_bp"),
+        expr("(2*_gt*10000 + greatest(_g,1L)) DIV (2*greatest(_g,1L))")
+          .as("global_bp"))
+      .withColumn("dev_bp", abs(col("share_bp") - col("global_bp")))
+      .orderBy("split", "stratum")
+  }
 }

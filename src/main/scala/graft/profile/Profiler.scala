@@ -658,6 +658,26 @@ object Profiler {
       .orderBy("column")
   }
 
+  /** Duplicate-column detection (SURVEY §2 A24 — redundant features /
+    * accidental copies: two columns that agree on EVERY row, by
+    * null-safe equality): pairwise mismatch counts in ONE scan
+    * (array-of-structs aggregation, no joins, no hashing collisions —
+    * exact). `identical` = zero mismatching rows.
+    */
+  def duplicateColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "duplicateColumns: need >= 2 columns")
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex; (b, j) <- cols.zipWithIndex if i < j
+    } yield struct(lit(a).as("col_a"), lit(b).as("col_b"),
+      count(when(!(col(a) <=> col(b)), 1)).as("mismatch_rows"))
+    df.agg(array(pairs.toIndexedSeq: _*).as("_p"))
+      .select(explode(col("_p")).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.mismatch_rows").as("mismatch_rows"),
+        (col("p.mismatch_rows") === 0).as("identical"))
+      .orderBy("col_a", "col_b")
+  }
+
   /** Missingness-pattern census (SURVEY §2 A23 — the step past
     * per-column null counts: WHICH columns are null TOGETHER? Row
     * patterns expose instrumentation failures — "ts and user_id are

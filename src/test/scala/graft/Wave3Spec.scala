@@ -600,6 +600,38 @@ class Wave3Spec extends SparkSpec {
     assert(guard.collect()(0).getAs[Double]("min_pmi_dist") > 1e-7)
   }
 
+  test("duplicateColumns: null-safe pairwise equality in one scan") {
+    val df = Seq((Some(1), Some(1), Some(2), None: Option[Int]),
+      (Some(5), Some(5), Some(5), Some(5)),
+      (None, None, None, None))
+      .toDF("a", "b", "c", "d")
+    val m = Profiler.duplicateColumns(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("mismatch_rows"), r.getAs[Boolean]("identical"))).toMap
+    assert(m(("a", "b")) == ((0L, true)))   // both-null rows agree
+    assert(m(("a", "c")) == ((1L, false)))
+    assert(m(("a", "d")) == ((1L, false)))  // null vs 1 mismatches
+  }
+
+  test("splitBalanceReport: shares and deviations from the cell frame") {
+    val df = (1 to 400).map(i => (s"doc$i", if (i % 4 == 0) "tr" else "en"))
+      .toDF("text", "lang")
+    val rows = graft.pipeline.Pipeline.splitBalanceReport(df, "text", "lang")
+      .collect()
+    val bySplit = rows.groupBy(_.getString(0))
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("share_bp") >= 0 && r.getAs[Long]("share_bp") <= 10000)
+      assert(r.getAs[Long]("dev_bp") ==
+        math.abs(r.getAs[Long]("share_bp") - r.getAs[Long]("global_bp")))
+    }
+    // global shares: en 7500bp, tr 2500bp
+    val g = rows.map(r => r.getString(1) -> r.getAs[Long]("global_bp")).toMap
+    assert(g("en") == 7500L && g("tr") == 2500L)
+    // per-split rows sum to the corpus
+    assert(rows.map(_.getAs[Long]("rows")).sum == 400L)
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
