@@ -1072,6 +1072,17 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // volume-anomaly monitor: every 7th click 6h-bucket dropped
+    // entirely — densification turns the missing buckets into zero
+    // counts, the robust-z rule flags them
+    "q_b22_volume_anomaly" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bucket = 21600000000L // 6h in µs
+      val doctored = ev.withColumn("_us0", Tables.epochMicros(ev, "ts"))
+        .filter(!(col("event_type") === "click" &&
+          expr(s"(_us0 DIV ${bucket}L) % 7") === 0))
+      Detector.volumeAnomalies(doctored, col("_us0"), "event_type", bucket)
+    }),
     // duplicate-column detection over doctored copies (exact copy,
     // perturbed every 97th, nulled every 53rd — null-safe equality)
     "q_a24_dup_cols" -> ((s, d) => {
@@ -3239,6 +3250,30 @@ object SparkEntry {
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
+
+    // same doctoring, densify via generate_series, same robust rule
+    // (counts are integers -> median/MAD land on exact .0/.5 doubles,
+    // no rounding anywhere)
+    "q_b22_volume_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT * FROM e WHERE NOT (event_type = 'click'
+        |  AND (us // 21600000000) % 7 = 0)),
+        |c AS (SELECT event_type AS series, us // 21600000000 AS bucket,
+        |  count(*) AS cnt FROM f GROUP BY 1, 2),
+        |rng AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM c GROUP BY 1),
+        |dn AS (SELECT series, unnest(generate_series(lo, hi)) AS bucket FROM rng),
+        |d2 AS (SELECT dn.series, dn.bucket, COALESCE(cnt, 0) AS cnt
+        |  FROM dn LEFT JOIN c ON dn.series = c.series AND dn.bucket = c.bucket),
+        |st AS (SELECT series, quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS med
+        |  FROM d2 GROUP BY 1),
+        |md AS (SELECT d2.series, quantile_cont(abs(cnt - med), 0.5) AS mad
+        |  FROM d2 JOIN st USING (series) GROUP BY 1)
+        |SELECT d2.series, bucket * 21600000000 AS bucket_start_us, cnt, med, mad,
+        |  (abs(cnt - med) * 0.6745 > mad * 3.5) AS anomaly
+        |FROM d2 JOIN st USING (series) JOIN md USING (series)
+        |ORDER BY 1, 2""".stripMargin,
 
     // pairwise null-safe mismatch counts
     "q_a24_dup_cols" -> {

@@ -212,6 +212,53 @@ object Detector {
       .orderBy("digit")
   }
 
+  /** Volume-anomaly detection (SURVEY §2 B22 — the arrival monitor:
+    * "did this hour's partition come in short?"): per (series, time
+    * bucket) event counts, DENSIFIED over each series' observed
+    * bucket range (an absent bucket is a ZERO count — the classic
+    * failure mode is missing data, which a groupBy alone never sees),
+    * then flagged by the robust modified-z rule
+    * |cnt − median| · 0.6745 > z · MAD over that series' buckets.
+    *
+    * Engine-portable with NO rounding at all: counts are integers, so
+    * their interpolated median/MAD land on exact .0/.5 doubles, and
+    * the classification is IEEE-exact arithmetic on them (the A17
+    * discipline, minus the rounding it doesn't need).
+    *
+    * Scale shape: one corpus groupBy to (series, bucket) counts; the
+    * densify explode, the per-series median/MAD aggregate, and the
+    * join-back all run on the BUCKET frame (series × buckets — a
+    * dimension, not the corpus).
+    */
+  def volumeAnomalies(df: DataFrame, epochMicrosCol: Column, seriesCol: String,
+                      bucketMicros: Long, z: Double = 3.5): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val counts = graft.CacheScope.persist(
+      df.filter(col(seriesCol).isNotNull && epochMicrosCol.isNotNull)
+        .withColumn("_us", epochMicrosCol.cast("long"))
+        // integer DIV (float division corrupts near 2^53; non-negative
+        // epochs make truncation = floor)
+        .withColumn("_b", expr(s"_us DIV ${bucketMicros}L"))
+        .groupBy(col(seriesCol).as("series"), col("_b").as("bucket"))
+        .agg(count(lit(1)).as("cnt")))
+    val dense = counts.groupBy("series")
+      .agg(min(col("bucket")).as("_lo"), max(col("bucket")).as("_hi"))
+      .select(col("series"), explode(sequence(col("_lo"), col("_hi"))).as("bucket"))
+      .join(counts, Seq("series", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val denseP = graft.CacheScope.persist(dense)
+    val stats = denseP.groupBy("series").agg(
+      percentile(col("cnt").cast("double"), lit(0.5)).as("med"))
+    val withMed = denseP.join(broadcast(stats), "series")
+    val mads = withMed.groupBy("series").agg(
+      percentile(abs(col("cnt") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mads), "series")
+      .select(col("series"), (col("bucket") * bucketMicros).as("bucket_start_us"),
+        col("cnt"), col("med"), col("mad"),
+        (abs(col("cnt") - col("med")) * 0.6745 > col("mad") * z).as("anomaly"))
+      .orderBy("series", "bucket_start_us")
+  }
+
   /** Before/after comparison in ONE scan: when the repair is
     * expressible as per-row Column transforms (`repairs`), the
     * "after" metrics are computed from the repaired expression inside

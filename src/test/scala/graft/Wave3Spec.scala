@@ -632,6 +632,22 @@ class Wave3Spec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("rows")).sum == 400L)
   }
 
+  test("volumeAnomalies: absent buckets densify to zero and get flagged") {
+    // series A: buckets 0,1,2,4 populated (10 each), bucket 3 ABSENT
+    val rows = for {
+      b <- Seq(0L, 1L, 2L, 4L); i <- 1 to 10
+    } yield ("A", b * 100L + i)
+    val df = rows.toDF("series", "us")
+    val r = graft.quality.Detector.volumeAnomalies(
+      df, col("us"), "series", bucketMicros = 100L).collect()
+      .map(x => x.getLong(1) / 100L -> (x.getAs[Long]("cnt"),
+        x.getAs[Boolean]("anomaly"))).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L)) // densified
+    assert(r(3L) == ((0L, true)))   // the missing bucket flags
+    assert(r(0L) == ((10L, false)))
+    // zero-MAD series: any deviation flags (documented robust-z edge)
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
