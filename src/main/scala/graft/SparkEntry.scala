@@ -1072,6 +1072,36 @@ object SparkEntry {
             <= col("exact_distinct") * 0.05, 1.0).otherwise(0.0).as("within_5pct"))
         .orderBy("column")
     }),
+    // e2e-4: the DQ VERDICT table — this round's detection family
+    // composed into one (component, metric, value) report: FK
+    // coverage, row-rule violation rates, Benford max deviation,
+    // IQR outliers, and volume anomalies; each component reuses its
+    // own gated query, and the oracle nests the component oracles
+    "q_e2e_dq" -> ((s, d) => {
+      val q = SparkEntry.queries
+      val fk = q("q_b19_ref_integrity")(s, d)
+        .select(lit("fk").as("component"), col("relationship").as("metric"),
+          col("coverage_pct").cast("double").as("value"))
+      val rules = q("q_b21_row_rules")(s, d)
+        .select(lit("rule").as("component"), col("rule").as("metric"),
+          col("violation_pct").cast("double").as("value"))
+      val ben = q("q_b20_benford")(s, d)
+        .agg(max(col("dev_micro")).as("m"))
+        .select(lit("benford").as("component"),
+          lit("max_dev_micro").as("metric"), col("m").cast("double").as("value"))
+      val outl = q("q_a17_outliers")(s, d)
+        .filter(col("column") === "l_quantity")
+        .select(lit("outliers").as("component"),
+          lit("l_quantity_iqr").as("metric"),
+          col("iqr_outliers").cast("double").as("value"))
+      val vol = q("q_b22_volume_anomaly")(s, d)
+        .agg(count(when(col("anomaly"), 1)).as("v"))
+        .select(lit("volume").as("component"),
+          lit("anomalous_buckets").as("metric"),
+          col("v").cast("double").as("value"))
+      fk.unionByName(rules).unionByName(ben).unionByName(outl)
+        .unionByName(vol).orderBy("component", "metric")
+    }),
     // volume-anomaly monitor: every 7th click 6h-bucket dropped
     // entirely — densification turns the missing buckets into zero
     // counts, the robust-z rule flags them
@@ -1915,7 +1945,31 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  /** Composed e2e entries reference component oracles as subqueries,
+    * so the public [[oracleSql]] wraps this base map.
+    */
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base + ("q_e2e_dq" ->
+      s"""SELECT * FROM (
+         |  SELECT 'fk' AS component, relationship AS metric,
+         |    CAST(coverage_pct AS DOUBLE) AS value
+         |  FROM (${base("q_b19_ref_integrity")})
+         |  UNION ALL SELECT 'rule', rule, CAST(violation_pct AS DOUBLE)
+         |  FROM (${base("q_b21_row_rules")})
+         |  UNION ALL SELECT 'benford', 'max_dev_micro',
+         |    CAST(max(dev_micro) AS DOUBLE)
+         |  FROM (${base("q_b20_benford")})
+         |  UNION ALL SELECT 'outliers', 'l_quantity_iqr',
+         |    CAST(iqr_outliers AS DOUBLE)
+         |  FROM (${base("q_a17_outliers")}) WHERE "column" = 'l_quantity'
+         |  UNION ALL SELECT 'volume', 'anomalous_buckets',
+         |    CAST(count(CASE WHEN anomaly THEN 1 END) AS DOUBLE)
+         |  FROM (${base("q_b22_volume_anomaly")})
+         |) ORDER BY component, metric""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_a1_summary" ->
       """SELECT count(*) AS row_count, 5 AS column_count,
         | 2 AS nominal_column_count, 3 AS numeric_column_count FROM customer""".stripMargin,
