@@ -241,4 +241,111 @@ class PropertySpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sel.size == 7 && sel.subsetOf((1L to 30L).toSet))
   }
+
+  // ---- r11 third/fourth-wave properties
+
+  test("canonicalUrl is idempotent and equals a reference on generated URLs") {
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("Example.COM", "www.Site.org", "A.b.C.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/Path/Item", "/x/")
+      query <- Gen.oneOf("", "?id=1", "?utm_source=a", "?utm_a=1&id=2",
+        "?id=2&gclid=z", "?utm_a=1&utm_b=2", "?utm_a=1&utm_b=2&id=3")
+      frag <- Gen.oneOf("", "#f", "#Sec-2")
+    } yield s"$scheme://$host$port$path$query$frag"
+    val inputs = sample(gen, 600).distinct
+    val once = inputs.toDF("u")
+      .select(col("u"), graft.text.Urls.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val twice = once.values.toSeq.distinct.toDF("u")
+      .select(col("u"), graft.text.Urls.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    once.values.foreach(c => assert(twice(c) == c, s"not idempotent: $c"))
+    // canonical invariants: lowercase scheme/host, no default port, no
+    // fragment, no tracking params, no dangling separators
+    once.values.foreach { c =>
+      val scheme = c.takeWhile(_ != ':')
+      assert(scheme == scheme.toLowerCase)
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("gclid"))
+      // only the SCHEME'S OWN default strips (:443 on http is a real,
+      // non-default port and must survive — the generator found this)
+      assert(!c.matches("^http://[^/?#]*:80([/?].*|$)"), s"http :80 kept: $c")
+      assert(!c.matches("^https://[^/?#]*:443([/?].*|$)"), s"https :443 kept: $c")
+      assert(!c.endsWith("?") && !c.endsWith("&"), s"dangling separator: $c")
+    }
+  }
+
+  test("zorder interleave is a bijection: de-interleaving recovers the buckets") {
+    import graft.sources.Zorder
+    val gen = for {
+      a <- Gen.choose(0L, 255L); b <- Gen.choose(0L, 255L)
+    } yield (a, b)
+    val pts = sample(gen, 400).distinct
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Zorder.interleave(col("a"), col("b"), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val da = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val db = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(da == a && db == b, s"($a,$b) -> $z -> ($da,$db)")
+    }
+  }
+
+  test("pseudonymize is injective-in-practice and stable on generated values") {
+    val inputs = sample(Gen.alphaNumStr.suchThat(_.nonEmpty), 500).distinct
+    val toks = inputs.toDF("v")
+      .select(col("v"), Corrector.pseudonymize(col("v"), "prop-salt").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(toks.values.toSet.size == toks.size, "64-bit token collision at n=500")
+    val again = inputs.toDF("v")
+      .select(col("v"), Corrector.pseudonymize(col("v"), "prop-salt").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again == toks)
+  }
+
+  test("rangeJoin equals the naive inequality join on generated intervals") {
+    val ivGen = for {
+      s <- Gen.choose(0L, 1000L); len <- Gen.choose(0L, 120L)
+    } yield (s, s + len)
+    val ivs = sample(ivGen, 60).distinct.zipWithIndex
+      .map { case ((s, e), i) => (i.toLong, s, e) }
+    val points = (0L to 1100L by 3L).toDF("p").withColumn("pid", col("p"))
+    val ivDf = ivs.toDF("iv", "s", "e")
+    val got = graft.operators.RangeJoin
+      .pointInInterval(points, "p", ivDf, "s", "e", 64L)
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (i, s, e) <- ivs; p <- 0L to 1100L by 3L if p >= s && p <= e
+    } yield (p, i)).toSet
+    assert(got == want)
+  }
+
+  test("localizedNumber eu/us agree with a reference parser on generated inputs") {
+    val euGen = for {
+      neg <- Gen.oneOf("", "-")
+      groups <- Gen.choose(1, 3)
+      head <- Gen.choose(1, 999)
+      tail <- Gen.listOfN(groups - 1, Gen.choose(0, 999))
+      dec <- Gen.oneOf(None, Some(Gen.choose(0, 99).sample.getOrElse(5)))
+      pct <- Gen.oneOf("", "%")
+    } yield neg + (head.toString +: tail.map(t => f"$t%03d")).mkString(".") +
+      dec.map(d => s",$d").getOrElse("") + pct
+    val inputs = sample(euGen, 400).distinct
+    def ref(s: String): Option[BigDecimal] = {
+      val isPct = s.endsWith("%")
+      val t = s.stripSuffix("%").replace(".", "").replace(",", ".")
+      val v = BigDecimal(t)
+      Some(if (isPct) v * BigDecimal("0.01") else v)
+    }
+    val got = inputs.toDF("v")
+      .select(col("v"),
+        (Corrector.localizedNumber(col("v")) * 1000000).cast("long").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach { s =>
+      val want = (ref(s).get * 1000000).toLong
+      assert(got(s) == want, s"'$s': got ${got(s)} want $want")
+    }
+  }
 }
