@@ -27,6 +27,9 @@ object UnicodeNormalizeBuilder {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in naive-range-join rewrite (no-op unless
+    // spark.graft.rangeJoin.bucketWidth is set — see RangeJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectFunction((
       FunctionIdentifier("unicode_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),

@@ -648,6 +648,41 @@ class Wave3Spec extends SparkSpec {
     // zero-MAD series: any deviation flags (documented robust-z edge)
   }
 
+  test("RangeJoinRule rewrites naive inequality joins; opt-in and result-equal") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.RangeJoinRule
+    def naive() = (0L to 200L by 7L).toDF("p")
+      .join(Seq((1L, 0L, 10L), (2L, 10L, 40L), (3L, 150L, 30L))
+        .toDF("iv", "s", "e"), col("p") >= col("s") && col("p") <= col("e"))
+    try {
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "0")
+      val want = naive().select("p", "iv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planOff = naive().queryExecution.executedPlan.toString
+      assert(planOff.contains("BroadcastNestedLoop"), "expected BNLJ when disabled")
+
+      spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
+      val j = naive()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"),
+        s"rule did not rewrite:\n${plan.take(2000)}")
+      val got = j.select("p", "iv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want) // incl. the inverted (3: 150>30) interval: no rows
+      assert(!got.exists(_._2 == 3L))
+
+      // mirrored shape: intervals on the left, point on the right
+      val m = Seq((1L, 5L, 50L)).toDF("iv", "s", "e")
+        .join((0L to 100L by 3L).toDF("p"),
+          col("p") >= col("s") && col("p") <= col("e"))
+      assert(!m.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+      assert(m.count() == 15) // 6,9,...,48
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("fdViolations: null dependent counts as a value, null det excluded") {
     val df = Seq(
       (Some(1), Some("a")), (Some(1), Some("a")), (Some(2), Some("a")),
