@@ -76,5 +76,10 @@ object GraftFunctions {
     org.apache.spark.sql.graft.SqlBridge.registerFunction(
       spark, "unicode_normalize",
       (children: Seq[Expression]) => UnicodeNormalizeBuilder(children))
+    // live-session parity for the extensions-injected optimizer rule
+    // (still a no-op until spark.graft.rangeJoin.bucketWidth is set)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRule
   }
 }
