@@ -1989,8 +1989,8 @@ object SparkEntry {
       def one(c: String) =
         s"""SELECT '$c' AS "column", max(n) AS n,
            |  count(*) AS distinct_vals,
-           |  (2*sum(cnt*t) + greatest(max(n),1)) // (2*greatest(max(n),1))
-           |    AS entropy_nano
+           |  CAST((2*sum(cnt*t) + greatest(max(n),1)) // (2*greatest(max(n),1))
+           |    AS BIGINT) AS entropy_nano
            |FROM (SELECT cnt, n,
            |  CAST(round(ln(CAST(n AS DOUBLE)/CAST(cnt AS DOUBLE))*1e9) AS BIGINT) AS t
            |  FROM (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt FROM customer
@@ -2123,7 +2123,8 @@ object SparkEntry {
         s"""SELECT '$det' AS determinant, '$dep' AS dependent,
            |  count(*) AS det_values,
            |  count(*) FILTER (WHERE vals > 1) AS violating_values,
-           |  COALESCE(sum(rws) FILTER (WHERE vals > 1), 0) AS violating_rows,
+           |  CAST(COALESCE(sum(rws) FILTER (WHERE vals > 1), 0) AS BIGINT)
+           |    AS violating_rows,
            |  count(*) FILTER (WHERE vals > 1) = 0 AS fd_holds
            |FROM (SELECT $det, count(*) AS rws,
            |  count(DISTINCT $dep)
@@ -2547,9 +2548,10 @@ object SparkEntry {
         |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
         |  (9, 45757)) AS t(digit, exp_micro))
         |SELECT g.digit, obs_cnt,
-        |  (2*obs_cnt*1000000 + n) // (2*n) AS obs_micro,
+        |  CAST((2*obs_cnt*1000000 + n) // (2*n) AS BIGINT) AS obs_micro,
         |  CAST(exp_micro AS BIGINT) AS exp_micro,
-        |  abs((2*obs_cnt*1000000 + n) // (2*n) - exp_micro) AS dev_micro
+        |  CAST(abs((2*obs_cnt*1000000 + n) // (2*n) - exp_micro) AS BIGINT)
+        |    AS dev_micro
         |FROM g JOIN e ON g.digit = e.digit CROSS JOIN n
         |ORDER BY g.digit""".stripMargin,
 
@@ -2934,7 +2936,8 @@ object SparkEntry {
         |      substr(md5('qw:' || CAST(b.bucket AS VARCHAR)), CAST(i AS INT), 1)) - 1),
         |    (a, x) -> a * 16 + x) % 2000001 - 1000000 AS w_micro
         |  FROM (SELECT DISTINCT bucket FROM fc) b),
-        |d AS (SELECT doc_id, sum(cnt) AS feat_count, sum(cnt * w_micro) AS dot_micro
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS feat_count,
+        |  CAST(sum(cnt * w_micro) AS BIGINT) AS dot_micro
         |  FROM fc JOIN w USING (bucket) GROUP BY 1),
         |g AS (SELECT doc_id, feat_count, dot_micro,
         |  CAST(round(dot_micro / feat_count) AS BIGINT) AS logit_micro FROM d),
@@ -2976,7 +2979,8 @@ object SparkEntry {
         |  CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
         |  FROM a FULL OUTER JOIN b ON a.h = b.h),
         |bot AS (SELECT * FROM m ORDER BY h LIMIT 256),
-        |est AS (SELECT count(*) AS k_used, sum(in_a * in_b) AS inter_cnt,
+        |est AS (SELECT count(*) AS k_used,
+        |  CAST(sum(in_a * in_b) AS BIGINT) AS inter_cnt,
         |  max(list_reduce(list_transform(range(1, 16),
         |    i -> strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1),
         |    (a, x) -> a * 16 + x)) AS vk FROM bot),
@@ -3258,7 +3262,8 @@ object SparkEntry {
         |  CAST(sum(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS kept_tokens
         |  FROM keep GROUP BY 1)
         |SELECT ing.lang, ingested, COALESCE(kept_docs, 0) AS kept_docs,
-        |  COALESCE(kept_tokens, 0) AS kept_tokens, 1.0 AS nfn_claim
+        |  COALESCE(kept_tokens, 0) AS kept_tokens,
+        |  CAST(1.0 AS DOUBLE) AS nfn_claim
         |FROM ing LEFT JOIN kp ON ing.lang = kp.lang
         |ORDER BY ing.lang""".stripMargin,
 
@@ -3300,7 +3305,7 @@ object SparkEntry {
     "q_d64_hll_incremental" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS "column", count(DISTINCT doc_id) AS exact_distinct,
-        |    1.0 AS within_5pct FROM documents
+        |    CAST(1.0 AS DOUBLE) AS within_5pct FROM documents
         |  UNION ALL SELECT 'lang', count(DISTINCT lang), 1.0 FROM documents
         |  UNION ALL SELECT 'source', count(DISTINCT source), 1.0 FROM documents)
         |ORDER BY "column"""".stripMargin,
@@ -3362,11 +3367,13 @@ object SparkEntry {
         |gt AS (SELECT stratum, sum(rows) AS gt FROM c GROUP BY 1),
         |g AS (SELECT sum(rows) AS g FROM c),
         |r AS (SELECT split, stratum, rows,
-        |  (2*rows*10000 + greatest(st,1)) // (2*greatest(st,1)) AS share_bp,
-        |  (2*gt*10000 + greatest(g,1)) // (2*greatest(g,1)) AS global_bp
+        |  CAST((2*rows*10000 + greatest(st,1)) // (2*greatest(st,1)) AS BIGINT)
+        |    AS share_bp,
+        |  CAST((2*gt*10000 + greatest(g,1)) // (2*greatest(g,1)) AS BIGINT)
+        |    AS global_bp
         |  FROM c JOIN st USING (split) JOIN gt USING (stratum) CROSS JOIN g)
         |SELECT split, stratum, rows, share_bp, global_bp,
-        |  abs(share_bp - global_bp) AS dev_bp
+        |  CAST(abs(share_bp - global_bp) AS BIGINT) AS dev_bp
         |FROM r ORDER BY split, stratum""".stripMargin,
 
     // exact-regime windowed counts; epoch-aligned 6h buckets
@@ -3492,7 +3499,8 @@ object SparkEntry {
         |  COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.v = b.v),
         |cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
         |  sum(cb) OVER (ORDER BY v) AS cumb FROM m),
-        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM m),
         |g AS (SELECT max(abs(cuma*nb - cumb*na)) AS ks_num FROM cum CROSS JOIN t)
         |SELECT na AS n_a, nb AS n_b,
         |  CAST((2*ks_num*10000 + greatest(na*nb, 1))
@@ -3541,7 +3549,8 @@ object SparkEntry {
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
          |r0 AS (SELECT node, 1000000 // n AS r FROM nodes CROSS JOIN n),
          |$iters
-         |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
+         |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
+         |ORDER BY node""".stripMargin
     },
 
     // presence per needle re-derived with strpos; UNION ALL branches
@@ -3592,10 +3601,11 @@ object SparkEntry {
     "q_d71b_k_report" ->
       """WITH g AS (SELECT count(*) AS sz FROM customer
         |  GROUP BY c_nationkey, floor(c_acctbal / 50))
-        |SELECT COALESCE(sum(sz), 0) AS total_rows,
+        |SELECT CAST(COALESCE(sum(sz), 0) AS BIGINT) AS total_rows,
         |  count(*) AS qi_cells,
         |  count(*) FILTER (WHERE sz < 4) AS cells_below_k,
-        |  COALESCE(sum(sz) FILTER (WHERE sz < 4), 0) AS rows_at_risk,
+        |  CAST(COALESCE(sum(sz) FILTER (WHERE sz < 4), 0) AS BIGINT)
+        |    AS rows_at_risk,
         |  COALESCE(min(sz), 0) AS min_cell_size,
         |  ((2*COALESCE(sum(sz) FILTER (WHERE sz < 4), 0)*10000
         |      + greatest(COALESCE(sum(sz), 0), 1))
@@ -3667,7 +3677,8 @@ object SparkEntry {
         |b AS (SELECT doc_id, md5(text) AS k FROM documents WHERE doc_id % 3 = 1
         |  UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents
         |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
-        |SELECT doc_id, k IN (SELECT k FROM st) AS exact_dup, 1.0 AS nfn_claim
+        |SELECT doc_id, k IN (SELECT k FROM st) AS exact_dup,
+        |  CAST(1.0 AS DOUBLE) AS nfn_claim
         |FROM b ORDER BY doc_id""".stripMargin,
 
     // tf-idf keywords re-derived: tf groupBy, df from the distinct
@@ -3786,8 +3797,8 @@ object SparkEntry {
         |lr AS (SELECT bucket, CAST(round((ln((tcnt + 1) / (tt + 10000))
         |  - ln((rcnt + 1) / (rt + 10000))) * 1e6) AS BIGINT) AS lrm
         |  FROM m CROSS JOIN tot),
-        |w AS (SELECT doc_id, sum(cnt) AS feat_count,
-        |  sum(cnt * lrm) AS lr_micro
+        |w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS feat_count,
+        |  CAST(sum(cnt * lrm) AS BIGINT) AS lr_micro
         |  FROM fc JOIN lr USING (bucket) GROUP BY 1),
         |g AS (SELECT doc_id, feat_count, lr_micro,
         |  CAST(round(lr_micro / 100.0) AS BIGINT) / 10000.0 AS log_ratio,
@@ -4354,7 +4365,7 @@ object SparkEntry {
         | round((CASE WHEN len(list_distinct(regexp_split_to_array(trim(text),' +')))*1.0/len(regexp_split_to_array(trim(text),' +')) >= 0.3 THEN 0.4 ELSE 0.0 END
         |  + CASE WHEN (length(text)-length(regexp_replace(text,'[[:punct:]]','','g')))*1.0/length(text) <= 0.2 THEN 0.3 ELSE 0.0 END
         |  + CASE WHEN len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('the','a','an','and','of','to','in','is','it','that')))*1.0/len(regexp_split_to_array(trim(text),' +')) >= 0.02 THEN 0.2 ELSE 0.0 END
-        |  + CASE WHEN len(regexp_split_to_array(trim(text),' +')) >= 5 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+        |  + CASE WHEN len(regexp_split_to_array(trim(text),' +')) >= 5 THEN 0.1 ELSE 0.0 END), 2)::DOUBLE AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_d11_tokens" ->
@@ -4436,9 +4447,9 @@ object SparkEntry {
     // resample/FFT drift hash-mismatches. Row 3 pins the corrupt-
     // payload totality contract (empty features, task survives).
     "q_d13b_img" ->
-      """SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
-        | f00, f01, f02, f03, f04, f05, f06, f07, f08, f09, f10, f11,
-        | f12, f13, f14, f15, f16, f17
+      ("""SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
+        | """ + (0 to 17).map(i => f"CAST(f$i%02d AS DOUBLE) AS f$i%02d")
+          .mkString(", ") + """
         |FROM (VALUES
         | (1, 18, 0.0, 0.0, 0.091797, 0.208008, 0.350586, 0.349609, 0.0, 0.0,
         |  0.003142, 0.002037, 0.453887, 0.375309, 0.165626, 0.0, 0.0, 0.0,
@@ -4450,7 +4461,7 @@ object SparkEntry {
         |  NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)
         |) AS t(id, nfeat, f00, f01, f02, f03, f04, f05, f06, f07, f08, f09,
         |       f10, f11, f12, f13, f14, f15, f16, f17)
-        |ORDER BY id""".stripMargin,
+        |ORDER BY id""").stripMargin,
     // the media chain re-derived: stub resize = first-32-byte
     // truncation (16*16/8 budget), stub features = first 8 md5
     // nibbles, cosine==1.0 pairs = identical nibble prefixes, collapse
@@ -4473,8 +4484,9 @@ object SparkEntry {
         |FROM grp WHERE id = keeper ORDER BY doc_id""".stripMargin,
 
     "q_d13c_wav" ->
-      """SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
-        | g00, g01, g02, g03, g04, g05, g06, g07, g08, g09, g10, g11
+      ("""SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,
+        | """ + (0 to 11).map(i => f"CAST(g$i%02d AS DOUBLE) AS g$i%02d")
+          .mkString(", ") + """
         |FROM (VALUES
         | (1, 12, 0.353526, 0.109777, 0.000036, 0.000114, 0.000112, 0.000398,
         |  0.99826, 0.001038, 0.000035, 0.000007, 0.5, 0.08),
@@ -4484,7 +4496,7 @@ object SparkEntry {
         |  NULL, NULL)
         |) AS t(id, nfeat, g00, g01, g02, g03, g04, g05, g06, g07, g08, g09,
         |       g10, g11)
-        |ORDER BY id""".stripMargin,
+        |ORDER BY id""").stripMargin,
 
     // the whole pipeline re-derived in one WITH chain: quality gate
     // (q_d35's CTEs), whitespace repair, exact dedup (min-id per
@@ -4533,7 +4545,8 @@ object SparkEntry {
         |lr AS (SELECT bucket, CAST(round((ln((tcnt + 1) / (tt + 10000))
         |  - ln((rcnt + 1) / (rt + 10000))) * 1e6) AS BIGINT) AS lrm
         |  FROM m CROSS JOIN tot),
-        |w AS (SELECT doc_id, sum(cnt) AS feat_count, sum(cnt * lrm) AS lr_micro
+        |w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS feat_count,
+        |  CAST(sum(cnt * lrm) AS BIGINT) AS lr_micro
         |  FROM fc JOIN lr USING (bucket) GROUP BY 1),
         |g AS (SELECT doc_id, feat_count, lr_micro,
         |  CAST(round(lr_micro / 100.0) AS BIGINT) / 10000.0 AS log_ratio,

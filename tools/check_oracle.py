@@ -55,7 +55,28 @@ for name in sorted(os.listdir(outdir)):
         bad.append((name, f"columns differ: spark={list(s.columns)} duck={list(d.columns)}")); continue
     if len(s) != len(d):
         bad.append((name, f"row count differ: spark={len(s)} duck={len(d)}")); continue
+    # driver-faithful dtype gate (r11 verdict #2): the driver hashes value
+    # REPRESENTATIONS, so an int64 Spark column vs a HUGEINT/float oracle
+    # column ('20000' vs '20000.0') fails remotely even when the float-cast
+    # values match. Fail locally on any dtype-KIND divergence so an un-cast
+    # sum() in an oracle can never again pass this mirror.
+    def kind_class(dt):
+        k = dt.kind
+        if k in "iu": return "int"
+        if k == "f": return "float"
+        if k == "b": return "bool"
+        if k in "mM": return "time"
+        return "other"
     mism = None
+    for c in s.columns:
+        ks, kd = kind_class(s[c].dtype), kind_class(d[c].dtype)
+        if ks != kd:
+            mism = (f"col {c}: dtype kind differs: spark={s[c].dtype}({ks}) "
+                    f"duck={d[c].dtype}({kd}) — driver hashes representations; "
+                    f"CAST the oracle column")
+            break
+    if mism:
+        bad.append((name, mism)); continue
     for c in s.columns:
         a, b = s[c], d[c]
         try:
