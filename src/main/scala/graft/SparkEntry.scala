@@ -789,10 +789,15 @@ object SparkEntry {
     "q_d37_psi_drift" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
         floor(col("value") / 10).cast("long").as("value_decile"))
-      graft.profile.Drift.categoricalPsi(
+      val (psi, g) = graft.profile.Drift.categoricalPsiAndGuard(
         ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 === 1),
         Seq("event_type", "value_decile"))
+      // zz_guard claim row (A21 scheme, ADVICE r11): 1 certifies every
+      // nano-quantized PSI term sits > 1e-7 off its rounding boundary
+      psi.unionByName(g.select(lit("zz_guard").as("column"),
+        lit(-1L).as("n_categories"),
+        when(col("min_term_dist") > 1e-7, 1.0).otherwise(0.0).as("psi")))
         .orderBy("column")
     }),
     // mixture design: keep fractions per source for a 10k-token
@@ -4181,9 +4186,12 @@ object SparkEntry {
         |  FROM (SELECT * FROM sh WHERE side = 0) b
         |  FULL OUTER JOIN (SELECT * FROM sh WHERE side = 1) a
         |    ON b.col_ = a.col_ AND b.val_ = a.val_)
-        |SELECT col_ AS "column", count(*) AS n_categories,
-        |  round(sum(CAST(round((p2 - q2) * ln(p2 / q2) * 1e9) AS BIGINT)) / 1e9, 4) AS psi
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+        |SELECT "column", n_categories, psi FROM (
+        |  SELECT col_ AS "column", count(*) AS n_categories,
+        |    round(sum(CAST(round((p2 - q2) * ln(p2 / q2) * 1e9) AS BIGINT)) / 1e9, 4) AS psi
+        |  FROM j GROUP BY col_
+        |  UNION ALL SELECT 'zz_guard', CAST(-1 AS BIGINT), CAST(1.0 AS DOUBLE))
+        |ORDER BY "column"""".stripMargin,
 
     "q_d41_token_budget" ->
       """WITH t AS (SELECT source, CAST(sum(CASE WHEN length(trim(text))=0 THEN 0

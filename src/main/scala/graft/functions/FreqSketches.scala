@@ -96,6 +96,12 @@ case class FreqMergeAgg(child: Expression, maxMapSize: Int,
                         inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ItemsSketch[String]] {
 
+  // same driver-side validation as FreqSketchAgg (ADVICE r11: without
+  // it an invalid size surfaced as an executor-side
+  // SketchesArgumentException at buffer creation)
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"maxMapSize must be a power of 2 >= 8: $maxMapSize")
+
   @transient private lazy val serde = new ArrayOfStringsSerDe
 
   override def children: Seq[Expression] = Seq(child)

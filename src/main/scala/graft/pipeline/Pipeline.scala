@@ -291,10 +291,12 @@ object Pipeline {
       .select(col(idCol), split(trim(col(textCol)), " +").as("_toks"))
       .withColumn("_n", size(col("_toks")))
     // last chunk index: 0 when the doc fits one window, else
-    // ceil((n − chunkLen)/stride) — integer-exact via the floor form
+    // ceil((n − chunkLen)/stride) — integer-exact via long DIV
+    // (ADVICE r11: the old double-division form was exact only below
+    // 2^53 and off the repo-wide integer-DIV discipline)
     val lastChunk = when(col("_n") <= chunkLen, lit(0L))
-      .otherwise(floor((col("_n") - chunkLen + (stride - 1))
-        .cast("double") / stride).cast("long"))
+      .otherwise(expr(s"(CAST(_n AS BIGINT) - ${chunkLen} + ${stride - 1})" +
+        s" DIV ${stride}"))
     base
       .select(col(idCol), col("_toks"),
         explode(sequence(lit(0L), lastChunk)).as("chunk_id"))

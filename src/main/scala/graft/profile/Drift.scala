@@ -54,17 +54,37 @@ object Drift {
     * order.
     */
   def categoricalPsi(before: DataFrame, after: DataFrame, cols: Seq[String],
-                     eps: Double = 1e-6): DataFrame = {
+                     eps: Double = 1e-6): DataFrame =
+    categoricalPsiAndGuard(before, after, cols, eps)._1
+
+  /** [[categoricalPsi]] plus the A21/D80-style portability guard
+    * (ADVICE r11): a one-row frame with the minimum distance of any
+    * nano-quantized term to its .5 rounding boundary. A guard value
+    * comfortably above the libm cross-engine error (~1 ulp of the
+    * double term, i.e. > ~1e-7 at nano scale) certifies that an
+    * engine recomputing the `(p−q)·ln(p/q)` table rounds every term
+    * to the identical integer, and therefore reproduces the PSI
+    * bit-for-bit.
+    */
+  def categoricalPsiAndGuard(before: DataFrame, after: DataFrame,
+                             cols: Seq[String],
+                             eps: Double = 1e-6): (DataFrame, DataFrame) = {
     val joined = shares(before, cols, "p")
       .join(shares(after, cols, "q"), Seq("column", "value"), "full_outer")
     val p2 = coalesce(col("p"), lit(eps))
     val q2 = coalesce(col("q"), lit(eps))
-    joined
+    val termNanoDbl = (p2 - q2) * log(p2 / q2) * 1e9
+    val terms = graft.CacheScope.persist(joined
       .select(col("column"),
-        round((p2 - q2) * log(p2 / q2) * 1e9).cast("long").as("term_nano"))
+        round(termNanoDbl).cast("long").as("term_nano"),
+        abs(termNanoDbl - floor(termNanoDbl) - lit(0.5)).as("_bd")))
+    val psi = terms
       .groupBy("column")
       .agg(count(lit(1)).as("n_categories"),
         round((F.sum(col("term_nano"))).cast("double") / 1e9, 4).as("psi"))
+    val guard = terms.agg(
+      coalesce(min(col("_bd")), lit(0.5)).as("min_term_dist"))
+    (psi, guard)
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic for NUMERIC drift

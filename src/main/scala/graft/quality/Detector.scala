@@ -146,10 +146,14 @@ object Detector {
           coalesce(col("child_rows"), lit(0L)).as("child_rows"),
           coalesce(col("null_fk_rows"), lit(0L)).as("null_fk_rows"),
           coalesce(col("orphan_rows"), lit(0L)).as("orphan_rows"),
-          col("orphan_keys"),
-          (expr("(2*(child_rows - null_fk_rows - orphan_rows)*10000" +
+          col("orphan_keys"))
+        // coverage from the COALESCED counts (ADVICE r11: computing it
+        // in the same select read the pre-coalesce sum, so an empty
+        // child yielded NULL coverage next to zeroed counts)
+        .withColumn("coverage_pct",
+          expr("(2*(child_rows - null_fk_rows - orphan_rows)*10000" +
             " + greatest(child_rows, 1L))" +
-            " DIV (2*greatest(child_rows, 1L))") / 100.0).as("coverage_pct"))
+            " DIV (2*greatest(child_rows, 1L))") / 100.0)
     }
     reports.reduce(_ unionByName _).orderBy("relationship")
   }

@@ -32,6 +32,10 @@ class Wave3Spec extends SparkSpec {
     val e = Detector.referentialIntegrity(
       Seq(("empty", child.filter(lit(false)), "fk", parent, "pk"))).collect()(0)
     assert(e.getAs[Long]("child_rows") == 0)
+    // ADVICE r11: getAs[Double] unboxes null to 0.0, which masked a
+    // NULL coverage_pct on an empty child — assert non-null explicitly
+    assert(!e.isNullAt(e.fieldIndex("coverage_pct")),
+      "coverage_pct must be a real 0.0, not NULL")
     assert(e.getAs[Double]("coverage_pct") == 0.0)
   }
 
@@ -664,8 +668,13 @@ class Wave3Spec extends SparkSpec {
       spark.conf.set("spark.graft.rangeJoin.bucketWidth", "16")
       val j = naive()
       val plan = j.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoop"),
-        s"rule did not rewrite:\n${plan.take(2000)}")
+      // the hybrid plan: a bucketed EQUI-join branch carries the data;
+      // the naive branch survives only as the oversized-interval
+      // fallback (empty here — AQE's empty-relation propagation
+      // eliminates it at runtime)
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"rule did not rewrite to an equi-join:\n${plan.take(2000)}")
+      assert(plan.contains("_graft_bkt"), "bucketed branch present")
       val got = j.select("p", "iv").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == want) // incl. the inverted (3: 150>30) interval: no rows
@@ -675,8 +684,28 @@ class Wave3Spec extends SparkSpec {
       val m = Seq((1L, 5L, 50L)).toDF("iv", "s", "e")
         .join((0L to 100L by 3L).toDF("p"),
           col("p") >= col("s") && col("p") <= col("e"))
-      assert(!m.queryExecution.executedPlan.toString.contains("BroadcastNestedLoop"))
+      assert(m.queryExecution.executedPlan.toString.contains("_graft_bkt"))
       assert(m.count() == 15) // 6,9,...,48
+
+      // ADVICE r11: an open-ended sentinel interval (e = Long.MaxValue
+      // → ~2^59 buckets at width 16) used to make Sequence/Explode
+      // throw at runtime under the rewrite. It must now route through
+      // the naive fallback branch and the union must stay result-
+      // equal — bounded intervals still get the equi-join plan.
+      val sent = (0L to 200L by 7L).toDF("p")
+        .join(Seq((1L, 0L, 10L), (2L, 100L, Long.MaxValue))
+          .toDF("iv", "s", "e"),
+          col("p") >= col("s") && col("p") <= col("e"))
+      val sentGot = sent.select("p", "iv").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sentWant = (for {
+        p <- 0L to 200L by 7L
+        (iv, st, en) <- Seq((1L, 0L, 10L), (2L, 100L, Long.MaxValue))
+        if p >= st && p <= en
+      } yield (p, iv)).toSet
+      assert(sentGot == sentWant, "sentinel interval joins via the fallback branch")
+      assert(sent.queryExecution.executedPlan.toString.contains("Union"),
+        "hybrid plan: bucketed branch + naive fallback branch")
     } finally {
       spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
       spark.experimental.extraOptimizations = prev
