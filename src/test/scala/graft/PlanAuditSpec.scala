@@ -13,6 +13,18 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, dir).queryExecution
       .explainString(org.apache.spark.sql.execution.FormattedMode)
 
+  test("bitmap-dedup vocab path has no single-partition window (r11 verdict #8)") {
+    // the ≤64-token dict is now a bounded driver-built broadcast
+    // frame; the only acceptable plans on the tiny-vocab jaccard path
+    // are scan → broadcast join → groupBy — a Window anywhere means
+    // the row_number dict crept back
+    for (q <- Seq("q_d4_jaccard", "q_d34_near_store_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q: no WindowExec allowed on the dedup vocab path:\n${p.take(3000)}")
+    }
+  }
+
   test("search filters are pushed into the parquet scan") {
     val p = plan("q_c1_search")
     assert(p.contains("GreaterThanOrEqual(value,50.0)") &&
