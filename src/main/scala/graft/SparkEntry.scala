@@ -1706,6 +1706,43 @@ object SparkEntry {
         .withColumn("window_start", date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
         .orderBy("window_start", "column")
     }),
+    // q_s4's aggregation run as a REAL file-source stream (r11
+    // verdict #7): 3 time-ordered arrival files + a watermark-
+    // advancing sentinel, one micro-batch per file under
+    // Trigger.AvailableNow, append-mode memory sink. The union of
+    // closed windows is graded against the SAME batch oracle — file
+    // listing, cross-batch watermark advancement, state-store agg
+    // and append emission all execute for real.
+    "q_s5_file_stream_dq" -> ((s, d) => {
+      val de = doctoredEvents(s, d)
+      val ev = de.withColumn("ts2",
+        coalesce(Tables.asTimestamp(de, "ts"), timestamp_seconds(lit(0))))
+      graft.streaming.StreamingDQ.replayClosedWindows(
+        ev, "ts2", "/tmp/graft_gate/s5_arrivals", 3, 3L * 86400000000L) { st =>
+        graft.streaming.StreamingDQ.windowedDqSummary(st, "ts2", Seq(
+          "value" -> Seq(Rule.NumBetween(10, 90)),
+          "event_type" -> Seq(Rule.LenBetween(5, 8))), "1 day", "1 day")
+      }
+        .withColumn("window_start",
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("window_start", "column")
+    }),
+    // q_d81's windowed heavy hitters through the same replay harness
+    // — the sketch state merges across micro-batches in the state
+    // store; exact regime (5-type vocab), so est = lb = ub = the
+    // batch counts and the q_d81 oracle grades it unchanged
+    "q_s6_file_stream_freq" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val evt = ev.withColumn("tsw", Tables.asTimestamp(ev, "ts"))
+        .filter(col("tsw").isNotNull)
+      graft.streaming.StreamingDQ.replayClosedWindows(
+        evt, "tsw", "/tmp/graft_gate/s6_arrivals", 3, 86400000000L) { st =>
+        graft.streaming.StreamingDQ.windowedFrequentItems(
+          st, "tsw", "event_type", windowDur = "6 hours")
+      }
+        .withColumn("window_start", unix_micros(col("window_start")))
+        .orderBy("window_start", "item")
+    }),
 
     // whole-second truncation on BOTH sides so gap comparisons and
     // formatted session starts are bit-identical across engines
@@ -2022,7 +2059,11 @@ object SparkEntry {
          |  UNION ALL SELECT 'volume', 'anomalous_buckets',
          |    CAST(count(CASE WHEN anomaly THEN 1 END) AS DOUBLE)
          |  FROM (${base("q_b22_volume_anomaly")})
-         |) ORDER BY component, metric""".stripMargin)
+         |) ORDER BY component, metric""".stripMargin) +
+      // the file-stream replays must land on EXACTLY the batch
+      // result, so they share the batch queries' oracles verbatim
+      ("q_s5_file_stream_dq" -> base("q_s4_dq_summary")) +
+      ("q_s6_file_stream_freq" -> base("q_d81_windowed_freq"))
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
