@@ -176,12 +176,18 @@ object Dedup {
     // shuffle-free nested-loop stage — recall-complete, cap ignored.
     val allDocs = bd.select(struct(lit("b"), col("batch_id")).as("sid"), col("ws_b").as("ws"))
       .union(sd.select(struct(lit("s"), col("store_id")), col("ws_s")))
-    val probe = allDocs
-      .limit(math.min(allPairsMaxDocs + 1, Int.MaxValue.toLong).toInt)
-      .select(col("sid"), explode_outer(col("ws")).as("tok"))
-      .agg(countDistinct(col("sid")).as("nd"), countDistinct(col("tok")).as("nv"))
-      .head()
-    if (probe.getLong(0) <= allPairsMaxDocs && probe.getLong(1) <= 64) {
+    // two bounded probe jobs, cheapest first: the doc count never
+    // explodes tokens (limit ends the scan at cap+1 rows), and the
+    // vocab witness only runs once the prefix is PROVEN to be the
+    // whole corpus (≤ cap docs), as a map-side-combined distinct cut
+    // off at 65 — no countDistinct Expand over the token stream
+    // (r12: the old single probe double-expanded every token of the
+    // 10k-doc prefix and was the dominant cost of the whole query)
+    val nd = allDocs
+      .limit(math.min(allPairsMaxDocs + 1, Int.MaxValue.toLong).toInt).count()
+    if (nd <= allPairsMaxDocs &&
+      allDocs.select(explode(col("ws")).as("tok")).distinct()
+        .limit(65).count() <= 64) {
       val dict = tinyVocabDict(
         allDocs.select(explode(col("ws")).as("tok")).distinct())
       def asBits(side: DataFrame, idName: String, wsName: String, out: String) =
