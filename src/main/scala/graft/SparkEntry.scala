@@ -894,6 +894,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text",
         k = 256, withExact = true)
     }),
+    // theta-sketch source set algebra (D83): per-source sketches of
+    // normalized content, full pairwise union/intersection/difference
+    // + the all-source union row. Exact regime at every gate scale
+    // (distinct per source << 2^16), so the oracle recomputes every
+    // cell with exact COUNT(DISTINCT) set arithmetic.
+    "q_d83_theta_algebra" -> ((s, d) =>
+      graft.dedup.Sketch.thetaSourceAlgebra(
+        t(s, d, "documents"), "text", "source", lgK = 16)
+        .orderBy("source_a", "source_b")),
     // full Gopher rule battery over a doctored corpus (bullet /
     // ellipsis / symbol lines injected deterministically so several
     // rule classes fire; the doctoring is mirrored in the oracle)
@@ -3109,6 +3118,31 @@ object SparkEntry {
         |      + greatest(est.vk, 1)) // (2*CAST(greatest(est.vk, 1) AS HUGEINT)) AS BIGINT) END AS union_est,
         |  ex.union_exact, ex.j_exact
         |FROM est CROSS JOIN ex""".stripMargin,
+
+    // every theta cell re-derived with exact set arithmetic over the
+    // same normalized content hashes: inter via pair join, union /
+    // differences from the inclusion-exclusion identities, all-pair
+    // coverage via the totals cross join (zero-overlap pairs kept)
+    "q_d83_theta_algebra" ->
+      """WITH sh AS (SELECT DISTINCT CAST(source AS VARCHAR) AS src,
+        |  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15) AS h
+        |  FROM documents),
+        |t AS (SELECT src, count(*) AS n FROM sh GROUP BY 1),
+        |iq AS (SELECT a.src AS sa, b.src AS sb, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2),
+        |p AS (SELECT ta.src AS source_a, tb.src AS source_b,
+        |  ta.n AS distinct_a, tb.n AS distinct_b, COALESCE(iq.i, 0) AS i
+        |  FROM t ta JOIN t tb ON ta.src < tb.src
+        |  LEFT JOIN iq ON iq.sa = ta.src AND iq.sb = tb.src)
+        |SELECT source_a, source_b, distinct_a, distinct_b,
+        |  distinct_a + distinct_b - i AS union_cnt, i AS inter_cnt,
+        |  distinct_a - i AS a_not_b, distinct_b - i AS b_not_a
+        |FROM p
+        |UNION ALL
+        |SELECT '__all__', '__all__', u, u, u, CAST(-1 AS BIGINT),
+        |  CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM (SELECT count(DISTINCT h) AS u FROM sh)
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // Gopher battery re-derived with list lambdas over the same
     // doctored text: word stats on the space-collapsed form, line

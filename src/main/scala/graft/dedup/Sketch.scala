@@ -90,6 +90,53 @@ object Sketch {
           .as("overlap_frac"))
   }
 
+  /** Theta-sketch source set algebra (SURVEY §2 D83) — the sketch
+    * answer to the questions [[sourceOverlapMatrix]] answers exactly:
+    * per-source mergeable theta sketches of normalized content
+    * (ONE map-side-combined aggregation over the corpus), then the
+    * FULL pairwise algebra — distinct counts, union, intersection,
+    * and both set differences — composed on the bounded per-source
+    * frame via [[graft.functions.ThetaSetOp]], plus one `__all__`
+    * row carrying the union over every source (the
+    * profile-over-snapshot-unions path). Unlike the exact matrix,
+    * the sketches PERSIST: tomorrow's snapshot sketches once and
+    * every historical pairwise question re-answers from the
+    * dimension frame without re-scanning 100 TB of history; and
+    * unlike HLL (D64), intersection/difference are first-class
+    * rather than inclusion-exclusion on union estimates.
+    *
+    * Determinism: exact regime (per-source distinct ≤ 2^lgK) gives
+    * exact integer counts, order- and engine-independent — the
+    * driver-gated contract. Estimation regime returns rounded
+    * estimates whose published bounds the spec suite pins.
+    * Every pair appears (zero-overlap pairs too — their inter_cnt
+    * is the load-bearing 0), source_a < source_b.
+    */
+  def thetaSourceAlgebra(df: DataFrame, textCol: String, sourceCol: String,
+                         lgK: Int = 16): DataFrame = {
+    import graft.functions.{ThetaEstimate, ThetaMergeAgg, ThetaSetOp, ThetaSketchAgg}
+    def est(c: Column) = round(ThetaEstimate(c)).cast("long")
+    val sk = graft.CacheScope.persist(
+      df.groupBy(col(sourceCol).cast("string").as("src"))
+        .agg(ThetaSketchAgg(contentHashHex(col(textCol)), lgK).as("sk")))
+    val pairs = sk
+      .join(sk.select(col("src").as("src_b"), col("sk").as("sk_b")),
+        col("src") < col("src_b"))
+      .select(col("src").as("source_a"), col("src_b").as("source_b"),
+        est(col("sk")).as("distinct_a"),
+        est(col("sk_b")).as("distinct_b"),
+        est(ThetaSetOp(col("sk"), col("sk_b"), "union")).as("union_cnt"),
+        est(ThetaSetOp(col("sk"), col("sk_b"), "intersect")).as("inter_cnt"),
+        est(ThetaSetOp(col("sk"), col("sk_b"), "anotb")).as("a_not_b"),
+        est(ThetaSetOp(col("sk_b"), col("sk"), "anotb")).as("b_not_a"))
+    val total = sk.agg(ThetaMergeAgg(col("sk"), lgK).as("u"))
+      .select(lit("__all__").as("source_a"), lit("__all__").as("source_b"),
+        est(col("u")).as("distinct_a"), est(col("u")).as("distinct_b"),
+        est(col("u")).as("union_cnt"), lit(-1L).as("inter_cnt"),
+        lit(-1L).as("a_not_b"), lit(-1L).as("b_not_a"))
+    pairs.unionByName(total)
+  }
+
   def corpusJaccardKmv(a: DataFrame, b: DataFrame, textCol: String,
                        k: Int = 1024, withExact: Boolean = false): DataFrame = {
     require(k > 1, s"k must be > 1, got $k")

@@ -497,6 +497,33 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayClosedWindows: closed-window union == batch result for any batch split") {
+    // the q_s5/q_s6 gate harness, property-style: a seeded random
+    // event table replayed as a real file-source stream must produce
+    // EXACTLY the batch windowed aggregation, whatever the arrival
+    // split — 1 batch (degenerate), 2, and 5 (more files than
+    // distinct windows exercises empty arrival slices too)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val types = Seq("click", "view", "buy")
+    val rows = (0 until 400).map { i =>
+      (new Timestamp(1767225600000L + rnd.nextInt(7200) * 1000L),
+        types(rnd.nextInt(types.size)))
+    }
+    val df = rows.toDF("ts", "event_type")
+    val want = StreamingDQ.windowedTypeCounts(df, "ts", "event_type",
+        "10 minutes", "5 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    for (n <- Seq(1, 2, 5)) {
+      val got = StreamingDQ.replayClosedWindows(df, "ts",
+        s"/tmp/graft_test/replay_prop_$n", n, 3600L * 1000000L) { st =>
+        StreamingDQ.windowedTypeCounts(st, "ts", "event_type",
+          "10 minutes", "5 minutes")
+      }.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want, s"nBatches=$n: closed-window union != batch result")
+    }
+  }
+
   test("streamingDedupAgainstStore drops store hits and in-stream re-deliveries") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
