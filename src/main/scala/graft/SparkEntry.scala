@@ -894,6 +894,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text",
         k = 256, withExact = true)
     }),
+    // BPE merge induction (D84): 6 merges learned from the corpus —
+    // one corpus scan for word counts, then vocab-frame iterations;
+    // the oracle unrolls the same 6 iterations as CTE chains
+    "q_d84_bpe_merges" -> ((s, d) =>
+      graft.text.Bpe.learnMerges(t(s, d, "documents"), "text", 6)
+        .orderBy("rank")),
+    // ...and the trained tokenizer applied back to the corpus: a
+    // 6-deep chain of codegen'd replaces in ONE map-only projection
+    "q_d84b_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.text.Bpe.learnMerges(docs, "text", 6).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.applyMerges(docs, "text", merges)
+        .select("doc_id", "bpe_tokens").orderBy("doc_id")
+    }),
     // theta-sketch source set algebra (D83): per-source sketches of
     // normalized content, full pairwise union/intersection/difference
     // + the all-source union row. Exact regime at every gate scale
@@ -3118,6 +3133,76 @@ object SparkEntry {
         |      + greatest(est.vk, 1)) // (2*CAST(greatest(est.vk, 1) AS HUGEINT)) AS BIGINT) END AS union_est,
         |  ex.union_exact, ex.j_exact
         |FROM est CROSS JOIN ex""".stripMargin,
+
+    // the 6 BPE iterations unrolled as CTE chains: per iteration a
+    // pair-count over the delimited word-frequency frame, the same
+    // (count DESC, l, r) argmax, and a scalar-subquery replace; the
+    // delimited-string replace IS the greedy merge in both engines
+    "q_d84_bpe_merges" -> {
+      val iters = (1 to 6).map { k =>
+        val prev = s"w${k - 1}"
+        s"""p$k AS MATERIALIZED (SELECT y[i] AS l, y[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, y, unnest(generate_series(1, len(y)-1)) AS i
+           |        FROM (SELECT cnt, string_split(trim(s, chr(1)), chr(1)) AS y
+           |              FROM $prev) WHERE len(y) >= 2)
+           |  GROUP BY 1, 2),
+           |m$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |w$k AS MATERIALIZED (SELECT replace(s,
+           |    chr(1) || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || chr(1),
+           |    chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1)) AS s, cnt
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 6).map(k =>
+        s"SELECT CAST($k AS INT) AS rank, l AS \"left\", r AS \"right\"," +
+          s" l || r AS merged, c AS pair_count FROM m$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH w0 AS MATERIALIZED (SELECT chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1)) || chr(1) AS s,
+         |  cnt FROM (SELECT w, count(*) AS cnt FROM
+         |    (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w FROM documents)
+         |    WHERE length(w) > 0 GROUP BY w)),
+         |$iters
+         |  $rows
+         |ORDER BY rank""".stripMargin
+    },
+
+    // the trained tokenizer applied in SQL: the same 6-iteration
+    // chain, then per word a 6-deep nested replace and the
+    // delimiter-count token sum
+    "q_d84b_bpe_encode" -> {
+      val iters = (1 to 6).map { k =>
+        val prev = s"w${k - 1}"
+        s"""p$k AS MATERIALIZED (SELECT y[i] AS l, y[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, y, unnest(generate_series(1, len(y)-1)) AS i
+           |        FROM (SELECT cnt, string_split(trim(s, chr(1)), chr(1)) AS y
+           |              FROM $prev) WHERE len(y) >= 2)
+           |  GROUP BY 1, 2),
+           |m$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |w$k AS MATERIALIZED (SELECT replace(s,
+           |    chr(1) || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || chr(1),
+           |    chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1)) AS s, cnt
+           |  FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      val enc = (1 to 6).foldLeft(
+        "chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1)) || chr(1)") {
+        (acc, k) =>
+          s"""replace($acc,
+             |  chr(1) || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || chr(1),
+             |  chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1))""".stripMargin
+      }
+      s"""WITH w0 AS MATERIALIZED (SELECT chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1)) || chr(1) AS s,
+         |  cnt FROM (SELECT w, count(*) AS cnt FROM
+         |    (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w FROM documents)
+         |    WHERE length(w) > 0 GROUP BY w)),
+         |$iters,
+         |dw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), ' +'),
+         |  x -> length(x) > 0)) AS w FROM documents),
+         |et AS (SELECT doc_id, len(string_split($enc, chr(1))) - 2 AS toks FROM dw)
+         |SELECT d.doc_id, CAST(COALESCE(t.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+         |FROM documents d LEFT JOIN
+         |  (SELECT doc_id, sum(toks) AS bpe_tokens FROM et GROUP BY 1) t
+         |  USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // every theta cell re-derived with exact set arithmetic over the
     // same normalized content hashes: inter via pair join, union /

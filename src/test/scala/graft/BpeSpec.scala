@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+/** D84 BPE merge induction: the Sennrich et al. hand example,
+  * tie-break determinism, early stop, and the map-only apply path.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("learnMerges reproduces the classic hand-computed example") {
+    // low x3, lower, lowest. Pair counts: (l,o)=5 (o,w)=5 (w,e)=2
+    // (e,r)=1 (e,s)=1 (s,t)=1. Ties break (count DESC, left ASC,
+    // right ASC): iter1 (l,o) [beats (o,w) on left], iter2 (lo,w),
+    // iter3 (low,e), iter4 (lowe,r) [beats (lowe,s) on right and
+    // (s,t) on left].
+    val df = Seq("low low low lower lowest").toDF("text")
+    val m = Bpe.learnMerges(df, "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "low", "e", "lowe", 2L),
+      (4, "lowe", "r", "lower", 1L)))
+  }
+
+  test("learnMerges stops early when no pair remains") {
+    val df = Seq("ab ab a").toDF("text")
+    // iter1 merges (a,b) cnt 2; after that 'ab' and 'a' are single
+    // symbols -> no pairs -> stop with 1 row despite numMerges=5
+    val m = Bpe.learnMerges(df, "text", 5).collect()
+    assert(m.length == 1 && m(0).getString(3) == "ab")
+  }
+
+  test("greedy overlap: a·a·a merges left-to-right to (aa)·a") {
+    val df = Seq("aaa aaa aa").toDF("text")
+    // pairs: (a,a) = 2+2+1 = 5 -> merge 1 = (a,a).
+    // aaa -> aa,a ; aa -> aa. Next pairs: (aa,a)=2 -> merge 2.
+    val m = Bpe.learnMerges(df, "text", 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq == Seq(("a", "a", 5L), ("aa", "a", 2L)))
+  }
+
+  test("applyMerges: map-only encode matches hand tokenization; plan has no shuffle") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r"))
+    val df = Seq((1L, "low lower lowest")).toDF("id", "text")
+    val enc = Bpe.applyMerges(df, "text", merges)
+    val r = enc.select("bpe_tokens", "bpe_text").head()
+    assert(r.getLong(0) == 5L) // low(1) lower(1) lowe·s·t(3)
+    assert(r.getString(1).count(_ == ' ') == 2)
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"apply must be one map-only projection:\n$plan")
+  }
+
+  test("learned merges reduce token count on the training corpus") {
+    val docs = (0 until 50).map(i => (i.toLong, s"spark sql spark engine row$i"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val before = docs.select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .head().getLong(0)
+    val after = Bpe.applyMerges(docs, "text", merges)
+      .agg(sum(col("bpe_tokens"))).head().getLong(0)
+    assert(after < before, s"10 merges must compress: $after !< $before")
+  }
+}
