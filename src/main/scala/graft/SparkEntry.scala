@@ -894,6 +894,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text",
         k = 256, withExact = true)
     }),
+    // snapshot diff census (D85): before = orders, after = a
+    // deterministic doctoring (drop %13 keys, bump totalprice on %7,
+    // add %17 keys shifted out of range) — one full-outer join + one
+    // aggregation, fixed-size (metric, value) report
+    "q_d85_snapshot_diff" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      val after = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.operators.Merge.snapshotDiff(o, after, Seq("o_orderkey"))
+        .orderBy("metric")
+    }),
     // BPE merge induction (D84): 6 merges learned from the corpus —
     // one corpus scan for word counts, then vocab-frame iterations;
     // the oracle unrolls the same 6 iterations as CTE chains
@@ -3133,6 +3149,46 @@ object SparkEntry {
         |      + greatest(est.vk, 1)) // (2*CAST(greatest(est.vk, 1) AS HUGEINT)) AS BIGINT) END AS union_est,
         |  ex.union_exact, ex.j_exact
         |FROM est CROSS JOIN ex""".stripMargin,
+
+    // the same doctoring + full-outer join; struct null-safe equality
+    // == AND of per-column IS NOT DISTINCT FROM
+    "q_d85_snapshot_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders),
+        |a AS (SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |j AS (SELECT b.o_orderkey AS bk, a.o_orderkey AS ak,
+        |    b.o_custkey AS bc, a.o_custkey AS ac,
+        |    b.o_totalprice AS bt, a.o_totalprice AS at2,
+        |    b.o_orderpriority AS bp, a.o_orderpriority AS ap
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT metric, value FROM (
+        |  SELECT 'rows_added' AS metric,
+        |    count(CASE WHEN bk IS NULL THEN 1 END) AS value FROM j
+        |  UNION ALL SELECT 'rows_removed',
+        |    count(CASE WHEN ak IS NULL THEN 1 END) FROM j
+        |  UNION ALL SELECT 'rows_changed',
+        |    count(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+        |      AND (bc IS DISTINCT FROM ac OR bt IS DISTINCT FROM at2
+        |           OR bp IS DISTINCT FROM ap) THEN 1 END) FROM j
+        |  UNION ALL SELECT 'rows_unchanged',
+        |    count(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+        |      AND bc IS NOT DISTINCT FROM ac AND bt IS NOT DISTINCT FROM at2
+        |      AND bp IS NOT DISTINCT FROM ap THEN 1 END) FROM j
+        |  UNION ALL SELECT 'changed_o_custkey',
+        |    count(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+        |      AND bc IS DISTINCT FROM ac THEN 1 END) FROM j
+        |  UNION ALL SELECT 'changed_o_totalprice',
+        |    count(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+        |      AND bt IS DISTINCT FROM at2 THEN 1 END) FROM j
+        |  UNION ALL SELECT 'changed_o_orderpriority',
+        |    count(CASE WHEN bk IS NOT NULL AND ak IS NOT NULL
+        |      AND bp IS DISTINCT FROM ap THEN 1 END) FROM j)
+        |ORDER BY metric""".stripMargin,
 
     // the 6 BPE iterations unrolled as CTE chains: per iteration a
     // pair-count over the delimited word-frequency frame, the same

@@ -97,4 +97,46 @@ object Merge {
     compactLatest(all, keyCols, versionCols :+ "_src_pri", opCol, deleteOp)
       .drop("_src_pri")
   }
+
+  /** Snapshot diff census (SURVEY §2 D85) — "what changed between
+    * yesterday's table and today's", answered WITHOUT materializing a
+    * row-level diff: one keyed full-outer join, ONE aggregation, and
+    * a fixed-size (4 + |columns|)-row report:
+    * rows_added / rows_removed / rows_changed / rows_unchanged plus a
+    * `changed_<col>` drill-down count per non-key column (which
+    * columns drive the churn — the question that decides whether a
+    * 100 TB re-ingest is a schema-wide rewrite or one volatile
+    * column). Comparisons are null-safe (`<=>`); both sides' non-key
+    * columns ride in ONE struct each, so row-changed is a single
+    * struct comparison and the join shuffles each side exactly once
+    * on the key. `keyCols` must be unique per side (the CDC key
+    * contract — pre-compact with [[compactLatest]] otherwise).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff: need >= 1 key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"snapshotDiff: schemas differ: ${before.columns.mkString(",")} vs " +
+        s"${after.columns.mkString(",")} — conform first (Sources.conformSchema)")
+    val valCols = before.columns.filterNot(keyCols.contains).toSeq
+    def pack(df: DataFrame, out: String) =
+      df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(out): _*)
+    val j = pack(before, "_b").join(pack(after, "_a"), keyCols, "full_outer")
+    val both = col("_b").isNotNull && col("_a").isNotNull
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    val aggs =
+      cnt(col("_b").isNull && col("_a").isNotNull).as("rows_added") +:
+      cnt(col("_b").isNotNull && col("_a").isNull).as("rows_removed") +:
+      cnt(both && !(col("_b") <=> col("_a"))).as("rows_changed") +:
+      cnt(both && (col("_b") <=> col("_a"))).as("rows_unchanged") +:
+      valCols.map(c => cnt(both &&
+        !(col("_b").getField(c) <=> col("_a").getField(c))).as(s"changed_$c"))
+    val row = j.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single row to a (metric, value) frame
+    val metrics = Seq("rows_added", "rows_removed", "rows_changed",
+      "rows_unchanged") ++ valCols.map(c => s"changed_$c")
+    row.select(explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"), col(m).as("value"))): _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
 }

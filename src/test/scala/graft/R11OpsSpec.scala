@@ -454,4 +454,32 @@ class R11OpsSpec extends SparkSpec {
     assert(p(1L) == p(2L))   // projection is a pure function of the vector
     assert(p(1L) != p(3L))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged + per-column drill-down, null-safe") {
+    val before = Seq(
+      (1L, Some("a"), Some(10.0)), (2L, Some("b"), Some(20.0)),
+      (3L, None: Option[String], Some(30.0)), (4L, Some("d"), None: Option[Double]))
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Some("a"), Some(10.0)),               // unchanged
+      (2L, Some("b"), Some(21.0)),               // changed: v
+      (3L, Some("c"), Some(30.0)),               // changed: s (null -> c, null-safe)
+      (5L, Some("e"), Some(50.0)))               // added; 4 removed
+      .toDF("k", "s", "v")
+    val m = Merge.snapshotDiff(before, after, Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map(
+      "rows_added" -> 1L, "rows_removed" -> 1L, "rows_changed" -> 2L,
+      "rows_unchanged" -> 1L, "changed_s" -> 1L, "changed_v" -> 1L))
+    // empty after: everything removed, zero everything else
+    val e = Merge.snapshotDiff(before, after.filter(lit(false)), Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e("rows_removed") == 4L && e("rows_added") == 0L
+      && e("rows_changed") == 0L && e("changed_s") == 0L)
+    // schema drift fails at plan time with the conform pointer
+    val ex = intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(before, after.withColumnRenamed("v", "w"), Seq("k"))
+    }
+    assert(ex.getMessage.contains("conform"))
+  }
 }
