@@ -205,7 +205,13 @@ case class ThetaSetOp(left: Expression, right: Expression, op: String)
     val sb = Sketches.heapifySketch(Memory.wrap(b.asInstanceOf[Array[Byte]]))
     val r = op match {
       case "union" =>
-        SetOperation.builder().buildUnion().union(sa, sb)
+        // the union builder's DEFAULT nominal entries (2^12) would
+        // DOWNSAMPLE an exact union of larger exact inputs (x10
+        // regression: a 4352-distinct pair union estimated 4336).
+        // 2^26 is the library max; memory grows only with retained
+        // entries, and inputs already bound those, so this keeps the
+        // result exact whenever both inputs are exact.
+        SetOperation.builder().setLogNominalEntries(26).buildUnion().union(sa, sb)
       case "intersect" =>
         SetOperation.builder().buildIntersection().intersect(sa, sb)
       case "anotb" =>
