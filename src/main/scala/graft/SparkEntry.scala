@@ -894,6 +894,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0), "text",
         k = 256, withExact = true)
     }),
+    // weighted sampling without replacement (D86): top-60 by
+    // (ln n_chars + Gumbel) integer keys; zz guard row pins the
+    // rounding-boundary distance claim (the D46 scheme, standalone)
+    "q_d86_weighted_sample" -> ((s, d) => {
+      val (samp, g) = graft.pipeline.Pipeline.weightedSampleTopKAndGuard(
+        t(s, d, "documents"), "doc_id", "n_chars", 60)
+      samp.select(col("doc_id"), col("sample_key"))
+        .unionByName(g.select(lit(-1L).as("doc_id"),
+          when(col("min_key_dist") > 1e-7, 1L).otherwise(0L).as("sample_key")))
+        .orderBy("doc_id")
+    }),
     // snapshot diff census (D85): before = orders, after = a
     // deterministic doctoring (drop %13 keys, bump totalprice on %7,
     // add %17 keys shifted out of range) — one full-outer join + one
@@ -3149,6 +3160,26 @@ object SparkEntry {
         |      + greatest(est.vk, 1)) // (2*CAST(greatest(est.vk, 1) AS HUGEINT)) AS BIGINT) END AS union_est,
         |  ex.union_exact, ex.j_exact
         |FROM est CROSS JOIN ex""".stripMargin,
+
+    // ln-weight + Gumbel keys re-derived micro-exactly (the d46
+    // md5-head uniform), same top-k total order, guard pinned at 1
+    "q_d86_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |k AS (SELECT doc_id,
+        |  CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT)
+        |  + CAST(round(-ln(-ln((list_reduce(list_transform(range(1, 9),
+        |      i -> strpos('0123456789abcdef',
+        |        substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1),
+        |      (a, x) -> a * 16 + x) + 0.5) / 4294967296.0)) * 1e6) AS BIGINT)
+        |    AS sample_key
+        |  FROM w),
+        |sel AS (SELECT doc_id, sample_key FROM k
+        |  ORDER BY sample_key DESC, doc_id LIMIT 60)
+        |SELECT doc_id, sample_key FROM (
+        |  SELECT doc_id, sample_key FROM sel
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS BIGINT))
+        |ORDER BY doc_id""".stripMargin,
 
     // the same doctoring + full-outer join; struct null-safe equality
     // == AND of per-column IS NOT DISTINCT FROM

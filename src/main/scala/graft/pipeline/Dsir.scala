@@ -197,8 +197,9 @@ object Dsir {
 
   // the Gumbel noise term g·1e6 BEFORE rounding: g = −ln(−ln(u)) with
   // u the md5-head uniform draw of (seed, id) — shared by the key
-  // construction and the boundary guard
-  private def gumbelMicroRaw(idCol: String, seed: String): Column = {
+  // construction and the boundary guard (and by Pipeline's
+  // standalone weighted sampler, D86)
+  private[pipeline] def gumbelMicroRaw(idCol: String, seed: String): Column = {
     val h = conv(substring(md5(concat(lit(seed), lit(":"),
       col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     val u = (h.cast("double") + 0.5) / 4294967296.0

@@ -65,6 +65,49 @@ object Pipeline {
     * over the stratum column picks the threshold, one hash prunes
     * the row. Strata absent from `fractions` keep `defaultFraction`.
     */
+  /** Deterministic weighted sampling WITHOUT replacement (SURVEY §2
+    * D86) — keep the k documents a weight column says matter most,
+    * with the right randomness: top-k by (ln w + Gumbel) is exactly
+    * weighted sampling without replacement with inclusion ∝ w
+    * (Efraimidis & Spirakis 2006 via the Gumbel-max identity — the
+    * standalone generalization of the trick DSIR (D46) uses with its
+    * log-ratio weights). The quality-weighted subsample step of a
+    * corpus budget ("keep 1M docs, proportional to classifier
+    * score") without a full sort: TakeOrdered top-k.
+    *
+    * Determinism (the D46 scheme end-to-end): the "randomness" is the
+    * md5-head uniform of (seed, id); both ln terms quantize to micro
+    * units BEFORE the integer key compare, and the AndGuard flavor
+    * returns the min distance of EITHER pre-round double to its
+    * rounding boundary over the whole corpus — `> 1e-7` certifies any
+    * engine recomputing the lns picks the identical k-set. Rows with
+    * null/non-positive weight are excluded (weight 0 = never).
+    * Ties break on id ascending.
+    */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weightCol: String,
+                         k: Int, seed: String = "wsample"): DataFrame =
+    weightedSampleTopKAndGuard(df, idCol, weightCol, k, seed)._1
+
+  def weightedSampleTopKAndGuard(df: DataFrame, idCol: String,
+                                 weightCol: String, k: Int,
+                                 seed: String = "wsample"): (DataFrame, DataFrame) = {
+    require(k > 0, s"k must be positive, got $k")
+    val pos = graft.CacheScope.persist(
+      df.filter(col(weightCol).isNotNull && col(weightCol) > 0))
+    val lnwRaw = log(col(weightCol).cast("double")) * 1e6
+    val gRaw = Dsir.gumbelMicroRaw(idCol, seed)
+    val sample = pos
+      .withColumn("sample_key",
+        round(lnwRaw).cast("long") + round(gRaw).cast("long"))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+    val guard = pos.select(
+        least(abs(lnwRaw - floor(lnwRaw) - lit(0.5)),
+          abs(gRaw - floor(gRaw) - lit(0.5))).as("_d"))
+      .agg(coalesce(min(col("_d")), lit(0.5)).as("min_key_dist"))
+    (sample, guard)
+  }
+
   def stratifiedSampleByHash(df: DataFrame, keyCol: Column, stratumCol: Column,
                              fractions: Map[String, Double],
                              defaultFraction: Double = 0.0,

@@ -231,4 +231,32 @@ class PipelineSpec extends SparkSpec {
       col("id"), budget = 12).select("id").collect().map(_.getLong(0)).toSet
     assert(a == b && a.size <= 12)
   }
+
+  test("weightedSampleTopK: dominant weights win, determinism, zero/null excluded") {
+    val df = (1L to 200L).map { i =>
+      (i, if (i <= 5) 1e9 else if (i % 50 == 0) 0.0 else 1.0)
+    }.toDF("id", "w")
+      .union(Seq((999L, null.asInstanceOf[java.lang.Double])).toDF("id", "w"))
+    val (s1, g) = Pipeline.weightedSampleTopKAndGuard(df, "id", "w", 20)
+    val ids = s1.select("id").collect().map(_.getLong(0)).toSet
+    // ln(1e9) ≈ 20.7 in micro units dwarfs any Gumbel draw (<~ 3e6
+    // micro at these uniforms): the five heavy docs are always in
+    assert((1L to 5L).forall(ids.contains), s"heavy docs missing: $ids")
+    assert(!ids.contains(999L) && !ids.exists(_ % 50 == 0),
+      "null/zero weights must never be sampled")
+    assert(ids.size == 20)
+    // deterministic under repartitioning
+    val s2 = Pipeline.weightedSampleTopK(df.repartition(13), "id", "w", 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s2 == ids)
+    // the guard covers the corpus and is comfortably off-boundary here
+    assert(g.head().getDouble(0) > 1e-7)
+    // uniform weights degenerate to the pure-Gumbel order: ln(1) = 0
+    val uni = (1L to 100L).map((_, 1.0)).toDF("id", "w")
+    val a = Pipeline.weightedSampleTopK(uni, "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.weightedSampleTopK(uni.withColumn("w", lit(1.0)), "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
 }
