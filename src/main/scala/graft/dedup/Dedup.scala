@@ -365,27 +365,29 @@ object Dedup {
     // join) and Jaccard evaluates as two popcounts. General path
     // falls back to the word-set arrays.
     //
-    // Plan choice runs ONE bounded probe job, not full-corpus counts
+    // Plan choice runs bounded probe jobs, not full-corpus counts
     // (the r2 gates ran a full token-distinct shuffle plus a second
-    // full count before any useful work): scan at most
-    // allPairsMaxSets+1 clustered sets and count distinct sets and
-    // tokens in that prefix. If the prefix holds <= allPairsMaxSets
-    // sets it IS the whole corpus, so both counts are exact. The
-    // probe also materializes `clustered`'s cache, which every
-    // downstream branch reuses.
-    val probe = clustered
+    // full count before any useful work). r12 split (the
+    // nearDupMatches probe shape): the set count is a token-free
+    // limit+count — the limit ends the scan at cap+1 rows and, as
+    // before, materializes `clustered`'s cache for every downstream
+    // branch — and the vocab witness is a map-side-combined distinct
+    // cut off at 65, never a countDistinct Expand over the token
+    // stream. When the prefix holds <= allPairsMaxSets sets it IS
+    // the whole corpus, so the whole-corpus vocab count below is the
+    // prefix's.
+    val ns = clustered
       .limit(math.min(allPairsMaxSets + 1, Int.MaxValue.toLong).toInt)
-      .select(col("sid"), explode_outer(col("ws")).as("tok"))
-      .agg(countDistinct(col("sid")).as("ns"), countDistinct(col("tok")).as("nv"))
-      .head()
-    val smallCorpus = probe.getLong(0) <= allPairsMaxSets
+      .count()
+    val smallCorpus = ns <= allPairsMaxSets
     // Big corpus: only commit to the bitmap encoding once vocab <= 64
     // is PROVEN. A 100k-token prefix with > 64 distinct tokens is a
     // witness that disproves it without any full scan; only a
     // degenerate-looking prefix pays the exact (cheap, tiny-output)
     // distinct count.
     val vocabSmall =
-      if (smallCorpus) probe.getLong(1) <= 64
+      if (smallCorpus)
+        exploded.select("tok").distinct().limit(65).count() <= 64
       else exploded.select("tok").limit(100000).distinct().count() <= 64 &&
         exploded.select("tok").distinct().limit(65).count() <= 64
     val verified =
