@@ -625,17 +625,17 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), wordSet(col(textCol)).as("ws"))
       .withColumn("sz", size(col("ws")))
     val inv = docs.select(col("id"), col("sz"), explode(col("ws")).as("tok"))
-    // ONE bounded probe decides the plan (see minhashPairs): a
-    // ≤ allPairsMaxDocs+1 doc prefix; if it holds every doc, its
-    // distinct-token count is the exact vocabulary size. `docs` is a
-    // narrow projection, so the limit terminates the scan early — no
-    // full token-distinct shuffle, no separate full count.
-    val probe = docs
+    // Bounded probe jobs decide the plan (see minhashPairs; r12 split
+    // shape): a token-free limit+count over a ≤ allPairsMaxDocs+1 doc
+    // prefix — the limit ends the scan early — then, only when the
+    // prefix is proven to be the whole corpus, a 65-cutoff map-side
+    // distinct vocab witness (no countDistinct Expand over the token
+    // stream).
+    val nd = docs
       .limit(math.min(allPairsMaxDocs + 1, Int.MaxValue.toLong).toInt)
-      .select(col("id"), explode_outer(col("ws")).as("tok"))
-      .agg(countDistinct(col("id")).as("nd"), countDistinct(col("tok")).as("nv"))
-      .head()
-    if (probe.getLong(0) <= allPairsMaxDocs && probe.getLong(1) <= 64) {
+      .count()
+    if (nd <= allPairsMaxDocs &&
+      inv.select("tok").distinct().limit(65).count() <= 64) {
       // <=64-word vocabulary: each set is ONE int64 bitmap, and sets
       // drawn from so few words are broadly similar — an inverted
       // index degenerates toward all-pairs candidates anyway, so do

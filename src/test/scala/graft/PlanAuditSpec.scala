@@ -25,6 +25,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff is one full-outer join + one aggregation, never a cartesian") {
+    val p = plan("q_d85_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q_d85: keyed join only:\n${p.take(2000)}")
+    assert(p.contains("FullOuter"), "q_d85: the merge must be a full-outer join")
+  }
+
+  test("weighted sample is TakeOrdered over a map-only key scan, no global sort") {
+    val p = plan("q_d86_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_d86: top-k must resolve as TakeOrdered:\n${p.take(2000)}")
+  }
+
   test("search filters are pushed into the parquet scan") {
     val p = plan("q_c1_search")
     assert(p.contains("GreaterThanOrEqual(value,50.0)") &&
