@@ -348,4 +348,117 @@ class PropertySpec extends SparkSpec {
       assert(got(s) == want, s"'$s': got ${got(s)} want $want")
     }
   }
+
+  // ---- r12 wave properties ------------------------------------------------
+
+  test("snapshotDiff equals a brute-force reference on random keyed tables") {
+    val rowGen = for {
+      k <- Gen.choose(0L, 40L)
+      s <- Gen.option(Gen.oneOf("a", "b", "c"))
+      v <- Gen.option(Gen.choose(0, 5).map(_.toDouble))
+    } yield (k, s, v)
+    for (seedBase <- Seq(0, 1000, 2000)) {
+      val before = sample(rowGen, 60).zipWithIndex
+        .map { case ((k, s, v), i) => (k, s, v) }.distinctBy(_._1)
+      val after = (0 until 60).flatMap(i =>
+        rowGen.apply(Gen.Parameters.default, Seed((seedBase + i + 500).toLong)))
+        .distinctBy(_._1)
+      val got = graft.operators.Merge.snapshotDiff(
+          before.toDF("k", "s", "v"), after.toDF("k", "s", "v"), Seq("k"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bm = before.map(r => r._1 -> (r._2, r._3)).toMap
+      val am = after.map(r => r._1 -> (r._2, r._3)).toMap
+      val boths = bm.keySet intersect am.keySet
+      assert(got("rows_added") == (am.keySet -- bm.keySet).size)
+      assert(got("rows_removed") == (bm.keySet -- am.keySet).size)
+      assert(got("rows_changed") == boths.count(k => bm(k) != am(k)))
+      assert(got("rows_unchanged") == boths.count(k => bm(k) == am(k)))
+      assert(got("changed_s") == boths.count(k => bm(k)._1 != am(k)._1))
+      assert(got("changed_v") == boths.count(k => bm(k)._2 != am(k)._2))
+    }
+  }
+
+  private def bpeRef(words: Seq[(String, Long)],
+                     n: Int): Seq[(String, String, Long)] = {
+    var cur = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    while (k < n) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      cur.foreach { case (v, c) =>
+        v.iterator.zip(v.iterator.drop(1)).foreach(p => pc(p) += c)
+      }
+      if (pc.isEmpty) k = n
+      else {
+        val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        cur = cur.map { case (v, cnt) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          v.foreach { s =>
+            if (acc.nonEmpty && acc.last == l && s == r)
+              acc(acc.size - 1) = l + r
+            else acc += s
+          }
+          (acc.toVector, cnt)
+        }
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("learnMerges equals the reference BPE on random corpora") {
+    val wordGen = Gen.listOfN(4, Gen.oneOf("a", "b", "c", "d")).map(_.mkString)
+    for (seed <- Seq(7, 17, 27)) {
+      val words = (0 until 120).flatMap(i =>
+        wordGen.apply(Gen.Parameters.default, Seed((seed * 1000 + i).toLong)))
+      val text = words.mkString(" ")
+      val got = graft.text.Bpe.learnMerges(Seq(text).toDF("text"), "text", 5)
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val want = bpeRef(
+        words.groupBy(identity).view.mapValues(_.size.toLong).toSeq, 5)
+      assert(got == want, s"seed $seed: $got != $want")
+    }
+  }
+
+  test("thetaSourceAlgebra exact regime equals Scala set arithmetic on random assignments") {
+    val rowGen = for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      txt <- Gen.choose(0, 80).map(i => s"doc number $i")
+    } yield (src, txt)
+    val rows = sample(rowGen, 300)
+    val got = graft.dedup.Sketch.thetaSourceAlgebra(
+        rows.toDF("source", "text"), "text", "source", lgK = 12)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val sets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for {
+      a <- sets.keys; b <- sets.keys if a < b
+    } {
+      val (sa, sb) = (sets(a), sets(b))
+      assert(got((a, b)) == ((sa.size.toLong, sb.size.toLong,
+        (sa ++ sb).size.toLong, (sa intersect sb).size.toLong)),
+        s"pair ($a,$b)")
+    }
+    assert(got(("__all__", "__all__"))._3 == sets.values.reduce(_ ++ _).size.toLong)
+  }
+
+  test("weightedSampleTopK equals an independent md5/ln re-implementation") {
+    def keyRef(id: Long, w: Double): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"wsample:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      math.round(math.log(w) * 1e6) + math.round(-math.log(-math.log(u)) * 1e6)
+    }
+    val rows = (1L to 150L).map(i => (i, (i % 9 + 1).toDouble))
+    val got = graft.pipeline.Pipeline.weightedSampleTopK(
+        rows.toDF("id", "w"), "id", "w", 25)
+      .select("id", "sample_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val want = rows.map { case (i, w) => (i, keyRef(i, w)) }
+      .sortBy { case (i, k) => (-k, i) }.take(25).sortBy(_._1)
+    assert(got == want)
+  }
 }
