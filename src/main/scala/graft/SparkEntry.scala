@@ -1794,6 +1794,70 @@ object SparkEntry {
         .withColumn("window_start", unix_micros(col("window_start")))
         .orderBy("window_start", "item")
     }),
+    // D15 end-to-end: dropDuplicatesWithinWatermark through the file
+    // replay. Every occurrence of a key carries the SAME payload, so
+    // the emitted first-arrivals form a deterministic (key, payload)
+    // set whatever the in-batch order; the sentinel duplicates an
+    // existing pair and vanishes in the post-collection distinct.
+    "q_s7_file_stream_dedup" -> ((s, d) => {
+      val ev0 = t(s, d, "events")
+      val ev = ev0.select(Tables.asTimestamp(ev0, "ts").as("tsw"),
+          (col("event_id") % 500).as("dup_key"))
+        .filter(col("tsw").isNotNull)
+        .withColumn("payload", concat(lit("p"), (col("dup_key") * 7) % 13))
+      graft.streaming.StreamingDQ.replayClosedWindows(
+        ev, "tsw", "/tmp/graft_gate/s7_arrivals", 3, 90L * 86400000000L) { st =>
+        graft.streaming.StreamingDQ.streamingDedup(
+          st, "tsw", Seq("dup_key"), "90 days")
+          .select("dup_key", "payload")
+      }.distinct().orderBy("dup_key")
+    }),
+    // D39 end-to-end: the stream-static ingest guard through the file
+    // replay — in-stream re-deliveries collapse in the watermark
+    // state, store hits drop in the per-batch anti join. Graded as
+    // the distinct surviving fingerprint set (sentinel-immune).
+    "q_s8_file_stream_ingest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val store = Dedup.fingerprints(docs.filter(col("doc_id") % 3 === 0), "text")
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("tsw",
+          timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      graft.streaming.StreamingDQ.replayClosedWindows(
+        batch, "tsw", "/tmp/graft_gate/s8_arrivals", 3, 90L * 86400000000L) { st =>
+        graft.streaming.StreamingDQ.streamingDedupAgainstStore(
+          st, "text", "tsw", store, "fingerprint", "90 days")
+          .select(Dedup.contentKey(col("text")).as("fp"))
+      }.distinct().orderBy("fp")
+    }),
+    // D52 end-to-end: the stateless stream-static span guard through
+    // the file replay — stale span OCCURRENCES of the streamed batch
+    // vs the materialized store fingerprints. The sentinel re-emits
+    // one doc's spans verbatim; the post-collection distinct removes
+    // them ((id, span_pos) is unique in the batch result).
+    "q_s9_file_stream_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val storeFps = graft.dedup.Spans.storeFingerprints(
+        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", spanLen = 8)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("tsw",
+          timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+      graft.streaming.StreamingDQ.replayClosedWindows(
+        batch, "tsw", "/tmp/graft_gate/s9_arrivals", 3, 86400000000L) { st =>
+        graft.dedup.Spans.staleSpans(st, storeFps, "text", "doc_id", spanLen = 8)
+      }.distinct().orderBy("doc_id", "span_pos")
+    }),
+    // C20 gate: the XLSX writer/reader round trip on a REAL workbook
+    // file — write nation, read it back through the JDK zip+StAX
+    // parser, and grade the all-string frame against the parquet
+    // source's string forms (DuckDB can't read xlsx; it doesn't need
+    // to — fidelity to the ORIGINAL values is the contract)
+    "q_c20_xlsx_roundtrip" -> ((s, d) => {
+      new java.io.File("/tmp/graft_gate").mkdirs()
+      val path = "/tmp/graft_gate/c20_nation.xlsx"
+      graft.sources.Xlsx.writeXlsx(t(s, d, "nation"), path)
+      graft.sources.Xlsx.readXlsx(s, path)
+        .orderBy(col("n_nationkey").cast("long"))
+    }),
 
     // whole-second truncation on BOTH sides so gap comparisons and
     // formatted session starts are bit-identical across engines
@@ -2114,7 +2178,41 @@ object SparkEntry {
       // the file-stream replays must land on EXACTLY the batch
       // result, so they share the batch queries' oracles verbatim
       ("q_s5_file_stream_dq" -> base("q_s4_dq_summary")) +
-      ("q_s6_file_stream_freq" -> base("q_d81_windowed_freq"))
+      ("q_s6_file_stream_freq" -> base("q_d81_windowed_freq")) +
+      // D15/D39/D52 end-to-end replays: deterministic set semantics
+      ("q_s7_file_stream_dedup" ->
+        """SELECT DISTINCT event_id % 500 AS dup_key,
+          |  'p' || CAST(((event_id % 500) * 7) % 13 AS VARCHAR) AS payload
+          |FROM events WHERE ts IS NOT NULL ORDER BY dup_key""".stripMargin) +
+      ("q_s8_file_stream_ingest" ->
+        """WITH sfp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+          |  WHERE doc_id % 3 = 0)
+          |SELECT DISTINCT md5(text) AS fp FROM documents
+          |WHERE doc_id % 3 <> 0 AND md5(text) NOT IN (SELECT fp FROM sfp)
+          |ORDER BY fp""".stripMargin) +
+      ("q_s9_file_stream_spans" ->
+        """WITH sp AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS p
+          |  FROM (SELECT doc_id, regexp_split_to_array(trim(text),' +') AS t
+          |        FROM documents WHERE length(trim(text)) > 0)
+          |  WHERE len(t) >= 8),
+          |hx AS (SELECT doc_id, p - 1 AS span_pos,
+          |  substr(md5(list_aggregate(t[p:p+7], 'string_agg', ' ')), 1, 15) AS fp
+          |  FROM sp),
+          |h AS (SELECT doc_id, span_pos,
+          |  list_reduce(list_transform(range(1, 16),
+          |    i -> strpos('0123456789abcdef', substr(fp, CAST(i AS INT), 1)) - 1),
+          |    (a, x) -> a * 16 + x) AS span_hash
+          |  FROM hx),
+          |store AS (SELECT DISTINCT span_hash FROM h WHERE doc_id % 3 = 0)
+          |SELECT DISTINCT doc_id, span_pos, span_hash FROM h
+          |WHERE doc_id % 3 <> 0 AND span_hash IN (SELECT span_hash FROM store)
+          |ORDER BY doc_id, span_pos""".stripMargin) +
+      // C20: the workbook round trip must reproduce the ORIGINAL
+      // values' string forms (all-string frame by the xlsx contract)
+      ("q_c20_xlsx_roundtrip" ->
+        """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+          |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+          |FROM nation ORDER BY CAST(n_nationkey AS BIGINT)""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
