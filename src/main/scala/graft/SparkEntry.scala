@@ -1806,7 +1806,7 @@ object SparkEntry {
         .filter(col("tsw").isNotNull)
         .withColumn("payload", concat(lit("p"), (col("dup_key") * 7) % 13))
       graft.streaming.StreamingDQ.replayClosedWindows(
-        ev, "tsw", "/tmp/graft_gate/s7_arrivals", 3, 90L * 86400000000L) { st =>
+        ev, "tsw", "/tmp/graft_gate/s7_arrivals", 2, 90L * 86400000000L) { st =>
         graft.streaming.StreamingDQ.streamingDedup(
           st, "tsw", Seq("dup_key"), "90 days")
           .select("dup_key", "payload")
@@ -1823,7 +1823,7 @@ object SparkEntry {
         .withColumn("tsw",
           timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
       graft.streaming.StreamingDQ.replayClosedWindows(
-        batch, "tsw", "/tmp/graft_gate/s8_arrivals", 3, 90L * 86400000000L) { st =>
+        batch, "tsw", "/tmp/graft_gate/s8_arrivals", 2, 90L * 86400000000L) { st =>
         graft.streaming.StreamingDQ.streamingDedupAgainstStore(
           st, "text", "tsw", store, "fingerprint", "90 days")
           .select(Dedup.contentKey(col("text")).as("fp"))
@@ -1842,7 +1842,7 @@ object SparkEntry {
         .withColumn("tsw",
           timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
       graft.streaming.StreamingDQ.replayClosedWindows(
-        batch, "tsw", "/tmp/graft_gate/s9_arrivals", 3, 86400000000L) { st =>
+        batch, "tsw", "/tmp/graft_gate/s9_arrivals", 2, 86400000000L) { st =>
         graft.dedup.Spans.staleSpans(st, storeFps, "text", "doc_id", spanLen = 8)
       }.distinct().orderBy("doc_id", "span_pos")
     }),
