@@ -3328,12 +3328,12 @@ object SparkEntry {
         val prev = s"w${k - 1}"
         s"""p$k AS MATERIALIZED (SELECT y[i] AS l, y[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
            |  FROM (SELECT cnt, y, unnest(generate_series(1, len(y)-1)) AS i
-           |        FROM (SELECT cnt, string_split(trim(s, chr(1)), chr(1)) AS y
+           |        FROM (SELECT cnt, string_split(trim(s, chr(1)), chr(1) || chr(1)) AS y
            |              FROM $prev) WHERE len(y) >= 2)
            |  GROUP BY 1, 2),
            |m$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
            |w$k AS MATERIALIZED (SELECT replace(s,
-           |    chr(1) || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || chr(1),
+           |    chr(1) || (SELECT l FROM m$k) || chr(1) || chr(1) || (SELECT r FROM m$k) || chr(1),
            |    chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1)) AS s, cnt
            |  FROM $prev)""".stripMargin
       }.mkString(",\n")
@@ -3341,7 +3341,7 @@ object SparkEntry {
         s"SELECT CAST($k AS INT) AS rank, l AS \"left\", r AS \"right\"," +
           s" l || r AS merged, c AS pair_count FROM m$k")
         .mkString("\n  UNION ALL ")
-      s"""WITH w0 AS MATERIALIZED (SELECT chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1)) || chr(1) AS s,
+      s"""WITH w0 AS MATERIALIZED (SELECT chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1) || chr(1)) || chr(1) AS s,
          |  cnt FROM (SELECT w, count(*) AS cnt FROM
          |    (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w FROM documents)
          |    WHERE length(w) > 0 GROUP BY w)),
@@ -3358,30 +3358,30 @@ object SparkEntry {
         val prev = s"w${k - 1}"
         s"""p$k AS MATERIALIZED (SELECT y[i] AS l, y[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
            |  FROM (SELECT cnt, y, unnest(generate_series(1, len(y)-1)) AS i
-           |        FROM (SELECT cnt, string_split(trim(s, chr(1)), chr(1)) AS y
+           |        FROM (SELECT cnt, string_split(trim(s, chr(1)), chr(1) || chr(1)) AS y
            |              FROM $prev) WHERE len(y) >= 2)
            |  GROUP BY 1, 2),
            |m$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
            |w$k AS MATERIALIZED (SELECT replace(s,
-           |    chr(1) || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || chr(1),
+           |    chr(1) || (SELECT l FROM m$k) || chr(1) || chr(1) || (SELECT r FROM m$k) || chr(1),
            |    chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1)) AS s, cnt
            |  FROM $prev)""".stripMargin
       }.mkString(",\n")
       val enc = (1 to 6).foldLeft(
-        "chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1)) || chr(1)") {
+        "chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1) || chr(1)) || chr(1)") {
         (acc, k) =>
           s"""replace($acc,
-             |  chr(1) || (SELECT l FROM m$k) || chr(1) || (SELECT r FROM m$k) || chr(1),
+             |  chr(1) || (SELECT l FROM m$k) || chr(1) || chr(1) || (SELECT r FROM m$k) || chr(1),
              |  chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1))""".stripMargin
       }
-      s"""WITH w0 AS MATERIALIZED (SELECT chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1)) || chr(1) AS s,
+      s"""WITH w0 AS MATERIALIZED (SELECT chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1) || chr(1)) || chr(1) AS s,
          |  cnt FROM (SELECT w, count(*) AS cnt FROM
          |    (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS w FROM documents)
          |    WHERE length(w) > 0 GROUP BY w)),
          |$iters,
          |dw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), ' +'),
          |  x -> length(x) > 0)) AS w FROM documents),
-         |et AS (SELECT doc_id, len(string_split($enc, chr(1))) - 2 AS toks FROM dw)
+         |et AS (SELECT doc_id, len(string_split($enc, chr(1) || chr(1))) AS toks FROM dw)
          |SELECT d.doc_id, CAST(COALESCE(t.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
          |FROM documents d LEFT JOIN
          |  (SELECT doc_id, sum(toks) AS bpe_tokens FROM et GROUP BY 1) t

@@ -24,21 +24,30 @@ object Dedup {
     */
   def wordSet(c: Column): Column = array_distinct(split(c, " +"))
 
-  /** Dense 0..63 token→bit dict for the bitmap branches. Only ever
-    * called AFTER the branch guard has PROVEN the vocabulary ≤ 64
-    * tokens, so the collect is a bounded driver action (≤ 64 rows —
-    * the same bounded-probe contract as the `head()` that guards the
-    * branch), replacing the unpartitioned row_number window the r11
-    * verdict flagged: no single-partition WindowExec remains on any
-    * vocab path, at any corpus size. Bit ASSIGNMENT order is
-    * irrelevant to the popcount jaccard — the dict just has to be
-    * one consistent dense injection into [0, 64), used for both join
-    * sides within the call.
+  /** ≤64-token vocabulary witness AND dict source in ONE bounded job
+    * (r12 review: the previous split ran the full token-distinct
+    * aggregation twice — once for a limit-65 count, once for the
+    * dict collect): a map-side-combined distinct cut off at 65 rows
+    * collects to the driver; 65 rows disproves the tiny vocabulary
+    * (None), ≤64 rows IS the whole vocabulary (the limit can only
+    * truncate past it). Replaces the unpartitioned row_number window
+    * the r11 verdict flagged — no single-partition WindowExec on any
+    * vocab path, at any corpus size.
     */
-  private def tinyVocabDict(vocab: DataFrame): DataFrame = {
-    val spark = vocab.sparkSession
+  private def tinyVocab(tokens: DataFrame): Option[Array[String]] = {
+    val toks = tokens.distinct().limit(65).collect()
+      .map(_.getString(0)).filter(_ != null).sorted
+    if (toks.length <= 64) Some(toks) else None
+  }
+
+  /** Dense 0..63 token→bit dict from a proven-tiny vocabulary. Bit
+    * ASSIGNMENT order is irrelevant to the popcount jaccard — the
+    * dict just has to be one consistent dense injection into
+    * [0, 64), used for both join sides within the call.
+    */
+  private def tinyVocabDict(spark: org.apache.spark.sql.SparkSession,
+                            toks: Array[String]): DataFrame = {
     import spark.implicits._
-    val toks = vocab.collect().map(_.getString(0)).filter(_ != null).sorted
     require(toks.length <= 64,
       s"tinyVocabDict called with ${toks.length} tokens — branch guard broken")
     broadcast(toks.zipWithIndex.toSeq.toDF("tok", "tid"))
@@ -179,17 +188,17 @@ object Dedup {
     // two bounded probe jobs, cheapest first: the doc count never
     // explodes tokens (limit ends the scan at cap+1 rows), and the
     // vocab witness only runs once the prefix is PROVEN to be the
-    // whole corpus (≤ cap docs), as a map-side-combined distinct cut
-    // off at 65 — no countDistinct Expand over the token stream
-    // (r12: the old single probe double-expanded every token of the
-    // 10k-doc prefix and was the dominant cost of the whole query)
+    // whole corpus (≤ cap docs); tinyVocab's 65-cutoff collect is
+    // BOTH the witness and the dict source — one scan (r12 review:
+    // the first split ran the distinct aggregation twice)
     val nd = allDocs
       .limit(math.min(allPairsMaxDocs + 1, Int.MaxValue.toLong).toInt).count()
-    if (nd <= allPairsMaxDocs &&
-      allDocs.select(explode(col("ws")).as("tok")).distinct()
-        .limit(65).count() <= 64) {
-      val dict = tinyVocabDict(
-        allDocs.select(explode(col("ws")).as("tok")).distinct())
+    val tv =
+      if (nd <= allPairsMaxDocs)
+        tinyVocab(allDocs.select(explode(col("ws")).as("tok")))
+      else None
+    if (tv.isDefined) {
+      val dict = tinyVocabDict(batch.sparkSession, tv.get)
       def asBits(side: DataFrame, idName: String, wsName: String, out: String) =
         side.select(col(idName), explode(col(wsName)).as("tok"))
           .join(dict, "tok").groupBy(idName)
@@ -384,15 +393,15 @@ object Dedup {
     // is PROVEN. A 100k-token prefix with > 64 distinct tokens is a
     // witness that disproves it without any full scan; only a
     // degenerate-looking prefix pays the exact (cheap, tiny-output)
-    // distinct count.
-    val vocabSmall =
-      if (smallCorpus)
-        exploded.select("tok").distinct().limit(65).count() <= 64
-      else exploded.select("tok").limit(100000).distinct().count() <= 64 &&
-        exploded.select("tok").distinct().limit(65).count() <= 64
+    // distinct collect — which doubles as the dict source (one scan).
+    val tv: Option[Array[String]] =
+      if (smallCorpus) tinyVocab(exploded.select("tok"))
+      else if (exploded.select("tok").limit(100000).distinct().count() <= 64)
+        tinyVocab(exploded.select("tok"))
+      else None
     val verified =
-      if (vocabSmall) {
-        val dict = tinyVocabDict(exploded.select("tok").distinct())
+      if (tv.isDefined) {
+        val dict = tinyVocabDict(df.sparkSession, tv.get)
         val side = graft.CacheScope.persist(exploded.join(dict, "tok")
           .groupBy("id")
           .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))) // 8B/doc; both join sides
@@ -634,8 +643,9 @@ object Dedup {
     val nd = docs
       .limit(math.min(allPairsMaxDocs + 1, Int.MaxValue.toLong).toInt)
       .count()
-    if (nd <= allPairsMaxDocs &&
-      inv.select("tok").distinct().limit(65).count() <= 64) {
+    val tv =
+      if (nd <= allPairsMaxDocs) tinyVocab(inv.select("tok")) else None
+    if (tv.isDefined) {
       // <=64-word vocabulary: each set is ONE int64 bitmap, and sets
       // drawn from so few words are broadly similar — an inverted
       // index degenerates toward all-pairs candidates anyway, so do
@@ -643,7 +653,7 @@ object Dedup {
       // broadcast-nested-loop stage). This plan is recall-complete,
       // so the dfCap (a candidate-pruning knob for the inverted-index
       // plan) has nothing left to prune.
-      val dict = tinyVocabDict(inv.select("tok").distinct())
+      val dict = tinyVocabDict(df.sparkSession, tv.get)
       val side = graft.CacheScope.persist(inv.join(dict, "tok")
         .groupBy("id")
         .agg(expr("bit_or(shiftleft(1L, tid))").as("bits"))) // 8B/doc; both join sides

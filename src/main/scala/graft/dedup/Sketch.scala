@@ -129,7 +129,12 @@ object Sketch {
         est(ThetaSetOp(col("sk"), col("sk_b"), "intersect")).as("inter_cnt"),
         est(ThetaSetOp(col("sk"), col("sk_b"), "anotb")).as("a_not_b"),
         est(ThetaSetOp(col("sk_b"), col("sk"), "anotb")).as("b_not_a"))
-    val total = sk.agg(ThetaMergeAgg(col("sk"), lgK).as("u"))
+    // lgK 26 (library max) for the all-source union — merging at the
+    // per-source lgK would downsample once TOTAL distinct passes
+    // 2^lgK even though every input is exact (the same regression
+    // class the ThetaSetOp union fix addressed); memory grows only
+    // with retained entries, which the inputs bound
+    val total = sk.agg(ThetaMergeAgg(col("sk"), 26).as("u"))
       .select(lit("__all__").as("source_a"), lit("__all__").as("source_b"),
         est(col("u")).as("distinct_a"), est(col("u")).as("distinct_b"),
         est(col("u")).as("union_cnt"), lit(-1L).as("inter_cnt"),

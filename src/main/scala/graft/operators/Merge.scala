@@ -123,7 +123,10 @@ object Merge {
       df.select(keyCols.map(col) :+ struct(valCols.map(col): _*).as(out): _*)
     val j = pack(before, "_b").join(pack(after, "_a"), keyCols, "full_outer")
     val both = col("_b").isNotNull && col("_a").isNotNull
-    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    // coalesce: sum() over a zero-row join (both snapshots empty) is
+    // NULL, and the census must say 0, not null (r12 review)
+    def cnt(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val aggs =
       cnt(col("_b").isNull && col("_a").isNotNull).as("rows_added") +:
       cnt(col("_b").isNotNull && col("_a").isNull).as("rows_removed") +:

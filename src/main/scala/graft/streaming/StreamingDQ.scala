@@ -361,7 +361,7 @@ object StreamingDQ {
       val hi = if (k == nBatches - 1) mx + 1 else mn + span * (k + 1) / nBatches
       df.filter(unix_micros(col(tsCol)) >= lo && unix_micros(col(tsCol)) < hi)
     } :+ df.limit(1).withColumn(tsCol, timestamp_micros(lit(mx + horizonMicros)))
-    val tmp = Files.createTempDirectory("graft_replay_tmp").toString
+    val tmp = Files.createTempDirectory("graft_replay_tmp")
     val base = System.currentTimeMillis() - 3600000L
     slices.zipWithIndex.foreach { case (slice, k) =>
       val stage = s"$tmp/b$k"
@@ -372,17 +372,28 @@ object StreamingDQ {
       Files.move(part.toPath, dest)
       dest.toFile.setLastModified(base + k * 60000L)
     }
+    deleteRec(tmp) // staging leftovers (_SUCCESS, .crc) — r12 review
     val stream = spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val ckpt = Files.createTempDirectory("graft_replay_ckpt").toString
+    val ckpt = Files.createTempDirectory("graft_replay_ckpt")
     val q = transform(stream).writeStream
       .outputMode(OutputMode.Append).format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // detach the result from the memory sink so the sink table and
+    // the checkpoint can be reclaimed immediately instead of
+    // accumulating one per replay in the session (r12 review);
+    // closed-window results are report-sized, so the local round
+    // trip is bounded
+    val sink = spark.table(name)
+    val rows = sink.collect()
+    spark.catalog.dropTempView(name)
+    deleteRec(ckpt)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), sink.schema)
   }
 
   /** Windowed per-type event counts (profiling a stream the way the

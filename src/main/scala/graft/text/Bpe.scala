@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   * ([[applyMerges]]) is a chain of N `replace` expressions in ONE
   * map-only projection — no join, no shuffle, no UDF.
   *
-  * Determinism: symbols ride in a U+0001-delimited string, so
-  * `replace` of the delimited pair is exactly the greedy
-  * left-to-right merge (standard non-overlapping replace semantics,
-  * identical in every engine — the replacement re-emits the trailing
-  * delimiter, so chains like a·a·a resolve to (aa)·a), and the
+  * Determinism: each symbol rides wrapped in its own U+0001
+  * delimiters — "abc" is ␁a␁␁b␁␁c␁ (a DOUBLE delimiter between
+  * symbols, single at the ends) — so the pair pattern ␁l␁␁r␁ never
+  * shares a character with an adjacent occurrence, and standard
+  * non-overlapping left-to-right `replace` is EXACTLY the greedy
+  * BPE merge: a·a·a·a → (aa)·(aa), a·a·a → (aa)·a, ab·ab merges
+  * both. (With a SHARED middle delimiter — the r12 code-review
+  * catch — the second of two adjacent occurrences lost its leading
+  * delimiter to the first match and under-merged.) The
   * argmax tie-breaks on (count DESC, left ASC, right ASC) — a total
   * order, so the merge table is bit-identical across engines,
   * partitionings, and runs. Words are whitespace tokens of the raw
@@ -37,12 +41,12 @@ object Bpe {
 
   private val D = ""
 
-  /** chars of `w` joined and wrapped with the delimiter:
-    * "abc" -> ␁a␁b␁c␁
+  /** chars of `w` each wrapped in delimiters:
+    * "abc" -> ␁a␁␁b␁␁c␁
     */
   private def delimited(w: Column): Column =
     concat(lit(D), array_join(
-      filter(split(w, ""), s => length(s) > 0), D), lit(D))
+      filter(split(w, ""), s => length(s) > 0), D + D), lit(D))
 
   /** One merge-table row. */
   final case class Merge(rank: Int, left: String, right: String, cnt: Long)
@@ -65,7 +69,7 @@ object Bpe {
     var rank = 1
     while (rank <= numMerges) {
       // adjacent symbol pairs of each word, weighted by word count
-      val syms = split(regexp_replace(col("s"), s"^$D|$D$$", ""), D)
+      val syms = split(regexp_replace(col("s"), s"^$D|$D$$", ""), D + D)
       val top = words
         .select(col("cnt"), syms.as("y"))
         .filter(size(col("y")) >= 2)
@@ -83,7 +87,7 @@ object Bpe {
         merges += m
         words = graft.CacheScope.persist(words.select(
           call_function("replace", col("s"),
-            lit(s"$D${m.left}$D${m.right}$D"),
+            lit(s"$D${m.left}$D$D${m.right}$D"),
             lit(s"$D${m.left}${m.right}$D")).as("s"),
           col("cnt")))
         rank += 1
@@ -105,16 +109,16 @@ object Bpe {
                   merges: Seq[(String, String)]): DataFrame = {
     def encodeWord(w: Column): Column =
       merges.foldLeft(delimited(w)) { case (acc, (l, r)) =>
-        call_function("replace", acc, lit(s"$D$l$D$r$D"), lit(s"$D$l$r$D"))
+        call_function("replace", acc, lit(s"$D$l$D$D$r$D"), lit(s"$D$l$r$D"))
       }
     df.withColumn("_enc", transform(
         filter(split(trim(col(textCol)), " +"), s => length(s) > 0),
         w => encodeWord(w)))
       .withColumn("bpe_text", array_join(col("_enc"), " "))
-      // symbols per encoded word = delimiter-split length - 2 (the
-      // wrapping delimiters contribute one empty cell each side)
+      // symbols per encoded word = segments between DOUBLE delimiters
+      // (the single outer delimiters ride inside the end segments)
       .withColumn("bpe_tokens", aggregate(
-        transform(col("_enc"), e => (size(split(e, D)) - 2).cast("long")),
+        transform(col("_enc"), e => size(split(e, D + D)).cast("long")),
         lit(0L), (a, x) => a + x))
       .drop("_enc")
   }

@@ -43,6 +43,27 @@ class BpeSpec extends SparkSpec {
     assert(m.toSeq == Seq(("a", "a", 5L), ("aa", "a", 2L)))
   }
 
+  test("adjacent repeats merge completely: a^4 -> (aa)(aa), abab -> (ab)(ab)") {
+    // the r12 code-review catch: with a SHARED middle delimiter the
+    // second of two adjacent occurrences lost its leading delimiter
+    // to the first match and under-merged (aaaa -> aa,a,a and
+    // abab -> ab,a,b) — the doubled inter-symbol delimiter makes
+    // non-overlapping replace exactly greedy
+    val m1 = Bpe.learnMerges(Seq("aaaa aaaa").toDF("text"), "text", 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // (a,a) = 3+3 = 6; aaaa -> aa,aa; then (aa,aa) = 2
+    assert(m1.toSeq == Seq(("a", "a", 6L), ("aa", "aa", 2L)))
+    val m2 = Bpe.learnMerges(Seq("abab abab ab").toDF("text"), "text", 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    // (a,b)=2+2+1=5 beats (b,a)=2 -> merge (a,b); abab -> ab,ab;
+    // then (ab,ab)=2
+    assert(m2.toSeq == Seq(("a", "b", 5L), ("ab", "ab", 2L)))
+    // apply side agrees: encode a^5 under merges (a,a),(aa,aa)
+    val enc = Bpe.applyMerges(Seq((1L, "aaaaa")).toDF("id", "text"), "text",
+      Seq(("a", "a"), ("aa", "aa")))
+    assert(enc.select("bpe_tokens").head().getLong(0) == 2L) // aaaa + a
+  }
+
   test("applyMerges: map-only encode matches hand tokenization; plan has no shuffle") {
     val merges = Seq(("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r"))
     val df = Seq((1L, "low lower lowest")).toDF("id", "text")

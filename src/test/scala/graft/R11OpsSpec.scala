@@ -476,6 +476,12 @@ class R11OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(e("rows_removed") == 4L && e("rows_added") == 0L
       && e("rows_changed") == 0L && e("changed_s") == 0L)
+    // BOTH empty (r12 review): sum over a zero-row join is null —
+    // the census must still be real zeros
+    val z = Merge.snapshotDiff(before.filter(lit(false)),
+      after.filter(lit(false)), Seq("k")).collect()
+    assert(z.forall(r => !r.isNullAt(1) && r.getLong(1) == 0L),
+      "both-empty census must be all-zero, never NULL")
     // schema drift fails at plan time with the conform pointer
     val ex = intercept[IllegalArgumentException] {
       Merge.snapshotDiff(before, after.withColumnRenamed("v", "w"), Seq("k"))

@@ -27,20 +27,29 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
 oracle = json.load(open(oracle_path))
-bad = []
+bad, skipped = [], []
 for name in sorted(oracle):
     sql = oracle[name]
     try:
         cols = con.execute(f"DESCRIBE {sql}").fetchall()
     except Exception as e:
-        bad.append((name, f"DESCRIBE failed: {e}"))
+        # environment-dependent, not a TYPE violation: oracles that
+        # read gate-produced files (q_c17/q_c21 under /tmp) or run
+        # against a partial corpus (bigdata/x* layouts) can't
+        # DESCRIBE here; the value gate (check_oracle) still fails
+        # loudly on genuinely broken SQL
+        skipped.append((name, f"DESCRIBE failed (missing table/file?): "
+                              f"{type(e).__name__}"))
         continue
     for cname, ctype, *_ in cols:
         if any(b in ctype.upper() for b in BANNED):
             bad.append((name, f"column {cname} has un-cast type {ctype} "
                               f"— wrap in CAST(... AS BIGINT/DOUBLE)"))
 
+for n, m in skipped:
+    print(f"note {n}: {m}")
 for n, m in bad:
     print(f"LINT {n}: {m}")
-print(f"\n{len(oracle)} queries linted, {len(bad)} violations")
+print(f"\n{len(oracle)} queries linted "
+      f"({len(skipped)} skipped as un-describable), {len(bad)} violations")
 sys.exit(1 if bad else 0)
