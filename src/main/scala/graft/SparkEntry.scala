@@ -19,6 +19,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** D84 gate merge-table size (r12 verdict #2: ≥64 so the batched
+    * inducer and the segmented encode are what the gate grades;
+    * shared by the Spark gates and the unrolled oracle builders).
+    */
+  private val BpeGateMerges = 64
+
   /** events with deterministically injected nulls, used by the DQ
     * queries (the synthetic tables are clean; the doctoring is
     * mirrored verbatim in the oracle SQL).
@@ -761,11 +767,30 @@ object SparkEntry {
       graft.similarity.CandidateGuard.clearEvents()
       val kept = Dedup.dedupNearAgainstStore(batch, store, "text", "doc_id", 0.7)
         .select("doc_id")
+      // filter by opName (ADVICE r12): the event deque is JVM-global,
+      // so another guarded operator running between clearEvents and
+      // drain must not be able to mis-attribute its rung to this gate
       val claim = graft.similarity.CandidateGuard.drainEvents()
-        .collectFirst { case e if e.degradedCap.isDefined => -e.degradedCap.get }
+        .collectFirst { case e if e.opName == "Dedup.nearDupMatches" &&
+          e.degradedCap.isDefined => -e.degradedCap.get }
         .getOrElse(-1L)
       kept.unionByName(s.range(1).select(lit(claim).as("doc_id")))
         .orderBy("doc_id")
+    }),
+    // r12 verdict #3: d34's BIG-corpus path — banded minhash batch-
+    // vs-store matching (the plan the CandidateGuard's x50 refusal
+    // points at; in production the store index is materialized ONCE
+    // via Dedup.minhashIndex and reused per batch). Gate = the keep
+    // set (batch docs with no store near-dup at J >= 0.7) under
+    // 64x2 banding (per-pair miss probability ~2e-19 at the
+    // threshold), graded against the EXACT bipartite jaccard oracle.
+    "q_d34b_near_store_banded" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val store = docs.filter(col("doc_id") % 3 === 0)
+      val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.dedupNearAgainstStoreBanded(batch, store, "text", "doc_id", 0.7,
+        bands = 64, rowsPerBand = 2)
+        .select("doc_id").orderBy("doc_id")
     }),
     // composite quality filter: first-failing-reason cascade over
     // token-derived signals, all from one grouped token frame
@@ -921,17 +946,25 @@ object SparkEntry {
       graft.operators.Merge.snapshotDiff(o, after, Seq("o_orderkey"))
         .orderBy("metric")
     }),
-    // BPE merge induction (D84): 6 merges learned from the corpus —
-    // one corpus scan for word counts, then vocab-frame iterations;
-    // the oracle unrolls the same 6 iterations as CTE chains
+    // BPE merge induction (D84): 64 merges learned from the corpus
+    // via the BATCHED inducer (r12 verdict #2 — top-m provably-
+    // sequential pairs per driver round-trip instead of one) — one
+    // corpus scan for word counts, then vocab-frame iterations; the
+    // oracle unrolls the same 64 iterations SEQUENTIALLY as CTE
+    // chains, so the gate certifies batched ≡ sequential on the real
+    // corpus, not just the spec corpora
     "q_d84_bpe_merges" -> ((s, d) =>
-      graft.text.Bpe.learnMerges(t(s, d, "documents"), "text", 6)
+      graft.text.Bpe.learnMergesBatched(
+        t(s, d, "documents"), "text", BpeGateMerges)
         .orderBy("rank")),
     // ...and the trained tokenizer applied back to the corpus: a
-    // 6-deep chain of codegen'd replaces in ONE map-only projection
+    // 64-deep chain of codegen'd replaces in ONE map-only projection
+    // (segmentSize=64 — longer tables fold through checkpointed
+    // segments; see Bpe.applyMerges)
     "q_d84b_bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.text.Bpe.learnMerges(docs, "text", 6).collect()
+      val merges = graft.text.Bpe.learnMergesBatched(
+        docs, "text", BpeGateMerges).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.text.Bpe.applyMerges(docs, "text", merges)
         .select("doc_id", "bpe_tokens").orderBy("doc_id")
@@ -1846,6 +1879,31 @@ object SparkEntry {
         graft.dedup.Spans.staleSpans(st, storeFps, "text", "doc_id", spanLen = 8)
       }.distinct().orderBy("doc_id", "span_pos")
     }),
+    // r12 verdict #1: watermark DROP semantics certified END-TO-END.
+    // A late-arrival file re-delivers a doctored slice (rule-
+    // violating values, original old timestamps) AFTER the watermark-
+    // advancing sentinel — every late row sits below the advanced
+    // watermark and must be dropped in the same micro-batch that
+    // evicts and emits the final windows. The oracle is q_s4's batch
+    // computation over the ON-TIME rows alone: a broken drop would
+    // alter per-window violation counts and hash-fail.
+    "q_s10_file_stream_late_drop" -> ((s, d) => {
+      val de = doctoredEvents(s, d)
+      val ev = de.withColumn("ts2",
+        coalesce(Tables.asTimestamp(de, "ts"), timestamp_seconds(lit(0))))
+      val late = ev.filter(col("event_id") % 11 === 0)
+        .withColumn("value", lit(999.0))
+        .withColumn("event_type", lit("xx"))
+      graft.streaming.StreamingDQ.replayClosedWindowsLate(
+        ev, late, "ts2", "/tmp/graft_gate/s10_arrivals", 2, 3L * 86400000000L) { st =>
+        graft.streaming.StreamingDQ.windowedDqSummary(st, "ts2", Seq(
+          "value" -> Seq(Rule.NumBetween(10, 90)),
+          "event_type" -> Seq(Rule.LenBetween(5, 8))), "1 day", "1 day")
+      }
+        .withColumn("window_start",
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("window_start", "column")
+    }),
     // C20 gate: the XLSX writer/reader round trip on a REAL workbook
     // file — write nation, read it back through the JDK zip+StAX
     // parser, and grade the all-string frame against the parquet
@@ -2178,6 +2236,10 @@ object SparkEntry {
       // the file-stream replays must land on EXACTLY the batch
       // result, so they share the batch queries' oracles verbatim
       ("q_s5_file_stream_dq" -> base("q_s4_dq_summary")) +
+      // late-drop replay (r13): the oracle EXCLUDES the late rows —
+      // it is the unchanged on-time batch computation, so the gate
+      // certifies both DROP semantics and on-time invariance at once
+      ("q_s10_file_stream_late_drop" -> base("q_s4_dq_summary")) +
       ("q_s6_file_stream_freq" -> base("q_d81_windowed_freq")) +
       // D15/D39/D52 end-to-end replays: deterministic set semantics
       ("q_s7_file_stream_dedup" ->
@@ -3324,7 +3386,7 @@ object SparkEntry {
     // (count DESC, l, r) argmax, and a scalar-subquery replace; the
     // delimited-string replace IS the greedy merge in both engines
     "q_d84_bpe_merges" -> {
-      val iters = (1 to 6).map { k =>
+      val iters = (1 to BpeGateMerges).map { k =>
         val prev = s"w${k - 1}"
         s"""p$k AS MATERIALIZED (SELECT y[i] AS l, y[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
            |  FROM (SELECT cnt, y, unnest(generate_series(1, len(y)-1)) AS i
@@ -3337,7 +3399,7 @@ object SparkEntry {
            |    chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1)) AS s, cnt
            |  FROM $prev)""".stripMargin
       }.mkString(",\n")
-      val rows = (1 to 6).map(k =>
+      val rows = (1 to BpeGateMerges).map(k =>
         s"SELECT CAST($k AS INT) AS rank, l AS \"left\", r AS \"right\"," +
           s" l || r AS merged, c AS pair_count FROM m$k")
         .mkString("\n  UNION ALL ")
@@ -3350,11 +3412,11 @@ object SparkEntry {
          |ORDER BY rank""".stripMargin
     },
 
-    // the trained tokenizer applied in SQL: the same 6-iteration
-    // chain, then per word a 6-deep nested replace and the
+    // the trained tokenizer applied in SQL: the same 64-iteration
+    // chain, then per word a 64-deep nested replace and the
     // delimiter-count token sum
     "q_d84b_bpe_encode" -> {
-      val iters = (1 to 6).map { k =>
+      val iters = (1 to BpeGateMerges).map { k =>
         val prev = s"w${k - 1}"
         s"""p$k AS MATERIALIZED (SELECT y[i] AS l, y[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
            |  FROM (SELECT cnt, y, unnest(generate_series(1, len(y)-1)) AS i
@@ -3367,7 +3429,7 @@ object SparkEntry {
            |    chr(1) || (SELECT l FROM m$k) || (SELECT r FROM m$k) || chr(1)) AS s, cnt
            |  FROM $prev)""".stripMargin
       }.mkString(",\n")
-      val enc = (1 to 6).foldLeft(
+      val enc = (1 to BpeGateMerges).foldLeft(
         "chr(1) || list_aggregate(string_split(w, ''), 'string_agg', chr(1) || chr(1)) || chr(1)") {
         (acc, k) =>
           s"""replace($acc,
@@ -4442,6 +4504,11 @@ object SparkEntry {
         |       WHEN v64 <= 20000000 THEN least(ec, 64)
         |       ELSE least(ec, 16) END AS cap,
         |  smallv,
+        |  -- ELSE -16 asymmetry (ADVICE r12): production CandidateGuard
+        |  -- THROWS when even the v16 volume exceeds the budget, while
+        |  -- this oracle still emits -16 — on such a corpus the gate
+        |  -- fails LOUD on the Spark side (query error, not a silent
+        |  -- hash drift), diagnosable as the guard throw by design
         |  CAST(CASE WHEN smallv OR v_req <= 20000000 THEN -1
         |       WHEN v4096 <= 20000000 THEN -4096
         |       WHEN v1024 <= 20000000 THEN -1024
@@ -4464,6 +4531,25 @@ object SparkEntry {
         |  SELECT b.doc_id FROM batch b
         |  WHERE b.doc_id NOT IN (SELECT bid FROM hit)
         |  UNION ALL SELECT claim FROM capq)
+        |ORDER BY doc_id""".stripMargin,
+
+    // exact bipartite jaccard keep-set (no banding in the oracle:
+    // LSH can only MISS, and 64x2 banding at J=0.7 has ~2e-19 miss
+    // probability per pair — recall is exact at any gate scale)
+    "q_d34b_near_store_banded" ->
+      """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%3=0),
+        |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%3<>0),
+        |stoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM store),
+        |btoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM batch),
+        |pairs AS (SELECT b.doc_id AS bid, s.doc_id AS sid, count(*) AS inter,
+        |                 any_value(b.sz) AS bsz, any_value(s.sz) AS ssz
+        |          FROM btoks b JOIN stoks s ON b.tok = s.tok
+        |          GROUP BY 1, 2),
+        |hit AS (SELECT DISTINCT bid FROM pairs
+        |        WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.7)
+        |SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT bid FROM hit)
         |ORDER BY doc_id""".stripMargin,
 
     "q_d35_quality_filter" ->

@@ -459,6 +459,112 @@ object Dedup {
     cross.union(intra)
   }
 
+  /** Banded MinHash index of one side of a batch-vs-store match
+    * (r12 verdict #3): one row per DISTINCT shingle set — identical
+    * documents cluster first (content key over the sorted set), so
+    * LSH work scales with unique sets, not docs — carrying the
+    * cluster representative id (`sid`), the member ids, the set
+    * itself (for exact re-score), and the banded signature keys
+    * (`bks`). Signatures come from the exploded-token min-aggregate
+    * (stays in whole-stage codegen and map-side combines); the sid
+    * join that re-attaches `ids`/`ws` is doc-count-sized.
+    *
+    * PRODUCTION CONTRACT: materialize the STORE's index ONCE
+    * (`minhashIndex(store…).write.parquet(…)`) and reuse it for
+    * every arriving batch — the store side then never re-tokenizes,
+    * re-hashes, or re-shuffles; each batch pays only its own index
+    * plus a band-key join. Documents with an EMPTY token set carry
+    * no signature and drop out (a no-token doc has no near-dup
+    * neighbors under Jaccard).
+    */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+                   bands: Int = 32, rowsPerBand: Int = 4,
+                   shingleN: Int = 1): DataFrame = {
+    val k = bands * rowsPerBand
+    val raw = df.select(col(idCol).as("id"), shingleSet(col(textCol), shingleN).as("ws"))
+    val clustered = graft.CacheScope.persist(raw
+      .groupBy(md5(concat_ws("\u0001", sort_array(col("ws")))).as("_ck"))
+      .agg(min(col("id")).as("sid"), collect_list(col("id")).as("ids"),
+        first(col("ws")).as("ws"))
+      .drop("_ck"))
+    val exploded = clustered.select(col("sid"), explode(col("ws")).as("tok"))
+    val sigCols = (0 until k).map(i => min(xxhash64(lit(i), col("tok"))).as(s"_s$i"))
+    val sigs = exploded.groupBy("sid").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(array((0 until rowsPerBand).map(j => col(s"_s${b * rowsPerBand + j}")): _*))
+          .as("bh"))
+    }
+    sigs.select(col("sid"), array(bandCols.toIndexedSeq: _*).as("bks"))
+      .join(clustered, "sid")
+  }
+
+  /** Near-duplicate (batch_id, store_id, jaccard) matches from two
+    * [[minhashIndex]] frames: batch bands join store bands on the
+    * band key — the ONLY corpus-scale shuffle, linear in
+    * bands×distinct-sets, NEVER batch×store — candidates dedupe to
+    * set pairs, exact Jaccard re-scores on the full sets (banding
+    * can only MISS, never mis-score), and cluster members expand
+    * back output-sized. This is the big-corpus path the
+    * CandidateGuard's refusal in [[nearDupMatches]] points at: where
+    * the inverted token index degenerates on common tokens
+    * (candidate volume ∝ Σ bdf·df), band keys hash the WHOLE
+    * signature slice, so a shared band implies high estimated
+    * Jaccard — candidate volume tracks the true near-dup density.
+    *
+    * Banding is the recall dial (P[candidate] = 1−(1−J^r)^b): the
+    * 32×4 default suits J ≥ 0.9 dedup; for a 0.7 threshold build
+    * BOTH indexes with bands=64, rowsPerBand=2 (same 128-hash
+    * signature, miss probability ≈ 2e-19 at J = 0.7).
+    */
+  def minhashMatchesIndexed(batchIndex: DataFrame, storeIndex: DataFrame,
+                            threshold: Double): DataFrame = {
+    require(threshold <= 1.0, "jaccard threshold must be <= 1")
+    val bb = batchIndex.select(explode(col("bks")).as("bk"), col("sid").as("bsid"))
+    val sb = storeIndex.select(explode(col("bks")).as("bk"), col("sid").as("ssid"))
+    val cands = bb.join(sb, "bk").select("bsid", "ssid").distinct()
+    cands
+      .join(batchIndex.select(col("sid").as("bsid"), col("ws").as("ws_b"),
+        col("ids").as("ids_b")), "bsid")
+      .join(storeIndex.select(col("sid").as("ssid"), col("ws").as("ws_s"),
+        col("ids").as("ids_s")), "ssid")
+      .select(col("ids_b"), col("ids_s"),
+        round(jaccard(col("ws_b"), col("ws_s")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(explode(col("ids_b")).as("batch_id"), col("ids_s"), col("jaccard"))
+      .select(col("batch_id"), explode(col("ids_s")).as("store_id"), col("jaccard"))
+  }
+
+  /** [[minhashMatchesIndexed]] over raw frames — builds both indexes
+    * in-call (the gate/test shape; production materializes the store
+    * index once, see [[minhashIndex]]).
+    */
+  def minhashMatchesAgainstStore(batch: DataFrame, store: DataFrame,
+                                 textCol: String, idCol: String,
+                                 threshold: Double, bands: Int = 32,
+                                 rowsPerBand: Int = 4,
+                                 shingleN: Int = 1): DataFrame =
+    minhashMatchesIndexed(
+      minhashIndex(batch, textCol, idCol, bands, rowsPerBand, shingleN),
+      minhashIndex(store, textCol, idCol, bands, rowsPerBand, shingleN),
+      threshold)
+
+  /** Drop batch rows with a banded-minhash near-duplicate in the
+    * store — [[dedupNearAgainstStore]]'s scale path (anti join on
+    * the matched batch-id set; batch rows never shuffle by anything
+    * but the id).
+    */
+  def dedupNearAgainstStoreBanded(batch: DataFrame, store: DataFrame,
+                                  textCol: String, idCol: String,
+                                  threshold: Double, bands: Int = 32,
+                                  rowsPerBand: Int = 4,
+                                  shingleN: Int = 1): DataFrame = {
+    val hit = minhashMatchesAgainstStore(batch, store, textCol, idCol,
+      threshold, bands, rowsPerBand, shingleN)
+      .select(col("batch_id")).distinct()
+    batch.join(hit, batch(idCol) === hit("batch_id"), "left_anti")
+  }
+
   /** Ids of documents sharing at least one word n-gram shingle with a
     * benchmark corpus — test-set DECONTAMINATION, the training-data
     * hygiene step that keeps eval benchmarks out of the training set.

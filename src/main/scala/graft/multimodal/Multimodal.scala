@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *     plumbing stays end-to-end oracle-checkable (the oracle cannot
   *     run an image decoder).
   *
-  * Audio/video decode (demuxers) genuinely need native libraries and
-  * remain stubbed ([[sampleFrames]]' slicer).
+  * Audio and video are REAL too within JDK reach: [[AudioCodec]]
+  * parses WAV/PCM and computes an FFT spectral profile, and
+  * [[graft.multimodal.Avi]] demuxes RIFF/AVI MJPEG streams into
+  * per-frame JPEGs for [[RealCodec]]. Only inter-frame codecs
+  * (H.264, mp3/aac) stay out of scope — they genuinely need native
+  * decoder libraries.
   */
 object Multimodal {
 

@@ -336,21 +336,81 @@ object StreamingDQ {
     * the watermarked aggregation (e.g. [[windowedDqSummary]]) and
     * must be append-mode-legal (no sort — sort the returned batch
     * frame instead).
+    *
+    * HORIZON CONTRACT (ADVICE r12): `horizonMicros` must exceed the
+    * transform's watermark delay PLUS its window duration. The
+    * sentinel advances the watermark to max(ts) + horizon − delay;
+    * only windows ENDING before that point close and emit, so a too-
+    * small horizon leaves the final real windows (including the
+    * window the sentinel itself lands in, which can contain real
+    * rows) unclosed — silently dropping rows from a result
+    * documented to equal the batch computation. The gates use
+    * horizons of ≥1 day against minute-scale windows/delays.
     */
   def replayClosedWindows(df: DataFrame, tsCol: String, dir: String,
                           nBatches: Int, horizonMicros: Long)(
                           transform: DataFrame => DataFrame): DataFrame = {
     require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
-    val spark = df.sparkSession
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(dir)
-    def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-    deleteRec(root)
-    Files.createDirectories(root)
-    // bounded probe: the arrival split points (one single-row job)
+    require(horizonMicros > 0, s"horizonMicros must be > 0, got $horizonMicros")
+    val (slices, _) = timeOrderedSlices(df, tsCol, nBatches, horizonMicros)
+    replayArrivals(slices, df.schema, dir)(transform)
+  }
+
+  /** [[replayClosedWindows]] plus a LATE-ARRIVAL file (r12 verdict
+    * #1): `lateDf` rows are delivered in a file AFTER the watermark-
+    * advancing sentinel, so every late row's event time sits below
+    * the advanced watermark when it arrives and MUST be dropped by
+    * the watermark filter. The returned closed-window union therefore
+    * equals the batch computation over `df` ALONE — the end-to-end
+    * certificate of watermark DROP semantics the time-ordered replay
+    * can't give (nothing is ever late there).
+    *
+    * TWO sentinel files ride between the on-time batches and the
+    * late file: Spark plans batch N's late-record filter with the
+    * watermark computed from batches ≤ N−2 (the update commits after
+    * a batch finishes, and the reported per-batch watermark lags the
+    * filter by one more batch — measured, not just read: with a
+    * single sentinel the final real window's late re-deliveries
+    * leaked into the state and emitted). The second sentinel burns
+    * that lag batch so the late file is filtered at the fully
+    * advanced watermark.
+    *
+    * Non-vacuous by construction: the real windows evict and emit in
+    * the second sentinel's batch; a broken drop would re-open
+    * already-emitted windows from the late rows and append duplicate
+    * window rows in the trailing batch — a hash fail, not a silent
+    * pass.
+    *
+    * Contract: every `lateDf` row's ts must be ≤ max(ts) of `df`
+    * (checked loud), and `horizonMicros` must exceed the transform's
+    * watermark delay (see the horizon contract above) — together
+    * they guarantee lateTs < advanced watermark.
+    */
+  def replayClosedWindowsLate(df: DataFrame, lateDf: DataFrame,
+                              tsCol: String, dir: String,
+                              nBatches: Int, horizonMicros: Long)(
+                              transform: DataFrame => DataFrame): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    require(horizonMicros > 0, s"horizonMicros must be > 0, got $horizonMicros")
+    val (slices, mx) = timeOrderedSlices(df, tsCol, nBatches, horizonMicros)
+    val lateMax = lateDf.agg(max(unix_micros(col(tsCol)))).head()
+    require(!lateMax.isNullAt(0) && lateMax.getLong(0) <= mx,
+      s"replayClosedWindowsLate: lateDf must be non-empty with every ts <= " +
+        s"max on-time ts ($mx); got max late ts " +
+        (if (lateMax.isNullAt(0)) "null" else lateMax.getLong(0).toString))
+    val sentinel2 = df.limit(1)
+      .withColumn(tsCol, timestamp_micros(lit(mx + horizonMicros + 1L)))
+    replayArrivals(
+      slices :+ sentinel2 :+ lateDf.select(df.columns.map(col).toIndexedSeq: _*),
+      df.schema, dir)(transform)
+  }
+
+  /** Time-ordered arrival slices + the watermark-advancing sentinel
+    * (one bounded single-row probe job for the split points). Returns
+    * (slices incl. sentinel, max on-time ts in micros).
+    */
+  private def timeOrderedSlices(df: DataFrame, tsCol: String, nBatches: Int,
+                                horizonMicros: Long): (Seq[DataFrame], Long) = {
     val mm = df.agg(min(unix_micros(col(tsCol))).as("mn"),
       max(unix_micros(col(tsCol))).as("mx")).head()
     require(!mm.isNullAt(0), "replayClosedWindows: empty or all-null ts input")
@@ -361,6 +421,37 @@ object StreamingDQ {
       val hi = if (k == nBatches - 1) mx + 1 else mn + span * (k + 1) / nBatches
       df.filter(unix_micros(col(tsCol)) >= lo && unix_micros(col(tsCol)) < hi)
     } :+ df.limit(1).withColumn(tsCol, timestamp_micros(lit(mx + horizonMicros)))
+    (slices, mx)
+  }
+
+  /** Write `slices` as one parquet arrival file each (strictly
+    * increasing modification times = arrival order), then stream the
+    * directory with maxFilesPerTrigger=1 under Trigger.AvailableNow
+    * into an append-mode memory sink and return the emitted rows.
+    *
+    * The streaming query runs in a CLONED session (same
+    * SparkContext, own conf) with spark.sql.shuffle.partitions=4
+    * (r12 verdict #9): stateful micro-batches commit one state-store
+    * delta PER SHUFFLE PARTITION per batch, so the 32-partition
+    * session conf paid 32 store commits × batches of pure
+    * orchestration floor for report-sized state. 4 keeps the
+    * multi-partition code paths honest at an 8× lower floor;
+    * correctness is partitioning-invariant (the gates' 3×-stability
+    * protocol re-proves it each round).
+    */
+  private def replayArrivals(slices: Seq[DataFrame],
+                             schema: org.apache.spark.sql.types.StructType,
+                             dir: String)(
+                             transform: DataFrame => DataFrame): DataFrame = {
+    val spark = slices.head.sparkSession
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    deleteRec(root)
+    Files.createDirectories(root)
     val tmp = Files.createTempDirectory("graft_replay_tmp")
     val base = System.currentTimeMillis() - 3600000L
     slices.zipWithIndex.foreach { case (slice, k) =>
@@ -373,7 +464,9 @@ object StreamingDQ {
       dest.toFile.setLastModified(base + k * 60000L)
     }
     deleteRec(tmp) // staging leftovers (_SUCCESS, .crc) — r12 review
-    val stream = spark.readStream.schema(df.schema)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
     val ckpt = Files.createTempDirectory("graft_replay_ckpt")
@@ -388,9 +481,9 @@ object StreamingDQ {
     // accumulating one per replay in the session (r12 review);
     // closed-window results are report-sized, so the local round
     // trip is bounded
-    val sink = spark.table(name)
+    val sink = ss.table(name)
     val rows = sink.collect()
-    spark.catalog.dropTempView(name)
+    ss.catalog.dropTempView(name)
     deleteRec(ckpt)
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), sink.schema)

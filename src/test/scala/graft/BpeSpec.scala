@@ -76,6 +76,55 @@ class BpeSpec extends SparkSpec {
       s"apply must be one map-only projection:\n$plan")
   }
 
+  test("batched induction ≡ sequential on classic and adversarial corpora") {
+    // r13: learnMergesBatched must reproduce the sequential merge
+    // table BIT-IDENTICALLY (ranks, pairs, counts) — the soundness
+    // rule (disjoint contiguous prefix + strict-count cut) pinned on
+    // corpora chosen to exercise ties, adjacent repeats, and symbol
+    // reuse across candidate pairs
+    val corpora = Seq(
+      "low low low lower lowest",              // classic hand example
+      "aaaa aaaa ab abab abab",                // adjacent repeats + shared symbols
+      "xy xy yz yz zx zx xyz xyz xyz",         // tie-heavy triangle
+      (0 until 40).map(i => s"spark sql engine row$i data").mkString(" "))
+    for (text <- corpora; bs <- Seq(1, 3, 16)) {
+      val df = Seq(text).toDF("text")
+      val seqM = Bpe.learnMerges(df, "text", 12).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      val batM = Bpe.learnMergesBatched(df, "text", 12, batchSize = bs).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(batM == seqM,
+        s"batchSize=$bs diverged on '${text.take(30)}...':\n$batM\n!=\n$seqM")
+    }
+  }
+
+  test("segmented applyMerges ≡ single-projection; deep chains encode correctly") {
+    // 70-merge chain collapsing one 71-char word to a single symbol;
+    // segmentSize=16 forces 5 segments with checkpoint barriers
+    val chars = (0 until 71).map(i => ('0' + i).toChar.toString)
+    val word = chars.mkString
+    val chain = (1 until chars.length).map(i => (chars.take(i).mkString, chars(i)))
+    val df = Seq((1L, s"$word ${word.take(10)}")).toDF("id", "text")
+    val one = Bpe.applyMerges(df, "text", chain, segmentSize = 1000)
+      .select("bpe_tokens", "bpe_text").head()
+    val seg = Bpe.applyMerges(df, "text", chain, segmentSize = 16)
+      .select("bpe_tokens", "bpe_text").head()
+    assert(one == seg, s"segmented diverged: $seg != $one")
+    // full word -> 1 token; 10-char prefix merged by the first 9
+    // chain entries -> 1 token
+    assert(one.getLong(0) == 2L, s"expected 2 tokens, got $one")
+  }
+
+  test("null and empty text encode as the empty document, not NULL") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "ab ab"))
+      .toDF("id", "text")
+    val enc = Bpe.applyMerges(df, "text", Seq(("a", "b")))
+      .select("id", "bpe_tokens", "bpe_text").orderBy("id").collect()
+    assert(enc(0).getLong(1) == 0L && enc(0).getString(2) == "")
+    assert(enc(1).getLong(1) == 0L && enc(1).getString(2) == "")
+    assert(enc(2).getLong(1) == 2L)
+  }
+
   test("learned merges reduce token count on the training corpus") {
     val docs = (0 until 50).map(i => (i.toLong, s"spark sql spark engine row$i"))
       .toDF("doc_id", "text")

@@ -244,6 +244,50 @@ class DedupSimSpec extends SparkSpec {
     assert(run(Double.NaN) == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("minhashMatchesAgainstStore equals exact bipartite jaccard; clusters expand") {
+    // r13 (q_d34b): the banded batch-vs-store path must reproduce the
+    // EXACT uncapped nearDupMatches result at a high threshold
+    // (banding can only miss; 64x2 at J>=0.7 effectively can't), and
+    // identical-content clusters on BOTH sides must expand to the
+    // full member cross product
+    val store0 = corpus.take(20).map { case (id, s) => (1000L + id, s) }
+    val store = (store0 :+ (2000L -> store0.head._2)).toDF("doc_id", "text")
+    val batch = corpus.toDF("doc_id", "text")
+    val got = Dedup.minhashMatchesAgainstStore(batch, store, "text", "doc_id",
+      0.7, bands = 64, rowsPerBand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.nearDupMatches(batch, store, "text", "doc_id", 0.7,
+      relDfCap = Double.NaN, allPairsMaxDocs = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"banded != exact:\nextra=${got -- want}\nmissing=${want -- got}")
+    // the duplicated store doc (2000) must mirror every match of its
+    // cluster representative (1000)
+    val m1000 = got.collect { case (b, 1000L, j) => (b, j) }
+    val m2000 = got.collect { case (b, 2000L, j) => (b, j) }
+    assert(m1000.nonEmpty && m1000.toSet == m2000.toSet)
+    // keep-set variant: anti join of the matched batch ids
+    val kept = Dedup.dedupNearAgainstStoreBanded(batch, store, "text",
+      "doc_id", 0.7, bands = 64, rowsPerBand = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == corpus.map(_._1).toSet -- got.map(_._1))
+  }
+
+  test("minhashIndex round-trips through parquet (the materialized-store contract)") {
+    val store = corpus.take(10).toDF("doc_id", "text")
+    val batch = corpus.toDF("doc_id", "text")
+    val dir = "/tmp/graft_test/minhash_store_idx"
+    Dedup.minhashIndex(store, "text", "doc_id", bands = 64, rowsPerBand = 2)
+      .write.mode("overwrite").parquet(dir)
+    val live = Dedup.minhashMatchesAgainstStore(batch, store, "text", "doc_id",
+      0.7, bands = 64, rowsPerBand = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromDisk = Dedup.minhashMatchesIndexed(
+      Dedup.minhashIndex(batch, "text", "doc_id", bands = 64, rowsPerBand = 2),
+      spark.read.parquet(dir), 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromDisk == live && live.nonEmpty)
+  }
+
   test("nearDupMatches guard degrade: event pins the rung, result equals the manual cap") {
     // The q_d34 gate contract (r11 verdict #6): the guarded
     // PRODUCTION plan is graded, so its ladder decision must be (a)

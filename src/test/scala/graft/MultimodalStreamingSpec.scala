@@ -524,6 +524,48 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("replayClosedWindowsLate: below-watermark arrivals are DROPPED end-to-end") {
+    // r13 (q_s10 harness): late rows re-deliver EXISTING event times
+    // with different payloads AFTER the sentinel has advanced the
+    // watermark — the closed-window union must equal the batch
+    // computation over the on-time rows ALONE, proving both the drop
+    // and on-time invariance. The late rows would visibly change
+    // counts if leaked (they double several windows' rows).
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val types = Seq("click", "view", "buy")
+    val rows = (0 until 300).map { i =>
+      (new Timestamp(1767225600000L + rnd.nextInt(7200) * 1000L),
+        types(rnd.nextInt(types.size)))
+    }
+    val df = rows.toDF("ts", "event_type")
+    val late = df.filter(col("event_type") === "click")
+      .withColumn("event_type", lit("LATE"))
+    val want = StreamingDQ.windowedTypeCounts(df, "ts", "event_type",
+        "10 minutes", "5 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val got = StreamingDQ.replayClosedWindowsLate(df, late, "ts",
+      "/tmp/graft_test/replay_late", 2, 3600L * 1000000L) { st =>
+      StreamingDQ.windowedTypeCounts(st, "ts", "event_type",
+        "10 minutes", "5 minutes")
+    }.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "late rows leaked into the closed-window union")
+    assert(!got.exists(_._2 == "LATE"), "a LATE row appeared in the result")
+  }
+
+  test("replayClosedWindowsLate: a not-actually-late lateDf fails loud") {
+    import spark.implicits._
+    val df = Seq((new Timestamp(1767225600000L), "a")).toDF("ts", "event_type")
+    val late = Seq((new Timestamp(1767225700000L), "b")).toDF("ts", "event_type")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDQ.replayClosedWindowsLate(df, late, "ts",
+        "/tmp/graft_test/replay_late_bad", 1, 1000000L) { st =>
+        StreamingDQ.windowedTypeCounts(st, "ts", "event_type")
+      }
+    }
+    assert(ex.getMessage.contains("max on-time ts"))
+  }
+
   test("streamingDedupAgainstStore drops store hits and in-stream re-deliveries") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -232,6 +232,19 @@ class SourcesSkewSpec extends SparkSpec {
     assert(idx == Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
 
+  test("withRowIndex refuses loud past maxRows instead of single-partition sorting") {
+    // r12 verdict #5: the global row_number window is a silent
+    // scale-killer without a guard — the probe is a bounded
+    // limit+count, and the refusal names the keyed alternative
+    val big = spark.range(100).toDF("k").withColumn("s", col("k").cast("string"))
+    val ex = intercept[IllegalStateException] {
+      Corrector.withRowIndex(big, Seq("s"), maxRows = 50L)
+    }
+    assert(ex.getMessage.contains("single-partition"))
+    // under the bound the semantics are unchanged
+    assert(Corrector.withRowIndex(big, Seq("s"), maxRows = 100L).count() == 100)
+  }
+
   test("approx numeric stats agree with exact on a small column") {
     val df = (1 to 1000).map(_.toDouble).toDF("v")
     val exact = Profiler.numericStats(df, Seq("v")).collect()(0)

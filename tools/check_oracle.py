@@ -11,6 +11,14 @@ import pandas as pd
 sfdir, outdir = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
+try:
+    # r13: memory-heavy oracles (the 64-deep d84b replace chain at x10)
+    # spill; DuckDB's default temp dir is the CWD, which the repo
+    # sandbox blocks -> spurious "Out of Memory" at kilobyte
+    # allocations. Pin spill to /tmp and the budget/threads explicitly.
+    con.execute("PRAGMA threads=8; PRAGMA memory_limit='64GB'; PRAGMA temp_directory='/tmp/duckdb_spill'")
+except Exception as e:
+    print(f"note: memory_limit pragma failed: {e}")
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     # partial corpora (bigdata/x10 has only documents/embeddings/customer)
     # still gate the queries that read what exists; a query touching a
