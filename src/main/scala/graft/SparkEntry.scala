@@ -1423,6 +1423,31 @@ object SparkEntry {
       graft.quality.Privacy.kAnonymityReport(
         c, Seq("c_nationkey", "band"), k = 4)
     }),
+    // D70's PSL external-dim contract (r12 verdict #6): registered
+    // domain against a REAL multi-level suffix table — longest match
+    // (co.uk over uk, github.io over io), suffix-only host -> null,
+    // unknown TLD -> last-two default — with the dim carried into
+    // the oracle as a VALUES CTE and the longest-match logic fully
+    // re-derived in SQL
+    "q_d70b_psl_domain" -> ((s, d) => {
+      import s.implicits._
+      val urls = t(s, d, "documents").select("doc_id")
+        .withColumn("url",
+          when(col("doc_id") % 13 === 0, lit("https://co.uk/"))
+            .otherwise(concat(lit("https://"),
+              when(col("doc_id") % 4 === 0, concat(lit("www.shop"),
+                (col("doc_id") % 7).cast("string"), lit(".example.co.uk")))
+                .when(col("doc_id") % 4 === 1, concat(lit("blog"),
+                  (col("doc_id") % 5).cast("string"), lit(".example.com")))
+                .when(col("doc_id") % 4 === 2, concat(lit("user"),
+                  (col("doc_id") % 9).cast("string"), lit(".github.io")))
+                .otherwise(concat(lit("site"),
+                  (col("doc_id") % 11).cast("string"), lit(".internal.zz9"))),
+              lit("/p/"), col("doc_id").cast("string"))))
+      val dim = Seq("com", "uk", "co.uk", "io", "github.io", "org").toDF("suffix")
+      graft.text.Urls.registeredDomainFromTable(urls, "url", dim)
+        .select("doc_id", "registered_domain").orderBy("doc_id")
+    }),
     // URL canonicalization + per-domain cap: crawl-shaped URLs
     // doctored from doc_id (mixed-case scheme/host, default + explicit
     // ports, tracking params in first/last position, fragments,
@@ -4138,6 +4163,36 @@ object SparkEntry {
         |    ORDER BY n_chars DESC, doc_id ASC) AS rk FROM c3)
         |SELECT doc_id, url_canon, domain, rk <= 5 AS kept
         |FROM r ORDER BY doc_id""".stripMargin),
+
+    // PSL longest-match re-derived end-to-end: host extraction, the
+    // label candidates (generate_series up to n — DuckDB's unbounded
+    // equivalent of the Spark side's maxSuffixLabels=5 chain; hosts
+    // here have <= 5 labels), max matched k, sk+1-label slice, and
+    // the null/default branches
+    "q_d70b_psl_domain" ->
+      """WITH dim(suffix) AS (VALUES ('com'),('uk'),('co.uk'),('io'),('github.io'),('org')),
+        |u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'https://co.uk/'
+        |       WHEN doc_id % 4 = 0 THEN 'https://www.shop' || CAST(doc_id % 7 AS VARCHAR) || '.example.co.uk/p/' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 1 THEN 'https://blog' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 4 = 2 THEN 'https://user' || CAST(doc_id % 9 AS VARCHAR) || '.github.io/p/' || CAST(doc_id AS VARCHAR)
+        |       ELSE 'https://site' || CAST(doc_id % 11 AS VARCHAR) || '.internal.zz9/p/' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |    ':[0-9]+$', ''), '^www\.', '') AS host FROM u),
+        |l AS (SELECT doc_id, string_split(host, '.') AS labels,
+        |  len(string_split(host, '.')) AS n FROM h),
+        |c AS (SELECT doc_id, k, array_to_string(labels[n-k+1:n], '.') AS cand
+        |      FROM (SELECT doc_id, labels, n, unnest(generate_series(1, n)) AS k FROM l)),
+        |m AS (SELECT doc_id, max(k) AS sk FROM c JOIN dim ON c.cand = dim.suffix GROUP BY 1),
+        |r AS (SELECT l.doc_id, l.labels, l.n, COALESCE(m.sk, 1) AS sk
+        |      FROM l LEFT JOIN m USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN array_to_string(labels, '.') = '' THEN NULL
+        |       WHEN n <= sk THEN NULL
+        |       ELSE array_to_string(labels[n-sk:n], '.') END AS registered_domain
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // exact-range certification: under no purge the sketch returns
     // the exact multiset counts, so est = lb = ub = exact and

@@ -66,6 +66,60 @@ object Urls {
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
 
+  /** Registered domain against a REAL public-suffix table (r12
+    * verdict #6 — the external-dim contract [[registeredDomain]]'s
+    * LITE approximation points at; feed the published PSL as a
+    * one-column `suffix` frame, e.g. "com", "co.uk", "kawasaki.jp").
+    * Longest-suffix-match semantics: the registered domain is the
+    * matched suffix plus the one label left of it; with NO matching
+    * suffix the last label is treated as the public suffix (the
+    * PSL's own `*` default rule — degrades to the LITE last-two-
+    * labels answer). A host that IS a suffix outright, or an empty
+    * host (non-URL input), yields null.
+    *
+    * Shape for 100 TB: the suffix table (~10k rules) broadcasts;
+    * matching is `maxSuffixLabels` chained BROADCAST left joins —
+    * one per candidate suffix length, each keyed on a scan-local
+    * slice of the host labels — so the corpus never shuffles at all
+    * (no explode + re-group round trip). Adds `registered_domain`.
+    */
+  def registeredDomainFromTable(df: DataFrame, urlCol: String,
+                                suffixDim: DataFrame,
+                                maxSuffixLabels: Int = 5): DataFrame = {
+    require(maxSuffixLabels >= 1,
+      s"maxSuffixLabels must be >= 1, got $maxSuffixLabels")
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(col(urlCol), hostRe, 1)), ":[0-9]+$", ""),
+      "^www\\.", "")
+    // dedupe ONCE (duplicate suffix rows would fan out corpus rows
+    // through the left joins) and pin it — the per-k joins each
+    // re-read this dim-sized frame
+    val dim = graft.CacheScope.persist(
+      suffixDim.select(lower(trim(col("suffix"))).as("suffix"))
+        .filter(length(col("suffix")) > 0).distinct())
+    val base = df.withColumn("_labels", split(host, "\\."))
+      .withColumn("_n", size(col("_labels")))
+    val joined = (1 to maxSuffixLabels).foldLeft(base) { (acc, k) =>
+      acc.withColumn(s"_c$k",
+          // >= : the WHOLE host is a candidate too, so a host that IS
+          // a public suffix (e.g. "co.uk" itself) resolves sk = n and
+          // falls into the null branch below, per PSL semantics
+          when(col("_n") >= k, array_join(slice(col("_labels"), -k, k), ".")))
+        .join(broadcast(dim.select(col("suffix").as(s"_c$k"),
+          lit(k).as(s"_k$k"))), Seq(s"_c$k"), "left")
+    }
+    val sk = greatest(
+      (1 to maxSuffixLabels).map(k => coalesce(col(s"_k$k"), lit(0))) :+ lit(1): _*)
+    val keep = least(sk + 1, col("_n"))
+    joined
+      .withColumn("registered_domain",
+        when(array_join(col("_labels"), ".") === "", lit(null).cast("string"))
+          .when(col("_n") <= sk, lit(null).cast("string"))
+          .otherwise(array_join(slice(col("_labels"), -keep, keep), ".")))
+      .drop(((1 to maxSuffixLabels).flatMap(k => Seq(s"_c$k", s"_k$k")) ++
+        Seq("_labels", "_n")): _*)
+  }
+
   /** Per-registered-domain census over canonicalized URLs: pages,
     * distinct canonical URLs (re-crawl dup factor = pages/distinct).
     * One map-side-combined groupBy on the domain.

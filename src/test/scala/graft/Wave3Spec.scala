@@ -157,6 +157,48 @@ class Wave3Spec extends SparkSpec {
     assert(r.toSeq == Seq("example.com", "b.co"))
   }
 
+  test("registeredDomainFromTable: longest PSL suffix wins; defaults and nulls") {
+    // r13 (r12 verdict #6): the external-dim PSL contract — a
+    // multi-level suffix table where the longest match must beat its
+    // own sub-suffixes (co.uk over uk, github.io over io)
+    val dim = Seq("com", "uk", "co.uk", "org", "github.io", "io", "kawasaki.jp", "jp")
+      .toDF("suffix")
+    val urls = Seq(
+      (1L, "https://www.shop.example.co.uk/x"),   // co.uk beats uk
+      (2L, "http://Blog.Example.COM:80/y"),       // simple com
+      (3L, "https://user.github.io/repo"),        // github.io beats io
+      (4L, "http://a.b.city.kawasaki.jp/z"),      // 2-label jp rule
+      (5L, "https://co.uk/"),                     // host IS a suffix -> null
+      (6L, "http://weird.internal.zz9/q"),        // unknown TLD -> last-2 default
+      (7L, "not a url at all"),                   // empty host -> null
+      (8L, "http://localhost/x"))                 // single unknown label -> null
+      .toDF("id", "u")
+    val got = graft.text.Urls.registeredDomainFromTable(urls, "u", dim)
+      .select("id", "registered_domain").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      1L -> Some("example.co.uk"), 2L -> Some("example.com"),
+      3L -> Some("user.github.io"), 4L -> Some("city.kawasaki.jp"),
+      5L -> None, 6L -> Some("internal.zz9"), 7L -> None, 8L -> None))
+  }
+
+  test("registeredDomainFromTable plans shuffle-free (broadcast suffix joins only)") {
+    val dim = Seq("com", "co.uk", "uk").toDF("suffix")
+    val urls = Seq((1L, "https://a.b.com/x")).toDF("id", "u")
+    val plan = graft.text.Urls.registeredDomainFromTable(urls, "u", dim)
+      .queryExecution.executedPlan.toString
+    // the CORPUS side must ride broadcast joins only; the sole
+    // permitted exchanges are the dim's own dedupe (dim-sized, keyed
+    // on the suffix column)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"PSL matching must join by broadcast only:\n$plan")
+    val badExchange = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("suffix#"))
+    assert(badExchange.isEmpty,
+      s"corpus-side shuffle in PSL matching:\n$plan")
+  }
+
   test("capPerDomain keeps best-cap rows per domain with id tiebreak") {
     val df = Seq(
       (1L, "http://a.com/1", 10L), (2L, "http://a.com/2", 30L),
