@@ -781,15 +781,19 @@ object SparkEntry {
     // vs-store matching (the plan the CandidateGuard's x50 refusal
     // points at; in production the store index is materialized ONCE
     // via Dedup.minhashIndex and reused per batch). Gate = the keep
-    // set (batch docs with no store near-dup at J >= 0.7) under
-    // 64x2 banding (per-pair miss probability ~2e-19 at the
-    // threshold), graded against the EXACT bipartite jaccard oracle.
+    // set (batch docs with no store near-dup at J >= 0.9) under the
+    // default 32x4 banding — per-pair miss ~1.4e-15 at the
+    // threshold, and the S-curve midpoint (0.42) sits above this
+    // corpus's ~0.6-median background set-jaccard's LOW side, so
+    // banding prunes instead of degenerating to all-pairs (a 0.7
+    // threshold on these word sets is output-quadratic by corpus
+    // construction — see the minhashMatchesIndexed scaladoc).
+    // Graded against the EXACT bipartite jaccard oracle.
     "q_d34b_near_store_banded" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val store = docs.filter(col("doc_id") % 3 === 0)
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
-      Dedup.dedupNearAgainstStoreBanded(batch, store, "text", "doc_id", 0.7,
-        bands = 64, rowsPerBand = 2)
+      Dedup.dedupNearAgainstStoreBanded(batch, store, "text", "doc_id", 0.9)
         .select("doc_id").orderBy("doc_id")
     }),
     // composite quality filter: first-failing-reason cascade over
@@ -4589,7 +4593,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // exact bipartite jaccard keep-set (no banding in the oracle:
-    // LSH can only MISS, and 64x2 banding at J=0.7 has ~2e-19 miss
+    // LSH can only MISS, and 32x4 banding at J=0.9 has ~1.4e-15 miss
     // probability per pair — recall is exact at any gate scale)
     "q_d34b_near_store_banded" ->
       """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
@@ -4603,7 +4607,7 @@ object SparkEntry {
         |          FROM btoks b JOIN stoks s ON b.tok = s.tok
         |          GROUP BY 1, 2),
         |hit AS (SELECT DISTINCT bid FROM pairs
-        |        WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.7)
+        |        WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.9)
         |SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT bid FROM hit)
         |ORDER BY doc_id""".stripMargin,
 

@@ -512,14 +512,29 @@ object Dedup {
     * signature slice, so a shared band implies high estimated
     * Jaccard — candidate volume tracks the true near-dup density.
     *
-    * Banding is the recall dial (P[candidate] = 1−(1−J^r)^b): the
-    * 32×4 default suits J ≥ 0.9 dedup; for a 0.7 threshold build
-    * BOTH indexes with bands=64, rowsPerBand=2 (same 128-hash
-    * signature, miss probability ≈ 2e-19 at J = 0.7).
+    * Banding is the recall/cost dial (P[candidate/band] = J^r; a
+    * similar pair emits ~b·J^r band rows into the candidate
+    * distinct): the 32×4 default suits J ≥ 0.9 dedup (miss
+    * ~1.4e-15 at 0.9). For lower thresholds, dropping to
+    * rowsPerBand=2 buys recall (~2e-19 miss at 0.7) but flattens
+    * the S-curve — on a corpus whose BACKGROUND set-jaccard is high
+    * (the sf testdata's word sets sit at median ~0.6 batch-vs-
+    * store), r=2 makes essentially every pair a candidate AND emits
+    * ~b rows per pair, so candidate generation degenerates to
+    * all-pairs × bands (measured r13: 42 s vs 5 s at sf0.1). Pick r
+    * so the S-curve midpoint (1/b)^(1/r) sits ABOVE the background
+    * similarity, and remember a threshold below the background is an
+    * output-quadratic PROBLEM no candidate scheme can make linear.
     */
-  def minhashMatchesIndexed(batchIndex: DataFrame, storeIndex: DataFrame,
+  def minhashMatchesIndexed(batchIndex0: DataFrame, storeIndex0: DataFrame,
                             threshold: Double): DataFrame = {
     require(threshold <= 1.0, "jaccard threshold must be <= 1")
+    // pin both indexes: each is read THREE times (band explode + the
+    // two re-attach joins) — unpersisted, every read re-runs the
+    // 128-min-agg signature computation (r13 bench finding: the
+    // recomputation tripled the sf0.1 wall-clock)
+    val batchIndex = graft.CacheScope.persist(batchIndex0)
+    val storeIndex = graft.CacheScope.persist(storeIndex0)
     val bb = batchIndex.select(explode(col("bks")).as("bk"), col("sid").as("bsid"))
     val sb = storeIndex.select(explode(col("bks")).as("bk"), col("sid").as("ssid"))
     val cands = bb.join(sb, "bk").select("bsid", "ssid").distinct()

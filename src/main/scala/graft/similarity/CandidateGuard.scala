@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * If even the tightest ladder cap exceeds the budget, the guard
   * fails loudly with the measured estimates instead of submitting a
   * quadratic job — that corpus shape wants similarity-pruned banded
-  * minhash (`Dedup.minhashPairs`), not a gram index.
+  * minhash (`Dedup.minhashPairs`; batch-vs-store:
+  * `Dedup.minhashMatchesAgainstStore`), not a gram index.
   */
 object CandidateGuard {
 
@@ -142,7 +143,8 @@ object CandidateGuard {
         f"[graft] $opName (strict): candidate volume ~${req}%.3g rows exceeds " +
           f"the $budget%d budget and guardStrict=true forbids auto-degrade. " +
           "Raise candidateBudget, loosen the caps yourself, or use banded " +
-          "minhash (Dedup.minhashPairs).")
+          "minhash (Dedup.minhashPairs; batch-vs-store: " +
+          "Dedup.minhashMatchesAgainstStore).")
     }
     else Ladder.zipWithIndex
       .collectFirst { case (c, i) if v(i + 1) <= budget.toDouble => (c, v(i + 1)) }
@@ -166,8 +168,10 @@ object CandidateGuard {
             f"$budget%d budget and even dfCap=${Ladder.last}%d measures " +
             f"~${v(Ladder.size)}%.3g — a gram index cannot bound this corpus " +
             "(near-identical strings share only high-df grams). Use banded " +
-            "minhash (Dedup.minhashPairs) which prunes by similarity instead " +
-            "of gram rarity, or raise candidateBudget explicitly.")
+            "minhash, which prunes by similarity instead of gram rarity " +
+            "(Dedup.minhashPairs; batch-vs-store: " +
+            "Dedup.minhashMatchesAgainstStore), or raise candidateBudget " +
+            "explicitly.")
       }
   }
 }
