@@ -461,4 +461,28 @@ class PropertySpec extends SparkSpec {
       .sortBy { case (i, k) => (-k, i) }.take(25).sortBy(_._1)
     assert(got == want)
   }
+
+  test("batched BPE ≡ sequential on random corpora (full merge tables, all batch sizes)") {
+    // r13: the learnMergesBatched soundness rule (disjoint contiguous
+    // prefix + strict-count cut) pinned property-style — random
+    // small-alphabet corpora MAXIMIZE pair-count ties and symbol
+    // collisions, exactly the regimes where an unsound batch rule
+    // would diverge from sequential induction
+    val word = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpus = Gen.choose(5, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for ((text, i) <- sample(corpus, 12).zipWithIndex) {
+      val df = Seq(text).toDF("text")
+      val seqM = graft.text.Bpe.learnMerges(df, "text", 10).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      for (bs <- Seq(2, 5, 16)) {
+        val batM = graft.text.Bpe.learnMergesBatched(df, "text", 10, batchSize = bs)
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+        assert(batM == seqM,
+          s"corpus#$i bs=$bs diverged on '${text.take(40)}':\n$batM\n!=\n$seqM")
+      }
+    }
+  }
 }
