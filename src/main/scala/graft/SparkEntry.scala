@@ -1946,6 +1946,29 @@ object SparkEntry {
         .orderBy(col("n_nationkey").cast("long"))
     }),
 
+    // C28 (r13): WARC crawl-format round trip — the documents table
+    // exported as per-record-gzip `.warc.gz` parts by the executors,
+    // read back one-task-per-file, graded on byte fidelity (UTF-8
+    // octet length + the text itself) against the ORIGINAL parquet
+    // values. DuckDB never reads WARC; fidelity to the source frame
+    // is the contract (the C20 scheme).
+    "q_c28_warc_roundtrip" -> ((s, d) => {
+      val dir = "/tmp/graft_gate/c28_warc"
+      val docs = t(s, d, "documents").select(
+        concat(lit("https://graft.example/"), col("source"),
+          lit("/"), col("doc_id")).as("target_uri"),
+        lit("2026-01-01T00:00:00Z").as("warc_date"),
+        lit("text/plain; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("content"))
+      graft.sources.Warc.writeWarcPartitioned(docs.repartition(4), dir, gzip = true)
+      graft.sources.Warc.readWarc(s, dir)
+        .filter(col("warc_type") === "resource")
+        .select(col("target_uri"), col("content_type"),
+          length(col("content")).cast("long").as("n_bytes"),
+          decode(col("content"), "UTF-8").as("text"))
+        .orderBy("target_uri")
+    }),
+
     // whole-second truncation on BOTH sides so gap comparisons and
     // formatted session starts are bit-identical across engines
     // (oracle: date_trunc('second', ts)); Tables.asTimestamp absorbs
@@ -2097,6 +2120,38 @@ object SparkEntry {
           (0 until 12).map(i =>
             round(get(col("features"), lit(i)).cast("double"), 6).as(f"g$i%02d")): _*)
         .orderBy("id")
+    }),
+    // D88 (r13): constellation-landmark audio fingerprint dedup,
+    // driver-gated on deterministic tone-sequence WAVs (the d13c
+    // scheme — DuckDB cannot FFT; the oracle pins the DISCRETE
+    // match/count outcomes as VALUES). Docs 1/2 identical, doc 3 a
+    // 5-hop-delayed copy, doc 4 unrelated, doc 5 corrupt: the gate
+    // grades the full pipeline — decode → STFT peaks → landmark
+    // hashes → df-capped inverted-index join → offset-aligned votes.
+    "q_d88_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val F = graft.multimodal.Fixtures
+      val AF = graft.multimodal.AudioFingerprint
+      val melodyA = Seq(500.0 -> 0.2, 900.0 -> 0.2, 1400.0 -> 0.2,
+        2100.0 -> 0.2, 600.0 -> 0.2, 1100.0 -> 0.2)
+      val melodyB = Seq(800.0 -> 0.3, 1800.0 -> 0.3, 400.0 -> 0.3, 2600.0 -> 0.3)
+      val corpus = Seq(
+        (1L, F.toneSeqWav(melodyA, 8000f, 0.5)),
+        (2L, F.toneSeqWav(melodyA, 8000f, 0.5)),
+        (3L, F.toneSeqWav(melodyA, 8000f, 0.5, leadSilenceSamples = 5 * AF.Hop)),
+        (4L, F.toneSeqWav(melodyB, 8000f, 0.5)),
+        (5L, Array[Byte](1, 2, 3))).toDF("id", "content")
+      val fp = AF.fingerprints(corpus, "id", "content")
+      val pairs = AF.matchPairs(fp, minAligned = 5)
+        .select(lit("pair").as("tag"), col("id_a"), col("id_b"),
+          col("aligned").cast("long").as("v"),
+          col("frame_offset").cast("long").as("w"))
+      val counts = corpus.select(col("id").as("id_a"))
+        .join(fp.groupBy("id").agg(count(lit(1)).as("v")),
+          col("id_a") === col("id"), "left")
+        .select(lit("doc").as("tag"), col("id_a"), lit(-1L).as("id_b"),
+          coalesce(col("v"), lit(0L)).as("v"), lit(0L).as("w"))
+      pairs.unionByName(counts).orderBy("tag", "id_a", "id_b")
     }),
     "q_d9_langid" -> ((s, d) => t(s, d, "documents")
       .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
@@ -2303,7 +2358,14 @@ object SparkEntry {
       ("q_c20_xlsx_roundtrip" ->
         """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
           |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
-          |FROM nation ORDER BY CAST(n_nationkey AS BIGINT)""".stripMargin)
+          |FROM nation ORDER BY CAST(n_nationkey AS BIGINT)""".stripMargin) +
+      // C28: the WARC round trip must reproduce the ORIGINAL
+      // documents byte-exactly (UTF-8 octet length + text)
+      ("q_c28_warc_roundtrip" ->
+        """SELECT 'https://graft.example/' || source || '/' || doc_id AS target_uri,
+          |  'text/plain; charset=utf-8' AS content_type,
+          |  octet_length(encode(text)) AS n_bytes, text
+          |FROM documents ORDER BY target_uri""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -5102,6 +5164,20 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, n_resized
         |FROM grp WHERE id = keeper ORDER BY doc_id""".stripMargin,
+
+    // D88: discrete fingerprint outcomes pinned as VALUES (DuckDB
+    // cannot FFT; the d13b/c scheme). 90 aligned landmarks at the
+    // exact lead-silence offset certify decode→STFT→hash→join.
+    "q_d88_audio_fingerprint" ->
+      """SELECT tag, CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(v AS BIGINT) AS v, CAST(w AS BIGINT) AS w
+        |FROM (VALUES
+        |  ('doc', 1, -1, 90, 0), ('doc', 2, -1, 90, 0),
+        |  ('doc', 3, -1, 98, 0), ('doc', 4, -1, 77, 0),
+        |  ('doc', 5, -1, 0, 0),
+        |  ('pair', 1, 2, 90, 0), ('pair', 1, 3, 90, 5),
+        |  ('pair', 2, 3, 90, 5)) AS t(tag, id_a, id_b, v, w)
+        |ORDER BY tag, id_a, id_b""".stripMargin,
 
     "q_d13c_wav" ->
       ("""SELECT CAST(id AS BIGINT) AS id, CAST(nfeat AS INT) AS nfeat,

@@ -71,4 +71,37 @@ object Fixtures {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
+
+  /** 16-bit mono PCM WAV playing a SEQUENCE of tones (a "melody" —
+    * the D88 fingerprint fixtures need spectra that CHANGE over
+    * time so landmarks carry alignment information), with
+    * `leadSilenceSamples` zero samples prepended. A lead silence
+    * that is an exact multiple of [[AudioFingerprint.Hop]] shifts
+    * every STFT frame by exactly that many hops, so the delayed
+    * copy's landmark set equals the original's with a constant
+    * frame offset — the property the gate pins.
+    */
+  def toneSeqWav(tones: Seq[(Double, Double)], rate: Float, amp: Double,
+                 leadSilenceSamples: Int = 0): Array[Byte] = {
+    val counts = tones.map { case (_, secs) => (rate * secs).toInt }
+    val n = leadSilenceSamples + counts.sum
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](n * 2) // leading silence stays zeroed
+    var off = leadSilenceSamples
+    tones.zip(counts).foreach { case ((freq, _), cnt) =>
+      for (i <- 0 until cnt) {
+        val v = (StrictMath.sin(2 * StrictMath.PI * freq * i / rate) * amp * 32767)
+          .toInt.toShort
+        data((off + i) * 2) = (v & 0xff).toByte
+        data((off + i) * 2 + 1) = ((v >> 8) & 0xff).toByte
+      }
+      off += cnt
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
 }
