@@ -2153,6 +2153,14 @@ object SparkEntry {
           coalesce(col("v"), lit(0L)).as("v"), lit(0L).as("w"))
       pairs.unionByName(counts).orderBy("tag", "id_a", "id_b")
     }),
+    // D89 (r13): competence-based curriculum — sqrt schedule, exact
+    // integer first-eligible-step per doc (difficulty = n_chars
+    // here; any scoring column plugs in). The whole chain is exact
+    // rational arithmetic, so DuckDB re-derives it bit-identically.
+    "q_d89_curriculum" -> ((s, d) =>
+      graft.pipeline.Curriculum.firstEligibleStep(
+        t(s, d, "documents"), "doc_id", col("n_chars"), 100)
+        .orderBy("id")),
     "q_d9_langid" -> ((s, d) => t(s, d, "documents")
       .groupBy(TextAnalysis.languageId(col("text")).as("lang_pred"))
       .agg(count(lit(1)).as("cnt")).orderBy("lang_pred")),
@@ -5164,6 +5172,25 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, n_resized
         |FROM grp WHERE id = keeper ORDER BY doc_id""".stripMargin,
+
+    // D89: the sqrt-competence schedule re-derived in exact integer
+    // SQL — positive-branch ceil via (a+b-1)//b, p<=c0 branch -> 1
+    "q_d89_curriculum" ->
+      """WITH s AS (SELECT doc_id AS id,
+        |    CAST(round(n_chars*1000000.0) AS BIGINT) AS difficulty_micro
+        |  FROM documents),
+        |h AS (SELECT difficulty_micro, count(*) AS c FROM s GROUP BY 1),
+        |cum AS (SELECT difficulty_micro,
+        |    CAST(sum(c) OVER (ORDER BY difficulty_micro) AS BIGINT) AS cnt_le
+        |  FROM h),
+        |tot AS (SELECT CAST(max(cnt_le) AS BIGINT) AS n_total FROM cum)
+        |SELECT s.id, s.difficulty_micro, cum.cnt_le, tot.n_total,
+        |  CAST(CASE WHEN 100*100*cnt_le*cnt_le <= 100*n_total*n_total THEN 1
+        |    ELSE least(100, (100*100*cnt_le*cnt_le - 100*n_total*n_total
+        |      + 99*n_total*n_total - 1) // (99*n_total*n_total)) END
+        |    AS BIGINT) AS first_step
+        |FROM s JOIN cum USING (difficulty_micro) CROSS JOIN tot
+        |ORDER BY id""".stripMargin,
 
     // D88: discrete fingerprint outcomes pinned as VALUES (DuckDB
     // cannot FFT; the d13b/c scheme). 90 aligned landmarks at the
