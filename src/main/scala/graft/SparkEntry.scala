@@ -2172,6 +2172,49 @@ object SparkEntry {
         TextAnalysis.wordCount(col("text")).as("ws_tokens"),
         TextAnalysis.tokenCount(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")),
+    // D90 (r13): exact batch top-k retrieval — five query vectors
+    // against the embeddings corpus in ONE pass via the map-side-
+    // combining TopKPairsAgg (shuffle carries <= partitions x 5 x 10
+    // pairs, not the full scored frame; plan-audited no-Window in
+    // spec). Micro-long scores under (score desc, id asc) — exact
+    // rank arithmetic on both engines.
+    "q_d90_batch_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0L, 7L, 23L, 48L, 91L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Ann.batchTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // e2e-6 (r13): RAG retrieval composite — D90 batch retrieval →
+    // doc-store lookup (the synthetic id→doc bridge is pmod(id,
+    // n_docs), documented) → D12 content fingerprints → per-query
+    // retrieval dedup (same fingerprint keeps its BEST rank) →
+    // dense re-rank. The serving-side sibling of the e2e curation
+    // pipeline: what reaches the context window is deduplicated,
+    // provenance-tagged text, not raw ANN hits.
+    "q_e2e_rag" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val docs = t(s, d, "documents")
+      val queries = emb.filter(col("vec_id").isin(3L, 31L, 59L, 87L, 115L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val hits = Ann.batchTopK(emb, "vec_id", "embedding", queries, "qid", "qv", 10)
+      val nDocs = docs.agg(count(lit(1)).as("_n"))
+      val ctx = hits.crossJoin(broadcast(nDocs))
+        .withColumn("doc_id", pmod(col("id"), col("_n")))
+        .join(docs.select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fingerprint")), Seq("doc_id"))
+      val best = ctx.groupBy("query_id", "fingerprint")
+        .agg(min(struct(col("rank"), col("doc_id"))).as("_b"))
+        .select(col("query_id"), col("fingerprint"),
+          col("_b.rank").as("rank"), col("_b.doc_id").as("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      best.withColumn("final_rank", row_number().over(w).cast("long"))
+        .select("query_id", "final_rank", "doc_id", "fingerprint")
+        .orderBy("query_id", "final_rank")
+    }),
+
     "q_d12_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")),
@@ -5067,6 +5110,54 @@ object SparkEntry {
     "q_d12_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // D90: the full batch-retrieval chain re-derived — cosine in the
+    // identical association (dot / (sqrt*sqrt)), micro-rounded, rank
+    // by (score desc, id) per query
+    "q_d90_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id IN (0,7,23,48,91)),
+        |sc AS (SELECT q.query_id, e.vec_id AS id,
+        |  CAST(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(q.qv, q.qv))) * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0),
+        |r AS (SELECT query_id, id, score_micro, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_micro DESC, id) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, CAST(id AS BIGINT) AS id,
+        |  score_micro
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // e2e-6: retrieval -> pmod doc bridge -> fingerprint -> best-rank
+    // dedup (arg_min is deterministic: rank is unique per query) ->
+    // dense re-rank
+    "q_e2e_rag" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id IN (3,31,59,87,115)),
+        |sc AS (SELECT q.query_id, e.vec_id AS id,
+        |  CAST(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(q.qv, q.qv))) * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0),
+        |r AS (SELECT query_id, id, score_micro, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score_micro DESC, id) AS BIGINT) AS rank
+        |  FROM sc),
+        |hits AS (SELECT query_id, rank, id % (SELECT count(*) FROM documents) AS doc_id
+        |  FROM r WHERE rank <= 10),
+        |fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
+        |  FROM documents),
+        |best AS (SELECT query_id, fingerprint, min(rank) AS rank,
+        |    arg_min(hits.doc_id, rank) AS doc_id
+        |  FROM hits JOIN fp USING (doc_id) GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS BIGINT)
+        |    AS final_rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, fingerprint
+        |FROM best ORDER BY query_id, final_rank""".stripMargin,
 
     // SimHash recomputed end-to-end: the sketch is a per-bit majority
     // vote over portable 60-bit token hashes (md5 nibble fold), so

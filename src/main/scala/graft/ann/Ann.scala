@@ -450,4 +450,43 @@ object Ann {
         round(cosine(col(vecCol), col("_bv")), scale).as("max_cosine"))
       .withColumn("contaminated", col("max_cosine") >= threshold)
   }
+
+  /** D90: exact batch top-k retrieval — k nearest corpus vectors by
+    * cosine for EVERY query in a (bounded) query frame at once, the
+    * retrieval core of a RAG indexing/serving pipeline and the
+    * many-query generalization of [[cosineTopK]].
+    *
+    * Plan shape (the reason this is an operator and not a window):
+    * queries BROADCAST against one corpus scan (map-only scoring,
+    * no shuffle of the corpus), then grouped top-k via
+    * [[graft.functions.TopKPairsAgg]] — a map-side-combining
+    * aggregate whose partial buffers are k-bounded, so the shuffle
+    * carries AT MOST partitions × queries × k pairs. The idiomatic
+    * `row_number` window would shuffle the full |corpus| × |queries|
+    * scored frame; at 100 TB that difference is the job. Scores are
+    * micro-quantized longs under the total order (score DESC, id
+    * ASC) — partitioning/merge-order independent, exact on any
+    * engine. Null/zero-norm vectors drop out (no cosine). For
+    * corpora too large even to scan per batch, cut candidates first
+    * with the LSH/IVF variants and re-score exactly.
+    *
+    * Returns (query_id, rank, id, score_micro), rank 1..k.
+    */
+  def batchTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col(queryId).cast("long").as("_qid"),
+      col(queryVec).as("_qv"))
+    corpus.select(col(corpusId).cast("long").as("_cid"), col(corpusVec).as("_cv"))
+      .crossJoin(broadcast(q))
+      .select(col("_qid"), col("_cid"),
+        round(cosine(col("_cv"), col("_qv")) * 1e6).cast("long").as("_sm"))
+      .filter(col("_sm").isNotNull)
+      .groupBy("_qid")
+      .agg(graft.functions.TopKPairsAgg(col("_sm"), col("_cid"), k).as("_top"))
+      .select(col("_qid").as("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score_micro").as("score_micro"))
+  }
 }
