@@ -2215,6 +2215,51 @@ object SparkEntry {
         .orderBy("query_id", "final_rank")
     }),
 
+    // e2e-7 (r13): crawl-ingest composite — the Common Crawl shape
+    // end-to-end THROUGH REAL WARC BYTES: documents (every 6th
+    // html-wrapped with the q_d68 noise, every 10th re-crawled
+    // byte-identical under a mirror host) → C28 .warc.gz export →
+    // C28 ingest → D68 markup strip → D9 langid → D35 quality
+    // reasons → D1 exact-dup collapse (mirror crawls collapse to
+    // one keeper). The oracle never touches WARC: it re-derives the
+    // whole chain from the parquet documents, so the gate ALSO
+    // certifies the WARC round trip inside a real pipeline.
+    "q_e2e_crawl" -> ((s, d) => {
+      val dir = "/tmp/graft_gate/e2e_crawl"
+      val wrap = (txt: Column) => concat(
+        lit("<html><head><style>p{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+          "<body><!-- nav --><div class=\"main\">"),
+        txt, lit(" &amp; more &lt;tags&gt; &quot;quoted&quot;</div></body></html>"))
+      val base = t(s, d, "documents").withColumn("rawtext",
+        when(col("doc_id") % 6 === 0, wrap(col("text"))).otherwise(col("text")))
+      val crawl = base.withColumn("host", lit("www.example"))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .withColumn("host", lit("mirror.example")))
+        .select(concat(lit("https://"), col("host"), lit("/"), col("source"),
+          lit("/"), col("doc_id")).as("target_uri"),
+          lit("2026-02-02T00:00:00Z").as("warc_date"),
+          lit("text/html; charset=utf-8").as("content_type"),
+          encode(col("rawtext"), "UTF-8").as("content"))
+      graft.sources.Warc.writeWarcPartitioned(crawl.repartition(4), dir, gzip = true)
+      val ingested = graft.sources.Warc.readWarc(s, dir)
+        .filter(col("warc_type") === "resource")
+        .select(col("target_uri"),
+          graft.text.Boilerplate.stripMarkup(decode(col("content"), "UTF-8")).as("text"))
+      val classified = ingested
+        .withColumn("lang_pred", TextAnalysis.languageId(col("text")))
+        .withColumn("fingerprint", TextAnalysis.fingerprintMd5(col("text")))
+      val reasons = TextAnalysis.qualityFilterReport(classified, "text", "target_uri")
+        .select(col("target_uri"), col("reason"))
+      val groups = classified.groupBy("fingerprint")
+        .agg(count(lit(1)).as("dup_count"), min("target_uri").as("_keeper"))
+      classified.join(reasons, Seq("target_uri"))
+        .join(groups, Seq("fingerprint"))
+        .select(col("target_uri"), col("lang_pred"), col("reason"),
+          col("dup_count"), (col("target_uri") === col("_keeper")).as("is_keeper"))
+        .orderBy("target_uri")
+    }),
+
     "q_d12_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
       .orderBy("doc_id")),
@@ -5110,6 +5155,67 @@ object SparkEntry {
     "q_d12_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // e2e-7: the full crawl chain re-derived from parquet (wrapper =
+    // q_d68's, strip chain = D68's regex algebra, langid = D9's
+    // argmax CASE, reasons = D35's fragment, dedup exact) — the WARC
+    // hop must be byte-invisible for the hash to match
+    "q_e2e_crawl" ->
+      """WITH base AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 6 = 0 THEN
+        |    '<html><head><style>p{color:red}</style><script type="text/javascript">var x = 1 < 2;</script></head><body><!-- nav --><div class="main">'
+        |    || text || ' &amp; more &lt;tags&gt; &quot;quoted&quot;</div></body></html>'
+        |  ELSE text END AS rawtext
+        |  FROM documents),
+        |crawl AS (
+        |  SELECT 'https://www.example/' || source || '/' || doc_id AS target_uri, rawtext FROM base
+        |  UNION ALL
+        |  SELECT 'https://mirror.example/' || source || '/' || doc_id, rawtext FROM base WHERE doc_id % 10 = 0),
+        |c AS (SELECT target_uri, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(rawtext,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?s)<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS text FROM crawl),
+        |lang AS (SELECT target_uri, text,
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS en,
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('el','la','de','que','y','los','las','un','una','es'))) AS es,
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('der','die','das','und','ist','nicht','ein','eine','mit','von'))) AS de,
+        |  len(list_filter(regexp_split_to_array(lower(text),' +'), w -> w IN ('le','la','les','et','est','une','des','du','que','pour'))) AS fr,
+        |  length(text) - length(regexp_replace(text,'[\x{4e00}-\x{9fff}]','','g')) AS zh,
+        |  md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fingerprint
+        |  FROM c),
+        |l AS (SELECT target_uri, text, fingerprint,
+        |  CASE WHEN greatest(en,es,de,fr,zh) <= 0 THEN 'und'
+        |    WHEN zh = greatest(en,es,de,fr,zh) THEN 'zh'
+        |    WHEN fr = greatest(en,es,de,fr) THEN 'fr'
+        |    WHEN es = greatest(en,es,de) THEN 'es'
+        |    WHEN en = greatest(en,de) THEN 'en'
+        |    ELSE 'de' END AS lang_pred FROM lang),
+        |tok AS (SELECT target_uri, unnest(regexp_split_to_array(trim(text),' +')) AS t
+        |  FROM l WHERE length(trim(text)) > 0),
+        |tc AS (SELECT target_uri, t, count(*) AS c FROM tok WHERE length(t) > 0 GROUP BY 1,2),
+        |m AS (SELECT target_uri, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(max(c)*1.0/sum(c), 4) AS twf,
+        |  round(count(*)*1.0/sum(c), 4) AS dr FROM tc GROUP BY 1),
+        |rep AS (SELECT l.target_uri,
+        |  CASE WHEN coalesce(m.n_tokens, 0) < 20 THEN 'too_short'
+        |       WHEN m.n_tokens > 90 THEN 'too_long'
+        |       WHEN m.twf > 0.15 THEN 'repetitive'
+        |       WHEN m.dr < 0.40 THEN 'low_diversity'
+        |       ELSE 'keep' END AS reason
+        |  FROM l LEFT JOIN m USING (target_uri)),
+        |g AS (SELECT fingerprint, CAST(count(*) AS BIGINT) AS dup_count,
+        |  min(target_uri) AS keeper FROM l GROUP BY 1)
+        |SELECT l.target_uri, lang_pred, reason, dup_count,
+        |  (l.target_uri = keeper) AS is_keeper
+        |FROM l JOIN rep ON l.target_uri = rep.target_uri
+        |  JOIN g ON l.fingerprint = g.fingerprint
+        |ORDER BY l.target_uri""".stripMargin,
 
     // D90: the full batch-retrieval chain re-derived — cosine in the
     // identical association (dot / (sqrt*sqrt)), micro-rounded, rank
