@@ -2153,6 +2153,37 @@ object SparkEntry {
           coalesce(col("v"), lit(0L)).as("v"), lit(0L).as("w"))
       pairs.unionByName(counts).orderBy("tag", "id_a", "id_b")
     }),
+    // D91 (r13): perceptual image dedup — REAL decode → 9x8 bilinear
+    // luminance grid → 64-bit dHash → pigeonhole band join + exact
+    // Hamming verify. Fixture corpus: byte-identical copy (hamming
+    // 0), 2x-upscaled re-encode (small drift), unrelated checker
+    // (far), corrupt (no hash). Discrete outcomes pinned as VALUES
+    // (the d13b scheme — DuckDB cannot decode PNG).
+    "q_d91_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      val F = graft.multimodal.Fixtures
+      val M = graft.multimodal.Multimodal
+      val IH = graft.multimodal.ImageHash
+      // base = checkerboard (rich horizontal sign structure — a
+      // monotone gradient dHashes to the degenerate all-zero hash)
+      val base = F.encodePng(F.checkerImage(64, 64, 16))
+      val up = F.encodePng(M.ImageCodec.resampleRgb(
+        M.ImageCodec.decode(base), 128, 128))
+      val corpus = Seq(
+        (1L, base), (2L, base), (3L, up),
+        (4L, F.encodePng(F.gradientImage(64, 64))),
+        (5L, Array[Byte](9, 9))).toDF("id", "content")
+      val hashes = IH.dHashes(corpus, "id", "content")
+      val pairs = IH.nearDupPairs(hashes, maxHamming = 6)
+        .select(lit("pair").as("tag"), col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("v"))
+      val docs = corpus.select(col("id").as("id_a"))
+        .join(hashes, col("id_a") === col("id"), "left")
+        .select(lit("doc").as("tag"), col("id_a"), lit(-1L).as("id_b"),
+          coalesce(col("dhash"), lit(-999L)).as("v"))
+      pairs.unionByName(docs).orderBy("tag", "id_a", "id_b")
+    }),
+
     // D89 (r13): competence-based curriculum — sqrt schedule, exact
     // integer first-eligible-step per doc (difficulty = n_chars
     // here; any scoring column plugs in). The whole chain is exact
@@ -5369,6 +5400,22 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, n_resized
         |FROM grp WHERE id = keeper ORDER BY doc_id""".stripMargin,
+
+    // D91: discrete dHash outcomes pinned as VALUES (DuckDB cannot
+    // decode PNG; the d13b scheme). The 2x upscale drifts 0 bits on
+    // the clean cell alignment; the monotone gradient dHashes to 0
+    // (strict > on an ascending row) — far from the checker hash.
+    "q_d91_image_dhash" ->
+      """SELECT tag, CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(v AS BIGINT) AS v
+        |FROM (VALUES
+        |  ('doc', 1, -1, 1736210507990843970),
+        |  ('doc', 2, -1, 1736210507990843970),
+        |  ('doc', 3, -1, 1736210507990843970),
+        |  ('doc', 4, -1, 0), ('doc', 5, -1, -999),
+        |  ('pair', 1, 2, 0), ('pair', 1, 3, 0), ('pair', 2, 3, 0))
+        |  AS t(tag, id_a, id_b, v)
+        |ORDER BY tag, id_a, id_b""".stripMargin,
 
     // D89: the sqrt-competence schedule re-derived in exact integer
     // SQL — positive-branch ceil via (a+b-1)//b, p<=c0 branch -> 1

@@ -692,26 +692,45 @@ object Dedup {
           val cnt = shiftright(col(s"_p${i / lanes}"), 16 * (i % lanes)).bitwiseAND(lit(0xFFFFL))
           when(cnt * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
         }.reduce(_ + _).as("sh"))
-    // one join key per (chunks − maxHamming)-size chunk combination:
-    // the combo's chunk values concatenate into one ≤60-bit long
-    // (shift-left via multiply — ANSI-safe below 63 bits)
-    val w = SimhashBits / chunks
+    hammingBandPairs(sk, SimhashBits, maxHamming, chunks)
+  }
+
+  /** Generalized-pigeonhole Hamming near-dup join over an arbitrary
+    * `bits`-wide hash frame `sk` = (id, sh) — the banding core of
+    * [[simhashPairs]], factored out (r13) so other discrete sketches
+    * (D91 image dHash) reuse it: one join key per
+    * (chunks − maxHamming)-size chunk COMBINATION, recall-complete
+    * for any `chunks > maxHamming`, exact Hamming verify after.
+    * Chunk extraction shifts UNSIGNED so a full-64-bit hash's top
+    * chunk cannot sign-extend (simhash's 60 bits never hit this;
+    * dHash's bit 63 does).
+    */
+  def hammingBandPairs(sk: DataFrame, bits: Int, maxHamming: Int,
+                       chunks: Int): DataFrame = {
+    require(chunks > maxHamming,
+      s"chunks ($chunks) must exceed maxHamming ($maxHamming) for recall-complete banding")
+    require(bits % chunks == 0, s"chunks ($chunks) must divide $bits")
+    val w = bits / chunks
+    require((chunks - maxHamming) * w <= 63,
+      s"combined join key needs ${(chunks - maxHamming) * w} bits > 63 — raise maxHamming or chunks")
     val mask = (1L << w) - 1
+    // the combo's chunk values concatenate into one ≤63-bit long
+    // (shift-left via multiply — ANSI-safe below 63 bits)
     val chunkArr = array(
       (0 until chunks).combinations(chunks - maxHamming).toSeq.zipWithIndex.map {
         case (combo, ci) =>
           val v = combo.zipWithIndex.map { case (chunkIdx, pos) =>
-            shiftright(col("sh"), chunkIdx * w).bitwiseAND(lit(mask)) * lit(1L << (pos * w))
+            shiftrightunsigned(col("sh"), chunkIdx * w).bitwiseAND(lit(mask)) * lit(1L << (pos * w))
           }.reduce(_ + _)
           struct(lit(ci).as("chunk_id"), v.as("chunk"))
       }: _*)
     // Explicit partition count on the bucket key: the chunk table is
-    // INPUT-tiny (4 rows/doc) but the self-join is OUTPUT-heavy
+    // INPUT-tiny (few rows/doc) but the self-join is OUTPUT-heavy
     // (near-dup corpora collide densely), and AQE coalesces shuffles
     // by input size — without the explicit count it funnels the whole
     // pair generation + Hamming verify through one task. A
     // user-specified repartition is exempt from AQE coalescing.
-    val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
+    val shufflePartitions = sk.sparkSession.sessionState.conf.numShufflePartitions
     val keyed = sk.withColumn("ck", explode(chunkArr))
       .select(col("id"), col("sh"),
         col("ck.chunk_id").as("chunk_id"), col("ck.chunk").as("chunk"))
