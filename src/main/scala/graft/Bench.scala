@@ -107,7 +107,16 @@ object Bench {
     // is stable round-over-round, so numbers compare like-for-like.
     // Best of 3 runs per query: JIT/cache variance at these sizes is
     // larger than most query times, min is the stable estimator.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset filter (comma-separated names, or ^prefix! to
+    // EXCLUDE): lets an A/B run isolate whether a new query family
+    // shifts the others' numbers (JIT/code-cache/GC pressure) without
+    // touching the default artifact
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val except = sys.env.get("SPARK_GRAFT_BENCH_EXCEPT").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .filter(q => !except.exists(_.contains(q._1)))
+    val results = selected.map { case (name, fn) =>
       val runs = Seq.fill(3)(once(fn))
       CacheScope.clear() // drop blocks graft pinned inside this query's plans
       val err = runs.flatMap(r => Option(r._2)).headOption.orNull
@@ -166,7 +175,8 @@ object Bench {
     }
     def render(dec: Int, stripPrefix: Boolean, errDetail: Boolean = true,
                unit: Boolean = true, load: Boolean = true,
-               loadDec: Int = 2, tokenNames: Boolean = false): String = {
+               loadDec: Int = 2, tokenNames: Boolean = false,
+               minSec: Double = 0.0): String = {
       // token mode: "d13b_img" -> "d13b" — ~8 chars/query, the
       // difference between keeping and losing the whole map once the
       // query count outgrew the 2-decimal budget (96 queries in r9).
@@ -184,12 +194,21 @@ object Bench {
         val r = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
         if (r.signum == 0) "0" else r.toString
       }
-      val qs = results.map { case (k, v, _) =>
+      // minSec > 0: thresholded map — the last rung that still
+      // carries per-query evidence once the query count outgrows
+      // every full-map rendering (183 queries in r13). Sub-threshold
+      // entries carry no drift signal at 1-2 decimals anyway; their
+      // COUNT rides along so the omission is visible in the artifact.
+      val kept = results.filter(_._2 >= minSec)
+      val omittedJson =
+        if (minSec <= 0 || kept.size == results.size) ""
+        else s""","qmin":$minSec,"omitted":${results.size - kept.size}"""
+      val qs = kept.map { case (k, v, _) =>
         val name =
           if (tokenNames && !collided(tokenOf(k))) tokenOf(k)
           else if (tokenNames || stripPrefix) k.stripPrefix("q_") else k
         "\"" + name + "\":" + f(v)
-      }.mkString("{", ",", "}")
+      }.mkString("{", ",", "}") + omittedJson
       // errors: per-query failure classes + a count that's nonzero iff any
       // query failed; load: 1-min system load sampled before/after the run
       // so a contended bench self-identifies in the artifact.
@@ -247,7 +266,13 @@ object Bench {
         (render(2, true, tokenNames = true), 1900),
         (render(1, true, errDetail = false, unit = false, loadDec = 0,
           tokenNames = true), 1912),
-        (render(1, true, errDetail = false, unit = false, load = false), 1900)))
+        (render(1, true, errDetail = false, unit = false, load = false), 1900),
+        // thresholded rungs (r13: 183 queries outgrew every full-map
+        // rendering): keep every entry the drift analysis can use,
+        // drop the sub-threshold tail, say how many were dropped
+        (render(2, true, tokenNames = true, minSec = 0.05), 1900),
+        (render(1, true, errDetail = false, unit = false, loadDec = 0,
+          tokenNames = true, minSec = 0.1), 1912)))
       .collectFirst { case (s, cap) if s.length <= cap => s }
       .getOrElse(renderMinimal)
     println(line)
