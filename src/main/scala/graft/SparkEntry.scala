@@ -1946,6 +1946,28 @@ object SparkEntry {
         .orderBy(col("n_nationkey").cast("long"))
     }),
 
+    // C29/D92 (r13): WebDataset-style tar shards — the multimodal
+    // training-shard convention (one tar per partition, samples as
+    // <key>.<ext> member groups, pinned ustar headers). Round-trip
+    // graded byte-exact against the ORIGINAL parquet values; the
+    // json member is string-concatenated (not to_json) so the
+    // oracle mirrors it byte-for-byte.
+    "q_c29_tar_shards" -> ((s, d) => {
+      val dir = "/tmp/graft_gate/c29_shards"
+      val docs = t(s, d, "documents").select(
+        format_string("%06d", col("doc_id")).as("key"),
+        map(lit("txt"), encode(col("text"), "UTF-8"),
+          lit("json"), encode(concat(lit("{\"lang\":\""), col("lang"),
+            lit("\",\"source\":\""), col("source"), lit("\"}")), "UTF-8")).as("files"))
+      graft.sources.TarShards.writeTarShards(docs.repartition(4), dir)
+      graft.sources.TarShards.readTarShards(s, dir)
+        .select(col("key"),
+          length(element_at(col("files"), "txt")).cast("long").as("n_bytes"),
+          decode(element_at(col("files"), "txt"), "UTF-8").as("text"),
+          decode(element_at(col("files"), "json"), "UTF-8").as("meta"))
+        .orderBy("key")
+    }),
+
     // C28 (r13): WARC crawl-format round trip — the documents table
     // exported as per-record-gzip `.warc.gz` parts by the executors,
     // read back one-task-per-file, graded on byte fidelity (UTF-8
@@ -2486,6 +2508,14 @@ object SparkEntry {
         """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
           |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
           |FROM nation ORDER BY CAST(n_nationkey AS BIGINT)""".stripMargin) +
+      // C29: the tar-shard round trip must reproduce the ORIGINAL
+      // documents byte-exactly (sample key, UTF-8 octet length,
+      // text, concatenated json member)
+      ("q_c29_tar_shards" ->
+        """SELECT printf('%06d', doc_id) AS key,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, text,
+          |  '{"lang":"' || lang || '","source":"' || source || '"}' AS meta
+          |FROM documents ORDER BY key""".stripMargin) +
       // C28: the WARC round trip must reproduce the ORIGINAL
       // documents byte-exactly (UTF-8 octet length + text)
       ("q_c28_warc_roundtrip" ->
