@@ -2239,6 +2239,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // D92 (r13): BM25 lexical top-k retrieval — the SPARSE sibling of
+    // d90's dense retrieval. Three queries DERIVED from the corpus
+    // (first 4 tokens of pinned doc_ids — corpus-agnostic, so the
+    // x10/x50 suffixed-vocabulary corpora grade real hit sets too)
+    // plus one fixed query with an absent term (the partial-match
+    // path); every (query, term, doc) micro contribution is
+    // rounding-boundary guarded and the guard rides as a claim row
+    // (the d80 scheme).
+    "q_d92_bm25" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val derived = docs.filter(col("doc_id").isin(3L, 41L, 77L))
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(trim(col("text")), " +"), 1, 4), " ").as("qtext"))
+      val q = derived.unionByName(
+        Seq((9001L, "zzzmissing the")).toDF("qid", "qtext"))
+      val (top, g) = graft.text.Bm25.bm25TopKAndGuard(
+        docs, "doc_id", "text", q, "qid", "qtext", 10)
+      top.unionByName(g.select(lit(-1L).as("query_id"), lit(0L).as("rank"),
+          lit(-1L).as("doc_id"),
+          when(col("min_score_dist") > 1e-7, 1L).otherwise(0L).as("score_micro")))
+        .orderBy("query_id", "rank")
+    }),
+
     // e2e-6 (r13): RAG retrieval composite — D90 batch retrieval →
     // doc-store lookup (the synthetic id→doc bridge is pmod(id,
     // n_docs), documented) → D12 content fingerprints → per-query
@@ -2266,6 +2290,35 @@ object SparkEntry {
       best.withColumn("final_rank", row_number().over(w).cast("long"))
         .select("query_id", "final_rank", "doc_id", "fingerprint")
         .orderBy("query_id", "final_rank")
+    }),
+
+    // e2e-8 (r13): HYBRID retrieval — D90 dense top-10 (bridged to
+    // docs via the pmod id→doc bridge, best rank per doc) fused with
+    // D92 BM25 top-10 (query text = first 5 tokens of the bridged
+    // query doc) through integer-exact RRF (Fusion.rrfFuse — LONG
+    // div contributions, no float boundary at all). The production
+    // retrieval stack: dense recalls paraphrase, sparse recalls
+    // exact terms, RRF needs no cross-system score calibration.
+    "q_e2e_hybrid" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val docs = t(s, d, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("_n"))
+      val qe = emb.filter(col("vec_id").isin(11L, 42L, 103L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dense = Ann.batchTopK(emb, "vec_id", "embedding", qe, "qid", "qv", 10)
+        .crossJoin(broadcast(nDocs))
+        .select(col("query_id"), col("rank"),
+          pmod(col("id"), col("_n")).as("doc_id"))
+      val qt = qe.crossJoin(broadcast(nDocs))
+        .select(col("qid"), pmod(col("qid"), col("_n")).as("doc_id"))
+        .join(docs, Seq("doc_id"))
+        .select(col("qid"),
+          array_join(slice(split(trim(col("text")), " +"), 1, 5), " ").as("qtext"))
+      val sparse = graft.text.Bm25.bm25TopK(
+          docs, "doc_id", "text", qt, "qid", "qtext", 10)
+        .select(col("query_id"), col("rank"), col("doc_id"))
+      graft.ann.Fusion.rrfFuse(Seq(dense, sparse), 10)
+        .orderBy("query_id", "rank")
     }),
 
     // e2e-7 (r13): crawl-ingest composite — the Common Crawl shape
@@ -5297,6 +5350,53 @@ object SparkEntry {
         |  score_micro
         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // BM25 re-derived end to end: postings/dl/df from the same
+    // whitespace tokenization, the per-term double tree mirrored
+    // node-for-node (exact-in-double integer inputs, one ln, micro
+    // round), LONG sums, rank under (score desc, doc asc); guard row
+    // appended like d80's
+    "q_d92_bm25" ->
+      """WITH q AS (
+        |  SELECT doc_id AS qid, array_to_string(
+        |    regexp_split_to_array(trim(text), ' +')[1:4], ' ') AS qtext
+        |  FROM documents WHERE doc_id IN (3, 41, 77)
+        |  UNION ALL SELECT 9001, 'zzzmissing the'),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |  CAST(sum(dl) AS DOUBLE) AS sumdld FROM dl),
+        |qt AS (SELECT DISTINCT qid, term FROM (SELECT qid,
+        |    unnest(regexp_split_to_array(trim(qtext), ' +')) AS term FROM q)
+        |  WHERE term <> ''),
+        |dft AS (SELECT term, count(*) AS df FROM post
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |terms AS (SELECT qt.qid, p.doc_id,
+        |  ln(1.0 + (nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |       / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |          + 0.75 * CAST(dl AS DOUBLE) * nd / sumdld)))
+        |    * 1e6 AS x
+        |  FROM post p JOIN dft USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN st JOIN qt USING (term)),
+        |micro AS (SELECT qid, doc_id, CAST(round(x) AS BIGINT) AS m,
+        |  abs(x - floor(x) - 0.5) AS bd FROM terms),
+        |sc AS (SELECT qid, doc_id, CAST(sum(m) AS BIGINT) AS score_micro
+        |  FROM micro GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score_micro, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT * FROM (
+        |  SELECT CAST(qid AS BIGINT) AS query_id, rank, doc_id, score_micro
+        |  FROM r WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT -1, 0, -1,
+        |    CASE WHEN coalesce(min(bd), 0.5) > 1e-7 THEN 1 ELSE 0 END
+        |  FROM micro)
+        |ORDER BY query_id, rank""".stripMargin,
+
     // e2e-6: retrieval -> pmod doc bridge -> fingerprint -> best-rank
     // dedup (arg_min is deterministic: rank is unique per query) ->
     // dense re-rank
@@ -5325,6 +5425,66 @@ object SparkEntry {
         |    AS final_rank,
         |  CAST(doc_id AS BIGINT) AS doc_id, fingerprint
         |FROM best ORDER BY query_id, final_rank""".stripMargin,
+
+    // e2e-8: both retrieval chains re-derived (dense = the d90 CTE,
+    // sparse = the d92 CTE with bridged-doc query text), then RRF in
+    // pure integer division — no float anywhere in the fusion
+    "q_e2e_hybrid" ->
+      """WITH nd AS (SELECT count(*) AS n FROM documents),
+        |qe AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id IN (11, 42, 103)),
+        |sc AS (SELECT qe.qid, e.vec_id AS id,
+        |  CAST(round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qe.qv)
+        |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(qe.qv, qe.qv))) * 1000000.0) AS BIGINT) AS score_micro
+        |  FROM embeddings e CROSS JOIN qe
+        |  WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) > 0),
+        |dr AS (SELECT qid, id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, id) AS BIGINT) AS rank FROM sc),
+        |dense AS (SELECT qid AS query_id, id % (SELECT n FROM nd) AS doc_id,
+        |  min(rank) AS r FROM dr WHERE rank <= 10 GROUP BY 1, 2),
+        |q AS (SELECT qe.qid, array_to_string(
+        |    regexp_split_to_array(trim(d.text), ' +')[1:5], ' ') AS qtext
+        |  FROM qe JOIN documents d ON d.doc_id = qe.qid % (SELECT n FROM nd)),
+        |tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |post AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS ndd,
+        |  CAST(sum(dl) AS DOUBLE) AS sumdld FROM dl),
+        |qt AS (SELECT DISTINCT qid, term FROM (SELECT qid,
+        |    unnest(regexp_split_to_array(trim(qtext), ' +')) AS term FROM q)
+        |  WHERE term <> ''),
+        |dft AS (SELECT term, count(*) AS df FROM post
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |terms AS (SELECT qt.qid, p.doc_id,
+        |  ln(1.0 + (ndd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |       / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+        |          + 0.75 * CAST(dl AS DOUBLE) * ndd / sumdld)))
+        |    * 1e6 AS x
+        |  FROM post p JOIN dft USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN st JOIN qt USING (term)),
+        |bm AS (SELECT qid, doc_id,
+        |  CAST(sum(CAST(round(x) AS BIGINT)) AS BIGINT) AS score_micro
+        |  FROM terms GROUP BY 1, 2),
+        |sr AS (SELECT qid, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM bm),
+        |sparse AS (SELECT qid AS query_id, doc_id, min(rank) AS r
+        |  FROM sr WHERE rank <= 10 GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT query_id, doc_id, 1000000 // (60 + r) AS c FROM dense
+        |  UNION ALL SELECT query_id, doc_id, 1000000 // (60 + r) FROM sparse),
+        |fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+        |  FROM contrib GROUP BY 1, 2),
+        |fr AS (SELECT query_id, doc_id, rrf_micro, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+        |  FROM fused)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank,
+        |  CAST(doc_id AS BIGINT) AS doc_id, rrf_micro
+        |FROM fr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // SimHash recomputed end-to-end: the sketch is a per-bit majority
     // vote over portable 60-bit token hashes (md5 nibble fold), so
