@@ -2263,6 +2263,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // D93 (r13): LSH banding planner — the r13 banding-dial lesson
+    // (GATE_r13.md) as an operator: closed-form miss/midpoint per
+    // (b,r) factorization of the 128-signature space at J>=0.9 under
+    // a 1e-12 miss budget, plus a candidate-volume forecast over a
+    // VALUES-pinned background-similarity histogram shaped like the
+    // d34b corpus (mass at ~0.6). The planner's chosen row IS the
+    // 32x4 dial the d34b gate was retuned to — certified here
+    // against the full SQL re-derivation, decisions made on the
+    // quantized integers, float boundaries guarded (claim row).
+    "q_d93_banding_plan" -> ((s, d) => {
+      import s.implicits._
+      val hist = Seq((60, 40000L), (75, 7000L), (90, 12L))
+        .toDF("sim_centi", "pairs")
+      val (plans, g) = graft.similarity.BandingPlanner.planWithBackground(
+        s, 128, 0.9, 1e-12, hist)
+      plans.unionByName(g.select(lit(-1L).as("b"), lit(0L).as("r"),
+          lit(0L).as("ln_miss_micro"), lit(0L).as("midpoint_micro"),
+          when(col("min_plan_dist") > 1e-7, 1L).otherwise(0L).as("exp_cand_micro"),
+          lit(false).as("feasible"), lit(false).as("chosen")))
+        .orderBy("b")
+    }),
+
     // e2e-6 (r13): RAG retrieval composite — D90 batch retrieval →
     // doc-store lookup (the synthetic id→doc bridge is pmod(id,
     // n_docs), documented) → D12 content fingerprints → per-query
@@ -5425,6 +5447,49 @@ object SparkEntry {
         |    AS final_rank,
         |  CAST(doc_id AS BIGINT) AS doc_id, fingerprint
         |FROM best ORDER BY query_id, final_rank""".stripMargin,
+
+    // the whole plan table re-derived: pow/ln/exp trees mirrored
+    // node-for-node, quantized to micro integers, feasibility vs the
+    // rounded ln-budget constant, chosen via the (midpoint desc, b
+    // asc) LIMIT 1 mirror of the broadcast max-struct
+    "q_d93_banding_plan" ->
+      """WITH br(b0, r0) AS (VALUES (1,128),(2,64),(4,32),(8,16),(16,8),
+        |  (32,4),(64,2),(128,1)),
+        |hist(s0, p0) AS (VALUES (60, 40000),(75, 7000),(90, 12)),
+        |sc AS (SELECT CAST(b0 AS BIGINT) AS b, CAST(r0 AS BIGINT) AS r,
+        |  CAST(b0 AS DOUBLE) * ln(1.0 - power(0.9, CAST(r0 AS DOUBLE))) * 1e6 AS lm,
+        |  exp(-ln(CAST(b0 AS DOUBLE)) / CAST(r0 AS DOUBLE)) * 1e6 AS md
+        |  FROM br),
+        |cx AS (SELECT b, CAST(p0 AS DOUBLE) * (1.0 - power(1.0
+        |    - power(CAST(s0 AS DOUBLE) / 100.0, CAST(r AS DOUBLE)),
+        |    CAST(b AS DOUBLE))) * 1e6 AS x
+        |  FROM sc CROSS JOIN hist),
+        |cand AS (SELECT b, CAST(sum(CAST(round(x) AS BIGINT)) AS BIGINT) AS ec
+        |  FROM cx GROUP BY 1),
+        |q AS (SELECT b, r, CAST(round(lm) AS BIGINT) AS ln_miss_micro,
+        |  CAST(round(md) AS BIGINT) AS midpoint_micro, ec AS exp_cand_micro,
+        |  CAST(round(lm) AS BIGINT)
+        |    <= CAST(round(ln(0.000000000001) * 1e6) AS BIGINT) AS feasible
+        |  FROM sc JOIN cand USING (b)),
+        |best AS (SELECT midpoint_micro AS m, b AS bb FROM q WHERE feasible
+        |  ORDER BY midpoint_micro DESC, b ASC LIMIT 1),
+        |fin AS (SELECT q.b, q.r, q.ln_miss_micro, q.midpoint_micro,
+        |  q.exp_cand_micro, q.feasible,
+        |  (q.feasible AND best.m IS NOT NULL AND q.midpoint_micro = best.m
+        |   AND q.b = best.bb) AS chosen
+        |  FROM q LEFT JOIN best ON true),
+        |g AS (SELECT least(
+        |  coalesce((SELECT min(abs(lm - floor(lm) - 0.5)) FROM sc), 0.5),
+        |  coalesce((SELECT min(abs(md - floor(md) - 0.5)) FROM sc), 0.5),
+        |  coalesce((SELECT min(abs(lm - ln(0.000000000001) * 1e6)) FROM sc), 0.5),
+        |  coalesce((SELECT min(abs(x - floor(x) - 0.5)) FROM cx), 0.5)) AS d)
+        |SELECT * FROM (
+        |  SELECT b, r, ln_miss_micro, midpoint_micro, exp_cand_micro,
+        |    feasible, chosen FROM fin
+        |  UNION ALL
+        |  SELECT -1, 0, 0, 0, CASE WHEN d > 1e-7 THEN 1 ELSE 0 END,
+        |    false, false FROM g)
+        |ORDER BY b""".stripMargin,
 
     // e2e-8: both retrieval chains re-derived (dense = the d90 CTE,
     // sparse = the d92 CTE with bridged-doc query text), then RRF in
