@@ -658,6 +658,36 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // C30 (r13): parquet compaction gate — write documents as 16
+    // deliberately-small files, compact to 200-row targets, census
+    // BOTH physical layouts via input_file_name (the c17/c21
+    // scheme), and certify content preservation through the
+    // small-write + compaction round trip with a portable md5-head
+    // XOR checksum the oracle recomputes from the ORIGINAL parquet
+    // (XOR: order-independent, overflow-free).
+    "q_c30_compact" -> ((s, d) => {
+      val base = "/tmp/graft_gate/c30"
+      t(s, d, "documents").repartition(16)
+        .write.mode("overwrite").parquet(s"$base/small")
+      graft.sources.Sources.compactParquetByRows(
+        s, s"$base/small", s"$base/compact", 200L)
+      val small = s.read.parquet(s"$base/small")
+      val comp = s.read.parquet(s"$base/compact")
+      val h = Dedup.portableTokenHash60(concat_ws("|",
+        col("doc_id"), coalesce(col("text"), lit("")))).as("_h")
+      def cell(df: DataFrame, metric: String) =
+        df.select(lit(metric).as("metric"), col("value"))
+      cell(small.agg(count(lit(1)).as("value")), "rows_small")
+        .unionByName(cell(small.select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("value")), "files_small"))
+        .unionByName(cell(comp.agg(count(lit(1)).as("value")), "rows_compact"))
+        .unionByName(cell(comp.select(input_file_name().as("f"))
+          .agg(countDistinct(col("f")).as("value")), "files_compact"))
+        .unionByName(cell(comp.select(h)
+          .agg(expr("bit_xor(_h)").as("value")), "content_xor"))
+        .orderBy("metric")
+    }),
+
     // ---- D. scale extensions
     "q_d1_exact_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -3465,6 +3495,26 @@ object SparkEntry {
         |  count(*) AS rows, count(DISTINCT filename) AS n_files
         |FROM read_parquet('/tmp/graft_gate/c21_bucketed/*.parquet', filename=1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // compaction census re-derived from the ORIGINAL parquet: file
+    // counts from the pinned 16-way small write and the ceil(n/200)
+    // row-target arithmetic; the content XOR from the portable
+    // md5-nibble fold (the d3/d16 idiom) — so the physical round
+    // trip must be content-invisible
+    "q_c30_compact" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'content_xor' AS metric, CAST(bit_xor(hh) AS BIGINT) AS value FROM h
+        |  UNION ALL SELECT 'files_compact', CAST((n + 199) // 200 AS BIGINT) FROM n
+        |  UNION ALL SELECT 'files_small', 16
+        |  UNION ALL SELECT 'rows_compact', CAST(n AS BIGINT) FROM n
+        |  UNION ALL SELECT 'rows_small', CAST(n AS BIGINT) FROM n)
+        |ORDER BY metric""".stripMargin,
 
     "q_d1_exact_dedup" ->
       """SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs,

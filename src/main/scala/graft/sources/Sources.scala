@@ -60,6 +60,79 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** C30: small-file compaction — rewrite a parquet directory into
+    * `ceil(rows / targetRows)` right-sized files. The table-
+    * maintenance half of the sink family: streaming ingests, hourly
+    * batch appends, and over-parallel writers all accrete thousands
+    * of kilobyte files, and at 100 TB that is the classic small-file
+    * problem — a task per file (scheduler overhead dominates),
+    * metadata pressure, and per-file reader setup swamping the scan.
+    * Compaction restores ~split-sized files; with `sortCols` the
+    * rewrite additionally RE-CLUSTERS (range-partition + sort-within,
+    * the D77 discipline) so every output file is a disjoint key range
+    * and min/max row-group stats prune point/range reads again.
+    *
+    * Shape: one count (the only driver-visible scalar), one
+    * round-robin `repartition(nOut)` (never an empty output file:
+    * any input partition with ≥ nOut rows covers every output) or —
+    * with `sortCols` — one `repartitionByRange` + in-partition sort;
+    * the write goes through Spark's own staged commit protocol, so a
+    * failed rewrite never corrupts `outDir`. Returns nOut.
+    *
+    * Deliberately writes to a NEW directory rather than in-place:
+    * swap-on-success (the C28/C29 rename discipline) is the caller's
+    * one-line `mv`, and in-place compaction of a live table is a
+    * transaction-log concern (Delta/Iceberg territory), not a plain
+    * parquet layout rewrite.
+    */
+  def compactParquetByRows(spark: SparkSession, inDir: String, outDir: String,
+                           targetRows: Long,
+                           sortCols: Seq[String] = Nil): Int = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val df = spark.read.parquet(inDir)
+    val n = df.count()
+    val nOut = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    shaped.write.mode("overwrite").parquet(outDir)
+    nOut
+  }
+
+  /** [[compactParquetByRows]] with a BYTE target: input size from one
+    * recursive driver-side listing (bounded by file count — exactly
+    * the metadata a compactor exists to shrink), output count =
+    * `ceil(inputBytes / targetBytes)`. Output files land near the
+    * target only to the extent rows are similar-sized; a re-encoded
+    * parquet can also compress differently than the input — this is
+    * the standard industry heuristic (Delta OPTIMIZE does the same),
+    * not a guarantee, and the row variant is the deterministic one.
+    */
+  def compactParquetByBytes(spark: SparkSession, inDir: String, outDir: String,
+                            targetBytes: Long,
+                            sortCols: Seq[String] = Nil): Int = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var total = 0L
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    shaped.write.mode("overwrite").parquet(outDir)
+    nOut
+  }
+
   /** Write `df` hive-partitioned by `partitionCols` (the standard
     * lake layout: one directory level per partition value). Reads
     * that filter on a partition column prune whole directories at
