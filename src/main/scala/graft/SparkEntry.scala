@@ -2315,6 +2315,17 @@ object SparkEntry {
         .orderBy("b")
     }),
 
+    // D94 (r13): deterministic proportional source interleaving —
+    // the mixture-execution schedule over documents by language:
+    // within-source D30 shuffle rank, per-source counts, and the
+    // exact-integer fractional position key (2r+1)/(2q) in micro-12
+    // units; the full chain (md5 rank order, counts, pmod-exact
+    // floor) re-derives in SQL.
+    "q_d94_interleave" -> ((s, d) =>
+      graft.pipeline.Pipeline.interleaveBySource(
+        t(s, d, "documents"), col("lang"), col("doc_id"))
+        .orderBy("pos_key", "source", "id")),
+
     // e2e-6 (r13): RAG retrieval composite — D90 batch retrieval →
     // doc-store lookup (the synthetic id→doc bridge is pmod(id,
     // n_docs), documented) → D12 content fingerprints → per-query
@@ -5540,6 +5551,22 @@ object SparkEntry {
         |  SELECT -1, 0, 0, 0, CASE WHEN d > 1e-7 THEN 1 ELSE 0 END,
         |    false, false FROM g)
         |ORDER BY b""".stripMargin,
+
+    // the schedule re-derived: the same md5 within-source rank order,
+    // per-source counts, and the (2r+1)*1e12 // (2q) key in HUGEINT
+    // (mirrors Spark's pmod-exact decimal floor)
+    "q_d94_interleave" ->
+      """WITH ranked AS (SELECT lang AS source, doc_id AS id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('interleave-0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS BIGINT) AS r
+        |  FROM documents),
+        |qq AS (SELECT source, count(*) AS q FROM ranked GROUP BY 1)
+        |SELECT source, id, r, CAST(q AS BIGINT) AS q,
+        |  CAST(CAST(2*r + 1 AS HUGEINT) * 1000000000000 // (2*q) AS BIGINT)
+        |    AS pos_key
+        |FROM ranked JOIN qq USING (source)
+        |ORDER BY pos_key, source, id""".stripMargin,
 
     // e2e-8: both retrieval chains re-derived (dense = the d90 CTE,
     // sparse = the d92 CTE with bridged-doc query text), then RRF in

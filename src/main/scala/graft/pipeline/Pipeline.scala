@@ -179,6 +179,62 @@ object Pipeline {
     df.withColumn("shuffle_key", shuffleKey(keyCol, seed))
       .orderBy(col("shuffle_key"))
 
+  /** D94 key arithmetic, exposed for spec-drive at arbitrary (r, q):
+    * pos_key = floor((2r+1)·1e12 / (2q)) in EXACT decimal integer
+    * arithmetic — the D89 pmod-exact floor (a plain decimal division
+    * rounds at scale 6 BEFORE floor and mis-floors once 2q > ~2e6,
+    * i.e. at any real per-source size). All values positive; the
+    * quotient is < 1e12 so the final cast is lossless.
+    */
+  def interleaveKey(rCol: Column, qCol: Column): Column = {
+    val dec = "decimal(38,0)"
+    val a = (rCol.cast("long") * 2 + 1).cast(dec) *
+      lit(1000000000000L).cast(dec)
+    val b = (qCol.cast("long") * 2).cast(dec)
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
+  /** D94: deterministic proportional source interleaving — the
+    * mixture EXECUTION step after selection (D48 quotas, D86
+    * weighted sampling, D46 DSIR): emit a TOTAL ORDER over the mixed
+    * corpus in which every source appears evenly at its share, so a
+    * sequential reader (the dataloader) sees the mixture ratio in
+    * every window of the schedule instead of source-sized runs —
+    * proportional sampling with NO RNG state. Fractional-position
+    * rule: the doc at within-source rank r (0-based, of q) goes to
+    * schedule position (2r+1)/(2q); any prefix of the order then
+    * carries each source's proportional share to within ~1 doc
+    * (spec-pinned).
+    *
+    * Exactness: within-source order is the D30 shuffle key (md5 of
+    * seed:id, ties on id — a total order, engine-exact);
+    * [[interleaveKey]] is exact integer arithmetic; global ties
+    * (sources at identical fractions) break on (source, id).
+    *
+    * Plan shape: rank = row_number over a window PARTITIONED BY
+    * SOURCE (parallel across sources — never a global sort);
+    * per-source counts ride a broadcast source-bounded dim; output
+    * carries pos_key — materialize the order at scale with
+    * `repartitionByRange(pos_key)` + sort-within (the D77/D30 write
+    * discipline), never a global row_number. Null sources group
+    * together (SQL semantics, the shared A18 rule); ids must be
+    * non-null (the rank tie-break).
+    */
+  def interleaveBySource(df: DataFrame, sourceCol: Column, idCol: Column,
+                         seed: String = "interleave-0"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_sk"), col("id"))
+    val ranked = df
+      .select(sourceCol.as("source"), idCol.as("id"),
+        shuffleKey(idCol, seed).as("_sk"))
+      .withColumn("r", (row_number().over(w) - 1).cast("long"))
+      .drop("_sk")
+    val q = ranked.groupBy(col("source")).agg(count(lit(1)).as("q"))
+    ranked.join(broadcast(q), Seq("source"))
+      .select(col("source"), col("id"), col("r"), col("q"),
+        interleaveKey(col("r"), col("q")).as("pos_key"))
+  }
+
   /** Per-source keep fractions that hit a TOKEN budget with
     * temperature-weighted mixing — the "data mixture" step before
     * sampling: target share of source s ∝ tokens_s^temperature
