@@ -1314,6 +1314,31 @@ object SparkEntry {
         .withColumn("window_start", unix_micros(col("window_start")))
         .orderBy("window_start", "item")
     }),
+    // D95 (r13): windowed streaming distinct counts — the HLL sketch
+    // agg inside a watermarked window (state bounded by open-windows
+    // × 2^lgK registers, never item cardinality); batch-graded here
+    // (same code path, watermark a no-op on batch — the D14/D81
+    // scheme) with the D64 certification: per-window estimate vs the
+    // batch-exact count, ±5% claim per window.
+    "q_d95_windowed_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val withTs = ev.withColumn("tsw", Tables.asTimestamp(ev, "ts"))
+      val est = graft.streaming.StreamingDQ.windowedDistinct(
+        withTs, "tsw", "user_id", windowDur = "6 hours")
+        .withColumn("window_start", unix_micros(col("window_start")))
+      val exact = withTs.filter(col("user_id").isNotNull)
+        .groupBy(window(col("tsw"), "6 hours").as("w"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(unix_micros(col("w.start")).as("window_start"),
+          col("exact_distinct"))
+      exact.join(est, Seq("window_start"))
+        .select(col("window_start"), col("exact_distinct"),
+          when(abs(col("distinct_est") - col("exact_distinct"))
+            <= col("exact_distinct").cast("double") * 0.05, 1.0)
+            .otherwise(0.0).as("within_5pct"))
+        .orderBy("window_start")
+    }),
+
     // PMI collocations: top-15 over-chance adjacent pairs (minCount
     // 5) + the zz_guard ln-portability claim row
     "q_d80_pmi" -> ((s, d) => {
@@ -4247,6 +4272,15 @@ object SparkEntry {
         |  event_type AS item, count(*) AS est, count(*) AS lb, count(*) AS ub
         |FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-window exact distincts from the same epoch-aligned 6h
+    // buckets; the 1.0 claim asserts the HLL estimate sat within 5%
+    "q_d95_windowed_distinct" ->
+      """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+        |  1.0 AS within_5pct
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bigram margins + N from the same pair frame; identical product
     // order so the ln sees bit-identical inputs; guard pinned at 1

@@ -311,6 +311,34 @@ object StreamingDQ {
       .select(col("window_start"), col("_e.item").as("item"),
         col("_e.est").as("est"), col("_e.lb").as("lb"), col("_e.ub").as("ub"))
 
+  /** D95: windowed streaming distinct counts — "how many distinct
+    * users/documents/keys per window" on an unbounded stream, the
+    * distinct-count member of the windowed-sketch family (D81 =
+    * heavy hitters). Exact windowed COUNT(DISTINCT) is unsupported
+    * in Structured Streaming for a reason: state would grow with
+    * item cardinality. Spark's DataSketches HLL aggregate
+    * (`hll_sketch_agg`) partial-merges like any builtin, so the
+    * state store holds ONE bounded sketch (2^lgK registers) per open
+    * window — state bounded by open-windows × sketch size, never by
+    * cardinality (the D81 argument, distinct-count flavored), and
+    * the same sketch algebra as D64, so per-window sketches from
+    * independent ingest streams union without re-scanning either.
+    * Estimates are exact in the sparse regime and ±~1.6%/sqrt(2^lgK)
+    * beyond it (the D64 certification scheme: gates pin a ±5% claim
+    * against the batch-exact count).
+    */
+  def windowedDistinct(stream: DataFrame, tsCol: String, itemCol: String,
+                       windowDur: String = "1 minute",
+                       watermark: String = "2 minutes",
+                       lgK: Int = 14): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .filter(col(itemCol).isNotNull)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(hll_sketch_agg(col(itemCol).cast("string"), lit(lgK)).as("_sk"))
+      .select(col("w.start").as("window_start"),
+        hll_sketch_estimate(col("_sk")).as("distinct_est"))
+
   private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Replay a batch table as a REAL multi-batch file-source stream

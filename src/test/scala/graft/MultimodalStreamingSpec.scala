@@ -656,6 +656,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinct: HLL agg maintains per-window state; exact in sparse regime") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamingDQ.windowedDistinct(
+      mem.toDF().toDF("ts", "item"), "ts", "item",
+      windowDur = "1 minute", watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("wdist_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // window 1: {a,b,c} across TWO micro-batches (state must merge)
+      mem.addData((t("2026-01-01 00:00:01"), "a"), (t("2026-01-01 00:00:02"), "b"))
+      q.processAllAvailable()
+      mem.addData((t("2026-01-01 00:00:03"), "a"), (t("2026-01-01 00:00:04"), "c"))
+      q.processAllAvailable()
+      mem.addData((t("2026-01-01 00:10:00"), "zz")) // close window 1
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, distinct_est FROM wdist_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(rows.toSeq == Seq(("2026-01-01 00:00:00.0", 3L)))
+    } finally q.stop()
+  }
+
   // Closes the loop the r10 regression exposed: the batch oracle for
   // D14 used to read ts through a hard-coded physical representation
   // while the streaming specs fed synthetic TimestampType columns —
