@@ -2340,6 +2340,41 @@ object SparkEntry {
         .orderBy("b")
     }),
 
+    // e2e-9 (r13): the MIXTURE BUILD — the full "raw corpus to
+    // training schedule" chain: D41 sqrt-temperature token-budget
+    // fractions per language → D25 deterministic hash sampling at
+    // those fractions (the language→fraction dim crosses the driver
+    // as a bounded map, the centroid-collect contract) → D94
+    // proportional interleave of the sampled mix. The oracle
+    // re-derives all three stages in one SQL chain, so the composite
+    // certifies the stages COMPOSE bit-exactly, not just that each
+    // passes alone.
+    "q_e2e_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", graft.text.TextAnalysis.wordCount(col("text")))
+      val fr = graft.pipeline.Pipeline.tokenBudgetFractions(
+        docs, col("n_tokens"), col("lang"), budgetTokens = 10000L,
+        temperature = 0.5)
+      val fmap = fr.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val sampled = graft.pipeline.Pipeline.stratifiedSampleByHash(
+        docs, col("doc_id"), col("lang"), fmap)
+      graft.pipeline.Pipeline.interleaveBySource(
+        sampled, col("lang"), col("doc_id"))
+        .orderBy("pos_key", "source", "id")
+    }),
+
+    // D96 (r13): distributed global rank — the range-partitioned
+    // two-pass rank (the scalable half of C1b's index semantics: no
+    // single-task window over the corpus; offsets ride a P-row
+    // bounded frame). Output is partitioning-independent by
+    // construction — the spec proves it; this gate proves the values
+    // against the engine-exact row_number total order.
+    "q_d96_global_rank" -> ((s, d) =>
+      graft.operators.Rank.globalRank(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc), col("doc_id"), partitions = 8)
+        .orderBy("global_rank")),
+
     // D94 (r13): deterministic proportional source interleaving —
     // the mixture-execution schedule over documents by language:
     // within-source D30 shuffle rank, per-source counts, and the
@@ -4278,7 +4313,7 @@ object SparkEntry {
     "q_d95_windowed_distinct" ->
       """SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-        |  1.0 AS within_5pct
+        |  CAST(1.0 AS DOUBLE) AS within_5pct
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -5585,6 +5620,48 @@ object SparkEntry {
         |  SELECT -1, 0, 0, 0, CASE WHEN d > 1e-7 THEN 1 ELSE 0 END,
         |    false, false FROM g)
         |ORDER BY b""".stripMargin,
+
+    // e2e-9: the d41 fraction arithmetic, the d25 md5-bucket filter
+    // (JVM math.round(f*10000) mirrored as floor(x+0.5)), and the
+    // d94 schedule re-derived as ONE chain
+    "q_e2e_mixture" ->
+      """WITH t AS (SELECT lang, CAST(sum(CASE WHEN length(trim(text))=0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text),' +')) END) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, tokens,
+        |  CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wt FROM t),
+        |nw AS (SELECT sum(wt) AS wsum FROM w),
+        |fr AS (SELECT lang, round(least(1.0,
+        |    (10000.0 * wt / (SELECT wsum FROM nw)) / tokens), 4) AS keep_frac
+        |  FROM w),
+        |th AS (SELECT lang, CAST(floor(keep_frac * 10000 + 0.5) AS BIGINT) AS thr
+        |  FROM fr),
+        |b AS (SELECT doc_id, lang, list_reduce(list_transform(range(1, 9),
+        |    i -> strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) % 10000 AS bkt FROM documents),
+        |samp AS (SELECT b.doc_id, b.lang FROM b JOIN th USING (lang)
+        |  WHERE bkt < thr),
+        |ranked AS (SELECT lang AS source, doc_id AS id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5('interleave-0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS BIGINT) AS r
+        |  FROM samp),
+        |qq AS (SELECT source, count(*) AS q FROM ranked GROUP BY 1)
+        |SELECT source, id, r, CAST(q AS BIGINT) AS q,
+        |  CAST(CAST(2*r + 1 AS HUGEINT) * 1000000000000 // (2*q) AS BIGINT)
+        |    AS pos_key
+        |FROM ranked JOIN qq USING (source)
+        |ORDER BY pos_key, source, id""".stripMargin,
+
+    // the two-pass distributed rank must equal the engine's own
+    // total-order row_number (NULLS LAST spelled out: Spark desc =
+    // nulls-last, DuckDB's default differs)
+    "q_d96_global_rank" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id)
+        |    - 1 AS BIGINT) AS global_rank
+        |FROM documents ORDER BY global_rank""".stripMargin,
 
     // the schedule re-derived: the same md5 within-source rank order,
     // per-source counts, and the (2r+1)*1e12 // (2q) key in HUGEINT
