@@ -2340,6 +2340,20 @@ object SparkEntry {
         .orderBy("b")
     }),
 
+    // D97 (r13): margin-based bitext mining — embeddings split
+    // even/odd as the two "languages"; two exact retrieval passes,
+    // k-bounded neighborhood sums, and the FULLY INTEGER margin
+    // (2·k·cos·1e6) div (S+T); keep each source's best-margin target
+    // above ratio 1.0 (closer than the average neighbor).
+    "q_d97_margin_mining" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.marginMining(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        k = 4, thresholdMicro = 1000000L)
+        .orderBy("src_id")
+    }),
+
     // e2e-9 (r13): the MIXTURE BUILD — the full "raw corpus to
     // training schedule" chain: D41 sqrt-temperature token-budget
     // fractions per language → D25 deterministic hash sampling at
@@ -5620,6 +5634,41 @@ object SparkEntry {
         |  SELECT -1, 0, 0, 0, CASE WHEN d > 1e-7 THEN 1 ELSE 0 END,
         |    false, false FROM g)
         |ORDER BY b""".stripMargin,
+
+    // D97: ONE symmetric cosine table serves both retrieval
+    // directions (dot and the norm product are bit-commutative),
+    // ranked both ways, k-bounded sums, integer-division margin —
+    // no float beyond the certified cosine micros
+    "q_d97_margin_mining" ->
+      """WITH src AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |tgt AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |fsc AS (SELECT s.id AS src_id, t.id AS tgt_id,
+        |  CAST(round(list_dot_product(t.v, s.v)
+        |    / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.v, s.v)))
+        |    * 1000000.0) AS BIGINT) AS cm
+        |  FROM src s CROSS JOIN tgt t
+        |  WHERE list_dot_product(t.v, t.v) > 0 AND list_dot_product(s.v, s.v) > 0),
+        |fr AS (SELECT src_id, tgt_id, cm, CAST(row_number() OVER (
+        |    PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS BIGINT) AS rk
+        |  FROM fsc),
+        |fwd AS (SELECT * FROM fr WHERE rk <= 4),
+        |br AS (SELECT src_id, tgt_id, cm, CAST(row_number() OVER (
+        |    PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS BIGINT) AS rk
+        |  FROM fsc),
+        |bwd AS (SELECT * FROM br WHERE rk <= 4),
+        |ss AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS s FROM fwd GROUP BY 1),
+        |tt AS (SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS t FROM bwd GROUP BY 1),
+        |sc AS (SELECT f.src_id, f.tgt_id, f.cm,
+        |  (2 * 4 * f.cm * 1000000) // (s + t) AS margin
+        |  FROM fwd f JOIN ss USING (src_id) JOIN tt USING (tgt_id)),
+        |best AS (SELECT src_id, tgt_id, cm, CAST(margin AS BIGINT) AS margin_micro,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id)
+        |    AS rk FROM sc)
+        |SELECT src_id, tgt_id, cm AS cos_micro, margin_micro
+        |FROM best WHERE rk = 1 AND margin_micro >= 1000000
+        |ORDER BY src_id""".stripMargin,
 
     // e2e-9: the d41 fraction arithmetic, the d25 md5-bucket filter
     // (JVM math.round(f*10000) mirrored as floor(x+0.5)), and the

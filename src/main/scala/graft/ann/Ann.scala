@@ -489,4 +489,63 @@ object Ann {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("id"), col("col.score_micro").as("score_micro"))
   }
+
+  /** D97: margin-based bitext mining (Artetxe & Schwenk ACL 2019,
+    * the CCMatrix/LASER parallel-corpus mining step — raw cosine
+    * over-fires on "hub" vectors that are close to everything;
+    * dividing by the average similarity of each side's own
+    * neighborhood normalizes hubness away): for source x and target
+    * y, margin(x,y) = 2·cos(x,y) / (meanTopK(x→tgt) + meanTopK(y→src));
+    * keep each source's best-margin target when the margin clears
+    * `thresholdMicro` (ratio margin ×1e6; >1e6 means "closer than
+    * the average neighbor").
+    *
+    * Built ON [[batchTopK]] — two exact retrieval passes (src→tgt,
+    * tgt→src), both map-only scans with k-bounded aggregate shuffles;
+    * everything after operates on the ≤|src|·k candidate frame.
+    * EXACTNESS IS FULLY INTEGER: cosines are the micro longs the
+    * retrieval already certifies, per-side neighborhood sums S and T
+    * are k-bounded long sums, and the margin is the integer division
+    * (2·k·cos_micro·1e6) div (S+T) — no float anywhere, so no
+    * boundary guard is even needed (the e2e-8 RRF argument). The
+    * per-source argmax rides [[graft.functions.TopKPairsAgg]] with
+    * k=1 under (margin desc, tgt asc).
+    *
+    * Both query sides must be bounded frames (the batchTopK
+    * broadcast contract); for corpus×corpus mining at 100 TB, block
+    * by LSH/IVF buckets first and margin-mine within blocks.
+    *
+    * Returns (src_id, tgt_id, cos_micro, margin_micro).
+    */
+  def marginMining(src: DataFrame, srcId: String, srcVec: String,
+                   tgt: DataFrame, tgtId: String, tgtVec: String,
+                   k: Int, thresholdMicro: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = graft.CacheScope.persist(
+      batchTopK(tgt, tgtId, tgtVec, src, srcId, srcVec, k)
+        .withColumnRenamed("query_id", "src_id")
+        .withColumnRenamed("id", "tgt_id"))
+    val bwd = batchTopK(src, srcId, srcVec, tgt, tgtId, tgtVec, k)
+      .withColumnRenamed("query_id", "tgt_id")
+    val s = fwd.groupBy(col("src_id")).agg(sum(col("score_micro")).as("_s"))
+    val t = bwd.groupBy(col("tgt_id")).agg(sum(col("score_micro")).as("_t"))
+    val scored = fwd
+      .join(s, Seq("src_id"))
+      .join(t, Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"),
+        col("score_micro").as("cos_micro"),
+        expr(s"(2L * $k * score_micro * 1000000L) div (_s + _t)")
+          .as("margin_micro"))
+    scored
+      .groupBy(col("src_id"))
+      .agg(graft.functions.TopKPairsAgg(col("margin_micro"), col("tgt_id"), 1)
+        .as("_top"))
+      .select(col("src_id"), col("_top").getItem(0).getField("id").as("tgt_id"),
+        col("_top").getItem(0).getField("score_micro").as("margin_micro"))
+      .filter(col("margin_micro") >= thresholdMicro)
+      .join(scored.select(col("src_id"), col("tgt_id"), col("cos_micro")),
+        Seq("src_id", "tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("cos_micro"),
+        col("margin_micro"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ann.Ann
+
+class MarginMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private def vec(seed: Long): Array[Float] =
+    Array.tabulate(dim)(j => (((seed * 131 + j * 17) % 23).toFloat - 11) / 11f)
+
+  private def cosMicro(a: Array[Float], b: Array[Float]): Long = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    math.round(d / (na * nb) * 1e6)
+  }
+
+  test("margins equal the integer reference on a random corpus; threshold filters") {
+    val srcV = (1L to 12L).map(i => i -> vec(i)).toMap
+    val tgtV = (101L to 118L).map(i => i -> vec(i * 7 + 3)).toMap
+    val k = 3
+    val src = srcV.toSeq.toDF("id", "v")
+    val tgt = tgtV.toSeq.toDF("id", "v")
+    // integer reference: top-k by (cos desc, id asc), sums as longs,
+    // margin = (2*k*cos*1e6) div (S+T)
+    def topk(q: Array[Float], corpus: Map[Long, Array[Float]]) =
+      corpus.toSeq.map { case (i, v) => (cosMicro(q, v), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(k)
+    val sSum = srcV.map { case (i, v) => i -> topk(v, tgtV).map(_._1).sum }
+    val tSum = tgtV.map { case (i, v) => i -> topk(v, srcV).map(_._1).sum }
+    val wantAll = for {
+      (si, sv) <- srcV.toSeq; (cm, ti) <- topk(sv, tgtV)
+    } yield (si, ti, cm, (2L * k * cm * 1000000L) / (sSum(si) + tSum(ti)))
+    val wantBest = wantAll.groupBy(_._1).map { case (si, rows) =>
+      rows.maxBy(r => (r._4, -r._2))
+    }.toSeq
+    for (thr <- Seq(Long.MinValue, 1000000L)) {
+      val got = Ann.marginMining(src, "id", "v", tgt, "id", "v", k, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+      val want = wantBest.filter(_._4 >= thr).sortBy(_._1)
+      assert(got == want, s"thr=$thr")
+    }
+  }
+
+  test("hubness: margin prefers the dedicated pair over a raw-cosine hub") {
+    // hub 900 is fairly close to BOTH sources; each source also has a
+    // dedicated target that is its true match. The hub's backward
+    // neighborhood sum T is high (it is everyone's neighbor), which
+    // deflates its margin below the dedicated targets'.
+    val src = Seq(1L -> Array(1f, 0.1f, 0f), 2L -> Array(0.1f, 1f, 0f))
+      .toDF("id", "v")
+    val tgt = Seq(
+      900L -> Array(0.75f, 0.75f, 0f), // hub: close to both
+      11L -> Array(1f, 0f, 0.25f),     // dedicated to src 1
+      22L -> Array(0f, 1f, 0.25f))     // dedicated to src 2
+      .toDF("id", "v")
+    val got = Ann.marginMining(src, "id", "v", tgt, "id", "v",
+      k = 2, thresholdMicro = Long.MinValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 11L, 2L -> 22L))
+  }
+
+  test("deterministic across partitionings (pure integer pipeline)") {
+    val src = (1L to 40L).map(i => (i, vec(i))).toDF("id", "v")
+    val tgt = (200L to 260L).map(i => (i, vec(i * 3 + 1))).toDF("id", "v")
+    def run(p: Int) = Ann.marginMining(src.repartition(p), "id", "v",
+      tgt.repartition(p), "id", "v", 4, 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(run(1) == run(6))
+  }
+}
