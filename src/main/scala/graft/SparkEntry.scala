@@ -658,6 +658,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // C31 (r13): deterministic sharded JSONL export + manifest —
+    // documents exported as 200-row shards in doc_id order (shard
+    // identity from the D96 global rank, one file per shard by
+    // construction), read BACK from the written JSONL, and the
+    // manifest censused from the read-back — so shard assignment,
+    // the one-file layout, AND the JSONL round trip are all under
+    // the oracle's md5-XOR checksum.
+    "q_c31_jsonl_shards" -> ((s, d) => {
+      val dir = "/tmp/graft_gate/c31_shards"
+      graft.sources.Sources.exportJsonlShards(
+        t(s, d, "documents").select("doc_id", "text"), dir, 200L,
+        Seq(col("doc_id")), col("doc_id"))
+      val back = s.read.schema("doc_id LONG, text STRING, global_rank LONG")
+        .json(dir)
+      graft.sources.Sources.shardManifest(back, col("doc_id"), col("text"))
+        .orderBy("shard")
+    }),
+
     // C30 (r13): parquet compaction gate — write documents as 16
     // deliberately-small files, compact to 200-row targets, census
     // BOTH physical layouts via input_file_name (the c17/c21
@@ -3580,6 +3598,25 @@ object SparkEntry {
         |  count(*) AS rows, count(DISTINCT filename) AS n_files
         |FROM read_parquet('/tmp/graft_gate/c21_bucketed/*.parquet', filename=1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // shard identity, ranges, and the round-trip checksum re-derived
+    // from the ORIGINAL parquet (rank = row_number over doc_id; the
+    // one-file-per-shard layout is a pinned claim)
+    "q_c31_jsonl_shards" ->
+      """WITH r AS (SELECT doc_id, text,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, text, rk // 200 AS shard FROM r),
+        |h AS (SELECT shard, doc_id, list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM sh)
+        |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS rows,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(bit_xor(hh) AS BIGINT) AS content_xor
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // compaction census re-derived from the ORIGINAL parquet: file
     // counts from the pinned 16-way small write and the ceil(n/200)

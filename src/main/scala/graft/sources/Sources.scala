@@ -133,6 +133,47 @@ object Sources {
     nOut
   }
 
+  /** C31: deterministic sharded JSONL export — the lingua-franca
+    * training-data exchange layout (a directory of `shard=N` JSONL
+    * shards of a FIXED row count in a PINNED order, plus a manifest):
+    * rows take their shard from the D96 distributed global rank
+    * (`shard = global_rank div rowsPerShard` — no RNG, no
+    * partitioning dependence), so two exports of the same data are
+    * row-for-row identical and a resumable downloader/dataloader can
+    * address any slice by shard id. `global_rank` rides inside each
+    * record as the schedule position. One `repartition(shard)`
+    * co-locates each shard into exactly one written file. JSONL's
+    * escaping makes the round trip byte-faithful for any text
+    * (newlines, unicode); null content serializes as an absent field
+    * and reads back null (JSON-source semantics, documented).
+    */
+  def exportJsonlShards(df: DataFrame, dir: String, rowsPerShard: Long,
+                        sortCols: Seq[Column], idCol: Column): Unit = {
+    require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
+    graft.operators.Rank.globalRank(df, sortCols, idCol)
+      .withColumn("shard", expr(s"global_rank div ${rowsPerShard}L"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").json(dir)
+  }
+
+  /** Manifest over a read-back shard directory: per shard — rows,
+    * id range, file count, and a portable md5-head XOR content
+    * checksum (order-independent, engine-reproducible: the d3/d16
+    * nibble-fold idiom) — the sidecar that lets a consumer verify a
+    * transferred shard without re-reading the corpus it came from.
+    */
+  def shardManifest(shards: DataFrame, idCol: Column,
+                    contentCol: Column): DataFrame =
+    shards
+      .withColumn("_h", graft.dedup.Dedup.portableTokenHash60(
+        concat_ws("|", idCol, coalesce(contentCol, lit("")))))
+      .withColumn("_f", input_file_name())
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("rows"),
+        min(idCol).as("min_id"), max(idCol).as("max_id"),
+        countDistinct(col("_f")).as("n_files"),
+        expr("bit_xor(_h)").as("content_xor"))
+
   /** Write `df` hive-partitioned by `partitionCols` (the standard
     * lake layout: one directory level per partition value). Reads
     * that filter on a partition column prune whole directories at
