@@ -2358,6 +2358,30 @@ object SparkEntry {
         .orderBy("b")
     }),
 
+    // D98 (r13): int8 embedding quantization — per-vector symmetric
+    // codes over the embeddings table, pinned through four integer
+    // projections per vector (sum, L1, first, last — jointly with
+    // scale_micro they pin the code arrays without emitting arrays,
+    // which the hash compare can't sort on); element-level rounding
+    // boundaries fold into the claim row.
+    "q_d98_int8_quant" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = graft.ann.Quantize.quantizeInt8(emb, "vec_id", "embedding")
+      val proj = q.select(col("vec_id"), col("scale_micro"),
+        expr("aggregate(codes, 0L, (a, x) -> a + x)").as("q_sum"),
+        expr("aggregate(codes, 0L, (a, x) -> a + abs(x))").as("q_l1"),
+        element_at(col("codes"), 1).cast("long").as("q_first"),
+        element_at(col("codes"), size(col("codes"))).cast("long").as("q_last"))
+      val g = emb.select(graft.ann.Quantize.quantBoundaryDist(col("embedding"))
+          .as("_d"))
+        .agg(coalesce(min(col("_d")), lit(0.5)).as("mind"))
+      proj.unionByName(g.select(lit(-1L).as("vec_id"),
+          lit(0L).as("scale_micro"),
+          when(col("mind") > 1e-7, 1L).otherwise(0L).as("q_sum"),
+          lit(0L).as("q_l1"), lit(0L).as("q_first"), lit(0L).as("q_last")))
+        .orderBy("vec_id")
+    }),
+
     // D97 (r13): margin-based bitext mining — embeddings split
     // even/odd as the two "languages"; two exact retrieval passes,
     // k-bounded neighborhood sums, and the FULLY INTEGER margin
@@ -5671,6 +5695,34 @@ object SparkEntry {
         |  SELECT -1, 0, 0, 0, CASE WHEN d > 1e-7 THEN 1 ELSE 0 END,
         |    false, false FROM g)
         |ORDER BY b""".stripMargin,
+
+    // D98: the code arrays re-derived element-for-element (round
+    // half-away matches on both engines away from the guarded
+    // boundary), reduced through the same four integer projections
+    "q_d98_int8_quant" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, x,
+        |  list_max(list_transform(x, e -> abs(e))) AS mm FROM v),
+        |qv AS (SELECT vec_id, mm, CASE WHEN mm > 0 THEN
+        |    list_transform(x, e -> CAST(round(e / mm * 127) AS INT)) END AS q
+        |  FROM m),
+        |proj AS (SELECT vec_id,
+        |  CASE WHEN mm > 0 THEN CAST(round(mm * 1e6) AS BIGINT) END AS scale_micro,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(q, e -> abs(e))) AS BIGINT) AS q_l1,
+        |  CAST(q[1] AS BIGINT) AS q_first,
+        |  CAST(q[len(q)] AS BIGINT) AS q_last
+        |  FROM qv),
+        |bd AS (SELECT CASE WHEN mm > 0 THEN list_min(list_transform(x,
+        |    e -> abs(abs(e / mm * 127 - floor(e / mm * 127)) - 0.5)))
+        |  ELSE 0.5 END AS dd FROM m),
+        |g AS (SELECT coalesce(min(dd), 0.5) AS mind FROM bd)
+        |SELECT * FROM (
+        |  SELECT vec_id, scale_micro, q_sum, q_l1, q_first, q_last FROM proj
+        |  UNION ALL
+        |  SELECT -1, 0, CASE WHEN mind > 1e-7 THEN 1 ELSE 0 END, 0, 0, 0 FROM g)
+        |ORDER BY vec_id""".stripMargin,
 
     // D97: ONE symmetric cosine table serves both retrieval
     // directions (dot and the norm product are bit-commutative),
