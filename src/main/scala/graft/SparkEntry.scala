@@ -2358,6 +2358,45 @@ object SparkEntry {
         .orderBy("b")
     }),
 
+    // e2e-10 (r13): two-stage QUANTIZED serving — the production ANN
+    // pattern D98 exists for: stage 1 scans int8 CODES only (a
+    // quarter of the bytes; integer dots) for top-20 candidates per
+    // query, stage 2 re-ranks ONLY those candidates with exact float
+    // cosine and keeps top-5. The oracle re-derives quantization,
+    // the int8 coarse pass (int8 dots are integer-valued and ≤ ~1e6,
+    // so DuckDB's double list_dot_product is exact on them), and the
+    // float re-rank as one chain.
+    "q_e2e_serving" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = graft.ann.Quantize.quantizeInt8(emb, "vec_id", "embedding")
+      val queries = q.filter(col("vec_id").isin(5L, 67L, 131L))
+        .select(col("vec_id").as("qid"), col("codes").as("qc"))
+      val coarse = q.select(col("vec_id").as("id"), col("codes"))
+        .crossJoin(broadcast(queries))
+        .select(col("qid"), col("id"),
+          graft.ann.Quantize.int8CosineMicro(col("codes"), col("qc")).as("s"))
+        .filter(col("s").isNotNull)
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKPairsAgg(col("s"), col("id"), 20).as("t"))
+        .select(col("qid"), explode(col("t")).as("e"))
+        .select(col("qid"), col("e.id").as("id"))
+      val qv = emb.filter(col("vec_id").isin(5L, 67L, 131L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      coarse
+        .join(emb.select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("id"),
+          round(Ann.cosine(col("embedding"), col("qv")) * 1e6).cast("long")
+            .as("sm"))
+        .filter(col("sm").isNotNull)
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKPairsAgg(col("sm"), col("id"), 5).as("t"))
+        .select(col("qid").as("query_id"), posexplode(col("t")))
+        .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("id"), col("col.score_micro").as("score_micro"))
+        .orderBy("query_id", "rank")
+    }),
+
     // D98 (r13): int8 embedding quantization — per-vector symmetric
     // codes over the embeddings table, pinned through four integer
     // projections per vector (sum, L1, first, last — jointly with
@@ -5695,6 +5734,47 @@ object SparkEntry {
         |  SELECT -1, 0, 0, 0, CASE WHEN d > 1e-7 THEN 1 ELSE 0 END,
         |    false, false FROM g)
         |ORDER BY b""".stripMargin,
+
+    // e2e-10: quantize → int8 coarse top-20 (int8 dots are
+    // integer-valued ≤ ~1e6, so double list_dot_product is EXACT on
+    // them) → float re-rank top-5, one chain
+    "q_e2e_serving" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, x,
+        |  list_max(list_transform(x, e -> abs(e))) AS mm FROM v),
+        |qv AS (SELECT vec_id, x, CASE WHEN mm > 0 THEN
+        |    CAST(list_transform(x, e -> CAST(round(e / mm * 127) AS INT))
+        |      AS DOUBLE[]) END AS q
+        |  FROM m),
+        |qs AS (SELECT vec_id AS qid, q AS qc, x AS qx FROM qv
+        |  WHERE vec_id IN (5, 67, 131)),
+        |co AS (SELECT qs.qid, c.vec_id AS id,
+        |  CAST(round(list_dot_product(c.q, qs.qc)
+        |    / (sqrt(list_dot_product(c.q, c.q))
+        |       * sqrt(list_dot_product(qs.qc, qs.qc)))
+        |    * 1000000.0) AS BIGINT) AS s
+        |  FROM qv c CROSS JOIN qs
+        |  WHERE c.q IS NOT NULL AND qs.qc IS NOT NULL
+        |    AND list_dot_product(c.q, c.q) > 0
+        |    AND list_dot_product(qs.qc, qs.qc) > 0),
+        |cr AS (SELECT qid, id, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY s DESC, id) AS BIGINT) AS rk FROM co),
+        |cand AS (SELECT qid, id FROM cr WHERE rk <= 20),
+        |rr AS (SELECT cand.qid, cand.id,
+        |  CAST(round(list_dot_product(cv.x, qs.qx)
+        |    / (sqrt(list_dot_product(cv.x, cv.x))
+        |       * sqrt(list_dot_product(qs.qx, qs.qx)))
+        |    * 1000000.0) AS BIGINT) AS sm
+        |  FROM cand JOIN v cv ON cv.vec_id = cand.id
+        |  JOIN qs ON qs.qid = cand.qid
+        |  WHERE list_dot_product(cv.x, cv.x) > 0
+        |    AND list_dot_product(qs.qx, qs.qx) > 0),
+        |fr AS (SELECT qid, id, sm, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY sm DESC, id) AS BIGINT) AS rank FROM rr)
+        |SELECT CAST(qid AS BIGINT) AS query_id, rank, CAST(id AS BIGINT) AS id,
+        |  sm AS score_micro
+        |FROM fr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // D98: the code arrays re-derived element-for-element (round
     // half-away matches on both engines away from the guarded
