@@ -658,6 +658,25 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // C32 (r13): native Avro round trip — documents (mixed
+    // primitives: long/string/binary) exported as executor-written
+    // .avro container parts, read back through the file-parallel
+    // reader, graded value-for-value (incl. UTF-8 octet length of
+    // the binary hop) against the ORIGINAL parquet: the Avro
+    // container hop must be byte-invisible.
+    "q_c32_avro_roundtrip" -> ((s, d) => {
+      val dir = "/tmp/graft_gate/c32_avro"
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        encode(col("text"), "UTF-8").as("raw"))
+      graft.sources.Avro.writeAvroPartitioned(docs.repartition(4), dir)
+      graft.sources.Avro.readAvro(s, dir, docs.schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+          length(col("raw")).cast("long").as("n_bytes"),
+          decode(col("raw"), "UTF-8").as("raw_text"))
+        .orderBy("doc_id")
+    }),
+
     // C31 (r13): deterministic sharded JSONL export + manifest —
     // documents exported as 200-row shards in doc_id order (shard
     // identity from the D96 global rank, one file per shard by
@@ -3661,6 +3680,15 @@ object SparkEntry {
         |  count(*) AS rows, count(DISTINCT filename) AS n_files
         |FROM read_parquet('/tmp/graft_gate/c21_bucketed/*.parquet', filename=1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the Avro hop never touches the oracle: everything re-derives
+    // from the original parquet, so MATCH certifies byte fidelity
+    // through the container format
+    "q_c32_avro_roundtrip" ->
+      """SELECT doc_id, text, lang, n_chars,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  text AS raw_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // shard identity, ranges, and the round-trip checksum re-derived
     // from the ORIGINAL parquet (rank = row_number over doc_id; the
