@@ -224,13 +224,16 @@ object Pipeline {
                          seed: String = "interleave-0"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("_sk"), col("id"))
-    val ranked = df
-      .select(sourceCol.as("source"), idCol.as("id"),
+    // q rides the SAME source partition as the rank (window, not a
+    // join): one exchange serves both, and a NULL source stays a
+    // group — an equi-join here would silently drop null-source rows
+    // (NULL = NULL is not true), breaking the contract above
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    df.select(sourceCol.as("source"), idCol.as("id"),
         shuffleKey(idCol, seed).as("_sk"))
       .withColumn("r", (row_number().over(w) - 1).cast("long"))
+      .withColumn("q", count(lit(1)).over(wq))
       .drop("_sk")
-    val q = ranked.groupBy(col("source")).agg(count(lit(1)).as("q"))
-    ranked.join(broadcast(q), Seq("source"))
       .select(col("source"), col("id"), col("r"), col("q"),
         interleaveKey(col("r"), col("q")).as("pos_key"))
   }

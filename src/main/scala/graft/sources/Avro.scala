@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * `GenericRecord`), no external package.
   *
   * Scale shape: the reader is file-parallel (`binaryFile` → one task
-  * per `.avro` part → streaming decode; Avro files of ~1 GiB are the
-  * ecosystem's shipping unit, same argument as WARC); the writer
+  * per `.avro` part → record-LAZY decode, so decoded rows never pile
+  * up beside the container bytes; `binaryFile` does materialize the
+  * raw bytes and caps parts at 2 GB — size parts accordingly, which
+  * is the ecosystem's ~1 GiB shipping convention anyway); the writer
   * emits one container file PER PARTITION executor-side through the
   * staging + atomic-rename commit protocol (the Warc/Xlsx pattern),
   * so no driver funnel in either direction.
@@ -45,9 +47,19 @@ object Avro {
           "cast or serialize complex columns upstream")
   }
 
-  /** Avro record-schema JSON for a (primitive-typed) Spark schema. */
+  private val AvroName = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  /** Avro record-schema JSON for a (primitive-typed) Spark schema.
+    * Column names are validated against Avro's name grammar HERE —
+    * at plan time on the driver — rather than letting
+    * `Schema.Parser` throw on every executor task mid-job (the
+    * conformSchema loud-failure rule).
+    */
   def avroSchemaJson(schema: StructType, recordName: String = "row"): String = {
     val fields = schema.fields.map { f =>
+      require(AvroName.pattern.matcher(f.name).matches(),
+        s"column '${f.name}' is not a legal Avro field name " +
+          "([A-Za-z_][A-Za-z0-9_]*) — rename it upstream")
       val t = "\"" + avroType(f.dataType) + "\""
       // default only on nullable unions (null must lead the union);
       // a non-null field with a null default is an invalid schema
@@ -65,64 +77,33 @@ object Avro {
   def writeAvroPartitioned(df: DataFrame, dir: String): Unit = {
     val sparkSchema = df.schema
     val json = avroSchemaJson(sparkSchema)
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    val staging = new java.io.File(d, s"_staging-${java.util.UUID.randomUUID()}")
-    staging.mkdirs()
-    val stagingPath = staging.getAbsolutePath
-    var committed = false
-    try {
-      df.foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
-          val avroSchema = new org.apache.avro.Schema.Parser().parse(json)
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val tmp = new java.io.File(
-            s"$stagingPath/part-$pid.avro.tmp-${tc.taskAttemptId()}")
-          val dst = new java.io.File(s"$stagingPath/part-$pid.avro")
-          val writer = new org.apache.avro.file.DataFileWriter(
-            new org.apache.avro.generic.GenericDatumWriter[
-              org.apache.avro.generic.GenericRecord](avroSchema))
-          try {
-            writer.create(avroSchema, tmp)
-            it.foreach { r =>
-              val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
-              sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
-                val v: AnyRef =
-                  if (r.isNullAt(i)) null
-                  else f.dataType match {
-                    case BinaryType =>
-                      java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
-                    case _ => r.get(i).asInstanceOf[AnyRef]
-                  }
-                rec.put(f.name, v)
+    // prove the schema parses ON THE DRIVER (names are pre-validated,
+    // but any residual schema defect must fail at plan time, not on
+    // every executor task)
+    new org.apache.avro.Schema.Parser().parse(json)
+    StagedCommit.writePartitioned(df, dir, ".avro") { (it, tmp, _) =>
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(json)
+      val writer = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](avroSchema))
+      writer.create(avroSchema, tmp)
+      try {
+        it.foreach { r =>
+          val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+          sparkSchema.fields.zipWithIndex.foreach { case (f, i) =>
+            val v: AnyRef =
+              if (r.isNullAt(i)) null
+              else f.dataType match {
+                case BinaryType =>
+                  java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](i))
+                case _ => r.get(i).asInstanceOf[AnyRef]
               }
-              writer.append(rec)
-              ()
-            }
-            writer.close()
-            java.nio.file.Files.move(tmp.toPath, dst.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            ()
-          } finally { if (tmp.exists()) { tmp.delete() }; () }
+            rec.put(f.name, v)
+          }
+          writer.append(rec)
+          ()
         }
-      }
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isFile && f.getName.startsWith("part-") &&
-          f.getName.endsWith(".avro")) { f.delete(); () }
-      }
-      Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
-        java.nio.file.Files.move(f.toPath,
-          new java.io.File(d, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      }
-      committed = true
-    } finally {
-      if (committed) { staging.delete(); () }
-      else System.err.println(
-        s"[graft] Avro export failed; partial staging left at $stagingPath")
+      } finally writer.close()
     }
   }
 
@@ -144,11 +125,20 @@ object Avro {
         new org.apache.avro.file.SeekableByteArrayInput(bytes),
         new org.apache.avro.generic.GenericDatumReader[
           org.apache.avro.generic.GenericRecord]())
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      try {
-        while (reader.hasNext) {
+      // LAZY iterator: decode record-by-record so the task never
+      // holds the decoded rows alongside the container bytes (a
+      // ~1 GiB part decoded eagerly would multiply its own footprint;
+      // binaryFile still materializes the raw bytes and caps files at
+      // 2 GB — the documented container-size contract)
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = reader.hasNext
+          if (!h) reader.close()
+          h
+        }
+        def next(): Row = {
           val rec = reader.next()
-          out += Row(names.indices.map { i =>
+          Row(names.indices.map { i =>
             val f = rec.getSchema.getField(names(i))
             val v = if (f == null) null else rec.get(names(i))
             (v, dts(i)) match {
@@ -161,8 +151,7 @@ object Avro {
             }
           }: _*)
         }
-      } finally reader.close()
-      out
+      }
     }
     spark.createDataFrame(rows, schema)
   }

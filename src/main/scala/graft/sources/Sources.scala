@@ -153,6 +153,10 @@ object Sources {
     graft.operators.Rank.globalRank(df, sortCols, idCol)
       .withColumn("shard", expr(s"global_rank div ${rowsPerShard}L"))
       .repartition(col("shard"))
+      // pin the LINE order inside each shard file: repartition alone
+      // leaves shuffle-fetch order, which varies run to run — the
+      // row-for-row-identical re-export contract needs the sort
+      .sortWithinPartitions(col("shard"), col("global_rank"))
       .write.mode("overwrite").partitionBy("shard").json(dir)
   }
 

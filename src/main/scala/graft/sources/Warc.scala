@@ -96,48 +96,18 @@ object Warc {
     val proj = df.select(
       col("target_uri").cast(StringType), col("warc_date").cast(StringType),
       col("content_type").cast(StringType), col("content").cast(BinaryType))
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    val staging = new java.io.File(d, s"_staging-${java.util.UUID.randomUUID()}")
-    staging.mkdirs()
-    val stagingPath = staging.getAbsolutePath
-    var committed = false
-    try {
-      proj.foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val tmp = new java.io.File(s"$stagingPath/part-$pid$ext.tmp-${tc.taskAttemptId()}")
-          val dst = new java.io.File(s"$stagingPath/part-$pid$ext")
-          val fs = new java.io.FileOutputStream(tmp)
-          try {
-            try {
-              writeFile(fs, gzip, s"part-$pid$ext", it.map { r =>
-                (r.getString(0), r.getString(1), r.getString(2),
-                  if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3))
-              })
-            } finally fs.close()
-            java.nio.file.Files.move(tmp.toPath, dst.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            ()
-          } finally { if (tmp.exists()) tmp.delete(); () }
-        }
-      }
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isFile && f.getName.startsWith("part-") &&
-          (f.getName.endsWith(".warc") || f.getName.endsWith(".warc.gz"))) {
-          f.delete(); ()
-        }
-      }
-      Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
-        java.nio.file.Files.move(f.toPath, new java.io.File(d, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      }
-      committed = true
-    } finally {
-      if (committed) { staging.delete(); () }
+    // stale rule keeps BOTH extensions: flipping `gzip` between
+    // exports must still replace the other flavor's parts
+    StagedCommit.writePartitioned(proj, dir, ext,
+      stale = n => n.startsWith("part-") &&
+        (n.endsWith(".warc") || n.endsWith(".warc.gz"))) { (it, tmp, name) =>
+      val fs = new java.io.FileOutputStream(tmp)
+      try {
+        writeFile(fs, gzip, name, it.map { r =>
+          (r.getString(0), r.getString(1), r.getString(2),
+            if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3))
+        })
+      } finally fs.close()
     }
   }
 

@@ -60,6 +60,12 @@ class AvroSpec extends SparkSpec {
       Avro.writeAvroPartitioned(
         Seq((1L, Seq(1, 2))).toDF("id", "arr"), dir)
     }
+    // Avro-illegal column name refused on the DRIVER at plan time,
+    // not via per-task SchemaParseExceptions
+    intercept[IllegalArgumentException] {
+      Avro.writeAvroPartitioned(
+        Seq((1L, "x")).toDF("id", "n-bytes"), dir)
+    }
     Avro.writeAvroPartitioned((1L to 4L).toDF("id"), dir)
     val wider = Avro.readAvro(spark, dir, StructType(Seq(
       StructField("id", LongType), StructField("extra", StringType))))

@@ -47,6 +47,17 @@ class InterleaveSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  test("null sources group together and survive (no silent equi-join drop)") {
+    val df = Seq((Some("a"), 1L), (None, 2L), (None, 3L), (Some("a"), 4L))
+      .toDF("src", "id")
+    val got = Pipeline.interleaveBySource(df, col("src"), col("id"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(3)))
+    assert(got.length == 4)
+    val nulls = got.filter(_._1.isEmpty)
+    assert(nulls.map(_._2).toSet == Set(2L, 3L))
+    assert(nulls.forall(_._3 == 2L)) // q counts the null group
+  }
+
   test("interleaveKey exact at 2q > 2e6 (the scale-6 decimal mis-floor regime)") {
     val cases = Seq((0L, 3000000L), (1499999L, 3000000L), (2999999L, 3000000L),
       (123456789L, 987654321L), (987654320L, 987654321L))

@@ -34,6 +34,14 @@ class ShardExportSpec extends SparkSpec {
     val files = back.select(col("shard"), input_file_name().as("f"))
       .distinct().groupBy("shard").count().collect().map(_.getLong(1))
     assert(files.forall(_ == 1L))
+    // LINE order inside a shard file follows global_rank (the pinned
+    // row-for-row contract, not just the multiset)
+    val shard0 = new java.io.File(dir, "shard=0").listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val ranks = scala.io.Source.fromFile(shard0, "UTF-8").getLines()
+      .map(l => "\"global_rank\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+      .toSeq
+    assert(ranks == ranks.sorted && ranks.length == 100)
     // manifest shape
     val man = Sources.shardManifest(back, col("doc_id"), col("text"))
       .orderBy("shard").collect()
