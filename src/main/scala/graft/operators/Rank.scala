@@ -51,10 +51,15 @@ object Rank {
     val ranged =
       if (partitions > 0) df.repartitionByRange(partitions, order: _*)
       else df.repartitionByRange(order: _*)
-    // freeze the sampled boundaries: pid is computed ONCE on the
-    // persisted frame; every later pass keys on the stored value
-    val pinned = graft.CacheScope.persist(
-      ranged.withColumn("_pid", spark_partition_id()))
+    // freeze the sampled boundaries: pid is computed ONCE and the
+    // lineage is TRUNCATED (localCheckpoint, eager), so a recompute —
+    // cache eviction, executor loss — can never re-sample boundaries
+    // and silently reassign pids between the counts pass and the rank
+    // pass: downstream either reads the one frozen partitioning or
+    // fails loudly on missing blocks (ADVICE r13: bare persist() only
+    // made recompute unlikely, not impossible)
+    val pinned = graft.CacheScope.track(
+      ranged.withColumn("_pid", spark_partition_id()).localCheckpoint(true))
     val counts = pinned.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
     // offsets over the P-row counts frame: bounded by construction
     val offsets = counts.withColumn("_off",

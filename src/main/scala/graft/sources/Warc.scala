@@ -283,10 +283,18 @@ object Warc {
     * (the Common Crawl layout — a future indexed reader can seek to
     * member offsets).
     */
+  /** Per-member gzip stream that can release its native Deflater
+    * eagerly. `DeflaterOutputStream`'s deflater field is the Java
+    * identifier `def` — reachable from Scala only via backticks. */
+  private final class MemberGzip(out: OutputStream)
+      extends GZIPOutputStream(out, 1 << 16) {
+    def endDeflater(): Unit = `def`.end()
+  }
+
   private def writeFile(out: OutputStream, gzip: Boolean, fileName: String,
                         records: Iterator[(String, String, String, Array[Byte])]): Unit = {
     def emit(headers: Seq[(String, String)], block: Array[Byte]): Unit = {
-      val target: OutputStream = if (gzip) new GZIPOutputStream(out, 1 << 16) else out
+      val target: OutputStream = if (gzip) new MemberGzip(out) else out
       val sb = new StringBuilder("WARC/1.0\r\n")
       headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
       sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
@@ -294,10 +302,14 @@ object Warc {
       target.write(block)
       target.write(Crlf); target.write(Crlf)
       target match {
-        case g: GZIPOutputStream => g.finish() // close the member, keep `out` open
-        case _ => ()
+        // close the member, keep `out` open — and release the native
+        // Deflater NOW: one is allocated per record, and finish()
+        // alone parks it until GC finalization, building invisible
+        // native-memory pressure over million-record partitions
+        // (ADVICE r13)
+        case g: MemberGzip => g.finish(); out.flush(); g.endDeflater()
+        case _ => target.flush()
       }
-      target.flush()
     }
     def uuidOf(parts: String*): String =
       "<urn:uuid:" + java.util.UUID.nameUUIDFromBytes(

@@ -53,23 +53,76 @@ class AvroSpec extends SparkSpec {
     assert(back.count() == 10)
   }
 
-  test("complex column refused at plan time; undeclared field reads null") {
+  test("unsupported shapes refused at plan time; undeclared field reads null") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_avro3").toString + "/t"
+    // genuinely unsupported (r14 narrowed refusal): non-string map
+    // keys and calendar-semantics types
     intercept[IllegalArgumentException] {
       Avro.writeAvroPartitioned(
-        Seq((1L, Seq(1, 2))).toDF("id", "arr"), dir)
+        Seq((1L, Map(1 -> "a"))).toDF("id", "m"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Avro.writeAvroPartitioned(
+        Seq((1L, java.sql.Date.valueOf("2020-01-01"))).toDF("id", "d"), dir)
     }
     // Avro-illegal column name refused on the DRIVER at plan time,
-    // not via per-task SchemaParseExceptions
+    // not via per-task SchemaParseExceptions — including NESTED names
     intercept[IllegalArgumentException] {
       Avro.writeAvroPartitioned(
         Seq((1L, "x")).toDF("id", "n-bytes"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      Avro.writeAvroPartitioned(
+        Seq((1L, "x")).toDF("id", "s")
+          .select(col("id"), struct(col("s").as("bad name")).as("st")), dir)
     }
     Avro.writeAvroPartitioned((1L to 4L).toDF("id"), dir)
     val wider = Avro.readAvro(spark, dir, StructType(Seq(
       StructField("id", LongType), StructField("extra", StringType))))
     assert(wider.collect().forall(_.isNullAt(1)))
     assert(wider.count() == 4)
+  }
+
+  test("nested round trip: struct in array, map of struct, nulls at every level") {
+    val nested = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = true)),
+      StructField("points", ArrayType(StructType(Seq(
+        StructField("x", DoubleType, nullable = false),
+        StructField("label", StringType))), containsNull = true)),
+      StructField("attrs", MapType(StringType, StructType(Seq(
+        StructField("n", IntegerType))), valueContainsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq("a", null, "c"),
+        Seq(Row(1.5, "p1"), null, Row(-2.0, null)),
+        Map("k1" -> Row(7), "k2" -> null)),
+      Row(2L, null, null, null),
+      Row(3L, Seq.empty[String], Seq.empty[Row], Map.empty[String, Row]))
+    val dir = Files.createTempDirectory("graft_avro4").toString + "/t"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), nested)
+    Avro.writeAvroPartitioned(df, dir)
+    val back = Avro.readAvro(spark, dir, nested).collect().sortBy(_.getLong(0))
+    assert(back.length == 3)
+    assert(back(0).getSeq[String](1) == Seq("a", null, "c"))
+    assert(back(0).getSeq[Row](2) == Seq(Row(1.5, "p1"), null, Row(-2.0, null)))
+    assert(back(0).getMap[String, Row](3) == Map("k1" -> Row(7), "k2" -> null))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(3))
+    assert(back(2).getSeq[String](1).isEmpty &&
+      back(2).getMap[String, Row](3).isEmpty)
+  }
+
+  test("reader-schema resolution: int-written file promotes to declared long") {
+    val dir = Files.createTempDirectory("graft_avro5").toString + "/t"
+    val written = StructType(Seq(StructField("v", IntegerType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7), Row(null)), 1), written)
+    Avro.writeAvroPartitioned(df, dir)
+    // declared long: Avro's writer→reader resolution promotes int→long
+    // per spec instead of smuggling Integer objects into long Rows
+    val back = Avro.readAvro(spark, dir,
+      StructType(Seq(StructField("v", LongType)))).collect()
+    assert(back.map(r => Option(r.get(0))).toSet == Set(Some(7L), None))
   }
 }

