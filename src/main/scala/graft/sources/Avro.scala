@@ -190,12 +190,12 @@ object Avro {
     // but any residual schema defect must fail at plan time, not on
     // every executor task)
     new org.apache.avro.Schema.Parser().parse(json)
-    StagedCommit.writePartitioned(df, dir, ".avro") { (it, tmp, _) =>
+    StagedCommit.writePartitioned(df, dir, ".avro") { (it, out, _) =>
       val avroSchema = new org.apache.avro.Schema.Parser().parse(json)
       val writer = new org.apache.avro.file.DataFileWriter(
         new org.apache.avro.generic.GenericDatumWriter[
           org.apache.avro.generic.GenericRecord](avroSchema))
-      writer.create(avroSchema, tmp)
+      writer.create(avroSchema, out)
       try {
         it.foreach { r =>
           writer.append(toAvro(r, sparkSchema, avroSchema)

@@ -47,59 +47,29 @@ object TarShards {
                      filesCol: String = "files"): Unit = {
     val proj = df.select(col(keyCol).cast(StringType).as("key"),
       col(filesCol).cast(MapType(StringType, BinaryType)).as("files"))
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    val staging = new java.io.File(d, s"_staging-${java.util.UUID.randomUUID()}")
-    staging.mkdirs()
-    val stagingPath = staging.getAbsolutePath
-    var committed = false
-    try {
-      proj.foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val tmp = new java.io.File(f"$stagingPath%s/shard-$pid%06d.tar.tmp-${tc.taskAttemptId()}%d")
-          val dst = new java.io.File(f"$stagingPath%s/shard-$pid%06d.tar")
-          val fs = new java.io.FileOutputStream(tmp)
-          try {
-            try {
-              it.foreach { r =>
-                require(!r.isNullAt(0), "[graft] TarShards: null sample key")
-                val key = r.getString(0)
-                // WebDataset splits member names at the FIRST dot, so a
-                // dotted key would silently migrate into the extension on
-                // read-back ('a.b' + 'txt' → key 'a', ext 'b.txt') —
-                // refuse loudly, like the 100-byte name check (ADVICE r13)
-                require(!key.contains('.'),
-                  s"[graft] TarShards: key '$key' contains '.' — WebDataset member " +
-                    "names split key from extension at the first dot")
-                val files = r.getMap[String, Array[Byte]](1)
-                files.toSeq.sortBy(_._1).foreach { case (ext, payload) =>
-                  if (payload != null) writeEntry(fs, s"$key.$ext", payload)
-                }
-              }
-              fs.write(new Array[Byte](1024)) // two zero blocks = EOF
-            } finally fs.close()
-            java.nio.file.Files.move(tmp.toPath, dst.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            ()
-          } finally { if (tmp.exists()) tmp.delete(); () }
+    // r14: rides the shared Hadoop-FS staged-commit protocol (the
+    // inline java.io.File copy predated the extraction); shard names
+    // keep the zero-padded `shard-` convention so path-ordered
+    // loaders see the partition order
+    StagedCommit.writePartitioned(proj, dir, ".tar",
+      stale = n => n.startsWith("shard-") && n.endsWith(".tar"),
+      partName = pid => f"shard-$pid%06d.tar") { (it, out, _) =>
+      it.foreach { r =>
+        require(!r.isNullAt(0), "[graft] TarShards: null sample key")
+        val key = r.getString(0)
+        // WebDataset splits member names at the FIRST dot, so a
+        // dotted key would silently migrate into the extension on
+        // read-back ('a.b' + 'txt' → key 'a', ext 'b.txt') —
+        // refuse loudly, like the 100-byte name check (ADVICE r13)
+        require(!key.contains('.'),
+          s"[graft] TarShards: key '$key' contains '.' — WebDataset member " +
+            "names split key from extension at the first dot")
+        val files = r.getMap[String, Array[Byte]](1)
+        files.toSeq.sortBy(_._1).foreach { case (ext, payload) =>
+          if (payload != null) writeEntry(out, s"$key.$ext", payload)
         }
       }
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isFile && f.getName.startsWith("shard-") && f.getName.endsWith(".tar")) {
-          f.delete(); ()
-        }
-      }
-      Option(staging.listFiles()).getOrElse(Array.empty).foreach { f =>
-        java.nio.file.Files.move(f.toPath, new java.io.File(d, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
-      }
-      committed = true
-    } finally {
-      if (committed) { staging.delete(); () }
+      out.write(new Array[Byte](1024)) // two zero blocks = EOF
     }
   }
 

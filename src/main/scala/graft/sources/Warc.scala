@@ -100,14 +100,11 @@ object Warc {
     // exports must still replace the other flavor's parts
     StagedCommit.writePartitioned(proj, dir, ext,
       stale = n => n.startsWith("part-") &&
-        (n.endsWith(".warc") || n.endsWith(".warc.gz"))) { (it, tmp, name) =>
-      val fs = new java.io.FileOutputStream(tmp)
-      try {
-        writeFile(fs, gzip, name, it.map { r =>
-          (r.getString(0), r.getString(1), r.getString(2),
-            if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3))
-        })
-      } finally fs.close()
+        (n.endsWith(".warc") || n.endsWith(".warc.gz"))) { (it, out, name) =>
+      writeFile(out, gzip, name, it.map { r =>
+        (r.getString(0), r.getString(1), r.getString(2),
+          if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3))
+      })
     }
   }
 

@@ -97,9 +97,10 @@ object Xlsx {
     * path [[writeXlsx]]'s driver-streamed single file is not. Caller
     * controls file count/size via an upstream `repartition(n)`; each
     * partition must respect the per-sheet row cap (enforced — the
-    * task throws rather than truncating). `dir` must be visible to
-    * the executors (shared FS on a real cluster). [[readXlsx]] reads
-    * the resulting directory back as one DataFrame.
+    * task throws rather than truncating). `dir` is a Hadoop URI
+    * (bare path / `file:` / `hdfs:`; object stores refused — see
+    * [[StagedCommit]]). [[readXlsx]] reads the resulting directory
+    * back as one DataFrame.
     *
     * Overwrite semantics, commit-style: tasks write into an
     * underscore-prefixed STAGING subdirectory (invisible to
@@ -119,66 +120,22 @@ object Xlsx {
   def writeXlsxPartitioned(df: DataFrame, dir: String,
                            maxRowsPerFile: Int = 1048575): Unit = {
     val cols = df.columns.toSeq
-    val d = new java.io.File(dir)
-    d.mkdirs()
-    val staging = new java.io.File(d, s"_staging-${java.util.UUID.randomUUID()}")
-    staging.mkdirs()
-    val stagingPath = staging.getAbsolutePath
-    var committed = false
-    try {
-      df.foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) {
-          val tc = org.apache.spark.TaskContext.get()
-          val pid = tc.partitionId()
-          val tmp = new java.io.File(s"$stagingPath/part-$pid.xlsx.tmp-${tc.taskAttemptId()}")
-          val dst = new java.io.File(s"$stagingPath/part-$pid.xlsx")
-          val fs = new java.io.FileOutputStream(tmp)
-          try {
-            try {
-              writeWorkbook(fs, cols, new Iterator[Seq[Any]] {
-                private var n = 0
-                def hasNext: Boolean = it.hasNext
-                def next(): Seq[Any] = {
-                  n += 1
-                  if (n > maxRowsPerFile)
-                    throw new IllegalArgumentException(
-                      s"partition exceeds $maxRowsPerFile rows/sheet — repartition smaller")
-                  val r = it.next()
-                  (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
-                }
-              })
-            } finally fs.close()
-            java.nio.file.Files.move(tmp.toPath, dst.toPath,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            ()
-          } finally { if (tmp.exists()) tmp.delete(); () }
+    // r14: rides the shared Hadoop-FS staged-commit protocol (the
+    // inline java.io.File copy predated the extraction) — works on
+    // file: AND hdfs:/viewfs:, refuses object stores loudly
+    StagedCommit.writePartitioned(df, dir, ".xlsx") { (it, out, _) =>
+      writeWorkbook(out, cols, new Iterator[Seq[Any]] {
+        private var n = 0
+        def hasNext: Boolean = it.hasNext
+        def next(): Seq[Any] = {
+          n += 1
+          if (n > maxRowsPerFile)
+            throw new IllegalArgumentException(
+              s"partition exceeds $maxRowsPerFile rows/sheet — repartition smaller")
+          val r = it.next()
+          (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i))
         }
-      }
-      // job succeeded — swap: drop the previous export's parts, move
-      // the staged parts in
-      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        val n = f.getName
-        if (f.isFile && n.startsWith("part-") && n.endsWith(".xlsx") &&
-            !f.delete() && f.exists())
-          throw new java.io.IOException(s"cannot delete stale export file $f")
-      }
-      Option(staging.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".xlsx"))
-        .foreach { f =>
-          java.nio.file.Files.move(f.toPath, new java.io.File(d, f.getName).toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      committed = true
-    } finally {
-      // success: remove the now-empty staging dir. Failure: leave it
-      // (hidden from readXlsx) for diagnosis; the old export is intact.
-      if (committed) {
-        Option(staging.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        staging.delete()
-        ()
-      }
+      })
     }
   }
 
