@@ -451,6 +451,61 @@ object Ann {
       .withColumn("contaminated", col("max_cosine") >= threshold)
   }
 
+  /** D62b: IVF-bucketed semantic decontamination — the UNBOUNDED-bank
+    * path for [[semanticContamination]], whose collect-the-bank
+    * contract is right for eval suites (thousands of rows) and a
+    * driver-killer for a bank that is itself a corpus (e.g. "remove
+    * anything semantically close to the held-out set" at millions of
+    * vectors). Nothing is collected or broadcast: corpus AND bank are
+    * assigned to IVF cells with one shared centroid bank (two map-only
+    * [[graft.functions.NearestCentroid]] scans), and the argmax-cosine
+    * bench member is found WITHIN the corpus row's cell via a
+    * cell-keyed join + `max(struct(sim, bench_id))` aggregate —
+    * map-side partial, so the shuffle carries one (sim, id) pair per
+    * corpus id per partition, never the scored frame.
+    *
+    * Semantics: max(struct) = largest sim, then largest bench_id —
+    * the same "later bank index wins" tie rule as the bounded path
+    * (whose bank is ordered by bench id ascending). A corpus row
+    * whose cell holds no bench vector comes back with null
+    * bench_id/max_cosine and contaminated=false; a true neighbor
+    * across the cell boundary is invisible (the ivfTopK nprobe=1
+    * recall contract). With a single centroid the blocking is vacuous
+    * and the output EQUALS the bounded path's on every row with a
+    * non-null cosine (spec-gated).
+    *
+    * Output: (id, bench_id, max_cosine, contaminated).
+    */
+  def semanticContaminationBlocked(corpus: DataFrame, vecCol: String,
+                                   idCol: String, bench: DataFrame,
+                                   benchVecCol: String, benchIdCol: String,
+                                   centroids: Array[Array[Double]],
+                                   threshold: Double,
+                                   scale: Int = 4): DataFrame = {
+    require(centroids.nonEmpty, "semanticContaminationBlocked: empty centroid bank")
+    val ca = corpus.select(col(idCol), col(vecCol).as("_ev"),
+      graft.functions.NearestCentroid(col(vecCol), centroids).as("_cell"))
+    val ba = bench.select(col(benchIdCol).cast("long").as("bench_id"),
+      col(benchVecCol).as("_bv"),
+      graft.functions.NearestCentroid(col(benchVecCol), centroids).as("_cell"))
+    // explicit partitioning on the cell key (the semanticPairs rule):
+    // tiny inputs fanning out into a heavy pair frame must not be
+    // AQE-coalesced into one task
+    val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val scored = ca.repartition(parts, col("_cell"))
+      .join(ba.repartition(parts, col("_cell")), Seq("_cell"))
+      .select(col(idCol), col("bench_id"),
+        cosine(col("_ev"), col("_bv")).as("_sim"))
+      .filter(col("_sim").isNotNull)
+    val best = scored.groupBy(col(idCol))
+      .agg(max(struct(col("_sim"), col("bench_id"))).as("_m"))
+      .select(col(idCol), col("_m.bench_id").as("bench_id"),
+        round(col("_m._sim"), scale).as("max_cosine"))
+    corpus.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol), col("bench_id"), col("max_cosine"),
+        coalesce(col("max_cosine") >= threshold, lit(false)).as("contaminated"))
+  }
+
   /** D90: exact batch top-k retrieval — k nearest corpus vectors by
     * cosine for EVERY query in a (bounded) query frame at once, the
     * retrieval core of a RAG indexing/serving pipeline and the
@@ -527,6 +582,19 @@ object Ann {
         .withColumnRenamed("id", "tgt_id"))
     val bwd = batchTopK(src, srcId, srcVec, tgt, tgtId, tgtVec, k)
       .withColumnRenamed("query_id", "tgt_id")
+      .withColumnRenamed("id", "src_id")
+    marginSelect(fwd, bwd, k, thresholdMicro)
+  }
+
+  /** The shared post-retrieval margin math: `fwd` = per-src top-k
+    * candidates (src_id, tgt_id, score_micro), `bwd` = per-tgt top-k
+    * (tgt_id, src_id, score_micro). Neighborhood sums S and T are
+    * k-bounded long sums; margin = (2·k·cos_micro·1e6) div (S+T) —
+    * fully integer; per-src argmax via [[graft.functions.TopKPairsAgg]]
+    * k=1 under (margin desc, tgt asc).
+    */
+  private def marginSelect(fwd: DataFrame, bwd: DataFrame, k: Int,
+                           thresholdMicro: Long): DataFrame = {
     val s = fwd.groupBy(col("src_id")).agg(sum(col("score_micro")).as("_s"))
     val t = bwd.groupBy(col("tgt_id")).agg(sum(col("score_micro")).as("_t"))
     val scored = fwd
@@ -547,5 +615,66 @@ object Ann {
         Seq("src_id", "tgt_id"))
       .select(col("src_id"), col("tgt_id"), col("cos_micro"),
         col("margin_micro"))
+  }
+
+  /** D97b: BLOCKED margin mining — the corpus×corpus production path
+    * [[marginMining]]'s contract points at ("block by LSH/IVF buckets
+    * first"). Both corpora are assigned to IVF cells with ONE shared
+    * centroid bank (map-only [[graft.functions.NearestCentroid]]
+    * scans — the bank rides in a single codegen object, nothing is
+    * collected or broadcast), then mining runs WITHIN each cell: a
+    * cell-keyed shuffle join replaces [[batchTopK]]'s query-side
+    * broadcast, so candidate volume is Σ_cell |src_c|·|tgt_c| ≪
+    * |src|·|tgt| with balanced cells, and both retrieval directions
+    * read the ONE persisted within-cell pair frame (the forward and
+    * backward scores are the same symmetric cosines).
+    *
+    * Semantics: the top-k neighborhoods (and therefore the hubness
+    * sums S, T) are computed within the cell — a true neighbor that
+    * falls across a cell boundary is missed and its margin mass is
+    * redistributed (the SemDeDup/IVF trade-off, the same recall
+    * contract as [[ivfTopK]] at nprobe=1). With a single centroid the
+    * blocking is vacuous and the output EQUALS [[marginMining]]'s
+    * exactly (spec-gated). Within-cell math is bit-identical to the
+    * exact path: micro-quantized cosines, integer margins, the same
+    * (margin desc, tgt asc) argmax.
+    *
+    * Returns (src_id, tgt_id, cos_micro, margin_micro).
+    */
+  def marginMiningBlocked(src: DataFrame, srcId: String, srcVec: String,
+                          tgt: DataFrame, tgtId: String, tgtVec: String,
+                          centroids: Array[Array[Double]], k: Int,
+                          thresholdMicro: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(centroids.nonEmpty, "marginMiningBlocked: empty centroid bank")
+    val sa = src.select(col(srcId).cast("long").as("src_id"),
+      col(srcVec).as("_sv"),
+      graft.functions.NearestCentroid(col(srcVec), centroids).as("_cell"))
+    val ta = tgt.select(col(tgtId).cast("long").as("tgt_id"),
+      col(tgtVec).as("_tv"),
+      graft.functions.NearestCentroid(col(tgtVec), centroids).as("_cell"))
+    // explicit partitioning on the cell key (the semanticPairs rule):
+    // input-tiny, output-heavy join — AQE would coalesce the tiny
+    // inputs into one task and serialize pair generation
+    val parts = src.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = graft.CacheScope.persist(
+      sa.repartition(parts, col("_cell"))
+        .join(ta.repartition(parts, col("_cell")), Seq("_cell"))
+        .select(col("src_id"), col("tgt_id"),
+          round(cosine(col("_sv"), col("_tv")) * 1e6).cast("long").as("_sm"))
+        .filter(col("_sm").isNotNull))
+    val fwd = pairs
+      .groupBy(col("src_id"))
+      .agg(graft.functions.TopKPairsAgg(col("_sm"), col("tgt_id"), k).as("_top"))
+      .select(col("src_id"), posexplode(col("_top")))
+      .select(col("src_id"), col("col.id").as("tgt_id"),
+        col("col.score_micro").as("score_micro"))
+    val bwd = pairs
+      .groupBy(col("tgt_id"))
+      .agg(graft.functions.TopKPairsAgg(col("_sm"), col("src_id"), k).as("_top"))
+      .select(col("tgt_id"), posexplode(col("_top")))
+      .select(col("tgt_id"), col("col.id").as("src_id"),
+        col("col.score_micro").as("score_micro"))
+    marginSelect(fwd, bwd, k, thresholdMicro)
   }
 }

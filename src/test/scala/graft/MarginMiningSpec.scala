@@ -71,4 +71,77 @@ class MarginMiningSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(run(1) == run(6))
   }
+
+  test("blocked == exact under a single cell (vacuous blocking)") {
+    val src = (1L to 30L).map(i => (i, vec(i))).toDF("id", "v")
+    val tgt = (200L to 250L).map(i => (i, vec(i * 3 + 1))).toDF("id", "v")
+    val oneCell = Array(Array.fill(dim)(1.0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val exact = rows(Ann.marginMining(src, "id", "v", tgt, "id", "v",
+      4, 900000L))
+    val blocked = rows(Ann.marginMiningBlocked(src, "id", "v", tgt, "id", "v",
+      oneCell, 4, 900000L))
+    assert(exact.nonEmpty && blocked == exact)
+  }
+
+  test("blocked: within-cell math is exact, candidates sub-quadratic, recall reported") {
+    val srcV = (1L to 60L).map(i => i -> vec(i)).toMap
+    val tgtV = (200L to 280L).map(i => i -> vec(i * 3 + 1)).toMap
+    val src = srcV.toSeq.toDF("id", "v")
+    val tgt = tgtV.toSeq.toDF("id", "v")
+    val cents = Array.tabulate(4)(c => Array.tabulate(dim)(j =>
+      (((c * 37 + j * 5) % 11) - 5).toDouble))
+    // reference cell assignment: argmax cosine, later index wins ties
+    def cell(v: Array[Float]): Int = {
+      val sims = cents.map { cv =>
+        val d = v.zip(cv).map { case (x, y) => x * y }.sum
+        val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val nc = math.sqrt(cv.map(x => x * x).sum)
+        d / (nv * nc)
+      }
+      sims.zipWithIndex.maxBy { case (s, i) => (s, i) }._2
+    }
+    val k = 3
+    // integer reference of the BLOCKED formulation
+    def topkIn(q: Array[Float], pool: Map[Long, Array[Float]]) =
+      pool.toSeq.map { case (i, v) => (cosMicro(q, v), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(k)
+    val srcCell = srcV.map { case (i, v) => i -> cell(v) }
+    val tgtCell = tgtV.map { case (i, v) => i -> cell(v) }
+    def tgtPool(c: Int) = tgtV.filter { case (i, _) => tgtCell(i) == c }
+    def srcPool(c: Int) = srcV.filter { case (i, _) => srcCell(i) == c }
+    val sSum = srcV.collect { case (i, v) if tgtPool(srcCell(i)).nonEmpty =>
+      i -> topkIn(v, tgtPool(srcCell(i))).map(_._1).sum }
+    val tSum = tgtV.collect { case (i, v) if srcPool(tgtCell(i)).nonEmpty =>
+      i -> topkIn(v, srcPool(tgtCell(i))).map(_._1).sum }
+    val wantAll = for {
+      (si, sv) <- srcV.toSeq if tgtPool(srcCell(si)).nonEmpty
+      (cm, ti) <- topkIn(sv, tgtPool(srcCell(si)))
+    } yield (si, ti, cm, (2L * k * cm * 1000000L) / (sSum(si) + tSum(ti)))
+    val want = wantAll.groupBy(_._1).map { case (_, rows) =>
+      rows.maxBy(r => (r._4, -r._2))
+    }.toSeq.filter(_._4 >= 900000L).sortBy(_._1)
+    val got = Ann.marginMiningBlocked(src, "id", "v", tgt, "id", "v",
+      cents, k, 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got == want)
+    // candidate volume is sub-quadratic: Σ|src_c|·|tgt_c| < |src|·|tgt|
+    // (this corpus spreads over >1 cell)
+    val candidates = cents.indices.map(c =>
+      srcPool(c).size.toLong * tgtPool(c).size).sum
+    assert(candidates < srcV.size.toLong * tgtV.size,
+      s"blocking degenerated: $candidates candidates")
+    // recall vs exact mining: report-and-bound (cell boundaries make
+    // it approximate by contract; on this fixture most best-margin
+    // pairs stay within a cell)
+    val exact = Ann.marginMining(src, "id", "v", tgt, "id", "v", k, 900000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val gotPairs = got.map(r => r._1 -> r._2).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else gotPairs.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall collapsed (exact=${exact.size})")
+  }
 }

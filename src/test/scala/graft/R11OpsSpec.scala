@@ -221,6 +221,42 @@ class R11OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- D62b blocked (unbounded-bank) semantic decontamination ----
+
+  test("blocked decontam == bounded decontam under a single cell") {
+    val corpus = (1L to 30L).map(i =>
+      (i, Array.tabulate(6)(j => (((i * 31 + j * 7) % 17).toFloat - 8) / 8f)))
+      .toDF("vec_id", "embedding")
+    val bench = (101L to 112L).map(i =>
+      (i, Array.tabulate(6)(j => (((i * 13 + j * 5) % 17).toFloat - 8) / 8f)))
+      .toDF("vec_id", "embedding")
+    val oneCell = Array(Array.fill(6)(1.0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val bounded = rows(Ann.semanticContamination(corpus, "embedding",
+      "vec_id", bench, "embedding", "vec_id", 0.9))
+    val blocked = rows(Ann.semanticContaminationBlocked(corpus, "embedding",
+      "vec_id", bench, "embedding", "vec_id", oneCell, 0.9))
+    assert(bounded.nonEmpty && blocked == bounded)
+  }
+
+  test("blocked decontam: bench-free cell rows come back uncontaminated nulls") {
+    // two orthogonal clusters as centroids; bench lives only in cell 0
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f)),  // cell 0 — bench present, exact dup
+      (2L, Array(0.1f, 0.9f))   // cell 1 — no bench in cell
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((10L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Ann.semanticContaminationBlocked(corpus, "embedding", "vec_id",
+      bench, "embedding", "vec_id", cents, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((Some(10L), Some(1.0), true)))
+    assert(got(2L) == ((None, None, false)))
+  }
+
   // ---- D63 JL random projection / MatVec ----
 
   test("jlSignMatrix is deterministic, ±1-valued, and seed-sensitive") {
