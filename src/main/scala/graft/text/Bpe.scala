@@ -53,9 +53,14 @@ object Bpe {
 
   /** Learn the top-`numMerges` BPE merges. Returns (rank, left,
     * right, merged, pair_count) rows, rank 1..N in learn order;
-    * stops early (fewer rows) if no adjacent pair remains.
+    * stops early (fewer rows) if no adjacent pair remains. Lineage is
+    * truncated with a localCheckpoint every `checkpointEvery`
+    * iterations — without it a deep run accumulates one nested cached
+    * plan per merge and the driver OOMs on plan bookkeeping long
+    * before the data does.
     */
-  def learnMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def learnMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  checkpointEvery: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
@@ -90,6 +95,7 @@ object Bpe {
             lit(s"$D${m.left}$D$D${m.right}$D"),
             lit(s"$D${m.left}${m.right}$D")).as("s"),
           col("cnt")))
+        if (rank % checkpointEvery == 0) words = words.localCheckpoint()
         rank += 1
       }
     }
@@ -131,21 +137,48 @@ object Bpe {
     */
   def learnMergesBatched(df: DataFrame, textCol: String, numMerges: Int,
                          batchSize: Int = 16,
-                         checkpointEvery: Int = 8): DataFrame = {
+                         checkpointEvery: Int = 8,
+                         maxBatchSize: Int = 256): DataFrame =
+    learnMergesBatchedWithStats(df, textCol, numMerges, batchSize,
+      checkpointEvery, maxBatchSize)._1
+
+  /** [[learnMergesBatched]] plus the realized batch size of every
+    * driver round-trip — the measurement surface for the ≥1k-merge
+    * viability sweep (r13 verdict #3): jobs = stats.length, merges =
+    * stats.sum, amortization = merges/jobs.
+    */
+  def learnMergesBatchedWithStats(df: DataFrame, textCol: String,
+                                  numMerges: Int, batchSize: Int = 16,
+                                  checkpointEvery: Int = 8,
+                                  maxBatchSize: Int = 256)
+      : (DataFrame, Seq[Int]) = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(maxBatchSize >= batchSize,
+      s"maxBatchSize ($maxBatchSize) must be >= batchSize ($batchSize)")
     var words = graft.CacheScope.persist(
       df.select(explode(split(trim(col(textCol)), " +")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .select(delimited(col("w")).as("s"), col("cnt")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    val realized = scala.collection.mutable.ArrayBuffer.empty[Int]
     var iter = 0
     var done = false
+    // ADAPTIVE batch growth (r13 verdict #3): the per-iteration floor
+    // (~one vocab-frame job) dominates a real 32k-vocab induction, so
+    // when the corpus delivers a full clash-free batch — its top
+    // pairs were disjoint, telling us the next request can be more
+    // ambitious — the next `want` doubles (capped); a clashed or
+    // strictness-shrunk batch resets to the realized size. Soundness
+    // is the batch RULE (contiguous disjoint strict prefix), which
+    // holds for every m — the adaptation only changes how many jobs
+    // the same bit-identical merge sequence costs.
+    var curBatch = batchSize
     while (!done && merges.length < numMerges) {
-      val want = math.min(batchSize, numMerges - merges.length)
+      val want = math.min(curBatch, numMerges - merges.length)
       val syms = split(regexp_replace(col("s"), s"^$D|$D$$", ""), D + D)
       // TakeOrdered: want+1 rows reach the driver (the +1 row is the
       // strictness witness — the best EXCLUDED pair)
@@ -179,6 +212,9 @@ object Bpe {
         batch.foreach { case (l, r, c) =>
           merges += Merge(merges.length + 1, l, r, c)
         }
+        realized += batch.length
+        curBatch = if (batch.length == want) math.min(maxBatchSize, curBatch * 2)
+                   else math.max(batch.length, 1)
         words = graft.CacheScope.persist(words.select(
           batch.foldLeft(col("s")) { case (acc, (l, r, _)) =>
             call_function("replace", acc,
@@ -188,9 +224,10 @@ object Bpe {
         if (iter % checkpointEvery == 0) words = words.localCheckpoint()
       }
     }
-    merges.toSeq
+    (merges.toSeq
       .map(m => (m.rank, m.left, m.right, m.left + m.right, m.cnt))
-      .toDF("rank", "left", "right", "merged", "pair_count")
+      .toDF("rank", "left", "right", "merged", "pair_count"),
+      realized.toSeq)
   }
 
   /** Tokenize `textCol` with a learned merge table: per word, start

@@ -98,6 +98,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched ≡ sequential at 256 merges with adaptive growth (r14)") {
+    // a vocabulary rich enough to sustain 256 merges (~90 distinct
+    // pseudo-words with deterministic letter structure and skewed
+    // counts, so ties, clashes, AND full batches all occur); the
+    // adaptive doubling must deliver the same bit-identical table
+    // the sequential algorithm produces, in far fewer round-trips
+    // 16 word FAMILIES over disjoint 7-char alphabets: within a
+    // family merges chain (symbol-sequential, as in any corpus), but
+    // across families the top pairs are symbol-DISJOINT, so the
+    // count-sorted order interleaves batchable work — the shape that
+    // makes batched induction pay on real text, reproduced small
+    val pool = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      ('À' to 'Ö') ++ ('Ø' to 'ö')).mkString
+    val rng = new scala.util.Random(42)
+    val words = (0 until 320).map { i =>
+      val alpha = pool.substring((i % 16) * 7, (i % 16) * 7 + 7)
+      val len = 8 + rng.nextInt(7)
+      val w = (0 until len).map(_ => alpha(rng.nextInt(7))).mkString
+      Seq.fill(1 + rng.nextInt(40))(w).mkString(" ")
+    }
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val seqM = Bpe.learnMerges(df, "text", 256).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val (batDf, stats) = Bpe.learnMergesBatchedWithStats(df, "text", 256)
+    val batM = batDf.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(batM == seqM)
+    assert(seqM.size == 256)
+    // amortization is the point: far fewer driver round-trips than merges
+    assert(stats.length < 256 / 2, s"jobs=${stats.length} — no amortization")
+  }
+
   test("segmented applyMerges ≡ single-projection; deep chains encode correctly") {
     // 70-merge chain collapsing one 71-char word to a single symbol;
     // segmentSize=16 forces 5 segments with checkpoint barriers
