@@ -133,6 +133,100 @@ object Sources {
     nOut
   }
 
+  /** C30b (r14, r13 verdict #8): compaction for HIVE-PARTITIONED
+    * layouts — the shape real tables (C17) actually have. Rewrites
+    * `inDir` (partitioned by `partitionCols`) into `outDir` with the
+    * SAME partition directories and exactly `ceil(rows_p /
+    * targetRows)` files in each — per-partition targets, not one
+    * global count: a compactor that repartitions the whole table
+    * flat would smear every hive partition across every output file.
+    * `partitionFilter` (a predicate on partition columns) makes the
+    * rewrite PARTITION-PRUNED — only the matching partitions are
+    * read (the filter reaches the scan as a partition filter — no
+    * data files of other partitions are opened) and only they appear
+    * in `outDir`; maintenance jobs compact yesterday's partition
+    * without touching the other 10 years.
+    *
+    * Shape for 100 TB, the D96 two-pass discipline grouped by
+    * partition key: (optionally) range-partition on (partitionCols ++
+    * sortCols), PIN the partitioning (localCheckpoint — the sampled
+    * boundaries and per-task row orders must be identical in both
+    * passes), count rows per (spark partition, hive partition) — a
+    * metadata-sized frame — then per-hive-partition dense rank =
+    * cumulative offset + local row_number, slot = rank div
+    * targetRows. Every hive partition spreads over ceil(n_p/target)
+    * TASKS (never one task per hive partition — a 500 GB date
+    * partition stays parallel), and `maxRecordsPerFile = targetRows`
+    * keeps the per-directory file count ceil-EXACT even when hash
+    * placement co-locates two slots of one partition in a task (the
+    * dense ranks guarantee exactly one sub-target remainder chunk
+    * per partition, so Σceil over task chunks = ceil over the
+    * partition). With `sortCols` the per-partition rank follows the
+    * range order, so each output file is a disjoint key range within
+    * its partition (min/max stats prune again); without, ranks use
+    * the pinned arbitrary order (same determinism contract as the
+    * flat [[compactParquetByRows]]'s round-robin).
+    */
+  def compactParquetPartitionedByRows(spark: SparkSession, inDir: String,
+                                      outDir: String, targetRows: Long,
+                                      partitionCols: Seq[String],
+                                      sortCols: Seq[String] = Nil,
+                                      partitionFilter: Column = null): Unit = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(partitionCols.nonEmpty,
+      "compactParquetPartitionedByRows: partitionCols must be non-empty " +
+        "(use compactParquetByRows for a flat layout)")
+    val raw = spark.read.parquet(inDir)
+    val pruned =
+      if (partitionFilter != null) raw.filter(partitionFilter) else raw
+    val shaped =
+      if (sortCols.nonEmpty)
+        pruned.repartitionByRange(
+          (partitionCols ++ sortCols).map(col): _*)
+      else pruned
+    // freeze boundaries + per-task row order across the two passes
+    // (the D96/globalRank pin: recompute must not re-sample)
+    val pinned = graft.CacheScope.track(
+      shaped.withColumn("_pid", spark_partition_id()).localCheckpoint(true))
+    val key = partitionCols.map(col)
+    val counts = pinned.groupBy((col("_pid") +: key): _*)
+      .agg(count(lit(1)).as("_n"))
+    // offsets: window over the metadata-sized counts frame, per hive
+    // partition in pid order (= range order when sortCols given)
+    val offsets = counts.withColumn("_off",
+        coalesce(sum(col("_n")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(key: _*).orderBy(col("_pid"))
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select((col("_pid").as("_opid") +:
+        partitionCols.map(c => col(c).as(s"_o_$c"))) :+ col("_off"): _*)
+    val localOrder =
+      if (sortCols.nonEmpty) sortCols.map(col(_).asc)
+      // no sort contract: any stable per-task order works for slot
+      // counting; monotonically_increasing_id is frozen by the pin
+      else Seq(monotonically_increasing_id().asc)
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy((col("_pid") +: key): _*).orderBy(localOrder: _*)
+    // null-safe join keys: a null partition value is a legal hive
+    // partition (__HIVE_DEFAULT_PARTITION__); === would drop its rows
+    val joinCond = (col("_pid") === col("_opid")) +:
+      partitionCols.map(c => col(c) <=> col(s"_o_$c"))
+    pinned
+      .withColumn("_lr", row_number().over(local).cast("long") - 1)
+      .join(broadcast(offsets), joinCond.reduce(_ && _))
+      .withColumn("_slot", expr(s"(_off + _lr) div ${targetRows}L"))
+      .drop(("_pid" +: "_lr" +: "_off" +: "_opid" +:
+        partitionCols.map(c => s"_o_$c")): _*)
+      .repartition((key :+ col("_slot")): _*)
+      .sortWithinPartitions(
+        (partitionCols ++ Seq("_slot") ++ sortCols).map(col): _*)
+      .drop("_slot")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+  }
+
   /** C31: deterministic sharded JSONL export — the lingua-franca
     * training-data exchange layout (a directory of `shard=N` JSONL
     * shards of a FIXED row count in a PINNED order, plus a manifest):

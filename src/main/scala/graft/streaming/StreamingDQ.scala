@@ -517,6 +517,175 @@ object StreamingDQ {
       java.util.Arrays.asList(rows: _*), sink.schema)
   }
 
+  /** C31s (r14, r13 verdict #9): the streaming WRITE path — a
+    * `foreachBatch` sink that appends each micro-batch into the C31
+    * deterministic JSONL shard layout and keeps the manifest updated
+    * INCREMENTALLY. Shard identity continues the batch contract
+    * (`shard = global_rank div rowsPerShard`), with each batch's
+    * ranks offset by the running row count, so a stream whose arrival
+    * order follows (sortCols, idCol) — e.g. a replay or an ordered
+    * ingest — lands every row in exactly the shard the batch export
+    * of the same data would give it.
+    *
+    * Per batch: one [[graft.operators.Rank.globalRank]] (the D96
+    * two-pass rank, parallel), one shard-keyed append write, and one
+    * TOUCHED-SHARDS-ONLY manifest increment (a per-shard rows/range/
+    * XOR aggregate — metadata-sized; the md5-XOR checksum and min/max
+    * are mergeable, so the running manifest never re-reads shards
+    * already on disk). Boundary shards spanning two batches hold one
+    * file per contributing batch (append semantics — run C30
+    * compaction if one-file-per-shard matters downstream); manifest
+    * rows/ranges/checksums are file-count-independent.
+    *
+    * State contract: the running offset and manifest live on the
+    * DRIVER for the lifetime of one streaming query run (the
+    * AvailableNow/gate scope). A restarted query re-delivering a
+    * committed batch is skipped by batchId, but a driver restart
+    * loses the offset — production restart-safety needs the manifest
+    * persisted per batch (the foreachBatch exactly-once recipe),
+    * documented not implemented.
+    */
+  final class JsonlShardStreamWriter(outDir: String, rowsPerShard: Long,
+                                     sortCols: Seq[Column], idCol: Column,
+                                     contentCol: Column) extends Serializable {
+    require(rowsPerShard >= 1, s"rowsPerShard must be >= 1, got $rowsPerShard")
+    private var offset = 0L
+    private var lastBatchId = -1L
+    // shard -> (rows, min_id, max_id, content_xor)
+    private val manifest =
+      scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+
+    def writeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return // re-delivered batch: committed
+      lastBatchId = batchId
+      val ranked = graft.CacheScope.persist(
+        graft.operators.Rank.globalRank(batch, sortCols, idCol)
+          .withColumn("global_rank", col("global_rank") + offset)
+          .withColumn("shard", expr(s"global_rank div ${rowsPerShard}L")))
+      ranked
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("global_rank"))
+        .write.mode("append").partitionBy("shard").json(outDir)
+      // touched-shard increments: one row per shard in THIS batch
+      val inc = ranked
+        .withColumn("_h", graft.dedup.Dedup.portableTokenHash60(
+          concat_ws("|", idCol, coalesce(contentCol, lit("")))))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("rows"),
+          min(idCol).cast("long").as("mn"), max(idCol).cast("long").as("mx"),
+          expr("bit_xor(_h)").as("xr"))
+        .collect()
+      inc.foreach { r =>
+        val (sh, n, mn, mx, xr) = (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))
+        val merged = manifest.get(sh) match {
+          case Some((n0, mn0, mx0, xr0)) =>
+            (n0 + n, math.min(mn0, mn), math.max(mx0, mx), xr0 ^ xr)
+          case None => (n, mn, mx, xr)
+        }
+        manifest.update(sh, merged)
+        offset += n
+      }
+    }
+
+    /** The incrementally-maintained manifest: (shard, rows, min_id,
+      * max_id, content_xor) — [[graft.sources.Sources.shardManifest]]
+      * minus the file count (append semantics make boundary-shard
+      * file counts batch-cadence-dependent by design).
+      */
+    def manifestDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      manifest.toSeq
+        .map { case (sh, (n, mn, mx, xr)) => (sh, n, mn, mx, xr) }
+        .toDF("shard", "rows", "min_id", "max_id", "content_xor")
+    }
+  }
+
+  /** Gate harness for [[JsonlShardStreamWriter]]: replay `df` as an
+    * id-ordered file stream (`nBatches` contiguous id-range slices,
+    * one arrival file each, maxFilesPerTrigger=1 under AvailableNow —
+    * the [[replayClosedWindows]] arrival discipline without the
+    * watermark machinery, since a sink needs no event time), run the
+    * foreachBatch shard writer over it, and return the INCREMENTAL
+    * manifest. Because the slices are id-contiguous and each batch is
+    * ranked under (sortCols, idCol), the streamed layout is row-for-
+    * row the batch export's — verified by the caller against a
+    * read-back census.
+    */
+  def streamJsonlShardsReplay(df: DataFrame, numIdCol: String,
+                              outDir: String, arrivalsDir: String,
+                              nBatches: Int, rowsPerShard: Long,
+                              contentCol: Column): DataFrame = {
+    require(nBatches >= 1, s"nBatches must be >= 1, got $nBatches")
+    val spark = df.sparkSession
+    val mm = df.agg(min(col(numIdCol).cast("long")).as("mn"),
+      max(col(numIdCol).cast("long")).as("mx")).head()
+    require(!mm.isNullAt(0), "streamJsonlShardsReplay: empty or all-null id input")
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val span = mx - mn + 1
+    val slices = (0 until nBatches).map { k =>
+      val lo = mn + span * k / nBatches
+      val hi = if (k == nBatches - 1) mx + 1 else mn + span * (k + 1) / nBatches
+      df.filter(col(numIdCol).cast("long") >= lo &&
+        col(numIdCol).cast("long") < hi)
+    }
+    // fresh export target (overwrite semantics for the gate: append
+    // mode would otherwise accrete across rounds)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) { fs.delete(outPath, true); () }
+    val writer = new JsonlShardStreamWriter(
+      outDir, rowsPerShard, Seq(col(numIdCol)), col(numIdCol), contentCol)
+    replayArrivalsForeachBatch(slices, df.schema, arrivalsDir) {
+      (batch, id) => writer.writeBatch(batch, id)
+    }
+    writer.manifestDf(spark)
+  }
+
+  /** [[replayArrivals]]' file-arrival discipline with a foreachBatch
+    * SINK instead of the memory sink: one arrival file per slice,
+    * maxFilesPerTrigger=1, AvailableNow, shuffle partitions pinned to
+    * 4 in a cloned session (the r12 verdict #9 floor rule).
+    */
+  private def replayArrivalsForeachBatch(slices: Seq[DataFrame],
+                                         schema: org.apache.spark.sql.types.StructType,
+                                         dir: String)(
+                                         batchFn: (DataFrame, Long) => Unit): Unit = {
+    val spark = slices.head.sparkSession
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    deleteRec(root)
+    Files.createDirectories(root)
+    val tmp = Files.createTempDirectory("graft_replay_tmp")
+    val base = System.currentTimeMillis() - 3600000L
+    slices.zipWithIndex.foreach { case (slice, k) =>
+      val stage = s"$tmp/b$k"
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dest = root.resolve(f"batch_$k%04d.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(base + k * 60000L)
+    }
+    deleteRec(tmp)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_replay_ckpt")
+    val q = stream.writeStream
+      .foreachBatch(batchFn)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRec(ckpt)
+  }
+
   /** Windowed per-type event counts (profiling a stream the way the
     * batch profiler does a table).
     */

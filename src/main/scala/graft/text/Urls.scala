@@ -120,6 +120,113 @@ object Urls {
         Seq("_labels", "_n")): _*)
   }
 
+  /** Parse the published public-suffix-list FILE format (r13 verdict
+    * #7 — the loader [[registeredDomainFromTable]]'s external-dim
+    * contract was missing) into a (suffix, kind) rules frame for
+    * [[registeredDomainPsl]]. The PSL grammar, per its published
+    * spec: each line is read only up to the first whitespace; lines
+    * starting with `//` are comments; blank lines are ignored; a
+    * leading `!` marks an exception rule; a leading `*.` marks a
+    * wildcard rule (the `*` matches exactly one label). Rules are
+    * lowercased. `kind` ∈ exact | wildcard | exception; for
+    * wildcards `suffix` stores the TAIL (the labels right of the
+    * `*`), for exceptions the rule minus the `!`.
+    *
+    * Exact rows alone (`kind = 'exact'`) are the
+    * [[registeredDomainFromTable]] dim shape; the full frame drives
+    * the faithful matcher. A bare `*` rule (the algorithm's implicit
+    * default — never printed in the list itself) parses to an empty
+    * tail and is dropped: the default rule is built into both
+    * matchers already.
+    */
+  def parsePublicSuffixList(lines: DataFrame, lineCol: String = "line"): DataFrame = {
+    val r = lower(regexp_extract(trim(col(lineCol)), "^(\\S+)", 1))
+    lines.select(r.as("_r"))
+      .filter(col("_r") =!= "" && !col("_r").startsWith("//"))
+      .select(
+        when(col("_r").startsWith("!"), lit("exception"))
+          .when(col("_r").startsWith("*."), lit("wildcard"))
+          .otherwise(lit("exact")).as("kind"),
+        regexp_replace(col("_r"), "^!|^\\*\\.", "").as("suffix"))
+      .filter(length(col("suffix")) > 0 && col("suffix") =!= "*")
+      .distinct()
+  }
+
+  /** Registered domain under FULL public-suffix-list semantics
+    * (exact + wildcard + exception rules, the published algorithm):
+    * the prevailing rule is the matching exception if any, else the
+    * longest matching rule, else the default `*` (last label is
+    * public); an exception rule's public suffix is the rule minus
+    * its leftmost label; a wildcard `*` consumes exactly one host
+    * label. Registered domain = public suffix + one label; a host
+    * that IS a public suffix (or an empty/non-URL input) yields
+    * null. Unlike [[registeredDomain]]'s LITE form, `www.` is NOT
+    * pre-stripped — under real PSL rules `www` is an ordinary label
+    * (and `!www.ck` needs to see it).
+    *
+    * `rules` is [[parsePublicSuffixList]]'s (suffix, kind) shape.
+    * Shape for 100 TB: same as [[registeredDomainFromTable]] — the
+    * rules table broadcasts and matching is chained BROADCAST left
+    * joins (one per kind per candidate label count), so the corpus
+    * never shuffles. Adds `registered_domain`.
+    */
+  def registeredDomainPsl(df: DataFrame, urlCol: String, rules: DataFrame,
+                          maxSuffixLabels: Int = 5): DataFrame = {
+    require(maxSuffixLabels >= 1,
+      s"maxSuffixLabels must be >= 1, got $maxSuffixLabels")
+    val host = regexp_replace(
+      lower(regexp_extract(col(urlCol), hostRe, 1)), ":[0-9]+$", "")
+    val dim = graft.CacheScope.persist(
+      rules.select(lower(trim(col("suffix"))).as("suffix"),
+          lower(trim(col("kind"))).as("kind"))
+        .filter(length(col("suffix")) > 0).distinct()
+        .withColumn("_sl", size(split(col("suffix"), "\\."))))
+    val base = df.withColumn("_labels", split(host, "\\."))
+      .withColumn("_n", size(col("_labels")))
+    val withKeys = (1 to maxSuffixLabels).foldLeft(base) { (acc, k) =>
+      acc.withColumn(s"_c$k",
+        when(col("_n") >= k, array_join(slice(col("_labels"), -k, k), ".")))
+    }
+    def kindDim(kind: String, sl: Int, keyName: String, flagName: String,
+                flag: Int) =
+      broadcast(dim.filter(col("kind") === kind && col("_sl") === sl)
+        .select(col("suffix").as(keyName), lit(flag).as(flagName)))
+    // exact rule of k labels: match on the last-k key, suffix len k
+    val joined0 = (1 to maxSuffixLabels).foldLeft(withKeys) { (acc, k) =>
+      acc.join(kindDim("exact", k, s"_c$k", s"_e$k", k), Seq(s"_c$k"), "left")
+    }
+    // wildcard tail of k-1 labels: `*` consumes one more host label,
+    // so the rule has k labels; match on the last-(k-1) key and
+    // require the host to HAVE the extra label (_n >= k)
+    val joined1 = (2 to maxSuffixLabels).foldLeft(joined0) { (acc, k) =>
+      acc.join(kindDim("wildcard", k - 1, s"_c${k - 1}", s"_w$k", k),
+        Seq(s"_c${k - 1}"), "left")
+    }
+    // exception rule of k labels: prevails outright; its public
+    // suffix is the rule minus the leftmost label -> k-1
+    val joined2 = (1 to maxSuffixLabels).foldLeft(joined1) { (acc, k) =>
+      acc.join(kindDim("exception", k, s"_c$k", s"_x$k", k - 1),
+        Seq(s"_c$k"), "left")
+    }
+    val excSk = greatest(
+      (1 to maxSuffixLabels).map(k => coalesce(col(s"_x$k"), lit(-1))): _*)
+    val plainSk = greatest(
+      lit(1) +:
+        (1 to maxSuffixLabels).map(k => coalesce(col(s"_e$k"), lit(0))) ++:
+        (2 to maxSuffixLabels).map(k =>
+          when(col("_n") >= k, coalesce(col(s"_w$k"), lit(0))).otherwise(lit(0))): _*)
+    val sk = when(excSk >= 0, excSk).otherwise(plainSk)
+    val keep = sk + 1
+    joined2
+      .withColumn("registered_domain",
+        when(array_join(col("_labels"), ".") === "", lit(null).cast("string"))
+          .when(col("_n") <= sk, lit(null).cast("string"))
+          .otherwise(array_join(slice(col("_labels"), -keep, keep), ".")))
+      .drop(((1 to maxSuffixLabels).flatMap(k =>
+        Seq(s"_c$k", s"_e$k", s"_w$k", s"_x$k")) ++
+        Seq("_labels", "_n")): _*)
+  }
+
   /** Per-registered-domain census over canonicalized URLs: pages,
     * distinct canonical URLs (re-crawl dup factor = pages/distinct).
     * One map-side-combined groupBy on the domain.

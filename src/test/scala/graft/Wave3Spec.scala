@@ -199,6 +199,86 @@ class Wave3Spec extends SparkSpec {
       s"corpus-side shuffle in PSL matching:\n$plan")
   }
 
+  test("parsePublicSuffixList: the documented PSL grammar (r14, r13 verdict #7)") {
+    // the published file format: comments, blank lines, read-to-first-
+    // whitespace, `!` exceptions, `*.` wildcards, case normalization
+    val lines = Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "com",
+      "  uk.com   trailing junk ignored",
+      "CK",
+      "*.ck",
+      "!www.ck",
+      "*.sch.uk",
+      "   ",
+      "// a comment that mentions org",
+      "JP",
+      "kawasaki.jp",
+      "*",   // bare default rule: implicit in the algorithm, dropped
+      "com"  // duplicate collapses
+    ).toDF("line")
+    val got = graft.text.Urls.parsePublicSuffixList(lines)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("exact", "com"), ("exact", "uk.com"), ("exact", "ck"),
+      ("wildcard", "ck"), ("exception", "www.ck"),
+      ("wildcard", "sch.uk"), ("exact", "jp"), ("exact", "kawasaki.jp")))
+  }
+
+  test("registeredDomainPsl: the published checkPublicSuffix vectors") {
+    // rules + expectations straight from the PSL project's public
+    // test vectors (the *.ck / !www.ck and *.mm families, listed and
+    // unlisted TLDs); URLs wrap the bare hostnames
+    val rules = graft.text.Urls.parsePublicSuffixList(Seq(
+      "com", "biz", "uk.com", "ac", "mm", "*.mm", "ck", "*.ck", "!www.ck"
+    ).toDF("line"))
+    val cases = Seq(
+      ("example.COM", Some("example.com")),
+      ("b.example.com", Some("example.com")),
+      ("biz", None),
+      ("domain.biz", Some("domain.biz")),
+      ("uk.com", None),
+      ("example.uk.com", Some("example.uk.com")),
+      ("test.ac", Some("test.ac")),
+      // TLD with a wildcard rule: c.mm is itself a public suffix
+      ("mm", None), ("c.mm", None),
+      ("b.c.mm", Some("b.c.mm")), ("a.b.c.mm", Some("b.c.mm")),
+      // the ck family: wildcard + exception
+      ("ck", None), ("test.ck", None),
+      ("b.test.ck", Some("b.test.ck")), ("a.b.test.ck", Some("b.test.ck")),
+      ("www.ck", Some("www.ck")), ("www.www.ck", Some("www.ck")),
+      // unlisted TLD: the default * rule
+      ("example", None),
+      ("example.example", Some("example.example")),
+      ("b.example.example", Some("example.example")))
+    val df = cases.zipWithIndex
+      .map { case ((h, _), i) => (i.toLong, s"https://$h/x") }
+      .toDF("id", "u")
+    val got = graft.text.Urls.registeredDomainPsl(df, "u", rules)
+      .select("id", "registered_domain").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    cases.zipWithIndex.foreach { case ((h, want), i) =>
+      assert(got(i.toLong) == want, s"host $h: got ${got(i.toLong)} want $want")
+    }
+  }
+
+  test("registeredDomainPsl plans shuffle-free (broadcast rule joins only)") {
+    val rules = graft.text.Urls.parsePublicSuffixList(
+      Seq("com", "*.ck", "!www.ck").toDF("line"))
+    val urls = Seq((1L, "https://a.b.com/x")).toDF("id", "u")
+    val plan = graft.text.Urls.registeredDomainPsl(urls, "u", rules)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"PSL matching must join by broadcast only:\n$plan")
+    val badExchange = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(l => l.contains("suffix#") || l.contains("_r#") ||
+        l.contains("kind#"))
+    assert(badExchange.isEmpty,
+      s"corpus-side shuffle in PSL matching:\n$plan")
+  }
+
   test("capPerDomain keeps best-cap rows per domain with id tiebreak") {
     val df = Seq(
       (1L, "http://a.com/1", 10L), (2L, "http://a.com/2", 30L),
