@@ -25,6 +25,23 @@ object SparkEntry {
     */
   private val BpeGateMerges = 64
 
+  /** Learned BPE merge table memoized per (sfDir, table size): q_d84
+    * grades the induction and q_d84b grades the ENCODE of the same
+    * table — re-learning it inside the encode gate duplicated ~6.5 s
+    * of every bench/gate run at zero evidence value (r13 verdict #4).
+    * Driver-side collected rows (64 tuples), so CacheScope.clear()
+    * between queries cannot evict it; keyed by corpus dir.
+    */
+  private val bpeGateCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Int, String, String, String, Long)]]()
+  private def bpeGateTable(s: SparkSession, d: String)
+      : Array[(Int, String, String, String, Long)] =
+    bpeGateCache.computeIfAbsent(s"$d#$BpeGateMerges", _ =>
+      graft.text.Bpe.learnMergesBatched(t(s, d, "documents"), "text",
+        BpeGateMerges).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))))
+
   /** events with deterministically injected nulls, used by the DQ
     * queries (the synthetic tables are clean; the doctoring is
     * mirrored verbatim in the oracle SQL).
@@ -677,6 +694,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C32b (r14, r13 verdict #5): NESTED Avro round trip — a
+    // nullable struct, an array of structs, and a string-keyed map
+    // built from documents, through the executor-written container
+    // parts and back under writer→reader resolution, then FLATTENED
+    // for grading against the ORIGINAL parquet: every nested level
+    // must be value-invisible, including the null struct branch.
+    "q_c32b_avro_nested" -> ((s, d) => {
+      val dir = "/tmp/graft_gate/c32b_avro"
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null))
+          .otherwise(struct(col("lang"), col("n_chars"))).as("meta"),
+        array(
+          struct(lit("len").as("k"), length(col("text")).cast("long").as("v")),
+          struct(lit("id9").as("k"), (col("doc_id") % 9).cast("long").as("v")))
+          .as("tags"),
+        map(lit("src"), col("source")).as("props"))
+      graft.sources.Avro.writeAvroPartitioned(docs.repartition(4), dir)
+      graft.sources.Avro.readAvro(s, dir, docs.schema)
+        .select(col("doc_id"),
+          col("meta.lang").as("lang"), col("meta.n_chars").as("n_chars"),
+          element_at(col("tags"), 1).getField("v").as("len"),
+          element_at(col("tags"), 2).getField("v").as("id9"),
+          element_at(col("props"), "src").as("src"))
+        .orderBy("doc_id")
+    }),
+
     // C31 (r13): deterministic sharded JSONL export + manifest —
     // documents exported as 200-row shards in doc_id order (shard
     // identity from the D96 global rank, one file per shard by
@@ -723,6 +767,29 @@ object SparkEntry {
         .unionByName(cell(comp.select(h)
           .agg(expr("bit_xor(_h)").as("value")), "content_xor"))
         .orderBy("metric")
+    }),
+
+    // C30b (r14, r13 verdict #8): HIVE-PARTITIONED compaction —
+    // documents written lang-partitioned as 16-way small files,
+    // compacted with a PER-PARTITION 200-row target; the census
+    // grades per-lang rows, the ceil-exact per-partition file
+    // count, and a per-lang content XOR (so the grouped two-pass
+    // rank rewrite is content-invisible partition by partition).
+    "q_c30b_compact_partitioned" -> ((s, d) => {
+      val base = "/tmp/graft_gate/c30b"
+      t(s, d, "documents").repartition(16)
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$base/small")
+      graft.sources.Sources.compactParquetPartitionedByRows(
+        s, s"$base/small", s"$base/compact", 200L, Seq("lang"))
+      s.read.parquet(s"$base/compact")
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")))))
+        .withColumn("_f", input_file_name())
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("rows"),
+          countDistinct(col("_f")).as("n_files"),
+          expr("bit_xor(_h)").as("content_xor"))
+        .orderBy("lang")
     }),
 
     // ---- D. scale extensions
@@ -1024,19 +1091,22 @@ object SparkEntry {
     // oracle unrolls the same 64 iterations SEQUENTIALLY as CTE
     // chains, so the gate certifies batched ≡ sequential on the real
     // corpus, not just the spec corpora
-    "q_d84_bpe_merges" -> ((s, d) =>
-      graft.text.Bpe.learnMergesBatched(
-        t(s, d, "documents"), "text", BpeGateMerges)
-        .orderBy("rank")),
+    "q_d84_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      bpeGateTable(s, d).toSeq
+        .toDF("rank", "left", "right", "merged", "pair_count")
+        .orderBy("rank")
+    }),
     // ...and the trained tokenizer applied back to the corpus: a
     // 64-deep chain of codegen'd replaces in ONE map-only projection
     // (segmentSize=64 — longer tables fold through checkpointed
-    // segments; see Bpe.applyMerges)
+    // segments; see Bpe.applyMerges). Reuses q_d84's learned table
+    // via the memo (r13 verdict #4) — the encode is what this gate
+    // grades, the induction is q_d84's.
     "q_d84b_bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.text.Bpe.learnMergesBatched(
-        docs, "text", BpeGateMerges).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val merges = bpeGateTable(s, d)
+        .map(r => (r._2, r._3)).toSeq
       graft.text.Bpe.applyMerges(docs, "text", merges)
         .select("doc_id", "bpe_tokens").orderBy("doc_id")
     }),
@@ -1544,6 +1614,36 @@ object SparkEntry {
       graft.text.Urls.registeredDomainFromTable(urls, "url", dim)
         .select("doc_id", "registered_domain").orderBy("doc_id")
     }),
+    // D70c (r14, r13 verdict #7): FULL PSL semantics end-to-end —
+    // the published file grammar (comments, blanks, `*.ck` wildcards,
+    // `!www.ck` exceptions) through parsePublicSuffixList into the
+    // wildcard/exception-aware matcher, over hosts doctored to hit
+    // every rule family: exact multi-level, wildcard, the exception
+    // carve-out, the default `*` rule, and a host that IS a public
+    // suffix. The oracle hand-derives each family's registered
+    // domain from the same doc_id arithmetic (the PSL algorithm's
+    // published answers, row for row).
+    "q_d70c_psl_wildcard" -> ((s, d) => {
+      import s.implicits._
+      val rules = graft.text.Urls.parsePublicSuffixList(Seq(
+        "// PSL excerpt", "", "com", "uk", "co.uk", "CK   comment",
+        "*.ck", "!www.ck", "mm", "*.mm").toDF("line"))
+      val urls = t(s, d, "documents").select("doc_id")
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 6 === 0, concat(lit("www.shop"),
+            (col("doc_id") % 7).cast("string"), lit(".example.co.uk")))
+            .when(col("doc_id") % 6 === 1, concat(lit("a.b.test"),
+              (col("doc_id") % 5).cast("string"), lit(".ck")))
+            .when(col("doc_id") % 6 === 2, lit("www.ck"))
+            .when(col("doc_id") % 6 === 3, concat(lit("x.files"),
+              (col("doc_id") % 3).cast("string"), lit(".mm")))
+            .when(col("doc_id") % 6 === 4, concat(lit("sub"),
+              (col("doc_id") % 4).cast("string"), lit(".example.zz9")))
+            .otherwise(lit("test.ck")),
+          lit("/p/"), col("doc_id").cast("string")))
+      graft.text.Urls.registeredDomainPsl(urls, "url", rules)
+        .select("doc_id", "registered_domain").orderBy("doc_id")
+    }),
     // URL canonicalization + per-domain cap: crawl-shaped URLs
     // doctored from doc_id (mixed-case scheme/host, default + explicit
     // ports, tracking params in first/last position, fragments,
@@ -1651,6 +1751,23 @@ object SparkEntry {
       Ann.semanticContamination(emb, "embedding", "vec_id",
         emb.filter(col("vec_id") % 50 === 0), "embedding", "vec_id",
         threshold = 0.9)
+        .orderBy("vec_id")
+    }),
+    // D62b (r14, r13 verdict #6): the UNBOUNDED-bank decontam path —
+    // the bank here is HALF the corpus (every odd vec_id, ~25× d62's
+    // bank), forced through 4 IVF cells; nothing is collected or
+    // broadcast, and odd corpus rows hit themselves at cosine 1.0 so
+    // the contaminated branch fires for real. The oracle re-derives
+    // cell assignment (argmax cosine, later cid wins — the q_d33
+    // rule), the within-cell argmax (later bench_id wins ties, the
+    // d62 rule), and the left join that returns bench-free-cell rows
+    // uncontaminated; 1-cell == bounded-path equality is spec-gated.
+    "q_d62b_blocked_decontam" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
+      Ann.semanticContaminationBlocked(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") % 2 === 1), "embedding", "vec_id",
+        cents, threshold = 0.9)
         .orderBy("vec_id")
     }),
     // JL random projection 64 -> 8 dims with the md5-derived ±1 sign
@@ -2024,6 +2141,28 @@ object SparkEntry {
         .withColumn("window_start",
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
         .orderBy("window_start", "column")
+    }),
+    // C31s / q_s11 (r14, r13 verdict #9): the streaming WRITE path —
+    // documents replayed as a 3-batch id-ordered file stream into the
+    // foreachBatch JSONL shard sink; shard identity continues across
+    // batches via the running rank offset, and the INCREMENTALLY-
+    // maintained manifest must agree with a census of the bytes
+    // actually on disk (the semi join drops any diverging shard row →
+    // hash fail) AND with the batch export's manifest (the oracle:
+    // q_c31's arithmetic minus the file count, which append semantics
+    // make batch-cadence-dependent by design).
+    "q_s11_stream_jsonl_shards" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val inc = graft.streaming.StreamingDQ.streamJsonlShardsReplay(
+        docs, "doc_id", "/tmp/graft_gate/s11_shards",
+        "/tmp/graft_gate/s11_arrivals", 3, 200L, col("text"))
+      val back = s.read.schema("doc_id LONG, text STRING, global_rank LONG")
+        .json("/tmp/graft_gate/s11_shards")
+      graft.sources.Sources.shardManifest(back, col("doc_id"), col("text"))
+        .drop("n_files")
+        .join(inc, Seq("shard", "rows", "min_id", "max_id", "content_xor"),
+          "semi")
+        .orderBy("shard")
     }),
     // C20 gate: the XLSX writer/reader round trip on a REAL workbook
     // file — write nation, read it back through the JDK zip+StAX
@@ -2454,6 +2593,26 @@ object SparkEntry {
         .orderBy("src_id")
     }),
 
+    // D97b (r14, closes the r13 `weak`): the corpus×corpus PRODUCTION
+    // path for margin mining — both sides IVF-assigned to 4 cells
+    // from ONE shared first-4-by-id centroid bank (map-only scans,
+    // nothing broadcast or collected), mined within cells via a
+    // cell-keyed join; candidate volume Σ|src_c|·|tgt_c| ≪
+    // |src|·|tgt|. The oracle re-derives cell assignment (argmax
+    // cosine, later cid wins — the q_d33 rule), the within-cell
+    // ranks, k-bounded sums and the fully-integer margin; the 1-cell
+    // == exact-mining equality and the recall/candidate-volume
+    // claims are spec-gated (MarginMiningSpec).
+    "q_d97b_blocked_mining" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
+      Ann.marginMiningBlocked(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+        cents, k = 4, thresholdMicro = 1000000L)
+        .orderBy("src_id")
+    }),
+
     // e2e-9 (r13): the MIXTURE BUILD — the full "raw corpus to
     // training schedule" chain: D41 sqrt-temperature token-budget
     // fractions per language → D25 deterministic hash sampling at
@@ -2764,6 +2923,23 @@ object SparkEntry {
       // certifies both DROP semantics and on-time invariance at once
       ("q_s10_file_stream_late_drop" -> base("q_s4_dq_summary")) +
       ("q_s6_file_stream_freq" -> base("q_d81_windowed_freq")) +
+      // streaming shard export (r14): the batch C31 manifest minus
+      // n_files — the streamed layout must be row-for-row the batch
+      // export's, and the incremental manifest must census it exactly
+      ("q_s11_stream_jsonl_shards" ->
+        """WITH r AS (SELECT doc_id, text,
+          |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rk
+          |  FROM documents),
+          |sh AS (SELECT doc_id, text, rk // 200 AS shard FROM r),
+          |h AS (SELECT shard, doc_id, list_reduce(list_transform(range(1, 16),
+          |    i -> strpos('0123456789abcdef', substr(md5(
+          |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+          |      CAST(i AS INT), 1)) - 1),
+          |    (a, x) -> a * 16 + x) AS hh FROM sh)
+          |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS rows,
+          |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+          |  CAST(bit_xor(hh) AS BIGINT) AS content_xor
+          |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) +
       // D15/D39/D52 end-to-end replays: deterministic set semantics
       ("q_s7_file_stream_dedup" ->
         """SELECT DISTINCT event_id % 500 AS dup_key,
@@ -3689,6 +3865,31 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  text AS raw_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // nested Avro: the flattened projection re-derived from the
+    // ORIGINAL parquet, incl. the doctored null-struct branch
+    "q_c32b_avro_nested" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  CAST(doc_id % 9 AS BIGINT) AS id9,
+        |  source AS src
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // partitioned compaction: per-lang rows, the ceil(rows_p/200)
+    // per-partition file arithmetic, and the per-lang content XOR
+    // from the portable md5-nibble fold
+    "q_c30b_compact_partitioned" ->
+      """WITH h AS (SELECT lang, list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM documents)
+        |SELECT lang, count(*) AS rows,
+        |  CAST((count(*) + 199) // 200 AS BIGINT) AS n_files,
+        |  CAST(bit_xor(hh) AS BIGINT) AS content_xor
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // shard identity, ranges, and the round-trip checksum re-derived
     // from the ORIGINAL parquet (rank = row_number over doc_id; the
@@ -4764,6 +4965,22 @@ object SparkEntry {
         |       ELSE array_to_string(labels[n-sk:n], '.') END AS registered_domain
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // full-PSL wildcard/exception semantics: each doctored host
+    // family's registered domain hand-derived from the published PSL
+    // algorithm (co.uk exact-longest; *.ck public suffix = one label
+    // deeper; !www.ck carve-out; *.mm; unlisted TLD default rule; a
+    // host that IS a public suffix -> null), row for row by doc_id
+    "q_d70c_psl_wildcard" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'example.co.uk'
+        |    WHEN 1 THEN 'b.test' || CAST(doc_id % 5 AS VARCHAR) || '.ck'
+        |    WHEN 2 THEN 'www.ck'
+        |    WHEN 3 THEN 'x.files' || CAST(doc_id % 3 AS VARCHAR) || '.mm'
+        |    WHEN 4 THEN 'example.zz9'
+        |    ELSE NULL END AS registered_domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // exact-range certification: under no purge the sketch returns
     // the exact multiset counts, so est = lb = ub = exact and
     // max_error = 0 — all oracle-recomputable
@@ -4861,6 +5078,47 @@ object SparkEntry {
         |SELECT vec_id, bench_id, round(sim, 4) AS max_cosine,
         |  round(sim, 4) >= 0.9 AS contaminated
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // D62b: the d62 argmax math on a CELL-BLOCKED pair table — both
+    // sides assigned to their argmax-cosine centroid (later cid wins,
+    // the q_d33 rule; zero-norm vectors never pair), only same-cell
+    // (corpus, bench) pairs scored, and the final LEFT join keeps
+    // bench-free-cell corpus rows as uncontaminated nulls
+    "q_d62b_blocked_decontam" ->
+      """WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |easg AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c.cv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, cid DESC) AS rn
+        |  FROM e CROSS JOIN c
+        |  WHERE list_dot_product(e.v, e.v) > 0) WHERE rn = 1),
+        |basg AS (SELECT bench_id, cid FROM (
+        |  SELECT b.bench_id, c.cid, row_number() OVER (PARTITION BY b.bench_id
+        |    ORDER BY list_dot_product(b.bv, c.cv)
+        |      / (sqrt(list_dot_product(b.bv, b.bv)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, cid DESC) AS rn
+        |  FROM b CROSS JOIN c
+        |  WHERE list_dot_product(b.bv, b.bv) > 0) WHERE rn = 1),
+        |s AS (SELECT e.vec_id, b.bench_id,
+        |  list_dot_product(e.v, b.bv)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv))) AS sim
+        |  FROM e JOIN easg ea ON e.vec_id = ea.vec_id
+        |       JOIN basg ba ON ea.cid = ba.cid
+        |       JOIN b ON b.bench_id = ba.bench_id),
+        |r AS (SELECT vec_id, bench_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id DESC) AS rn
+        |  FROM s),
+        |best AS (SELECT vec_id, bench_id, round(sim, 4) AS mc
+        |  FROM r WHERE rn = 1)
+        |SELECT e.vec_id, best.bench_id, best.mc AS max_cosine,
+        |  coalesce(best.mc >= 0.9, false) AS contaminated
+        |FROM e LEFT JOIN best ON e.vec_id = best.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     // JL projection re-derived bit-for-bit: the md5-nibble ±1 sign
     // list per output dim, list_dot_product's left-to-right sum, the
@@ -5847,6 +6105,60 @@ object SparkEntry {
         |    * 1000000.0) AS BIGINT) AS cm
         |  FROM src s CROSS JOIN tgt t
         |  WHERE list_dot_product(t.v, t.v) > 0 AND list_dot_product(s.v, s.v) > 0),
+        |fr AS (SELECT src_id, tgt_id, cm, CAST(row_number() OVER (
+        |    PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS BIGINT) AS rk
+        |  FROM fsc),
+        |fwd AS (SELECT * FROM fr WHERE rk <= 4),
+        |br AS (SELECT src_id, tgt_id, cm, CAST(row_number() OVER (
+        |    PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS BIGINT) AS rk
+        |  FROM fsc),
+        |bwd AS (SELECT * FROM br WHERE rk <= 4),
+        |ss AS (SELECT src_id, CAST(sum(cm) AS BIGINT) AS s FROM fwd GROUP BY 1),
+        |tt AS (SELECT tgt_id, CAST(sum(cm) AS BIGINT) AS t FROM bwd GROUP BY 1),
+        |sc AS (SELECT f.src_id, f.tgt_id, f.cm,
+        |  (2 * 4 * f.cm * 1000000) // (s + t) AS margin
+        |  FROM fwd f JOIN ss USING (src_id) JOIN tt USING (tgt_id)),
+        |best AS (SELECT src_id, tgt_id, cm, CAST(margin AS BIGINT) AS margin_micro,
+        |  row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id)
+        |    AS rk FROM sc)
+        |SELECT src_id, tgt_id, cm AS cos_micro, margin_micro
+        |FROM best WHERE rk = 1 AND margin_micro >= 1000000
+        |ORDER BY src_id""".stripMargin,
+
+    // D97b: q_d97's margin math verbatim, but the pair table is
+    // cell-blocked — both sides assigned to their argmax-cosine
+    // centroid (later cid wins ties, the q_d33 rule; zero-norm
+    // vectors never pair so they are excluded from assignment), and
+    // only same-cell pairs exist. Ranks, k-bounded sums, and the
+    // integer-division margin all run on the within-cell frame.
+    "q_d97b_blocked_mining" ->
+      """WITH src AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |tgt AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |sasg AS (SELECT id, cid FROM (
+        |  SELECT s.id, c.cid, row_number() OVER (PARTITION BY s.id
+        |    ORDER BY list_dot_product(s.v, c.cv)
+        |      / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, cid DESC) AS rn
+        |  FROM src s CROSS JOIN c
+        |  WHERE list_dot_product(s.v, s.v) > 0) WHERE rn = 1),
+        |tasg AS (SELECT id, cid FROM (
+        |  SELECT t.id, c.cid, row_number() OVER (PARTITION BY t.id
+        |    ORDER BY list_dot_product(t.v, c.cv)
+        |      / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+        |      DESC, cid DESC) AS rn
+        |  FROM tgt t CROSS JOIN c
+        |  WHERE list_dot_product(t.v, t.v) > 0) WHERE rn = 1),
+        |fsc AS (SELECT s.id AS src_id, t.id AS tgt_id,
+        |  CAST(round(list_dot_product(t.v, s.v)
+        |    / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(s.v, s.v)))
+        |    * 1000000.0) AS BIGINT) AS cm
+        |  FROM src s JOIN sasg sa ON s.id = sa.id
+        |       JOIN tasg ta ON sa.cid = ta.cid
+        |       JOIN tgt t ON t.id = ta.id),
         |fr AS (SELECT src_id, tgt_id, cm, CAST(row_number() OVER (
         |    PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS BIGINT) AS rk
         |  FROM fsc),
