@@ -86,6 +86,23 @@ class MarginMiningSpec extends SparkSpec {
     assert(exact.nonEmpty && blocked == exact)
   }
 
+  test("blocked: pair frame shuffles on the cell key, never broadcasts a corpus side") {
+    val src = (1L to 40L).map(i => (i, vec(i))).toDF("id", "v")
+    val tgt = (200L to 260L).map(i => (i, vec(i * 3 + 1))).toDF("id", "v")
+    val cents = Array.tabulate(4)(c => Array.tabulate(dim)(j =>
+      (((c * 37 + j * 5) % 11) - 5).toDouble))
+    val plan = Ann.marginMiningBlocked(src, "id", "v", tgt, "id", "v",
+      cents, 3, 0L).queryExecution.executedPlan.toString
+    // the production contract: a cell-keyed shuffle join (both sides
+    // exchanged on _cell), NOT batchTopK's query-side broadcast — the
+    // whole point of the blocked path is that neither corpus rides a
+    // broadcast
+    assert(plan.contains("hashpartitioning(_cell"),
+      s"expected an explicit cell-key exchange:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus side must not broadcast:\n$plan")
+  }
+
   test("blocked: within-cell math is exact, candidates sub-quadratic, recall reported") {
     val srcV = (1L to 60L).map(i => i -> vec(i)).toMap
     val tgtV = (200L to 280L).map(i => i -> vec(i * 3 + 1)).toMap
