@@ -1767,7 +1767,7 @@ object SparkEntry {
       val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
       Ann.semanticContaminationBlocked(emb, "embedding", "vec_id",
         emb.filter(col("vec_id") % 2 === 1), "embedding", "vec_id",
-        cents, threshold = 0.9)
+        cents, threshold = 0.9, saltBuckets = 8)
         .orderBy("vec_id")
     }),
     // JL random projection 64 -> 8 dims with the md5-derived ±1 sign
@@ -2606,10 +2606,14 @@ object SparkEntry {
     "q_d97b_blocked_mining" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val cents = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
+      // saltBuckets=8: the production parallelism dial (the 4-cell
+      // join otherwise caps at 4 tasks — measured ~4/32 cores busy at
+      // x50); results are salt-invariant (spec-gated), so the oracle
+      // never sees it
       Ann.marginMiningBlocked(
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
         emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
-        cents, k = 4, thresholdMicro = 1000000L)
+        cents, k = 4, thresholdMicro = 1000000L, saltBuckets = 8)
         .orderBy("src_id")
     }),
 

@@ -481,19 +481,30 @@ object Ann {
                                    benchVecCol: String, benchIdCol: String,
                                    centroids: Array[Array[Double]],
                                    threshold: Double,
-                                   scale: Int = 4): DataFrame = {
+                                   scale: Int = 4,
+                                   saltBuckets: Int = 1): DataFrame = {
     require(centroids.nonEmpty, "semanticContaminationBlocked: empty centroid bank")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    // saltBuckets spreads each cell over S tasks (join parallelism is
+    // otherwise capped at the number of distinct cells — see
+    // marginMiningBlocked's parallelism note): corpus rows take
+    // _salt = pmod(id, S), bench rows explode to all S salts, every
+    // same-cell pair still meets exactly once (bit-identical results
+    // for any S, spec-gated).
     val ca = corpus.select(col(idCol), col(vecCol).as("_ev"),
-      graft.functions.NearestCentroid(col(vecCol), centroids).as("_cell"))
+      graft.functions.NearestCentroid(col(vecCol), centroids).as("_cell"),
+      pmod(col(idCol).cast("long"), lit(saltBuckets.toLong)).as("_salt"))
     val ba = bench.select(col(benchIdCol).cast("long").as("bench_id"),
       col(benchVecCol).as("_bv"),
       graft.functions.NearestCentroid(col(benchVecCol), centroids).as("_cell"))
-    // explicit partitioning on the cell key (the semanticPairs rule):
-    // tiny inputs fanning out into a heavy pair frame must not be
-    // AQE-coalesced into one task
+      .withColumn("_salt", explode(lit((0L until saltBuckets.toLong).toArray)))
+    // explicit partitioning on the (cell, salt) key (the semanticPairs
+    // rule): tiny inputs fanning out into a heavy pair frame must not
+    // be AQE-coalesced into one task
     val parts = corpus.sparkSession.sessionState.conf.numShufflePartitions
-    val scored = ca.repartition(parts, col("_cell"))
-      .join(ba.repartition(parts, col("_cell")), Seq("_cell"))
+    val scored = ca.repartition(parts, col("_cell"), col("_salt"))
+      .join(ba.repartition(parts, col("_cell"), col("_salt")),
+        Seq("_cell", "_salt"))
       .select(col(idCol), col("bench_id"),
         cosine(col("_ev"), col("_bv")).as("_sim"))
       .filter(col("_sim").isNotNull)
@@ -639,27 +650,44 @@ object Ann {
     * exact path: micro-quantized cosines, integer margins, the same
     * (margin desc, tgt asc) argmax.
     *
+    * Parallelism: the pair join's natural task count is the number of
+    * DISTINCT CELLS — right when cells ≥ cluster parallelism (the
+    * production regime: hundreds-plus cells), a ceiling when a
+    * coarse bank meets a big corpus (measured: the 4-cell x50 gate
+    * dial kept ~4 of 32 cores busy). `saltBuckets` = S spreads each
+    * cell over S tasks: the src side takes `_salt = pmod(src_id, S)`,
+    * the tgt side EXPLODES to all S salts (tgt shuffle volume ×S —
+    * assignment-row-sized, noise next to the pair volume), and the
+    * join key becomes (_cell, _salt). Every (src, tgt) same-cell pair
+    * still meets exactly once, so the result is bit-identical for any
+    * S (spec-gated).
+    *
     * Returns (src_id, tgt_id, cos_micro, margin_micro).
     */
   def marginMiningBlocked(src: DataFrame, srcId: String, srcVec: String,
                           tgt: DataFrame, tgtId: String, tgtVec: String,
                           centroids: Array[Array[Double]], k: Int,
-                          thresholdMicro: Long): DataFrame = {
+                          thresholdMicro: Long,
+                          saltBuckets: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(centroids.nonEmpty, "marginMiningBlocked: empty centroid bank")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val sa = src.select(col(srcId).cast("long").as("src_id"),
       col(srcVec).as("_sv"),
-      graft.functions.NearestCentroid(col(srcVec), centroids).as("_cell"))
+      graft.functions.NearestCentroid(col(srcVec), centroids).as("_cell"),
+      pmod(col(srcId).cast("long"), lit(saltBuckets.toLong)).as("_salt"))
     val ta = tgt.select(col(tgtId).cast("long").as("tgt_id"),
       col(tgtVec).as("_tv"),
       graft.functions.NearestCentroid(col(tgtVec), centroids).as("_cell"))
-    // explicit partitioning on the cell key (the semanticPairs rule):
-    // input-tiny, output-heavy join — AQE would coalesce the tiny
-    // inputs into one task and serialize pair generation
+      .withColumn("_salt", explode(lit((0L until saltBuckets.toLong).toArray)))
+    // explicit partitioning on the (cell, salt) key (the semanticPairs
+    // rule): input-tiny, output-heavy join — AQE would coalesce the
+    // tiny inputs into one task and serialize pair generation
     val parts = src.sparkSession.sessionState.conf.numShufflePartitions
     val pairs = graft.CacheScope.persist(
-      sa.repartition(parts, col("_cell"))
-        .join(ta.repartition(parts, col("_cell")), Seq("_cell"))
+      sa.repartition(parts, col("_cell"), col("_salt"))
+        .join(ta.repartition(parts, col("_cell"), col("_salt")),
+          Seq("_cell", "_salt"))
         .select(col("src_id"), col("tgt_id"),
           round(cosine(col("_sv"), col("_tv")) * 1e6).cast("long").as("_sm"))
         .filter(col("_sm").isNotNull))

@@ -86,6 +86,19 @@ class MarginMiningSpec extends SparkSpec {
     assert(exact.nonEmpty && blocked == exact)
   }
 
+  test("blocked: salt-invariant — S=5 results bit-equal S=1 (r14 parallelism knob)") {
+    val src = (1L to 30L).map(i => (i, vec(i))).toDF("id", "v")
+    val tgt = (200L to 250L).map(i => (i, vec(i * 3 + 1))).toDF("id", "v")
+    val cents = Array.tabulate(3)(c => Array.tabulate(dim)(j =>
+      (((c * 37 + j * 5) % 11) - 5).toDouble))
+    def rows(s: Int) = Ann.marginMiningBlocked(src, "id", "v", tgt, "id", "v",
+      cents, 3, 0L, saltBuckets = s)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val base = rows(1)
+    assert(base.nonEmpty && rows(5) == base)
+  }
+
   test("blocked: pair frame shuffles on the cell key, never broadcasts a corpus side") {
     val src = (1L to 40L).map(i => (i, vec(i))).toDF("id", "v")
     val tgt = (200L to 260L).map(i => (i, vec(i * 3 + 1))).toDF("id", "v")

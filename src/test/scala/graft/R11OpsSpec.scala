@@ -241,6 +241,23 @@ class R11OpsSpec extends SparkSpec {
     assert(bounded.nonEmpty && blocked == bounded)
   }
 
+  test("blocked decontam: salt-invariant — S=4 results bit-equal S=1 (r14)") {
+    val corpus = (1L to 30L).map(i =>
+      (i, Array.tabulate(6)(j => (((i * 31 + j * 7) % 17).toFloat - 8) / 8f)))
+      .toDF("vec_id", "embedding")
+    val bench = (101L to 112L).map(i =>
+      (i, Array.tabulate(6)(j => (((i * 13 + j * 5) % 17).toFloat - 8) / 8f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    def rows(s: Int) = Ann.semanticContaminationBlocked(corpus, "embedding",
+      "vec_id", bench, "embedding", "vec_id", cents, 0.9, saltBuckets = s)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val base = rows(1)
+    assert(base.nonEmpty && rows(4) == base)
+  }
+
   test("blocked decontam: bench-free cell rows come back uncontaminated nulls") {
     // two orthogonal clusters as centroids; bench lives only in cell 0
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
