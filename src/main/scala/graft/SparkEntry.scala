@@ -2617,6 +2617,83 @@ object SparkEntry {
         .orderBy("src_id")
     }),
 
+    // D99 (r14): IVF-PQ serving — the composed billion-scale ANN
+    // read path: coarse min-L2 cells (first-4-by-id bank; at rest
+    // the index is stored PARTITIONED BY CELL so a probe is a
+    // partition-pruned scan — spec-audited), ADC over the q_d36
+    // codebooks within the 2 probed cells, rerank-bounded (50)
+    // candidate shortlist, exact-L2 re-rank of the shortlist only.
+    // Codes quantize RAW vectors (FAISS by_residual=false), so the
+    // oracle re-derives every stage from list_dot_product arithmetic.
+    "q_d99_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val coarse = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
+      val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 4, k = 4, dim = 64)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      Pq.ivfPqTopK(emb, "embedding", "vec_id", coarse, cb, q,
+        k = 10, nprobe = 2, rerank = 50)
+    }),
+
+    // D100 (r14): 1-bit sign quantization + Hamming pre-rank — the
+    // 32× compression end of the quantization ladder (D98 is 4×):
+    // sign bits packed 32 dims/word (portable integer range), the
+    // corpus pre-ranked by XOR+popcount Hamming distance to the
+    // query's codes, the 50-candidate shortlist re-ranked by exact
+    // float cosine. Every stage — packing, Hamming, the final
+    // cosine — re-derives in plain SQL integer/float arithmetic.
+    "q_d100_binary_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      graft.ann.Quantize.binaryTopK(emb, "embedding", "vec_id", q,
+        k = 10, rerank = 50)
+    }),
+
+    // C33 (r14): near-store index UPSERT — the store's banded minhash
+    // index (C-side of D34b) is maintained INCREMENTALLY: the %4=2
+    // increment's index merges into the {0,1} store index without
+    // re-tokenizing or re-hashing the store (a pure content-key
+    // regroup; merge ≡ full rebuild is spec-gated), then the %4=3
+    // batch matches against the merged index. The oracle knows
+    // nothing of the maintenance plumbing — it grades the exact
+    // bipartite jaccard matches against the UNIONED store, so the
+    // gate certifies the upsert preserved match semantics end to end.
+    "q_c33_index_upsert" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def idx(df: DataFrame) = Dedup.minhashIndex(df, "text", "doc_id")
+      val storeIdx = Dedup.mergeNearIndexes(
+        idx(docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1)),
+        idx(docs.filter(col("doc_id") % 4 === 2)))
+      Dedup.minhashMatchesIndexed(idx(docs.filter(col("doc_id") % 4 === 3)),
+          storeIdx, 0.9)
+        .orderBy("batch_id", "store_id")
+    }),
+
+    // e2e-11 (r14): the STORE MAINTENANCE cycle — what a daily crawl
+    // ingest actually runs: the store's banded index upserted with
+    // the day's increment (C33, no store re-scan), the next batch
+    // matched through the merged index (D34b), survivors kept
+    // (anti-join on the matched id set), and the keep set assigned
+    // stable global ranks for deterministic export (D96). Certifies
+    // the four stages COMPOSE bit-exactly: the oracle re-derives the
+    // exact bipartite jaccard keep set over the unioned store plus
+    // the engine-exact row_number total order in one SQL chain.
+    "q_e2e_maintain" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def idx(df: DataFrame) = Dedup.minhashIndex(df, "text", "doc_id")
+      val storeIdx = Dedup.mergeNearIndexes(
+        idx(docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1)),
+        idx(docs.filter(col("doc_id") % 4 === 2)))
+      val batch = docs.filter(col("doc_id") % 4 === 3)
+      val hits = Dedup.minhashMatchesIndexed(idx(batch), storeIdx, 0.9)
+        .select(col("batch_id").as("doc_id")).distinct()
+      val keep = batch.join(hits, Seq("doc_id"), "left_anti")
+      graft.operators.Rank.globalRank(keep.select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc), col("doc_id"), partitions = 8)
+        .orderBy("global_rank")
+    }),
+
     // e2e-9 (r13): the MIXTURE BUILD — the full "raw corpus to
     // training schedule" chain: D41 sqrt-temperature token-budget
     // fractions per language → D25 deterministic hash sampling at
@@ -6182,6 +6259,129 @@ object SparkEntry {
         |SELECT src_id, tgt_id, cm AS cos_micro, margin_micro
         |FROM best WHERE rk = 1 AND margin_micro >= 1000000
         |ORDER BY src_id""".stripMargin,
+
+    // D99: q_d36's subspace/LUT skeleton extended by the two IVF
+    // stages — full-vector coarse assignment (argmin cc−2vc, earlier
+    // cid on ties = the NearestCentroidL2 rule), the query's 2
+    // nearest cells, ADC ranked WITHIN the probed cells to the
+    // 50-candidate shortlist, exact-L2 re-rank (qq − 2qv + vv
+    // left-to-right, same rounding) of the shortlist only
+    "q_d99_ivfpq" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cellof AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY (list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv)) ASC,
+        |             c.cid ASC) AS rn
+        |  FROM ev e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (SELECT cid AS cell FROM (
+        |  SELECT c.cid, row_number() OVER (
+        |    ORDER BY (list_dot_product(c.cv, c.cv)
+        |              - 2*list_dot_product((SELECT v FROM q), c.cv)) ASC,
+        |    c.cid ASC) AS rn FROM cents c) WHERE rn <= 2),
+        |subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) t(j)),
+        |pe AS (SELECT e.vec_id, e.v FROM ev e
+        |  JOIN cellof co ON e.vec_id = co.vec_id
+        |  JOIN probe p ON co.cell = p.cell),
+        |es AS (SELECT vec_id, j, v[(16*j+1):(16*j+16)] AS sv FROM pe CROSS JOIN subs),
+        |cs AS (SELECT cid, j, cv[(16*j+1):(16*j+16)] AS csv FROM cents CROSS JOIN subs),
+        |enc AS (SELECT vec_id, j, cid FROM (
+        |  SELECT e.vec_id, e.j, cs.cid, row_number() OVER (PARTITION BY e.vec_id, e.j
+        |    ORDER BY (list_dot_product(cs.csv, cs.csv) - 2*list_dot_product(e.sv, cs.csv)) ASC,
+        |             cs.cid ASC) AS rn
+        |  FROM es e JOIN cs ON e.j = cs.j) WHERE rn = 1),
+        |qs AS (SELECT j, (SELECT v FROM q)[(16*j+1):(16*j+16)] AS qv FROM subs),
+        |lut AS (SELECT cs.j, cs.cid,
+        |  (list_dot_product(qs.qv, qs.qv) - 2*list_dot_product(qs.qv, cs.csv)
+        |    + list_dot_product(cs.csv, cs.csv)) AS s
+        |  FROM cs JOIN qs ON cs.j = qs.j),
+        |sc AS (SELECT vec_id,
+        |  max(CASE WHEN j=0 THEN s END) AS s0, max(CASE WHEN j=1 THEN s END) AS s1,
+        |  max(CASE WHEN j=2 THEN s END) AS s2, max(CASE WHEN j=3 THEN s END) AS s3
+        |  FROM enc JOIN lut USING (j, cid) GROUP BY vec_id),
+        |cand AS (SELECT vec_id, round(s0 + s1 + s2 + s3, 4) AS adc FROM sc
+        |  ORDER BY adc ASC, vec_id ASC LIMIT 50)
+        |SELECT c.vec_id, c.adc,
+        |  round(list_dot_product((SELECT v FROM q), (SELECT v FROM q))
+        |    - 2*list_dot_product(e.v, (SELECT v FROM q))
+        |    + list_dot_product(e.v, e.v), 4) AS l2
+        |FROM cand c JOIN ev e ON c.vec_id = e.vec_id
+        |ORDER BY l2 ASC, c.vec_id ASC LIMIT 10""".stripMargin,
+
+    // D100: sign packing re-derived as 32 CASE bits per word (exact
+    // integers), Hamming via xor+bit_count per word summed in word
+    // order, the 50-candidate shortlist re-ranked by the q_d6 cosine
+    "q_d100_binary_topk" -> {
+      def word(v: String, w: Int): String =
+        (0 until 32).map(i =>
+          s"(CASE WHEN $v[${32 * w + i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+          .mkString(" + ")
+      s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |codes AS (SELECT vec_id,
+         |  (${word("v", 0)}) AS w0,
+         |  (${word("v", 1)}) AS w1 FROM ev),
+         |qc AS (SELECT w0, w1 FROM codes WHERE vec_id = 0),
+         |h AS (SELECT c.vec_id,
+         |  CAST(bit_count(xor(c.w0, (SELECT w0 FROM qc)))
+         |     + bit_count(xor(c.w1, (SELECT w1 FROM qc))) AS BIGINT) AS hamming
+         |  FROM codes c),
+         |cand AS (SELECT vec_id, hamming FROM h
+         |  ORDER BY hamming ASC, vec_id ASC LIMIT 50)
+         |SELECT c.vec_id, c.hamming,
+         |  round(list_dot_product(e.v, (SELECT v FROM ev WHERE vec_id = 0))
+         |    / (sqrt(list_dot_product(e.v, e.v))
+         |       * sqrt(list_dot_product((SELECT v FROM ev WHERE vec_id = 0),
+         |                               (SELECT v FROM ev WHERE vec_id = 0)))), 4)
+         |    AS cosine_sim
+         |FROM cand c JOIN ev e ON c.vec_id = e.vec_id
+         |ORDER BY cosine_sim DESC, c.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // C33: the oracle never sees the index maintenance — it grades
+    // the exact bipartite jaccard matches of the %4=3 batch against
+    // the UNIONED {0,1,2} store (q_d34b's pair construction), so a
+    // merge that corrupted clusters, member lists, or band keys
+    // surfaces as missing/extra/mis-scored match rows
+    "q_c33_index_upsert" ->
+      """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%4 IN (0,1,2)),
+        |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%4 = 3),
+        |stoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM store),
+        |btoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM batch),
+        |pairs AS (SELECT b.doc_id AS bid, s.doc_id AS sid, count(*) AS inter,
+        |                 any_value(b.sz) AS bsz, any_value(s.sz) AS ssz
+        |          FROM btoks b JOIN stoks s ON b.tok = s.tok
+        |          GROUP BY 1, 2)
+        |SELECT bid AS batch_id, sid AS store_id,
+        |  round(inter*1.0/(bsz+ssz-inter),4) AS jaccard
+        |FROM pairs WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.9
+        |ORDER BY batch_id, store_id""".stripMargin,
+
+    // e2e-11: q_c33's exact bipartite keep set chained into q_d96's
+    // engine-exact row_number total order — one SQL chain, so the
+    // composite certifies the stages compose, not just pass alone
+    "q_e2e_maintain" ->
+      """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%4 IN (0,1,2)),
+        |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
+        |  FROM documents WHERE doc_id%4 = 3),
+        |stoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM store),
+        |btoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM batch),
+        |pairs AS (SELECT b.doc_id AS bid, count(*) AS inter,
+        |                 any_value(b.sz) AS bsz, any_value(s.sz) AS ssz
+        |          FROM btoks b JOIN stoks s ON b.tok = s.tok
+        |          GROUP BY b.doc_id, s.doc_id),
+        |hit AS (SELECT DISTINCT bid FROM pairs
+        |        WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.9),
+        |keep AS (SELECT d.doc_id, d.n_chars FROM documents d
+        |         WHERE d.doc_id%4 = 3 AND d.doc_id NOT IN (SELECT bid FROM hit))
+        |SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id)
+        |    - 1 AS BIGINT) AS global_rank
+        |FROM keep ORDER BY global_rank""".stripMargin,
 
     // e2e-9: the d41 fraction arithmetic, the d25 md5-bucket filter
     // (JVM math.round(f*10000) mirrored as floor(x+0.5)), and the

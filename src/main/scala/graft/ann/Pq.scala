@@ -57,36 +57,148 @@ object Pq {
     emb.select(col(idCol) +: codes: _*)
   }
 
-  /** Asymmetric-distance top-k: the query is quantized against each
-    * codebook into an m×k lookup table of exact
-    * `dot(q_j,q_j) − 2·dot(q_j,c) + dot(c,c)` scores (squared L2 of
-    * the query subvector to the centroid), and each encoded row costs
-    * m table lookups summed in subspace order. Returns (id, adc)
-    * rounded to 4 decimals, ordered (adc asc, id asc).
+  private def dotA(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The un-truncated ADC score column over an [[encode]]d frame:
+    * the query is quantized against each codebook into an m×k lookup
+    * table of exact `dot(q_j,q_j) − 2·dot(q_j,c) + dot(c,c)` scores
+    * (squared L2 of the query subvector to the centroid); each
+    * encoded row costs m table lookups summed in subspace order
+    * (left-fold — engine-reproducible, unlike a commutative sum).
     */
-  def adcTopK(encoded: DataFrame, idCol: String,
-              codebooks: Array[Array[Array[Double]]],
-              query: Array[Double], k: Int): DataFrame = {
+  private def adcColumn(codebooks: Array[Array[Array[Double]]],
+                        query: Array[Double]): Column = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
-      s
-    }
     val luts: Array[Array[Double]] = Array.tabulate(m) { j =>
       val qj = query.slice(j * sub, j * sub + sub)
-      val dq = dot(qj, qj)
-      codebooks(j).map(c => dq - 2 * dot(qj, c) + dot(c, c))
+      val dq = dotA(qj, qj)
+      codebooks(j).map(c => dq - 2 * dotA(qj, c) + dotA(c, c))
     }
     val terms = (0 until m).map { j =>
       element_at(array(luts(j).map(lit(_)).toIndexedSeq: _*), col(s"code_$j") + 1)
     }
-    // left-fold keeps the addition order = subspace order (engine-
-    // reproducible), unlike a commutative sum
-    val adc = terms.reduceLeft(_ + _)
-    encoded.select(col(idCol), round(adc, 4).as("adc"))
+    terms.reduceLeft(_ + _)
+  }
+
+  /** Asymmetric-distance top-k over the whole encoded frame. Returns
+    * (id, adc) rounded to 4 decimals, ordered (adc asc, id asc).
+    */
+  def adcTopK(encoded: DataFrame, idCol: String,
+              codebooks: Array[Array[Array[Double]]],
+              query: Array[Double], k: Int): DataFrame =
+    encoded.select(col(idCol), round(adcColumn(codebooks, query), 4).as("adc"))
       .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+
+  /** D99: the IVF-PQ index — ONE row per vector: a coarse IVF cell id
+    * (min-L2 assignment over the shared `coarse` bank, earlier index
+    * on ties) plus the m PQ code words. This is the at-rest serving
+    * layout of every billion-scale ANN system (FAISS `IVFx,PQy` with
+    * `by_residual=false` — codes quantize the RAW vector, not the
+    * cell residual, so the SAME codebooks serve every cell and an
+    * external engine can re-derive each code from public arithmetic).
+    *
+    * Scale shape: building the index is a single map-only scan (two
+    * codegen'd bank expressions per row, no shuffle). PERSIST IT
+    * PARTITIONED BY CELL (`.write.partitionBy("cell")`) — a probe
+    * then reads only `nprobe` of the `nlist` directories via
+    * partition pruning, i.e. the scan is nprobe/nlist of the corpus
+    * BEFORE any filter runs (spec-audited: the pruned read's plan
+    * carries the cell PartitionFilters).
+    */
+  def ivfPqIndex(emb: DataFrame, vecCol: String, idCol: String,
+                 coarse: Array[Array[Double]],
+                 codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val dim = codebooks.length * codebooks(0)(0).length
+    val cell = graft.functions.NearestCentroidL2(col(vecCol), coarse, 0, dim)
+      .as("cell")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val codes = (0 until m).map { j =>
+      graft.functions.NearestCentroidL2(col(vecCol), codebooks(j), j * sub, sub)
+        .as(s"code_$j")
+    }
+    emb.select(col(idCol) +: cell +: codes: _*)
+  }
+
+  /** The query's `nprobe` nearest coarse cells by the same min-L2
+    * score the index uses (`dot(c,c) − 2·dot(q,c)`; ties → earlier
+    * index). Driver-side: the bank is nlist×dim, never corpus-sized.
+    */
+  def probeCells(coarse: Array[Array[Double]], query: Array[Double],
+                 nprobe: Int): Array[Int] =
+    coarse.zipWithIndex
+      .map { case (c, i) => (dotA(c, c) - 2 * dotA(query, c), i) }
+      .sortBy(identity) // (score asc, index asc) — ties earlier-wins
+      .take(math.min(nprobe, coarse.length))
+      .map(_._2)
+
+  /** D99: IVF-PQ serving — the composed two-stage ANN read path over
+    * an [[ivfPqIndex]] frame:
+    *
+    *  1. PROBE: keep only rows in the query's `nprobe` nearest coarse
+    *     cells ([[probeCells]] — partition-pruned when the index is
+    *     stored partitioned by cell, a cheap `isin` filter otherwise);
+    *  2. ADC: rank the surviving codes by asymmetric distance and
+    *     keep the best `rerank` candidates (TakeOrdered — the shuffle
+    *     carries `rerank` rows, never the cell contents);
+    *  3. RERANK: join the candidate ids back to the float vectors
+    *     (broadcast — the candidate set is rerank-bounded by
+    *     construction) and order by EXACT squared L2
+    *     `dot(q,q) − 2·dot(q,v) + dot(v,v)`.
+    *
+    * Returns (id, adc, l2) rounded to 4 decimals, ordered
+    * (l2 asc, id asc), limit k. Recall contract: a true neighbor
+    * assigned outside the probed cells is missed (the IVF trade-off,
+    * same as [[Ann.ivfTopK]]); within the probed cells the result is
+    * exact for any `rerank ≥ k` whenever ADC ranks the true top-k
+    * into the candidate set — with nprobe = nlist AND rerank = |corpus|
+    * the output EQUALS the exact scan (spec-gated).
+    *
+    * Why this is THE 100 TB shape: the float vectors are touched for
+    * only `rerank` rows per query; everything corpus-sized reads
+    * 1-byte-ish codes from nprobe/nlist of the files.
+    */
+  def ivfPqTopK(emb: DataFrame, vecCol: String, idCol: String,
+                coarse: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                query: Array[Double], k: Int, nprobe: Int,
+                rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank ($rerank) >= k ($k) >= 1")
+    val index = ivfPqIndex(emb, vecCol, idCol, coarse, codebooks)
+    ivfPqTopKIndexed(index, emb, vecCol, idCol, coarse, codebooks, query,
+      k, nprobe, rerank)
+  }
+
+  /** [[ivfPqTopK]] over a PREBUILT (possibly parquet-materialized,
+    * cell-partitioned) index frame — the production entry point: the
+    * corpus is encoded once, every query pays only the pruned code
+    * scan + a rerank-bounded float lookup.
+    */
+  def ivfPqTopKIndexed(index: DataFrame, emb: DataFrame, vecCol: String,
+                       idCol: String, coarse: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]],
+                       query: Array[Double], k: Int, nprobe: Int,
+                       rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank ($rerank) >= k ($k) >= 1")
+    val cells = probeCells(coarse, query, nprobe)
+    val cands = index
+      .filter(col("cell").isin(cells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col(idCol), round(adcColumn(codebooks, query), 4).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(rerank)
+    val qq = dotA(query, query)
+    val qlit = array(query.map(lit(_)).toIndexedSeq: _*)
+    val l2 = lit(qq) - lit(2.0) * Ann.dot(col(vecCol), qlit) +
+      Ann.dot(col(vecCol), col(vecCol))
+    emb.join(broadcast(cands), idCol)
+      .select(col(idCol), col("adc"), round(l2, 4).as("l2"))
+      .orderBy(col("l2").asc, col(idCol).asc)
       .limit(k)
   }
 }

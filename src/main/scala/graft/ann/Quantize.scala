@@ -78,4 +78,89 @@ object Quantize {
       when(maxAbs(col(vecCol)) > 0,
         round(maxAbs(col(vecCol)) * 1e6).cast("long")).as("scale_micro"),
       int8Codes(col(vecCol)).as("codes"))
+
+  // ---------------------------------------------------------------
+  // D100: 1-bit (sign) quantization + Hamming pre-ranking — the
+  // extreme end of the compression ladder (float32 → 1 bit/dim, 32×):
+  // the binary-quantization scheme production vector stores run as a
+  // FIRST pass, because Hamming distance over packed words is a
+  // handful of XOR+popcount instructions and the packed corpus often
+  // fits in memory where the floats never would. Angular similarity
+  // survives sign quantization in expectation (the SimHash/
+  // hyperplane-LSH identity: P[sign bit differs] = angle/π), so
+  // Hamming RANKS candidates well enough to feed an exact float
+  // re-rank of the shortlist — the same two-stage contract as
+  // [[graft.ann.Pq.ivfPqTopK]].
+  // ---------------------------------------------------------------
+
+  /** Sign-bit codes packed 32 dims per long word (bit i of word w =
+    * [v(32w+i) > 0], strictly-positive convention so −0.0/0.0 agree):
+    * `ceil(dim/32)` words per vector. 32 — not 64 — dims per word
+    * keeps every packed word in `[0, 2^32)`: no sign-bit hazard, and
+    * bit-exact to re-derive in ANY engine's plain integer arithmetic
+    * (a 64th bit lands on the long's sign and shifts/comparisons stop
+    * being portable). Map-only, codegen'd; null vector → null codes.
+    */
+  def signCodes(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val words = (dim + 31) / 32
+    val packed = array((0 until words).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { i =>
+        when(element_at(vec, w * 32 + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    when(vec.isNotNull, packed)
+  }
+
+  /** Driver-side twin of [[signCodes]] for the query vector. */
+  def signCodesLocal(query: Array[Double]): Array[Long] =
+    Array.tabulate((query.length + 31) / 32) { w =>
+      (0 until math.min(32, query.length - w * 32)).foldLeft(0L) { (acc, i) =>
+        if (query(w * 32 + i) > 0) acc | (1L << i) else acc
+      }
+    }
+
+  /** Hamming distance between two packed sign-code arrays:
+    * Σ popcount(a XOR b), exact, null if either side is null.
+    */
+  def hammingDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** D100 serving read path: binary pre-rank + exact re-rank.
+    *
+    *  1. PACK: map-only sign codes over the corpus (at rest this is
+    *     the materialized binary index — dim/8 bytes per vector);
+    *  2. PRE-RANK: Hamming distance to the query's packed codes
+    *     (XOR+popcount per word — scan-local, codegen'd), keep the
+    *     best `rerank` candidates by (hamming asc, id asc) — a
+    *     TakeOrdered, so the shuffle carries `rerank` rows;
+    *  3. RERANK: join the shortlist back to the float vectors
+    *     (broadcast — rerank-bounded) and order by exact cosine.
+    *
+    * Returns (id, hamming, cosine_sim(4dp)) ordered (cosine desc,
+    * id asc), limit k. Recall contract: a true neighbor whose sign
+    * pattern disagrees with the query on many dims can fall outside
+    * the shortlist; with rerank = |corpus| the output EQUALS the
+    * exact scan (spec-gated). At 100 TB the point is stage 2 reads
+    * 1/32 of the float bytes and never touches the vectors.
+    */
+  def binaryTopK(emb: DataFrame, vecCol: String, idCol: String,
+                 query: Array[Double], k: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank ($rerank) >= k ($k) >= 1")
+    val qCodes = signCodesLocal(query)
+    val qLit = array(qCodes.map(lit(_)).toIndexedSeq: _*)
+    val cands = emb
+      .select(col(idCol),
+        hammingDist(signCodes(col(vecCol), query.length), qLit).as("hamming"))
+      .filter(col("hamming").isNotNull)
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(rerank)
+    val qVec = array(query.map(lit(_)).toIndexedSeq: _*)
+    emb.join(broadcast(cands), idCol)
+      .select(col(idCol), col("hamming"),
+        round(graft.ann.Ann.cosine(col(vecCol), qVec), 4).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

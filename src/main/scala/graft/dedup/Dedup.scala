@@ -499,6 +499,40 @@ object Dedup {
       .join(clustered, "sid")
   }
 
+  /** C33: near-store index UPSERT — merge an increment's
+    * [[minhashIndex]] into the store's WITHOUT re-tokenizing,
+    * re-hashing, or re-scanning the store's documents: the maintained
+    * index IS the store's at-rest representation, and the daily
+    * ingest's job is `mergeNearIndexes(storeIdx, minhashIndex(batch))
+    * .write.parquet(next)`.
+    *
+    * Correctness hinge: every index row carries its own shingle set
+    * `ws`, and the signature/band keys are a DETERMINISTIC function
+    * of `ws` alone — so rows with the same content key (md5 of the
+    * sorted set, the exact [[minhashIndex]] clustering key) carry
+    * IDENTICAL `bks` and merging is a pure regroup: member ids union
+    * (re-ingests of the same id dedupe), representative `sid` =
+    * min id over the merged cluster, `ws`/`bks` from either row.
+    * The result is row-for-row EQUAL to `minhashIndex` over the
+    * unioned documents (spec-gated), at the cost of ONE shuffle
+    * linear in the two sides' distinct sets — the store never
+    * re-pays its 128-min-agg signature pass.
+    *
+    * Contract: ids are globally unique document identities and the
+    * store is APPEND-ONLY — re-ingesting an id with the SAME text is
+    * idempotent; an id arriving with DIFFERENT text is a new cluster
+    * member under its new content (delete-then-reinsert is the
+    * update story, as in every LSM-shaped store).
+    */
+  def mergeNearIndexes(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(md5(concat_ws("\u0001", sort_array(col("ws")))).as("_ck"))
+      .agg(min(col("sid")).as("sid"),
+        sort_array(array_distinct(flatten(collect_list(col("ids"))))).as("ids"),
+        first(col("ws")).as("ws"),
+        first(col("bks")).as("bks"))
+      .drop("_ck")
+
   /** Near-duplicate (batch_id, store_id, jaccard) matches from two
     * [[minhashIndex]] frames: batch bands join store bands on the
     * band key — the ONLY corpus-scale shuffle, linear in

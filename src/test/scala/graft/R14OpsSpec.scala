@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.{Ann, Pq, Quantize}
+import graft.dedup.Dedup
+
+/** r14 second wave: D99 IVF-PQ serving, D100 binary sign
+  * quantization + Hamming pre-rank, C33 near-store index upsert.
+  */
+class R14OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus with distinct, hand-controllable geometry
+  private def toyEmb = Seq(
+    (0L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.2f, 0.1f, 0.0f)),
+    (2L, Array(-1.0f, 0.0f, 0.2f, 0.1f)),
+    (3L, Array(0.0f, 1.0f, -0.3f, 0.2f)),
+    (4L, Array(0.1f, 0.9f, 0.1f, -0.1f)),
+    (5L, Array(-0.2f, -0.9f, 0.4f, 0.3f)),
+    (6L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+    (7L, Array(-0.5f, 0.4f, -0.6f, 0.7f))).toDF("vec_id", "embedding")
+
+  // ---------------- D99: IVF-PQ ----------------
+
+  test("D99: vacuous dial (1 coarse cell, rerank = N) equals the exact L2 scan") {
+    val emb = toyEmb
+    val coarse = Array(Array(0.0, 0.0, 0.0, 0.0))
+    val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 2, k = 4, dim = 4)
+    val got = Pq.ivfPqTopK(emb, "embedding", "vec_id", coarse, cb,
+      Array(1.0, 0.1, 0.0, 0.0), k = 8, nprobe = 1, rerank = 8)
+      .select("vec_id", "l2").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exact squared L2, same rounding, same (l2 asc, id asc) order
+    val q = Array(1.0, 0.1, 0.0, 0.0)
+    val exact = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val qq = q.map(x => x * x).sum
+      val qv = q.zip(v).map { case (a, b) => a * b }.sum
+      val vv = v.map(x => x * x).sum
+      (r.getLong(0), BigDecimal(qq - 2 * qv + vv)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, d) => (d, id) }
+    assert(got.toSeq == exact.toSeq)
+  }
+
+  test("D99: probeCells ranks by dot(c,c)-2*dot(q,c), ties to the earlier index") {
+    val c = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0))
+    // query (1,0): cells 0 and 2 tie at -1; cell 1 scores 1
+    assert(Pq.probeCells(c, Array(1.0, 0.0), 2).toSeq == Seq(0, 2))
+    assert(Pq.probeCells(c, Array(1.0, 0.0), 5).toSeq == Seq(0, 2, 1))
+  }
+
+  test("D99: cell-partitioned index is read with partition pruning; " +
+       "indexed serving equals the in-memory path") {
+    val emb = toyEmb
+    val coarse = Array(Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 2, k = 4, dim = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Pq.ivfPqIndex(emb, "embedding", "vec_id", coarse, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = Array(0.9, 0.2, 0.0, 0.0)
+    val cells = Pq.probeCells(coarse, q, 2)
+    val pruned = stored.filter(col("cell")
+      .isin(cells.map(Integer.valueOf).toIndexedSeq: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning in plan:\n$plan")
+    val viaStore = Pq.ivfPqTopKIndexed(stored, emb, "embedding", "vec_id",
+      coarse, cb, q, k = 3, nprobe = 2, rerank = 5).collect().toSeq
+    val viaMem = Pq.ivfPqTopK(emb, "embedding", "vec_id", coarse, cb,
+      q, k = 3, nprobe = 2, rerank = 5).collect().toSeq
+    assert(viaStore == viaMem)
+  }
+
+  test("D99: a neighbor outside the probed cells is missed (the IVF recall contract)") {
+    val emb = toyEmb
+    // cells: +x and +y; query sits in +x, its true 2nd neighbor id 3 lives in +y
+    val coarse = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 2, k = 4, dim = 4)
+    val got = Pq.ivfPqTopK(emb, "embedding", "vec_id", coarse, cb,
+      Array(1.0, 0.1, 0.0, 0.0), k = 8, nprobe = 1, rerank = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val cellsOf = Pq.ivfPqIndex(emb, "embedding", "vec_id", coarse, cb)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(got.forall(id => cellsOf(id) == 0), "nprobe=1 must only return cell-0 rows")
+    assert(got.size < 8)
+  }
+
+  // ---------------- D100: binary sign codes ----------------
+
+  test("D100: signCodes hand-check — 32 dims per word, strictly-positive bits") {
+    val df = Seq(
+      (1L, Array.tabulate(4)(i => Array(1.0f, -0.5f, 0.25f, 0.0f)(i))),
+      (2L, null.asInstanceOf[Array[Float]])).toDF("id", "v")
+    val got = df.select(col("id"), Quantize.signCodes(col("v"), 4).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).get.asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(5L))
+    assert(got(2L).isEmpty, "null vector must give null codes")
+  }
+
+  test("D100: a 33rd positive dim lands on word 1 bit 0; local packer agrees") {
+    val v = Array.fill(33)(-1.0f); v(0) = 1f; v(32) = 2f
+    val df = Seq((1L, v)).toDF("id", "v")
+    val got = df.select(Quantize.signCodes(col("v"), 33)).collect()(0)
+      .getSeq[Long](0).toSeq
+    assert(got == Seq(1L, 1L))
+    assert(Quantize.signCodesLocal(v.map(_.toDouble)).toSeq == got)
+  }
+
+  test("D100: hammingDist counts differing sign bits exactly") {
+    val df = Seq((Array(0x5L, 0x1L), Array(0x6L, 0x1L))).toDF("a", "b")
+    // 0x5 xor 0x6 = 0x3 -> 2 bits; word 2 equal
+    assert(df.select(Quantize.hammingDist(col("a"), col("b"))).collect()(0)
+      .getLong(0) == 2L)
+  }
+
+  test("D100: binaryTopK with rerank = N equals the exact cosine scan; self at hamming 0") {
+    val emb = toyEmb
+    val q = Array(1.0, 0.1, 0.0, 0.0) // = vector 0
+    val got = Quantize.binaryTopK(emb, "embedding", "vec_id", q, k = 8, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exact = Ann.cosineTopK(emb, "embedding", "vec_id", q, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(r => (r._1, r._3)).toSeq == exact.toSeq)
+    assert(got.head._1 == 0L && got.head._2 == 0L,
+      "the query's own vector must be found at Hamming distance 0")
+  }
+
+  test("D100: a tight shortlist can miss a true neighbor (the rerank contract)") {
+    // corpus where Hamming misranks: vec 1 shares signs with q on all
+    // dims, vec 2 differs in sign on dim 2 yet has the higher cosine
+    val emb = Seq(
+      (1L, Array(0.1f, 0.1f, 1.0f, 0.1f)),
+      (2L, Array(1.0f, 1.0f, -0.01f, 1.0f)),
+      (3L, Array(-1.0f, -1.0f, -1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val q = Array(1.0, 1.0, 0.5, 1.0)
+    val tight = Quantize.binaryTopK(emb, "embedding", "vec_id", q, k = 1, rerank = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val wide = Quantize.binaryTopK(emb, "embedding", "vec_id", q, k = 1, rerank = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(tight == Seq(1L), "rerank=1 keeps only the Hamming-nearest")
+    assert(wide == Seq(2L), "a wider shortlist lets exact cosine win")
+  }
+
+  // ---------------- C33: near-index upsert ----------------
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def canon(idx: org.apache.spark.sql.DataFrame) =
+    idx.select(col("sid"), sort_array(col("ids")).as("ids"),
+        sort_array(col("ws")).as("ws"), col("bks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq,
+        r.getSeq[String](2).toSeq, r.getSeq[Any](3).toSeq)).toSet
+
+  test("C33: mergeNearIndexes(index(a), index(b)) equals index(a ++ b)") {
+    val a = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta",
+      3L -> "alpha beta gamma")
+    val b = docs(4L -> "alpha beta gamma", 5L -> "eta theta iota")
+    val merged = Dedup.mergeNearIndexes(
+      Dedup.minhashIndex(a, "text", "doc_id", bands = 8, rowsPerBand = 2),
+      Dedup.minhashIndex(b, "text", "doc_id", bands = 8, rowsPerBand = 2))
+    val full = Dedup.minhashIndex(a.unionByName(b), "text", "doc_id",
+      bands = 8, rowsPerBand = 2)
+    assert(canon(merged) == canon(full))
+  }
+
+  test("C33: re-ingesting the same (id, text) is idempotent") {
+    val a = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    val ia = Dedup.minhashIndex(a, "text", "doc_id", bands = 4, rowsPerBand = 2)
+    val merged = Dedup.mergeNearIndexes(ia, ia)
+    assert(canon(merged) == canon(ia))
+  }
+
+  test("C33: matches through the merged index equal matches through the full rebuild") {
+    val store1 = docs(1L -> "the quick brown fox jumps", 2L -> "pack my box with jugs")
+    val store2 = docs(3L -> "the quick brown fox leaps", 4L -> "wholly unrelated words here")
+    val batch = docs(10L -> "the quick brown fox jumps", 11L -> "nothing matches this text")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashIndex(df, "text", "doc_id", bands = 16, rowsPerBand = 2)
+    val viaMerge = Dedup.minhashMatchesIndexed(idx(batch),
+      Dedup.mergeNearIndexes(idx(store1), idx(store2)), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaFull = Dedup.minhashMatchesIndexed(idx(batch),
+      idx(store1.unionByName(store2)), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaMerge == viaFull && viaMerge.nonEmpty)
+  }
+
+  test("C33: merging an empty increment is the identity (modulo member-id order)") {
+    val a = docs(1L -> "alpha beta", 2L -> "gamma delta")
+    val empty = docs().filter(lit(false))
+    val ia = Dedup.minhashIndex(a, "text", "doc_id", bands = 4, rowsPerBand = 2)
+    val ie = Dedup.minhashIndex(empty, "text", "doc_id", bands = 4, rowsPerBand = 2)
+    assert(canon(Dedup.mergeNearIndexes(ia, ie)) == canon(ia))
+  }
+}
