@@ -2651,10 +2651,10 @@ object SparkEntry {
     }),
 
     // C33 (r14): near-store index UPSERT — the store's banded minhash
-    // index (C-side of D34b) is maintained INCREMENTALLY: the %4=2
-    // increment's index merges into the {0,1} store index without
+    // index (C-side of D34b) is maintained INCREMENTALLY: the %3=1
+    // increment's index merges into the %3=0 store index without
     // re-tokenizing or re-hashing the store (a pure content-key
-    // regroup; merge ≡ full rebuild is spec-gated), then the %4=3
+    // regroup; merge ≡ full rebuild is spec-gated), then the %3=2
     // batch matches against the merged index. The oracle knows
     // nothing of the maintenance plumbing — it grades the exact
     // bipartite jaccard matches against the UNIONED store, so the
@@ -2663,9 +2663,9 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       def idx(df: DataFrame) = Dedup.minhashIndex(df, "text", "doc_id")
       val storeIdx = Dedup.mergeNearIndexes(
-        idx(docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1)),
-        idx(docs.filter(col("doc_id") % 4 === 2)))
-      Dedup.minhashMatchesIndexed(idx(docs.filter(col("doc_id") % 4 === 3)),
+        idx(docs.filter(col("doc_id") % 3 === 0)),
+        idx(docs.filter(col("doc_id") % 3 === 1)))
+      Dedup.minhashMatchesIndexed(idx(docs.filter(col("doc_id") % 3 === 2)),
           storeIdx, 0.9)
         .orderBy("batch_id", "store_id")
     }),
@@ -2683,9 +2683,9 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       def idx(df: DataFrame) = Dedup.minhashIndex(df, "text", "doc_id")
       val storeIdx = Dedup.mergeNearIndexes(
-        idx(docs.filter(col("doc_id") % 4 === 0 || col("doc_id") % 4 === 1)),
-        idx(docs.filter(col("doc_id") % 4 === 2)))
-      val batch = docs.filter(col("doc_id") % 4 === 3)
+        idx(docs.filter(col("doc_id") % 3 === 0)),
+        idx(docs.filter(col("doc_id") % 3 === 1)))
+      val batch = docs.filter(col("doc_id") % 3 === 2)
       val hits = Dedup.minhashMatchesIndexed(idx(batch), storeIdx, 0.9)
         .select(col("batch_id").as("doc_id")).distinct()
       val keep = batch.join(hits, Seq("doc_id"), "left_anti")
@@ -6346,9 +6346,9 @@ object SparkEntry {
     // surfaces as missing/extra/mis-scored match rows
     "q_c33_index_upsert" ->
       """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
-        |  FROM documents WHERE doc_id%4 IN (0,1,2)),
+        |  FROM documents WHERE doc_id%3 IN (0,1)),
         |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
-        |  FROM documents WHERE doc_id%4 = 3),
+        |  FROM documents WHERE doc_id%3 = 2),
         |stoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM store),
         |btoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM batch),
         |pairs AS (SELECT b.doc_id AS bid, s.doc_id AS sid, count(*) AS inter,
@@ -6365,9 +6365,9 @@ object SparkEntry {
     // composite certifies the stages compose, not just pass alone
     "q_e2e_maintain" ->
       """WITH store AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
-        |  FROM documents WHERE doc_id%4 IN (0,1,2)),
+        |  FROM documents WHERE doc_id%3 IN (0,1)),
         |batch AS (SELECT doc_id, list_distinct(regexp_split_to_array(text,' +')) AS ws
-        |  FROM documents WHERE doc_id%4 = 3),
+        |  FROM documents WHERE doc_id%3 = 2),
         |stoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM store),
         |btoks AS (SELECT doc_id, unnest(ws) AS tok, len(ws) AS sz FROM batch),
         |pairs AS (SELECT b.doc_id AS bid, count(*) AS inter,
@@ -6377,7 +6377,7 @@ object SparkEntry {
         |hit AS (SELECT DISTINCT bid FROM pairs
         |        WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.9),
         |keep AS (SELECT d.doc_id, d.n_chars FROM documents d
-        |         WHERE d.doc_id%4 = 3 AND d.doc_id NOT IN (SELECT bid FROM hit))
+        |         WHERE d.doc_id%3 = 2 AND d.doc_id NOT IN (SELECT bid FROM hit))
         |SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id)
         |    - 1 AS BIGINT) AS global_rank
