@@ -2635,6 +2635,27 @@ object SparkEntry {
         k = 10, nprobe = 2, rerank = 50)
     }),
 
+    // D101 (r14): BATCH IVF-PQ serving — the whole eval set through
+    // the cell-pruned ADC + exact-re-rank path in ONE job: per-query
+    // probe cells and ADC lookup tables computed RELATIONALLY on the
+    // bounded query frame (map-only — nothing collected), queries
+    // exploded to their probe cells and BROADCAST against the code
+    // index (the corpus side never shuffles), k-bounded TopKPairsAgg
+    // shortlists (no Window anywhere — spec-audited), exact micro-long
+    // L2 re-rank of the queries×rerank shortlist. The oracle
+    // re-derives every stage per query in one SQL chain.
+    "q_d101_batch_ivfpq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val coarse = Ann.trainCentroidsBySample(emb, "embedding", "vec_id", 4)
+      val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 4, k = 4, dim = 64)
+      val queries = emb.filter(col("vec_id").isin(3L, 31L, 59L, 87L, 115L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val index = Pq.ivfPqIndex(emb, "embedding", "vec_id", coarse, cb)
+      Pq.ivfPqBatchTopK(index, emb, "embedding", "vec_id", coarse, cb,
+        queries, "qid", "qv", k = 10, nprobe = 2, rerank = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // D100 (r14): 1-bit sign quantization + Hamming pre-rank — the
     // 32× compression end of the quantization ladder (D98 is 4×):
     // sign bits packed 32 dims/word (portable integer range), the
@@ -6309,6 +6330,65 @@ object SparkEntry {
         |    + list_dot_product(e.v, e.v), 4) AS l2
         |FROM cand c JOIN ev e ON c.vec_id = e.vec_id
         |ORDER BY l2 ASC, c.vec_id ASC LIMIT 10""".stripMargin,
+
+    // D101: the q_d99 chain generalized per query — probe selection,
+    // encoding, per-query LUTs, micro-long ADC shortlists and the
+    // micro-long L2 re-rank all PARTITION BY qid
+    "q_d101_batch_ivfpq" ->
+      """WITH qids AS (SELECT CAST(q AS BIGINT) AS qid
+        |  FROM (VALUES (3),(31),(59),(87),(115)) t(q)),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT qid, v AS qvec FROM qids JOIN ev ON qid = vec_id),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |cellof AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY (list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv)) ASC,
+        |             c.cid ASC) AS rn
+        |  FROM ev e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (SELECT qid, cid AS cell FROM (
+        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY (list_dot_product(c.cv, c.cv)
+        |              - 2*list_dot_product(q.qvec, c.cv)) ASC, c.cid ASC) AS rn
+        |  FROM qv q CROSS JOIN cents c) WHERE rn <= 2),
+        |subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) t(j)),
+        |e AS (SELECT vec_id, j, v[(16*j+1):(16*j+16)] AS sv FROM ev CROSS JOIN subs),
+        |cs AS (SELECT cid, j, cv[(16*j+1):(16*j+16)] AS csv FROM cents CROSS JOIN subs),
+        |enc AS (SELECT vec_id, j, cid FROM (
+        |  SELECT e.vec_id, e.j, cs.cid, row_number() OVER (PARTITION BY e.vec_id, e.j
+        |    ORDER BY (list_dot_product(cs.csv, cs.csv) - 2*list_dot_product(e.sv, cs.csv)) ASC,
+        |             cs.cid ASC) AS rn
+        |  FROM e JOIN cs ON e.j = cs.j) WHERE rn = 1),
+        |qs AS (SELECT qid, j, qvec[(16*j+1):(16*j+16)] AS qsv FROM qv CROSS JOIN subs),
+        |lut AS (SELECT qs.qid, cs.j, cs.cid,
+        |  (list_dot_product(qs.qsv, qs.qsv) - 2*list_dot_product(qs.qsv, cs.csv)
+        |    + list_dot_product(cs.csv, cs.csv)) AS s
+        |  FROM cs JOIN qs ON cs.j = qs.j),
+        |cand0 AS (SELECT p.qid, co.vec_id FROM cellof co JOIN probe p ON co.cell = p.cell),
+        |sc AS (SELECT c0.qid, c0.vec_id,
+        |  max(CASE WHEN enc.j=0 THEN lut.s END) AS s0,
+        |  max(CASE WHEN enc.j=1 THEN lut.s END) AS s1,
+        |  max(CASE WHEN enc.j=2 THEN lut.s END) AS s2,
+        |  max(CASE WHEN enc.j=3 THEN lut.s END) AS s3
+        |  FROM cand0 c0 JOIN enc ON enc.vec_id = c0.vec_id
+        |  JOIN lut ON lut.qid = c0.qid AND lut.j = enc.j AND lut.cid = enc.cid
+        |  GROUP BY c0.qid, c0.vec_id),
+        |shortl AS (SELECT qid, vec_id,
+        |  CAST(round((s0 + s1 + s2 + s3) * 1e6) AS BIGINT) AS adc_micro FROM sc),
+        |cand AS (SELECT * FROM (SELECT qid, vec_id, adc_micro,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY adc_micro ASC, vec_id ASC) AS crn FROM shortl)
+        |  WHERE crn <= 50),
+        |rr AS (SELECT c.qid, c.vec_id, c.adc_micro,
+        |  CAST(round((list_dot_product(q.qvec, q.qvec)
+        |    - 2*list_dot_product(e.v, q.qvec)
+        |    + list_dot_product(e.v, e.v)) * 1e6) AS BIGINT) AS l2_micro
+        |  FROM cand c JOIN ev e ON c.vec_id = e.vec_id JOIN qv q ON q.qid = c.qid)
+        |SELECT query_id, rank, vec_id, adc_micro, l2_micro FROM (
+        |  SELECT qid AS query_id, vec_id, adc_micro, l2_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY l2_micro ASC, vec_id ASC) AS BIGINT) AS rank FROM rr)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // D100: sign packing re-derived as 32 CASE bits per word (exact
     // integers), Hamming via xor+bit_count per word summed in word

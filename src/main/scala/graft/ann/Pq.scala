@@ -201,4 +201,108 @@ object Pq {
       .orderBy(col("l2").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** D101: BATCH IVF-PQ serving — every query in a (bounded) query
+    * frame through the cell-pruned ADC + exact-re-rank read path at
+    * once: the production retrieval pattern (score the whole eval
+    * set / the day's query log in one job), the [[Ann.batchTopK]]
+    * generalization of [[ivfPqTopKIndexed]].
+    *
+    * Everything per-query is computed RELATIONALLY on the query
+    * frame — nothing collected:
+    *
+    *  1. PROBE (map-only on queries): the nprobe nearest coarse
+    *     cells via `array_sort` over (score, cid) structs — the same
+    *     `dot(c,c) − 2·dot(q,c)` score and earlier-index tie rule as
+    *     [[probeCells]]; the per-query m×k ADC lookup table as array
+    *     columns (`dot(q_j,q_j) − 2·dot(q_j,c) + dot(c,c)` per
+    *     codebook entry, exact [[adcColumn]] arithmetic).
+    *  2. ADC: queries EXPLODE to their probe cells and BROADCAST
+    *     against the index (the corpus-sized side never shuffles;
+    *     with a cell-partitioned index the probed cells also prune
+    *     at the scan when the probe set is statically known); each
+    *     (code row, query) pair costs m LUT lookups. Shortlists via
+    *     [[graft.functions.TopKPairsAgg]] — k-bounded map-side
+    *     combining, NO Window: the shuffle carries at most
+    *     partitions × queries × rerank pairs, never the scored frame.
+    *  3. RERANK: the queries×rerank shortlist joins back to the
+    *     float vectors (broadcast) and re-ranks by exact micro-long
+    *     squared L2, again through the k-bounded aggregate.
+    *
+    * Scores are micro-quantized longs under total orders
+    * (adc_micro asc, id asc) then (l2_micro asc, id asc) —
+    * partitioning/merge-order independent, exact on any engine.
+    * Returns (query_id, rank, id, adc_micro, l2_micro), rank 1..k
+    * per query.
+    */
+  def ivfPqBatchTopK(index: DataFrame, emb: DataFrame, vecCol: String,
+                     idCol: String, coarse: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]],
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(k >= 1 && rerank >= k, s"need rerank ($rerank) >= k ($k) >= 1")
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val qv = col(qVecCol)
+    // probe cells: sort (score, cid) structs — struct ordering is
+    // field-lexicographic, so ties fall to the EARLIER cid, matching
+    // probeCells/NearestCentroidL2
+    val cellScores = array(coarse.zipWithIndex.map { case (c, i) =>
+      struct((lit(dotA(c, c)) - lit(2.0) *
+        Ann.dot(qv, array(c.map(lit(_)).toIndexedSeq: _*))).as("s"),
+        lit(i).as("cid"))
+    }.toIndexedSeq: _*)
+    val probed = transform(
+      slice(array_sort(cellScores), 1, math.min(nprobe, coarse.length)),
+      e => e.getField("cid"))
+    // per-query ADC LUT: m array columns of k exact per-centroid terms
+    val lutCols = (0 until m).map { j =>
+      val qj = slice(qv, j * sub + 1, sub)
+      val dqj = Ann.dot(qj, qj)
+      array(codebooks(j).zipWithIndex.map { case (c, _) =>
+        dqj - lit(2.0) * Ann.dot(qj, array(c.map(lit(_)).toIndexedSeq: _*)) +
+          lit(dotA(c, c))
+      }.toIndexedSeq: _*).as(s"_lut$j")
+    }
+    val qFrame = queries.select(
+      (col(qIdCol).cast("long").as("query_id") +:
+        explode(probed).as("cell") +:
+        lutCols): _*)
+    // index ⨝ broadcast(exploded queries) on the cell: the corpus
+    // side stays map-only
+    val adc = (0 until m).map(j =>
+      element_at(col(s"_lut$j"), col(s"code_$j") + 1)).reduceLeft(_ + _)
+    val shortlist = index.join(broadcast(qFrame), Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        round(adc * 1e6).cast("long").as("_adc_micro"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairsAgg(-col("_adc_micro"), col(idCol), rerank)
+        .as("_top"))
+      .select(col("query_id"), explode(col("_top")).as("_c"))
+      .select(col("query_id"), col("_c.id").as(idCol),
+        (-col("_c.score_micro")).as("adc_micro"))
+    // exact re-rank of the queries×rerank shortlist
+    val qVecs = queries.select(col(qIdCol).cast("long").as("query_id"),
+      qv.as("_qv"))
+    val scored = emb.join(broadcast(shortlist), idCol)
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("adc_micro"),
+        round((Ann.dot(col("_qv"), col("_qv")) -
+          lit(2.0) * Ann.dot(col(vecCol), col("_qv")) +
+          Ann.dot(col(vecCol), col(vecCol))) * 1e6).cast("long")
+          .as("_l2_micro"))
+    val ranked = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKPairsAgg(-col("_l2_micro"), col(idCol), k)
+        .as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol),
+        (-col("col.score_micro")).as("l2_micro"))
+    // re-attach the candidate's ADC score (the aggregate carries only
+    // (score, id) pairs; the shortlist is queries×rerank — broadcast)
+    ranked.join(broadcast(shortlist), Seq("query_id", idCol))
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("adc_micro"), col("l2_micro"))
+  }
 }

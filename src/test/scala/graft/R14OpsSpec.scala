@@ -88,6 +88,46 @@ class R14OpsSpec extends SparkSpec {
     assert(got.size < 8)
   }
 
+  test("D101: batch IVF-PQ equals the single-query indexed path per query") {
+    val emb = toyEmb
+    val coarse = Array(Array(1.0, 0.0, 0.0, 0.0), Array(-1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0))
+    val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 2, k = 4, dim = 4)
+    val index = Pq.ivfPqIndex(emb, "embedding", "vec_id", coarse, cb)
+    val qids = Seq(0L, 3L, 7L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Pq.ivfPqBatchTopK(index, emb, "embedding", "vec_id",
+      coarse, cb, queries, "qid", "qv", k = 3, nprobe = 2, rerank = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .groupBy(_._1)
+    val vecOf = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    qids.foreach { qid =>
+      val single = Pq.ivfPqTopKIndexed(index, emb, "embedding", "vec_id",
+        coarse, cb, vecOf(qid), k = 3, nprobe = 2, rerank = 5)
+        .select("vec_id").as[Long].collect().toSeq
+      val got = batch(qid).sortBy(_._2).map(_._3).toSeq
+      assert(got == single, s"qid $qid: batch $got vs single $single")
+    }
+  }
+
+  test("D101: the batch plan has no Window and broadcasts the query side") {
+    val emb = toyEmb
+    val coarse = Array(Array(0.0, 0.0, 0.0, 0.0))
+    val cb = Pq.codebooksBySample(emb, "embedding", "vec_id", m = 2, k = 4, dim = 4)
+    val index = Pq.ivfPqIndex(emb, "embedding", "vec_id", coarse, cb)
+    val queries = emb.limit(2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val plan = Pq.ivfPqBatchTopK(index, emb, "embedding", "vec_id",
+      coarse, cb, queries, "qid", "qv", k = 2, nprobe = 1, rerank = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no Window in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast query side in:\n$plan")
+  }
+
   // ---------------- D100: binary sign codes ----------------
 
   test("D100: signCodes hand-check — 32 dims per word, strictly-positive bits") {
