@@ -2691,6 +2691,31 @@ object SparkEntry {
         .orderBy("batch_id", "store_id")
     }),
 
+    // C34 (r14): mojibake repair — the ftfy fix_encoding core as a
+    // native codegen'd expression (cp1252/latin-1 → strict-UTF-8
+    // round trip, bounded double-encoding recursion). The gate pins
+    // the four canonical damage/no-damage shapes through the REAL
+    // expression plus a corpus-invariance claim: the ASCII documents
+    // table must be a fixed point (the algorithm provably never
+    // rewrites ASCII — a nonzero count hash-fails).
+    "q_c34_mojibake" -> ((s, d) => {
+      import s.implicits._
+      val fixtures = Seq(
+        ("fix_cp1252_apos", "donâ€™t"),
+        ("fix_latin1_eacute", "cafÃ©"),
+        ("fix_double_encoded", "ÃƒÂ©"),
+        ("keep_clean_utf8", "café"),
+        ("keep_ascii", "hello")).toDF("tag", "s")
+      val fixed = fixtures.select(col("tag"),
+        graft.functions.FixMojibake(col("s")).as("value"))
+      val corpus = t(s, d, "documents")
+        .agg(sum(when(graft.functions.FixMojibake(col("text")) =!= col("text"),
+          1L).otherwise(0L)).as("n"))
+        .select(lit("zz_corpus_changed").as("tag"),
+          coalesce(col("n"), lit(0L)).cast("string").as("value"))
+      fixed.unionByName(corpus).orderBy("tag")
+    }),
+
     // e2e-11 (r14): the STORE MAINTENANCE cycle — what a daily crawl
     // ingest actually runs: the store's banded index upserted with
     // the day's increment (C33, no store re-scan), the next batch
@@ -6439,6 +6464,19 @@ object SparkEntry {
         |  round(inter*1.0/(bsz+ssz-inter),4) AS jaccard
         |FROM pairs WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.9
         |ORDER BY batch_id, store_id""".stripMargin,
+
+    // C34: the oracle pins the expected repairs as literals — a wrong
+    // repair, a rewritten clean string, or a corpus rewrite all
+    // hash-fail
+    "q_c34_mojibake" ->
+      """SELECT * FROM (VALUES
+        |  ('fix_cp1252_apos', 'don’t'),
+        |  ('fix_latin1_eacute', 'café'),
+        |  ('fix_double_encoded', 'é'),
+        |  ('keep_clean_utf8', 'café'),
+        |  ('keep_ascii', 'hello'),
+        |  ('zz_corpus_changed', '0')) t(tag, "value")
+        |ORDER BY tag""".stripMargin,
 
     // e2e-11: q_c33's exact bipartite keep set chained into q_d96's
     // engine-exact row_number total order — one SQL chain, so the

@@ -184,6 +184,40 @@ class R14OpsSpec extends SparkSpec {
     assert(wide == Seq(2L), "a wider shortlist lets exact cosine win")
   }
 
+  // ---------------- C34: mojibake repair ----------------
+
+  test("C34: cp1252/latin-1/double mojibake repaired; clean text and nulls untouched") {
+    val df = Seq(
+      (1L, "donâ€™t"), (2L, "cafÃ©"), (3L, "ÃƒÂ©"),
+      (4L, "hello world"), (5L, "café"), (6L, "日本語"),
+      (7L, null.asInstanceOf[String])).toDF("id", "s")
+    val got = df.select(col("id"),
+        graft.functions.FixMojibake(col("s")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).contains("don’t"), s"cp1252 path: ${got(1L)}")
+    assert(got(2L).contains("café"), s"latin-1 path: ${got(2L)}")
+    assert(got(3L).contains("é"), s"double-encoded path: ${got(3L)}")
+    assert(got(4L).contains("hello world"))
+    assert(got(5L).contains("café"), "genuine accented text must NOT be rewritten")
+    assert(got(6L).contains("日本語"), "multi-byte text must NOT be rewritten")
+    assert(got(7L).isEmpty, "null in, null out")
+  }
+
+  test("C34: idempotent, and detection flags exactly the damaged rows") {
+    val df = Seq((1L, "donâ€™t"), (2L, "plain"), (3L, "café"))
+      .toDF("id", "s")
+    val once = df.select(col("id"),
+      graft.functions.FixMojibake(col("s")).as("f"))
+    val twice = once.select(col("id"),
+        graft.functions.FixMojibake(col("f")).as("f2"), col("f"))
+      .collect()
+    twice.foreach(r => assert(r.getString(1) == r.getString(2), "must be idempotent"))
+    val flagged = df
+      .filter(graft.functions.FixMojibake(col("s")) =!= col("s"))
+      .select("id").as[Long].collect().toSet
+    assert(flagged == Set(1L))
+  }
+
   // ---------------- C33: near-index upsert ----------------
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
