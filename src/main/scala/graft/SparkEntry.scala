@@ -2691,6 +2691,39 @@ object SparkEntry {
         .orderBy("batch_id", "store_id")
     }),
 
+    // D102 (r14): mergeable count-min sketches — per-slice sketches
+    // built in one map-side-combined pass, merged by exact counter
+    // addition (merge ≡ whole-corpus build BYTE-IDENTICALLY — claim
+    // row), point estimates deterministic at the pinned seed. The
+    // gate's strong claim: at depth 5 × width 1024 over the event-type
+    // cardinality, every estimate EQUALS the exact count (checked
+    // per key against the oracle's exact GROUP BY), and the merge
+    // equals the whole build.
+    "q_d102_countmin" -> ((s, d) => {
+      import graft.functions.{CountMinAgg, CountMinMergeAgg, CountMinEstimate}
+      val ev = t(s, d, "events")
+      val merged = ev
+        .groupBy(pmod(col("event_id"), lit(4)).as("_slice"))
+        .agg(CountMinAgg(col("event_type"), 5, 1024, 42).as("sk"))
+        .agg(CountMinMergeAgg(col("sk"), 5, 1024, 42).as("sk"))
+      val whole = ev.agg(CountMinAgg(col("event_type"), 5, 1024, 42).as("sk2"))
+      val keys = ev.select(col("event_type")).filter(col("event_type").isNotNull)
+        .distinct()
+      val est = keys.crossJoin(broadcast(merged))
+        .select(col("event_type"), CountMinEstimate(col("sk"), col("event_type"))
+          .as("est"))
+      val exact = ev.filter(col("event_type").isNotNull)
+        .groupBy("event_type").agg(count(lit(1)).as("exact_cnt"))
+      val perKey = est.join(exact, "event_type")
+        .select(col("event_type"), col("exact_cnt"),
+          when(col("est") === col("exact_cnt"), 1L).otherwise(0L).as("ok"))
+      val mergeEq = merged.crossJoin(whole)
+        .select(lit("zz_merge_eq_whole").as("event_type"),
+          lit(-1L).as("exact_cnt"),
+          when(col("sk") === col("sk2"), 1L).otherwise(0L).as("ok"))
+      perKey.unionByName(mergeEq).orderBy("event_type")
+    }),
+
     // C34 (r14): mojibake repair — the ftfy fix_encoding core as a
     // native codegen'd expression (cp1252/latin-1 → strict-UTF-8
     // round trip, bounded double-encoding recursion). The gate pins
@@ -6464,6 +6497,17 @@ object SparkEntry {
         |  round(inter*1.0/(bsz+ssz-inter),4) AS jaccard
         |FROM pairs WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.9
         |ORDER BY batch_id, store_id""".stripMargin,
+
+    // D102: the oracle computes the exact per-key counts; the Spark
+    // side's ok flags certify estimate == exact (deterministic at the
+    // pinned seed/dims) and merge ≡ whole-build byte equality
+    "q_d102_countmin" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+        |UNION ALL
+        |SELECT 'zz_merge_eq_whole', CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+        |ORDER BY event_type""".stripMargin,
 
     // C34: the oracle pins the expected repairs as literals — a wrong
     // repair, a rewritten clean string, or a corpus rewrite all

@@ -184,6 +184,47 @@ class R14OpsSpec extends SparkSpec {
     assert(wide == Seq(2L), "a wider shortlist lets exact cosine win")
   }
 
+  // ---------------- D102: count-min sketch ----------------
+
+  test("D102: exact on a small key set; merge of slice sketches is byte-identical to whole") {
+    import graft.functions.{CountMinAgg, CountMinMergeAgg, CountMinEstimate}
+    val df = (1L to 300L).map(i => (i, s"k${i % 7}")).toDF("id", "k")
+    val whole = df.agg(CountMinAgg(col("k"), 5, 1024, 42).as("sk"))
+    val merged = df.groupBy(pmod(col("id"), lit(3)).as("_s"))
+      .agg(CountMinAgg(col("k"), 5, 1024, 42).as("sk"))
+      .agg(CountMinMergeAgg(col("sk"), 5, 1024, 42).as("sk"))
+    val wb = whole.collect()(0).getAs[Array[Byte]](0)
+    val mb = merged.collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(wb, mb), "merge must equal the whole-corpus build")
+    val keys = (0 until 7).map(i => s"k$i").toDF("k")
+    val est = keys.crossJoin(broadcast(whole))
+      .select(col("k"), CountMinEstimate(col("sk"), col("k")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) == n, s"$k: est ${est(k)} != exact $n at width 1024") }
+  }
+
+  test("D102: never undercounts, even when a tiny width forces collisions; nulls skipped") {
+    import graft.functions.{CountMinAgg, CountMinEstimate}
+    val rows = (1L to 200L).map(i => (i, s"key_${i % 23}")) :+ (0L, null.asInstanceOf[String])
+    val df = rows.toDF("id", "k")
+    val sk = df.agg(CountMinAgg(col("k"), 2, 4, 7).as("sk"))
+    val keys = (0 until 23).map(i => s"key_$i").toDF("k")
+    val est = keys.crossJoin(broadcast(sk))
+      .select(col("k"), CountMinEstimate(col("sk"), col("k")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = df.filter(col("k").isNotNull).groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: CMS must never undercount (${est(k)} < $n)") }
+    assert(exact.exists { case (k, n) => est(k) > n },
+      "width 4 over 23 keys must witness at least one collision overcount")
+    val total = est.values.sum
+    assert(total >= 200L, "null contributed nothing, collisions only inflate")
+  }
+
   // ---------------- C34: mojibake repair ----------------
 
   test("C34: cp1252/latin-1/double mojibake repaired; clean text and nulls untouched") {
