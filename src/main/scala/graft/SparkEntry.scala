@@ -2691,6 +2691,22 @@ object SparkEntry {
         .orderBy("batch_id", "store_id")
     }),
 
+    // D103 (r14): Hilbert-curve clustering — the locality upgrade
+    // over D77's Morton code (consecutive indexes are ALWAYS grid
+    // neighbors, so clustered files cover tighter rectangles and
+    // min/max pruning discards more). Same bucket rule as d77;
+    // Skilling's transpose algorithm runs as one codegen'd integer
+    // expression, and the oracle UNROLLS the identical shift/XOR
+    // steps per bit in SQL — a full hash gate, not a claim.
+    "q_d103_hilbert" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("od", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      graft.sources.Hilbert.withHilbertValue(o, "o_custkey", "od", bits = 8)
+        .select(col("o_orderkey"), col("h_value"))
+        .orderBy("o_orderkey")
+    }),
+
     // D102 (r14): mergeable count-min sketches — per-slice sketches
     // built in one map-side-combined pass, merged by exact counter
     // addition (merge ≡ whole-corpus build BYTE-IDENTICALLY — claim
@@ -6497,6 +6513,49 @@ object SparkEntry {
         |  round(inter*1.0/(bsz+ssz-inter),4) AS jaccard
         |FROM pairs WHERE round(inter*1.0/(bsz+ssz-inter),4) >= 0.9
         |ORDER BY batch_id, store_id""".stripMargin,
+
+    // D103: Skilling's axes→transpose transform unrolled per bit —
+    // one CTE per Q step (i=0 sub-step inlined, i=1 reads it), then
+    // the Gray encode, the t fold, and the MSB-first interleave, all
+    // in plain integer xor/&/shift arithmetic
+    "q_d103_hilbert" -> {
+      val bits = 8
+      val steps = (0 until bits - 1).map { st =>
+        val q = 1L << (bits - 1 - st)
+        val p = q - 1
+        val prev = if (st == 0) "k" else s"s${st - 1}"
+        s"""s$st AS (SELECT o_orderkey,
+           |  CASE WHEN (x1 & $q) <> 0 THEN xor(x0a, $p)
+           |       ELSE xor(x0a, xor(x0a, x1) & $p) END AS x0,
+           |  CASE WHEN (x1 & $q) <> 0 THEN x1
+           |       ELSE xor(x1, xor(x0a, x1) & $p) END AS x1
+           |  FROM (SELECT o_orderkey,
+           |    xor(x0, CASE WHEN (x0 & $q) <> 0 THEN $p ELSE 0 END) AS x0a, x1
+           |    FROM $prev))""".stripMargin
+      }.mkString(",\n")
+      val tFold = (1 until bits).map { j =>
+        val q = 1L << (bits - j)
+        s"(CASE WHEN (x1 & $q) <> 0 THEN ${q - 1} ELSE 0 END)"
+      }.foldLeft("0")((acc, t) => s"xor($acc, $t)")
+      val terms = (0 until bits).flatMap(j => Seq(
+        s"(((x0 >> $j) & 1) << ${2 * j + 1})",
+        s"(((x1 >> $j) & 1) << ${2 * j})")).mkString(" | ")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey AS v1,
+         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS v2
+         |  FROM orders),
+         |b AS (SELECT min(v1) AS mn1, max(v1) AS mx1,
+         |  min(v2) AS mn2, max(v2) AS mx2 FROM o),
+         |k AS (SELECT o_orderkey,
+         |  ((v1 - mn1) * ${1L << bits}) // (mx1 - mn1 + 1) AS x0,
+         |  ((v2 - mn2) * ${1L << bits}) // (mx2 - mn2 + 1) AS x1
+         |  FROM o CROSS JOIN b),
+         |$steps,
+         |g AS (SELECT o_orderkey, x0, xor(x1, x0) AS x1 FROM s${bits - 2}),
+         |tt AS (SELECT o_orderkey, x0, x1, $tFold AS t FROM g),
+         |f AS (SELECT o_orderkey, xor(x0, t) AS x0, xor(x1, t) AS x1 FROM tt)
+         |SELECT o_orderkey, CAST($terms AS BIGINT) AS h_value FROM f
+         |ORDER BY o_orderkey""".stripMargin
+    },
 
     // D102: the oracle computes the exact per-key counts; the Spark
     // side's ok flags certify estimate == exact (deterministic at the

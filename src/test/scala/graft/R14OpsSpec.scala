@@ -184,6 +184,44 @@ class R14OpsSpec extends SparkSpec {
     assert(wide == Seq(2L), "a wider shortlist lets exact cosine win")
   }
 
+  // ---------------- D103: Hilbert curve ----------------
+
+  test("D103: bijective with unit-step adjacency over the full 8x8 grid; Morton jumps") {
+    val pts = for (a <- 0 until 8; b <- 0 until 8) yield (a.toLong, b.toLong)
+    val df = pts.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        graft.sources.HilbertIndex2(col("x"), col("y"), 3).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._3).toSet == (0L until 64L).toSet, "must be a bijection onto 0..63")
+    val byH = got.map(t => t._3 -> ((t._1, t._2))).toMap
+    (0L until 63L).foreach { h =>
+      val (x1, y1) = byH(h); val (x2, y2) = byH(h + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"Hilbert step $h -> ${h + 1} must be a grid neighbor")
+    }
+    val byZ = df.select(col("x"), col("y"),
+        graft.sources.Zorder.interleave(col("x"), col("y"), 3).as("z"))
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    val zJumps = (0L until 63L).count { h =>
+      val (x1, y1) = byZ(h); val (x2, y2) = byZ(h + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(zJumps > 0, "the Morton curve must jump where Hilbert does not")
+  }
+
+  test("D103: starts at the origin; nulls propagate; high input bits are masked") {
+    val df = Seq((Some(0L), Some(0L)), (None, Some(1L)), (Some(9L), Some(0L)))
+      .toDF("x", "y")
+    val got = df.select(graft.sources.HilbertIndex2(col("x"), col("y"), 3).as("h"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got(0).contains(0L), "curve starts at (0,0)")
+    assert(got(1).isEmpty, "null coordinate -> null index")
+    // 9 & 7 = 1: same as (1, 0)
+    val ref = Seq((1L, 0L)).toDF("x", "y")
+      .select(graft.sources.HilbertIndex2(col("x"), col("y"), 3)).collect()(0).getLong(0)
+    assert(got(2).contains(ref))
+  }
+
   // ---------------- D102: count-min sketch ----------------
 
   test("D102: exact on a small key set; merge of slice sketches is byte-identical to whole") {
