@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private val D = ""
+  private val D = "\u0001"
 
   /** chars of `w` each wrapped in delimiters:
     * "abc" -> ␁a␁␁b␁␁c␁
