@@ -277,8 +277,8 @@ object Pq {
       .select(col("query_id"), col(idCol),
         round(adc * 1e6).cast("long").as("_adc_micro"))
       .groupBy(col("query_id"))
-      .agg(graft.functions.TopKPairsAgg(-col("_adc_micro"), col(idCol), rerank)
-        .as("_top"))
+      .agg(graft.functions.TopKPairsAgg(-col("_adc_micro"),
+        col(idCol).cast("long"), rerank).as("_top"))
       .select(col("query_id"), explode(col("_top")).as("_c"))
       .select(col("query_id"), col("_c.id").as(idCol),
         (-col("_c.score_micro")).as("adc_micro"))
@@ -293,8 +293,8 @@ object Pq {
           Ann.dot(col(vecCol), col(vecCol))) * 1e6).cast("long")
           .as("_l2_micro"))
     val ranked = scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKPairsAgg(-col("_l2_micro"), col(idCol), k)
-        .as("_top"))
+      .agg(graft.functions.TopKPairsAgg(-col("_l2_micro"),
+        col(idCol).cast("long"), k).as("_top"))
       .select(col("query_id"), posexplode(col("_top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as(idCol),
