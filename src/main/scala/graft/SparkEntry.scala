@@ -6494,8 +6494,8 @@ object SparkEntry {
     },
 
     // C33: the oracle never sees the index maintenance — it grades
-    // the exact bipartite jaccard matches of the %4=3 batch against
-    // the UNIONED {0,1,2} store (q_d34b's pair construction), so a
+    // the exact bipartite jaccard matches of the %3=2 batch against
+    // the UNIONED {0,1} store (q_d34b's pair construction), so a
     // merge that corrupted clusters, member lists, or band keys
     // surfaces as missing/extra/mis-scored match rows
     "q_c33_index_upsert" ->

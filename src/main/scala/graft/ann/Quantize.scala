@@ -106,13 +106,18 @@ object Quantize {
     val words = (dim + 31) / 32
     val packed = array((0 until words).map { w =>
       (0 until math.min(32, dim - w * 32)).map { i =>
-        when(element_at(vec, w * 32 + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+        val e = element_at(vec, w * 32 + i + 1)
+        // SQL NaN compares greater than everything; mask it to the 0-bit so
+        // the packing agrees with signCodesLocal's JVM semantics (NaN > 0 false)
+        when(!isnan(e) && (e > 0), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
     when(vec.isNotNull, packed)
   }
 
-  /** Driver-side twin of [[signCodes]] for the query vector. */
+  /** Driver-side twin of [[signCodes]] for the query vector — same
+    * NaN-is-0-bit convention (JVM `NaN > 0` is already false).
+    */
   def signCodesLocal(query: Array[Double]): Array[Long] =
     Array.tabulate((query.length + 31) / 32) { w =>
       (0 until math.min(32, query.length - w * 32)).foldLeft(0L) { (acc, i) =>

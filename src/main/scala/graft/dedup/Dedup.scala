@@ -524,14 +524,33 @@ object Dedup {
     * member under its new content (delete-then-reinsert is the
     * update story, as in every LSM-shaped store).
     */
-  def mergeNearIndexes(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b)
+  def mergeNearIndexes(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = a.unionByName(b)
+    // Geometry guard: two indexes built with different `bands` carry band
+    // keys from incompatible band spaces, and the content-key regroup would
+    // silently pick one side's `bks` — matches through the merged index then
+    // DROP instead of failing. Compare size(bks) across the union inside the
+    // merge plan itself (broadcast one-row bounds frame, the Zorder/Hilbert
+    // pattern — no separate driver job) and raise loudly on mismatch. This
+    // catches the bands-count half; a rowsPerBand/shingleN mismatch is not
+    // observable from the rows alone — build both sides with the same
+    // [[minhashIndex]] parameters (carrying them as table properties of the
+    // at-rest index is the operational convention).
+    val geo = u.agg(min(size(col("bks"))).as("_nbMin"), max(size(col("bks"))).as("_nbMax"))
+    u.crossJoin(broadcast(geo))
+      .filter(when(col("_nbMin") === col("_nbMax"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("mergeNearIndexes: incompatible band geometry: "),
+          col("_nbMin").cast("string"), lit(" vs "),
+          col("_nbMax").cast("string"), lit(" bands")))))
+      .drop("_nbMin", "_nbMax")
       .groupBy(md5(concat_ws("\u0001", sort_array(col("ws")))).as("_ck"))
       .agg(min(col("sid")).as("sid"),
         sort_array(array_distinct(flatten(collect_list(col("ids"))))).as("ids"),
         first(col("ws")).as("ws"),
         first(col("bks")).as("bks"))
       .drop("_ck")
+  }
 
   /** Near-duplicate (batch_id, store_id, jaccard) matches from two
     * [[minhashIndex]] frames: batch bands join store bands on the

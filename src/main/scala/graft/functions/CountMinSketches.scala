@@ -34,6 +34,9 @@ object CountMinSketches {
 
   private[functions] def toItem(dt: DataType, v: Any): String = dt match {
     case StringType => v.asInstanceOf[UTF8String].toString
+    // internal value is days-since-epoch; hash the ISO display string so a
+    // later CountMinEstimate probe with the natural '2023-07-14' key matches
+    case DateType   => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
     case _          => v.toString
   }
 
@@ -63,8 +66,14 @@ case class CountMinAgg(child: Expression, depth: Int, width: Int, seed: Int,
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType | _: NumericType | BooleanType | DateType | TimestampType =>
+      case StringType | _: NumericType | BooleanType | DateType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case TimestampType | TimestampNTZType =>
+        // a timestamp's display string depends on the session timezone, so
+        // there is no one canonical probe key — make the caller pick one
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "timestamp columns have no timezone-independent canonical string; " +
+            "format explicitly (date_format/cast to string) before sketching")
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"expected an atomic column, got $other")

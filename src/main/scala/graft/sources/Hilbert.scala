@@ -38,8 +38,13 @@ object Hilbert {
     val bounds = df.agg(
       min(col(c1)).as("_min1"), max(col(c1)).as("_max1"),
       min(col(c2)).as("_min2"), max(col(c2)).as("_max2"))
-    val b1 = expr(s"((`$c1` - _min1) * ${1L << bits}) DIV (_max1 - _min1 + 1)")
-    val b2 = expr(s"((`$c2` - _min2) * ${1L << bits}) DIV (_max2 - _min2 + 1)")
+    // operands cast to BIGINT: for an IntegerType column the multiply by
+    // 2^bits overflows int (ANSI ArithmeticException) once the value range
+    // exceeds ~2^(31-bits); widening first keeps the whole product in long
+    val b1 = expr(s"((CAST(`$c1` AS BIGINT) - CAST(_min1 AS BIGINT)) * ${1L << bits})" +
+      s" DIV (CAST(_max1 AS BIGINT) - CAST(_min1 AS BIGINT) + 1)")
+    val b2 = expr(s"((CAST(`$c2` AS BIGINT) - CAST(_min2 AS BIGINT)) * ${1L << bits})" +
+      s" DIV (CAST(_max2 AS BIGINT) - CAST(_min2 AS BIGINT) + 1)")
     df.crossJoin(broadcast(bounds))
       .withColumn(hCol, HilbertIndex2(b1, b2, bits))
       .drop("_min1", "_max1", "_min2", "_max2")

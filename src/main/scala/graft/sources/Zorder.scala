@@ -42,8 +42,12 @@ object Zorder {
       min(col(c2)).as("_min2"), max(col(c2)).as("_max2"))
     // integer DIV, not float division: (v-min)·2^bits exceeds 2^53 on
     // wide domains, where double division silently corrupts the bucket
-    val b1 = expr(s"((`$c1` - _min1) * ${1L << bits}) DIV (_max1 - _min1 + 1)")
-    val b2 = expr(s"((`$c2` - _min2) * ${1L << bits}) DIV (_max2 - _min2 + 1)")
+    // operands cast to BIGINT: an IntegerType column with range > ~2^(31-bits)
+    // would overflow the int multiply (ANSI ArithmeticException) before the DIV
+    val b1 = expr(s"((CAST(`$c1` AS BIGINT) - CAST(_min1 AS BIGINT)) * ${1L << bits})" +
+      s" DIV (CAST(_max1 AS BIGINT) - CAST(_min1 AS BIGINT) + 1)")
+    val b2 = expr(s"((CAST(`$c2` AS BIGINT) - CAST(_min2 AS BIGINT)) * ${1L << bits})" +
+      s" DIV (CAST(_max2 AS BIGINT) - CAST(_min2 AS BIGINT) + 1)")
     df.crossJoin(broadcast(bounds))
       .withColumn(zCol, interleave(b1, b2, bits))
       .drop("_min1", "_max1", "_min2", "_max2")
