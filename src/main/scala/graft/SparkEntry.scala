@@ -686,7 +686,7 @@ object SparkEntry {
       val docs = t(s, d, "documents").select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"),
         encode(col("text"), "UTF-8").as("raw"))
-      graft.sources.Avro.writeAvroPartitioned(docs.repartition(4), dir)
+      graft.sources.Avro.writeAvroPartitioned(docs.repartition(4), dir, manifest = true)
       graft.sources.Avro.readAvro(s, dir, docs.schema)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
           length(col("raw")).cast("long").as("n_bytes"),
@@ -711,7 +711,7 @@ object SparkEntry {
           struct(lit("id9").as("k"), (col("doc_id") % 9).cast("long").as("v")))
           .as("tags"),
         map(lit("src"), col("source")).as("props"))
-      graft.sources.Avro.writeAvroPartitioned(docs.repartition(4), dir)
+      graft.sources.Avro.writeAvroPartitioned(docs.repartition(4), dir, manifest = true)
       graft.sources.Avro.readAvro(s, dir, docs.schema)
         .select(col("doc_id"),
           col("meta.lang").as("lang"), col("meta.n_chars").as("n_chars"),
@@ -2190,7 +2190,7 @@ object SparkEntry {
         map(lit("txt"), encode(col("text"), "UTF-8"),
           lit("json"), encode(concat(lit("{\"lang\":\""), col("lang"),
             lit("\",\"source\":\""), col("source"), lit("\"}")), "UTF-8")).as("files"))
-      graft.sources.TarShards.writeTarShards(docs.repartition(4), dir)
+      graft.sources.TarShards.writeTarShards(docs.repartition(4), dir, manifest = true)
       graft.sources.TarShards.readTarShards(s, dir)
         .select(col("key"),
           length(element_at(col("files"), "txt")).cast("long").as("n_bytes"),
@@ -2213,7 +2213,7 @@ object SparkEntry {
         lit("2026-01-01T00:00:00Z").as("warc_date"),
         lit("text/plain; charset=utf-8").as("content_type"),
         encode(col("text"), "UTF-8").as("content"))
-      graft.sources.Warc.writeWarcPartitioned(docs.repartition(4), dir, gzip = true)
+      graft.sources.Warc.writeWarcPartitioned(docs.repartition(4), dir, gzip = true, manifest = true)
       graft.sources.Warc.readWarc(s, dir)
         .filter(col("warc_type") === "resource")
         .select(col("target_uri"), col("content_type"),
@@ -2919,7 +2919,7 @@ object SparkEntry {
           lit("2026-02-02T00:00:00Z").as("warc_date"),
           lit("text/html; charset=utf-8").as("content_type"),
           encode(col("rawtext"), "UTF-8").as("content"))
-      graft.sources.Warc.writeWarcPartitioned(crawl.repartition(4), dir, gzip = true)
+      graft.sources.Warc.writeWarcPartitioned(crawl.repartition(4), dir, gzip = true, manifest = true)
       val ingested = graft.sources.Warc.readWarc(s, dir)
         .filter(col("warc_type") === "resource")
         .select(col("target_uri"),

@@ -183,14 +183,16 @@ object Avro {
     * executors (staging + per-attempt temp + atomic rename — a
     * failed re-export leaves the previous export intact).
     */
-  def writeAvroPartitioned(df: DataFrame, dir: String): Unit = {
+  def writeAvroPartitioned(df: DataFrame, dir: String,
+                           manifest: Boolean = false): Unit = {
     val sparkSchema = df.schema
     val json = avroSchemaJson(sparkSchema)
     // prove the schema parses ON THE DRIVER (names are pre-validated,
     // but any residual schema defect must fail at plan time, not on
     // every executor task)
     new org.apache.avro.Schema.Parser().parse(json)
-    StagedCommit.writePartitioned(df, dir, ".avro") { (it, out, _) =>
+    StagedCommit.writePartitioned(df, dir, ".avro",
+      manifest = manifest) { (it, out, _) =>
       val avroSchema = new org.apache.avro.Schema.Parser().parse(json)
       val writer = new org.apache.avro.file.DataFileWriter(
         new org.apache.avro.generic.GenericDatumWriter[
@@ -218,7 +220,7 @@ object Avro {
     new org.apache.avro.Schema.Parser().parse(json)
     val names = schema.fields.map(_.name)
     val dts = schema.fields.map(_.dataType)
-    val bin = spark.read.format("binaryFile").load(path)
+    val bin = StagedCommit.binaryFilesCommitted(spark, path)
       .filter(col("path").endsWith(".avro"))
       .select("content")
     val rows = bin.rdd.flatMap { r =>

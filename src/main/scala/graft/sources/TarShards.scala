@@ -44,7 +44,8 @@ object TarShards {
     * a null key throws (a sample must be addressable).
     */
   def writeTarShards(df: DataFrame, dir: String, keyCol: String = "key",
-                     filesCol: String = "files"): Unit = {
+                     filesCol: String = "files",
+                     manifest: Boolean = false): Unit = {
     val proj = df.select(col(keyCol).cast(StringType).as("key"),
       col(filesCol).cast(MapType(StringType, BinaryType)).as("files"))
     // r14: rides the shared Hadoop-FS staged-commit protocol (the
@@ -53,7 +54,8 @@ object TarShards {
     // loaders see the partition order
     StagedCommit.writePartitioned(proj, dir, ".tar",
       stale = n => n.startsWith("shard-") && n.endsWith(".tar"),
-      partName = pid => f"shard-$pid%06d.tar") { (it, out, _) =>
+      partName = pid => f"shard-$pid%06d.tar",
+      manifest = manifest) { (it, out, _) =>
       it.foreach { r =>
         require(!r.isNullAt(0), "[graft] TarShards: null sample key")
         val key = r.getString(0)
@@ -76,7 +78,7 @@ object TarShards {
   /** Read a shard directory (or one tar) back: one row per SAMPLE —
     * (key, map<ext, payload>). One task per shard. */
   def readTarShards(spark: SparkSession, path: String): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path).select("content")
+    val bin = StagedCommit.binaryFilesCommitted(spark, path).select("content")
     val rows = bin.rdd.flatMap { r =>
       val entries = parseTar(r.getAs[Array[Byte]](0))
       // group `<key>.<ext>` members into samples; keep first-seen

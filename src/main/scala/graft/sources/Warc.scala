@@ -66,7 +66,7 @@ object Warc {
     */
   def readWarc(spark: SparkSession, path: String,
                unwrapHttp: Boolean = true): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path).select("content")
+    val bin = StagedCommit.binaryFilesCommitted(spark, path).select("content")
     val rows = bin.rdd.flatMap { r =>
       parseAll(r.getAs[Array[Byte]](0)).map { rec =>
         val (status, httpCt, body) =
@@ -91,7 +91,8 @@ object Warc {
     * HTTP framing) preceded by one `warcinfo` record per file.
     */
   def writeWarcPartitioned(df: DataFrame, dir: String,
-                           gzip: Boolean = true): Unit = {
+                           gzip: Boolean = true,
+                           manifest: Boolean = false): Unit = {
     val ext = if (gzip) ".warc.gz" else ".warc"
     val proj = df.select(
       col("target_uri").cast(StringType), col("warc_date").cast(StringType),
@@ -100,7 +101,8 @@ object Warc {
     // exports must still replace the other flavor's parts
     StagedCommit.writePartitioned(proj, dir, ext,
       stale = n => n.startsWith("part-") &&
-        (n.endsWith(".warc") || n.endsWith(".warc.gz"))) { (it, out, name) =>
+        (n.endsWith(".warc") || n.endsWith(".warc.gz")),
+      manifest = manifest) { (it, out, name) =>
       writeFile(out, gzip, name, it.map { r =>
         (r.getString(0), r.getString(1), r.getString(2),
           if (r.isNullAt(3)) Array.empty[Byte] else r.getAs[Array[Byte]](3))

@@ -35,7 +35,7 @@ object Xlsx {
     */
   def readXlsx(spark: SparkSession, path: String,
                header: Boolean = true): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path)
+    val bin = StagedCommit.binaryFilesCommitted(spark, path)
       .select("content")
     val head = bin.limit(1).collect() // schema comes from one workbook on the driver
     require(head.nonEmpty, s"no files under $path to derive an xlsx schema from")
@@ -98,8 +98,8 @@ object Xlsx {
     * controls file count/size via an upstream `repartition(n)`; each
     * partition must respect the per-sheet row cap (enforced — the
     * task throws rather than truncating). `dir` is a Hadoop URI
-    * (bare path / `file:` / `hdfs:`; object stores refused — see
-    * [[StagedCommit]]). [[readXlsx]] reads the resulting directory
+    * (bare path / `file:` / `hdfs:`; object stores ride the
+    * manifest-committed protocol — see [[StagedCommit]]). [[readXlsx]] reads the resulting directory
     * back as one DataFrame.
     *
     * Overwrite semantics, commit-style: tasks write into an
@@ -118,12 +118,14 @@ object Xlsx {
     * manual recovery.
     */
   def writeXlsxPartitioned(df: DataFrame, dir: String,
-                           maxRowsPerFile: Int = 1048575): Unit = {
+                           maxRowsPerFile: Int = 1048575,
+                           manifest: Boolean = false): Unit = {
     val cols = df.columns.toSeq
     // r14: rides the shared Hadoop-FS staged-commit protocol (the
     // inline java.io.File copy predated the extraction) — works on
-    // file: AND hdfs:/viewfs:, refuses object stores loudly
-    StagedCommit.writePartitioned(df, dir, ".xlsx") { (it, out, _) =>
+    // file: AND hdfs:/viewfs: staged; object stores manifest-committed
+    StagedCommit.writePartitioned(df, dir, ".xlsx",
+      manifest = manifest) { (it, out, _) =>
       writeWorkbook(out, cols, new Iterator[Seq[Any]] {
         private var n = 0
         def hasNext: Boolean = it.hasNext
