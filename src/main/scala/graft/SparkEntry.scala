@@ -792,6 +792,46 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // C30c (r15): LIVE in-place compaction over the snapshot log —
+    // v0 = 10-file write, v1 = compactInPlace to ceil(n/200) range-
+    // ordered files. A reader pinned to v0 BEFORE the commit keeps
+    // its complete file set (old-or-new, never mixed): the gate
+    // re-reads through BOTH snapshots and certifies identical content
+    // census, disjoint file sets, and every v0 file still alive.
+    // Data claims (rows/xor/ceil file count) re-derived by the
+    // oracle; isolation certs are Spark-computed 0/1 literals.
+    "q_c30c_live_compaction" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/c30c_log"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.SnapshotLog.write(docs.repartition(10), dir)
+      val oldSnap = graft.sources.SnapshotLog.snapshot(s, dir) // pre-commit reader
+      graft.sources.SnapshotLog.compactInPlace(s, dir, 200L, Seq("doc_id"))
+      val newSnap = graft.sources.SnapshotLog.snapshot(s, dir)
+      def census(df: DataFrame, tag: String): DataFrame =
+        df.withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+            col("doc_id"), coalesce(col("text"), lit("")))))
+          .agg(count(lit(1)).cast("long").as("rows"), expr("bit_xor(_h)").as("xr"))
+          .select(expr(s"stack(2, 'rows_$tag', rows, 'xor_$tag', xr) AS (metric, value)"))
+      val disjoint = oldSnap.files.toSet.intersect(newSnap.files.toSet).isEmpty
+      val alive = oldSnap.files.forall(f =>
+        hfs.exists(new org.apache.hadoop.fs.Path(f)))
+      val certs = Seq(
+        ("cert_disjoint_filesets", if (disjoint) 1L else 0L),
+        ("cert_old_files_alive", if (alive) 1L else 0L),
+        ("files_new", newSnap.files.size.toLong),
+        ("files_old", oldSnap.files.size.toLong),
+        ("versions", graft.sources.SnapshotLog.versions(s, dir).size.toLong))
+        .toDF("metric", "value")
+      census(graft.sources.SnapshotLog.read(s, dir), "new_reader")
+        .unionByName(census(s.read.parquet(oldSnap.files: _*), "old_reader"))
+        .unionByName(certs)
+        .orderBy("metric")
+    }),
+
     // ---- D. scale extensions
     "q_d1_exact_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -4066,6 +4106,31 @@ object SparkEntry {
         |  CAST((count(*) + 199) // 200 AS BIGINT) AS n_files,
         |  CAST(bit_xor(hh) AS BIGINT) AS content_xor
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // live compaction: data claims (row count, content XOR, the
+    // ceil(n/200) output file count) re-derived from the ORIGINAL
+    // parquet; the two reader censuses MUST be identical — the
+    // isolation certs are pinned 1-literals the Spark side computes
+    // from the resolved snapshots (file-set disjointness, v0 files
+    // alive, exactly 2 committed versions, 10 v0 files)
+    "q_c30c_live_compaction" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'cert_disjoint_filesets' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'cert_old_files_alive', 1
+        |  UNION ALL SELECT 'files_new', CAST((n + 199) // 200 AS BIGINT) FROM n
+        |  UNION ALL SELECT 'files_old', 10
+        |  UNION ALL SELECT 'rows_new_reader', CAST(n AS BIGINT) FROM n
+        |  UNION ALL SELECT 'rows_old_reader', CAST(n AS BIGINT) FROM n
+        |  UNION ALL SELECT 'versions', 2
+        |  UNION ALL SELECT 'xor_new_reader', CAST(bit_xor(hh) AS BIGINT) FROM h
+        |  UNION ALL SELECT 'xor_old_reader', CAST(bit_xor(hh) AS BIGINT) FROM h)
+        |ORDER BY metric""".stripMargin,
 
     // shard identity, ranges, and the round-trip checksum re-derived
     // from the ORIGINAL parquet (rank = row_number over doc_id; the

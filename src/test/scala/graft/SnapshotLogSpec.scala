@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+
+/** C35/C30c (r15): the single-table snapshot log and live in-place
+  * compaction — reader isolation (old-or-new, never mixed), append
+  * economics, optimistic-concurrency commit, vacuum.
+  */
+class SnapshotLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toString + "/t"
+
+  test("write → read round-trip; versions ascend; latest wins") {
+    val dir = tmp("graft_log_rt")
+    assert(SnapshotLog.versions(spark, dir).isEmpty)
+    val v0 = SnapshotLog.write((1L to 20L).toDF("id").repartition(4), dir)
+    assert(v0 == 0L)
+    val v1 = SnapshotLog.write((21L to 25L).toDF("id").repartition(2), dir)
+    assert(v1 == 1L)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L))
+    assert(SnapshotLog.read(spark, dir).as[Long].collect().sorted.toSeq == (21L to 25L))
+    assert(SnapshotLog.read(spark, dir, 0L).as[Long].collect().sorted.toSeq == (1L to 20L))
+  }
+
+  test("append commits previous files plus new — old files never rewritten") {
+    val dir = tmp("graft_log_app")
+    SnapshotLog.write((1L to 10L).toDF("id").repartition(2), dir)
+    val before = SnapshotLog.snapshot(spark, dir)
+    val mtimes = before.files.map(p =>
+      new java.io.File(new java.net.URI(p).getPath).lastModified()).toSet
+    Thread.sleep(20)
+    SnapshotLog.append((11L to 15L).toDF("id").repartition(1), dir)
+    val after = SnapshotLog.snapshot(spark, dir)
+    assert(before.files.toSet.subsetOf(after.files.toSet))
+    assert(SnapshotLog.read(spark, dir).as[Long].collect().sorted.toSeq == (1L to 15L))
+    // untouched bytes: the original files' mtimes did not change
+    assert(before.files.map(p =>
+      new java.io.File(new java.net.URI(p).getPath).lastModified()).toSet == mtimes)
+  }
+
+  test("in-place compaction: old reader keeps its complete file set (never mixed)") {
+    val dir = tmp("graft_log_cmp")
+    SnapshotLog.write((1L to 100L).toDF("id").repartition(10), dir)
+    val oldSnap = SnapshotLog.snapshot(spark, dir) // reader opened BEFORE the commit
+    assert(oldSnap.files.size == 10)
+    val v = SnapshotLog.compactInPlace(spark, dir, targetRows = 50L, sortCols = Seq("id"))
+    val newSnap = SnapshotLog.snapshot(spark, dir, v)
+    assert(newSnap.files.size == 2)
+    // disjoint file sets: the rewrite touched nothing the old reader holds
+    assert(oldSnap.files.toSet.intersect(newSnap.files.toSet).isEmpty)
+    // the pinned old reader still reads its full set, bit-for-bit
+    val oldRead = spark.read.parquet(oldSnap.files: _*).as[Long].collect().sorted.toSeq
+    assert(oldRead == (1L to 100L))
+    // the new reader sees identical content through the compacted files
+    assert(SnapshotLog.read(spark, dir).as[Long].collect().sorted.toSeq == (1L to 100L))
+    // range compaction: each output file is a disjoint id range
+    val spans = spark.read.parquet(newSnap.files: _*)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.sliding(2).forall(w => w.length < 2 || w(0)._2 < w(1)._1))
+  }
+
+  test("racing committers: the version-file create is exclusive — no silent overwrite") {
+    val dir = tmp("graft_log_race")
+    SnapshotLog.write((1L to 4L).toDF("id"), dir)
+    // two committers that both resolved latest=0 race on creating v1;
+    // the protocol's primitive is create(overwrite=false) on the SAME
+    // path — the loser must throw, never clobber the winner's list
+    val f = new org.apache.hadoop.fs.Path(dir, "_graft_log/" + f"v${1L}%020d.json")
+    val hfs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(f, false)
+    out.write("""{"format":"graft-log-v1","version":1,"files":[]}""".getBytes)
+    out.close()
+    val e = intercept[Exception] { hfs.create(f, false) }
+    assert(e.getClass.getSimpleName.toLowerCase.contains("exists") ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("exist")), e.toString)
+    // a committer arriving AFTER the winner re-lists and lands on v2 —
+    // the winner's commit is never overwritten
+    SnapshotLog.write((5L to 8L).toDF("id"), dir)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(SnapshotLog.snapshot(spark, dir, 1L).files.isEmpty)
+    assert(SnapshotLog.read(spark, dir).as[Long].collect().sorted.toSeq == (5L to 8L))
+  }
+
+  test("vacuum reclaims dropped versions' files, keeps the survivors readable") {
+    val dir = tmp("graft_log_vac")
+    SnapshotLog.write((1L to 50L).toDF("id").repartition(5), dir)
+    val old = SnapshotLog.snapshot(spark, dir)
+    SnapshotLog.compactInPlace(spark, dir, targetRows = 50L)
+    SnapshotLog.vacuum(spark, dir, keepVersions = 1)
+    assert(SnapshotLog.versions(spark, dir).size == 1)
+    // old files gone, new snapshot intact
+    assert(!old.files.forall(p => new java.io.File(new java.net.URI(p).getPath).exists()))
+    assert(SnapshotLog.read(spark, dir).as[Long].collect().sorted.toSeq == (1L to 50L))
+  }
+}
