@@ -2675,6 +2675,52 @@ object SparkEntry {
         k = 10, nprobe = 2, rerank = 50)
     }),
 
+    // D99b (r15): IVF-PQ index UPSERT — the C33 maintenance story for
+    // vectors: banks trained at STORE time (%3 in {0,1} slice), the
+    // %3=2 increment encoded with the SAME banks and merged as a pure
+    // guarded union (zero shuffle; at rest a partitioned file append).
+    // Serving through the MERGED index is graded against the oracle's
+    // full IVF-PQ re-derivation over the unioned corpus (merge must
+    // be indistinguishable from rebuild), and a Spark-computed cert
+    // row pins the merged≡rebuild serving symmetric difference at 0.
+    "q_d99b_ivfpq_upsert" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val store = emb.filter(col("vec_id") % 3 =!= 2)
+      val inc = emb.filter(col("vec_id") % 3 === 2)
+      val coarse = Ann.trainCentroidsBySample(store, "embedding", "vec_id", 4)
+      val cb = Pq.codebooksBySample(store, "embedding", "vec_id", m = 4, k = 4, dim = 64)
+      val merged = Pq.mergeIvfPqIndexes(
+        Pq.ivfPqIndexStamped(store, "embedding", "vec_id", coarse, cb),
+        Pq.ivfPqIndexStamped(inc, "embedding", "vec_id", coarse, cb))
+      val rebuild = Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarse, cb)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val serveM = Pq.ivfPqTopKIndexed(merged, emb, "embedding", "vec_id",
+        coarse, cb, q, k = 10, nprobe = 2, rerank = 50)
+      val serveR = Pq.ivfPqTopKIndexed(rebuild, emb, "embedding", "vec_id",
+        coarse, cb, q, k = 10, nprobe = 2, rerank = 50)
+      val mismatches = serveM.exceptAll(serveR)
+        .unionAll(serveR.exceptAll(serveM)).count()
+      import s.implicits._
+      serveM.unionByName(
+        Seq((-1L, mismatches.toDouble, 0.0)).toDF("vec_id", "adc", "l2"))
+    }),
+
+    // D99c (r15): coarse-bank DRIFT report — per-cell occupancy and
+    // exact micro-residual mass at bank-training time (the store
+    // slice) vs now (store + increment): the re-train signal an
+    // append-only index needs. The oracle re-derives both censuses
+    // from the assignment + residual arithmetic.
+    "q_d99c_cell_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val store = emb.filter(col("vec_id") % 3 =!= 2)
+      val coarse = Ann.trainCentroidsBySample(store, "embedding", "vec_id", 4)
+      Pq.cellDriftReport(
+        Pq.cellStats(store, "embedding", coarse),
+        Pq.cellStats(emb, "embedding", coarse))
+        .orderBy("cell")
+    }),
+
     // D101 (r14): BATCH IVF-PQ serving — the whole eval set through
     // the cell-pruned ADC + exact-re-rank path in ONE job: per-query
     // probe cells and ADC lookup tables computed RELATIONALLY on the
@@ -6469,6 +6515,86 @@ object SparkEntry {
         |    + list_dot_product(e.v, e.v), 4) AS l2
         |FROM cand c JOIN ev e ON c.vec_id = e.vec_id
         |ORDER BY l2 ASC, c.vec_id ASC LIMIT 10""".stripMargin,
+
+    // D99b: the q_d99 chain with banks from the STORE slice (%3 in
+    // {0,1}: cents/codebooks sample the first 4 store vectors by id)
+    // but encoding/serving over the UNIONED corpus — exactly what a
+    // correct merge must equal — plus the pinned 0-mismatch cert row
+    "q_d99b_ivfpq_upsert" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |  WHERE vec_id % 3 != 2 ORDER BY vec_id LIMIT 4),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cellof AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY (list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv)) ASC,
+        |             c.cid ASC) AS rn
+        |  FROM ev e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (SELECT cid AS cell FROM (
+        |  SELECT c.cid, row_number() OVER (
+        |    ORDER BY (list_dot_product(c.cv, c.cv)
+        |              - 2*list_dot_product((SELECT v FROM q), c.cv)) ASC,
+        |    c.cid ASC) AS rn FROM cents c) WHERE rn <= 2),
+        |subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) t(j)),
+        |pe AS (SELECT e.vec_id, e.v FROM ev e
+        |  JOIN cellof co ON e.vec_id = co.vec_id
+        |  JOIN probe p ON co.cell = p.cell),
+        |es AS (SELECT vec_id, j, v[(16*j+1):(16*j+16)] AS sv FROM pe CROSS JOIN subs),
+        |cs AS (SELECT cid, j, cv[(16*j+1):(16*j+16)] AS csv FROM cents CROSS JOIN subs),
+        |enc AS (SELECT vec_id, j, cid FROM (
+        |  SELECT e.vec_id, e.j, cs.cid, row_number() OVER (PARTITION BY e.vec_id, e.j
+        |    ORDER BY (list_dot_product(cs.csv, cs.csv) - 2*list_dot_product(e.sv, cs.csv)) ASC,
+        |             cs.cid ASC) AS rn
+        |  FROM es e JOIN cs ON e.j = cs.j) WHERE rn = 1),
+        |qs AS (SELECT j, (SELECT v FROM q)[(16*j+1):(16*j+16)] AS qv FROM subs),
+        |lut AS (SELECT cs.j, cs.cid,
+        |  (list_dot_product(qs.qv, qs.qv) - 2*list_dot_product(qs.qv, cs.csv)
+        |    + list_dot_product(cs.csv, cs.csv)) AS s
+        |  FROM cs JOIN qs ON cs.j = qs.j),
+        |sc AS (SELECT vec_id,
+        |  max(CASE WHEN j=0 THEN s END) AS s0, max(CASE WHEN j=1 THEN s END) AS s1,
+        |  max(CASE WHEN j=2 THEN s END) AS s2, max(CASE WHEN j=3 THEN s END) AS s3
+        |  FROM enc JOIN lut USING (j, cid) GROUP BY vec_id),
+        |cand AS (SELECT vec_id, round(s0 + s1 + s2 + s3, 4) AS adc FROM sc
+        |  ORDER BY adc ASC, vec_id ASC LIMIT 50),
+        |served AS (SELECT c.vec_id, c.adc,
+        |  round(list_dot_product((SELECT v FROM q), (SELECT v FROM q))
+        |    - 2*list_dot_product(e.v, (SELECT v FROM q))
+        |    + list_dot_product(e.v, e.v), 4) AS l2
+        |FROM cand c JOIN ev e ON c.vec_id = e.vec_id
+        |ORDER BY l2 ASC, c.vec_id ASC LIMIT 10)
+        |SELECT * FROM served
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 0.0, 0.0""".stripMargin,
+
+    // D99c: both censuses re-derived — assignment by the store-slice
+    // bank, per-row micro-quantized residual, exact long sums
+    "q_d99c_cell_drift" ->
+      """WITH cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |  WHERE vec_id % 3 != 2 ORDER BY vec_id LIMIT 4),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |asg AS (SELECT vec_id, cell, resid FROM (
+        |  SELECT e.vec_id, c.cid AS cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY (list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv)) ASC,
+        |               c.cid ASC) AS rn,
+        |    (list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv)
+        |      + list_dot_product(e.v, e.v)) AS resid
+        |  FROM ev e CROSS JOIN cents c) WHERE rn = 1),
+        |b AS (SELECT cell, count(*) AS n,
+        |  sum(CAST(round(resid*1e6) AS BIGINT)) AS rs
+        |  FROM asg WHERE vec_id % 3 != 2 GROUP BY 1),
+        |a AS (SELECT cell, count(*) AS n,
+        |  sum(CAST(round(resid*1e6) AS BIGINT)) AS rs
+        |  FROM asg GROUP BY 1)
+        |SELECT CAST(coalesce(b.cell, a.cell) AS BIGINT) AS cell,
+        |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_before,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_after,
+        |  CAST(coalesce(b.rs, 0) AS BIGINT) AS resid_sum_micro_before,
+        |  CAST(coalesce(a.rs, 0) AS BIGINT) AS resid_sum_micro_after
+        |FROM b FULL JOIN a ON b.cell = a.cell
+        |ORDER BY cell""".stripMargin,
 
     // D101: the q_d99 chain generalized per query — probe selection,
     // encoding, per-query LUTs, micro-long ADC shortlists and the

@@ -202,6 +202,116 @@ object Pq {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------
+  // D99b (r15): index MAINTENANCE — the C33 story for vectors. The
+  // at-rest IVF-PQ index is append-only: encoding is a deterministic
+  // map-only function of (vector, banks), so a day's increment is
+  // encoded with the SAME banks and appended — cell-partitioned, no
+  // store re-scan, no shuffle — and the merged index is row-for-row
+  // EQUAL to a full rebuild (spec- and gate-claimed). The failure
+  // mode worth guarding is the silent one: merging indexes encoded
+  // with DIFFERENT banks, which no row-level schema check can see —
+  // so stamped indexes carry a bank fingerprint column and the merge
+  // verifies it in-plan (the mergeNearIndexes discipline).
+  // ---------------------------------------------------------------
+
+  /** Deterministic fingerprint of the (coarse, codebooks) bank pair —
+    * a positional fold over the raw double bits, so any changed
+    * centroid value, order, or shape changes the stamp.
+    */
+  def bankFingerprint(coarse: Array[Array[Double]],
+                      codebooks: Array[Array[Array[Double]]]): Long = {
+    var h = 1125899906842597L
+    def mix(v: Long): Unit = { h = h * 31L + v }
+    mix(coarse.length)
+    coarse.foreach { c => mix(c.length); c.foreach(d => mix(java.lang.Double.doubleToLongBits(d))) }
+    mix(codebooks.length)
+    codebooks.foreach { cb =>
+      mix(cb.length)
+      cb.foreach { c => mix(c.length); c.foreach(d => mix(java.lang.Double.doubleToLongBits(d))) }
+    }
+    h
+  }
+
+  /** [[ivfPqIndex]] plus the bank fingerprint column (`bank_fp`) —
+    * the at-rest layout maintenance operates on. The constant column
+    * dictionary-encodes to ~nothing in parquet; serving reads select
+    * explicit columns, so the stamp never rides into a query plan.
+    */
+  def ivfPqIndexStamped(emb: DataFrame, vecCol: String, idCol: String,
+                        coarse: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]]): DataFrame =
+    ivfPqIndex(emb, vecCol, idCol, coarse, codebooks)
+      .withColumn("bank_fp", lit(bankFingerprint(coarse, codebooks)))
+
+  /** Merge a stamped store index with a stamped increment index:
+    * a pure union (encode is deterministic, ids are globally unique
+    * and append-only — the C33 contract), guarded IN-PLAN against the
+    * silent killer: indexes encoded with different banks raise loudly
+    * instead of serving subtly-wrong shortlists. Cost: zero shuffle —
+    * the union is a plan-level concatenation; persisted with
+    * `.write.mode("append").partitionBy("cell")` the merge is a
+    * partitioned file append.
+    */
+  def mergeIvfPqIndexes(store: DataFrame, inc: DataFrame): DataFrame = {
+    require(store.columns.contains("bank_fp") && inc.columns.contains("bank_fp"),
+      "[graft] mergeIvfPqIndexes: both sides must be STAMPED indexes " +
+        "(ivfPqIndexStamped) — the bank fingerprint is the merge guard")
+    val u = store.unionByName(inc)
+    val fp = u.agg(min(col("bank_fp")).as("_fpMin"), max(col("bank_fp")).as("_fpMax"))
+    u.crossJoin(broadcast(fp))
+      .filter(when(col("_fpMin") === col("_fpMax"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("mergeIvfPqIndexes: incompatible bank fingerprints: "),
+          col("_fpMin").cast("string"), lit(" vs "), col("_fpMax").cast("string")))))
+      .drop("_fpMin", "_fpMax")
+  }
+
+  /** Per-cell occupancy + residual mass of a corpus under a coarse
+    * bank: (cell, n, resid_sum_micro) where the residual is the exact
+    * squared L2 from each vector to its ASSIGNED centroid,
+    * micro-quantized per row then summed exactly (long addition —
+    * partitioning-independent, SQL-re-derivable). One map-only scan +
+    * one nlist-sized aggregate.
+    */
+  def cellStats(emb: DataFrame, vecCol: String,
+                coarse: Array[Array[Double]]): DataFrame = {
+    val dim = coarse(0).length
+    val cell = graft.functions.NearestCentroidL2(col(vecCol), coarse, 0, dim)
+    val v = col(vecCol)
+    val dvv = Ann.dot(v, v)
+    val scores = array(coarse.map { c =>
+      lit(dotA(c, c)) - lit(2.0) * Ann.dot(v, array(c.map(lit(_)).toIndexedSeq: _*)) + dvv
+    }.toIndexedSeq: _*)
+    emb.select(cell.as("cell"),
+        round(element_at(scores, cell + 1) * 1e6).cast("long").as("_r"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum(col("_r")).as("resid_sum_micro"))
+  }
+
+  /** D99c: the coarse-bank DRIFT report — per-cell occupancy and
+    * residual-mass shift between bank-training time (`before`, a
+    * persisted [[cellStats]] snapshot) and now (`after`). Growing
+    * cells and rising mean residuals are THE signal the coarse bank
+    * no longer matches the data distribution and needs re-training —
+    * without it an append-only index silently degrades (probes scan
+    * ever-fatter cells, ADC shortlists lose recall). Full outer on
+    * cell: a cell appearing only in `after` is new mass the bank
+    * never saw; only in `before`, drained mass.
+    */
+  def cellDriftReport(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("cell").cast("long").as("cell"),
+      col("n").as("_nb"), col("resid_sum_micro").as("_rb"))
+    val a = after.select(col("cell").cast("long").as("cell"),
+      col("n").as("_na"), col("resid_sum_micro").as("_ra"))
+    b.join(a, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("_nb"), lit(0L)).as("n_before"),
+        coalesce(col("_na"), lit(0L)).as("n_after"),
+        coalesce(col("_rb"), lit(0L)).as("resid_sum_micro_before"),
+        coalesce(col("_ra"), lit(0L)).as("resid_sum_micro_after"))
+  }
+
   /** D101: BATCH IVF-PQ serving — every query in a (bounded) query
     * frame through the cell-pruned ADC + exact-re-rank read path at
     * once: the production retrieval pattern (score the whole eval

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.{Ann, Pq}
+
+/** Round-15 operator specs: IVF-PQ index maintenance (D99b) and the
+  * coarse-bank drift report (D99c).
+  */
+class R15OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 vectors, 4 dims, crafted so cells are stable
+  private def emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Array(0.1f, 0.9f, 0.1f, 0.0f)),
+    (4L, Array(0.95f, 0.05f, 0.0f, 0.1f)),
+    (5L, Array(0.0f, 0.8f, 0.2f, 0.0f)),
+    (6L, Array(1.1f, -0.1f, 0.0f, 0.0f)),
+    (7L, Array(-0.1f, 1.1f, 0.0f, 0.1f))).toDF("vec_id", "embedding")
+
+  private def banks = {
+    val store = emb.filter(col("vec_id") % 3 =!= 2)
+    (Ann.trainCentroidsBySample(store, "embedding", "vec_id", 2),
+      Pq.codebooksBySample(store, "embedding", "vec_id", m = 2, k = 2, dim = 4))
+  }
+
+  test("mergeIvfPqIndexes ≡ full rebuild, row for row") {
+    val (coarse, cb) = banks
+    val store = emb.filter(col("vec_id") % 3 =!= 2)
+    val inc = emb.filter(col("vec_id") % 3 === 2)
+    val merged = Pq.mergeIvfPqIndexes(
+      Pq.ivfPqIndexStamped(store, "embedding", "vec_id", coarse, cb),
+      Pq.ivfPqIndexStamped(inc, "embedding", "vec_id", coarse, cb))
+    val rebuild = Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarse, cb)
+    assert(merged.exceptAll(rebuild).unionAll(rebuild.exceptAll(merged)).count() == 0)
+    assert(merged.count() == 8)
+  }
+
+  test("mergeIvfPqIndexes raises loudly on a bank-fingerprint mismatch") {
+    val (coarse, cb) = banks
+    val otherCoarse = coarse.map(_.map(_ + 0.5))
+    val a = Pq.ivfPqIndexStamped(emb.limit(4), "embedding", "vec_id", coarse, cb)
+    val b = Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", otherCoarse, cb)
+    val e = intercept[Exception] { Pq.mergeIvfPqIndexes(a, b).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("incompatible bank fingerprints")))
+    // unstamped inputs refused before any job runs
+    intercept[IllegalArgumentException] {
+      Pq.mergeIvfPqIndexes(
+        Pq.ivfPqIndex(emb, "embedding", "vec_id", coarse, cb), b)
+    }
+  }
+
+  test("serving through the merged index equals serving through the rebuild") {
+    val (coarse, cb) = banks
+    val store = emb.filter(col("vec_id") % 3 =!= 2)
+    val inc = emb.filter(col("vec_id") % 3 === 2)
+    val merged = Pq.mergeIvfPqIndexes(
+      Pq.ivfPqIndexStamped(store, "embedding", "vec_id", coarse, cb),
+      Pq.ivfPqIndexStamped(inc, "embedding", "vec_id", coarse, cb))
+    val rebuild = Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarse, cb)
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val a = Pq.ivfPqTopKIndexed(merged, emb, "embedding", "vec_id", coarse, cb,
+      q, k = 3, nprobe = 2, rerank = 8).collect().toSeq
+    val b = Pq.ivfPqTopKIndexed(rebuild, emb, "embedding", "vec_id", coarse, cb,
+      q, k = 3, nprobe = 2, rerank = 8).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("cellStats: counts partition the corpus; residual of an exact centroid hit is 0") {
+    val coarse = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val stats = Pq.cellStats(emb, "embedding", coarse)
+      .orderBy("cell").collect()
+    assert(stats.map(_.getLong(1)).sum == 8)
+    // vec 0 IS centroid 0 → contributes exactly 0 micro-residual; all
+    // residuals are squared distances, so sums are non-negative
+    assert(stats.forall(_.getLong(2) >= 0L))
+    val one = Pq.cellStats(emb.filter(col("vec_id") === 0), "embedding", coarse)
+      .collect()
+    assert(one.length == 1 && one(0).getInt(0) == 0 && one(0).getLong(2) == 0L)
+  }
+
+  test("cellDriftReport full-outer semantics: appeared/drained cells zero-filled") {
+    val before = Seq((0, 5L, 100L), (1, 3L, 50L)).toDF("cell", "n", "resid_sum_micro")
+    val after = Seq((0, 9L, 300L), (2, 4L, 80L)).toDF("cell", "n", "resid_sum_micro")
+    val r = Pq.cellDriftReport(before, after).orderBy("cell")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq(
+      (0L, 5L, 9L, 100L, 300L),
+      (1L, 3L, 0L, 50L, 0L),   // drained
+      (2L, 0L, 4L, 0L, 80L)))  // appeared — mass the bank never saw
+  }
+
+  test("bankFingerprint is order/shape/value sensitive") {
+    val (coarse, cb) = banks
+    val f0 = Pq.bankFingerprint(coarse, cb)
+    assert(f0 == Pq.bankFingerprint(coarse.map(_.clone), cb.map(_.map(_.clone))))
+    assert(f0 != Pq.bankFingerprint(coarse.reverse, cb))
+    assert(f0 != Pq.bankFingerprint(coarse.map(_.map(_ + 1e-12)), cb))
+  }
+}
