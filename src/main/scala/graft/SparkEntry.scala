@@ -2793,6 +2793,20 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // D103b (r15): 3-D Hilbert clustering — real clustering keys are
+    // often 3-4 columns; Skilling's transpose is dimension-generic
+    // and the oracle unrolls the SAME integer steps over three axes
+    // (customer x order-day x floored price, bits=4)
+    "q_d103b_hilbert3" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .withColumn("od", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("tp", floor(col("o_totalprice")).cast("long"))
+      graft.sources.Hilbert.withHilbertValueN(o, Seq("o_custkey", "od", "tp"), bits = 4)
+        .select(col("o_orderkey"), col("h_value"))
+        .orderBy("o_orderkey")
+    }),
+
     // D102 (r14): mergeable count-min sketches — per-slice sketches
     // built in one map-side-combined pass, merged by exact counter
     // addition (merge ≡ whole-corpus build BYTE-IDENTICALLY — claim
@@ -6747,6 +6761,73 @@ object SparkEntry {
          |SELECT o_orderkey, CAST($terms AS BIGINT) AS h_value FROM f
          |ORDER BY o_orderkey""".stripMargin
     },
+
+    // D103b: the q_d103 unrolled-CTE oracle generalized to three axes
+    // (each Skilling step = three nested per-axis layers, serialized
+    // exactly as the algorithm's inner loop)
+    "q_d103b_hilbert3" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey AS v1,
+        |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS v2,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS v3
+        |  FROM orders),
+        |b AS (SELECT min(v1) AS mn1, max(v1) AS mx1, min(v2) AS mn2, max(v2) AS mx2,
+        |  min(v3) AS mn3, max(v3) AS mx3 FROM o),
+        |k AS (SELECT o_orderkey,
+        |  ((v1 - mn1) * 16) // (mx1 - mn1 + 1) AS x0,
+        |  ((v2 - mn2) * 16) // (mx2 - mn2 + 1) AS x1,
+        |  ((v3 - mn3) * 16) // (mx3 - mn3 + 1) AS x2
+        |  FROM o CROSS JOIN b),
+        |s0 AS (SELECT o_orderkey,
+        |  CASE WHEN (x2 & 8) <> 0 THEN xor(x0b, 7)
+        |       ELSE xor(x0b, xor(x0b, x2) & 7) END AS x0,
+        |  x1b AS x1,
+        |  CASE WHEN (x2 & 8) <> 0 THEN x2
+        |       ELSE xor(x2, xor(x0b, x2) & 7) END AS x2
+        |  FROM (SELECT o_orderkey,
+        |    CASE WHEN (x1 & 8) <> 0 THEN xor(x0a, 7)
+        |         ELSE xor(x0a, xor(x0a, x1) & 7) END AS x0b,
+        |    CASE WHEN (x1 & 8) <> 0 THEN x1
+        |         ELSE xor(x1, xor(x0a, x1) & 7) END AS x1b,
+        |    x2
+        |    FROM (SELECT o_orderkey,
+        |      xor(x0, CASE WHEN (x0 & 8) <> 0 THEN 7 ELSE 0 END) AS x0a, x1, x2
+        |      FROM k))),
+        |s1 AS (SELECT o_orderkey,
+        |  CASE WHEN (x2 & 4) <> 0 THEN xor(x0b, 3)
+        |       ELSE xor(x0b, xor(x0b, x2) & 3) END AS x0,
+        |  x1b AS x1,
+        |  CASE WHEN (x2 & 4) <> 0 THEN x2
+        |       ELSE xor(x2, xor(x0b, x2) & 3) END AS x2
+        |  FROM (SELECT o_orderkey,
+        |    CASE WHEN (x1 & 4) <> 0 THEN xor(x0a, 3)
+        |         ELSE xor(x0a, xor(x0a, x1) & 3) END AS x0b,
+        |    CASE WHEN (x1 & 4) <> 0 THEN x1
+        |         ELSE xor(x1, xor(x0a, x1) & 3) END AS x1b,
+        |    x2
+        |    FROM (SELECT o_orderkey,
+        |      xor(x0, CASE WHEN (x0 & 4) <> 0 THEN 3 ELSE 0 END) AS x0a, x1, x2
+        |      FROM s0))),
+        |s2 AS (SELECT o_orderkey,
+        |  CASE WHEN (x2 & 2) <> 0 THEN xor(x0b, 1)
+        |       ELSE xor(x0b, xor(x0b, x2) & 1) END AS x0,
+        |  x1b AS x1,
+        |  CASE WHEN (x2 & 2) <> 0 THEN x2
+        |       ELSE xor(x2, xor(x0b, x2) & 1) END AS x2
+        |  FROM (SELECT o_orderkey,
+        |    CASE WHEN (x1 & 2) <> 0 THEN xor(x0a, 1)
+        |         ELSE xor(x0a, xor(x0a, x1) & 1) END AS x0b,
+        |    CASE WHEN (x1 & 2) <> 0 THEN x1
+        |         ELSE xor(x1, xor(x0a, x1) & 1) END AS x1b,
+        |    x2
+        |    FROM (SELECT o_orderkey,
+        |      xor(x0, CASE WHEN (x0 & 2) <> 0 THEN 1 ELSE 0 END) AS x0a, x1, x2
+        |      FROM s1))),
+        |g AS (SELECT o_orderkey, x0, xor(x1, x0) AS x1, x2 FROM s2),
+        |g2 AS (SELECT o_orderkey, x0, x1, xor(x2, x1) AS x2 FROM g),
+        |tt AS (SELECT o_orderkey, x0, x1, x2, xor(xor(xor(0, (CASE WHEN (x2 & 8) <> 0 THEN 7 ELSE 0 END)), (CASE WHEN (x2 & 4) <> 0 THEN 3 ELSE 0 END)), (CASE WHEN (x2 & 2) <> 0 THEN 1 ELSE 0 END)) AS t FROM g2),
+        |f AS (SELECT o_orderkey, xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2 FROM tt)
+        |SELECT o_orderkey, CAST((((x0 >> 0) & 1) << 2) | (((x1 >> 0) & 1) << 1) | (((x2 >> 0) & 1) << 0) | (((x0 >> 1) & 1) << 5) | (((x1 >> 1) & 1) << 4) | (((x2 >> 1) & 1) << 3) | (((x0 >> 2) & 1) << 8) | (((x1 >> 2) & 1) << 7) | (((x2 >> 2) & 1) << 6) | (((x0 >> 3) & 1) << 11) | (((x1 >> 3) & 1) << 10) | (((x2 >> 3) & 1) << 9) AS BIGINT) AS h_value FROM f
+        |ORDER BY o_orderkey""".stripMargin,
 
     // D102: the oracle computes the exact per-key counts; the Spark
     // side's ok flags certify estimate == exact (deterministic at the

@@ -95,6 +95,52 @@ class R15OpsSpec extends SparkSpec {
       (2L, 0L, 4L, 0L, 80L)))  // appeared — mass the bank never saw
   }
 
+  // ---------------- D103b: n-D Hilbert ----------------
+
+  test("HilbertIndexN at n=3, bits=4: bijection over the 16^3 grid + unit-step adjacency") {
+    val pts = for (x <- 0 until 16; y <- 0 until 16; z <- 0 until 16)
+      yield (x.toLong, y.toLong, z.toLong)
+    val df = pts.toDF("x", "y", "z")
+    val got = df.select(col("x"), col("y"), col("z"),
+        graft.sources.HilbertIndexN(Seq(col("x"), col("y"), col("z")), 4).as("h"))
+      .collect().map(r => (r.getLong(3), (r.getLong(0), r.getLong(1), r.getLong(2))))
+    // bijection: every index 0..4095 exactly once
+    assert(got.map(_._1).sorted.toSeq == (0L until 4096L))
+    // adjacency: consecutive indexes are grid neighbors (the curve never jumps)
+    val byH = got.sortBy(_._1).map(_._2).toSeq
+    byH.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        val ((x1, y1, z1), (x2, y2, z2)) = (w(0), w(1))
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+          s"jump at ($x1,$y1,$z1)->($x2,$y2,$z2)")
+      }
+    }
+  }
+
+  test("HilbertIndexN at n=2 agrees bit-for-bit with HilbertIndex2") {
+    val pts = for (x <- 0 until 8; y <- 0 until 8) yield (x.toLong, y.toLong)
+    val df = pts.toDF("x", "y")
+    val both = df.select(
+      graft.sources.HilbertIndex2(col("x"), col("y"), 3).as("h2"),
+      graft.sources.HilbertIndexN(Seq(col("x"), col("y")), 3).as("hn")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("withHilbertValueN: nulls propagate, wide int ranges don't overflow, guard rails") {
+    val df = Seq((Some(0), Some(5L), 1), (Some(1000000000), Some(7L), 2),
+      (None, Some(9L), 3), (Some(-2000000000), None, 4))
+      .toDF("a", "b", "c")
+    val out = graft.sources.Hilbert.withHilbertValueN(df, Seq("a", "b", "c"), bits = 8)
+    assert(out.filter(col("h_value").isNull).count() == 2)
+    assert(out.filter(col("h_value").isNotNull).count() == 2)
+    intercept[IllegalArgumentException] {
+      graft.sources.Hilbert.withHilbertValueN(df, Seq("a"), bits = 8)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Hilbert.withHilbertValueN(df, Seq("a", "b", "c"), bits = 22)
+    }
+  }
+
   test("bankFingerprint is order/shape/value sensitive") {
     val (coarse, cb) = banks
     val f0 = Pq.bankFingerprint(coarse, cb)
