@@ -2807,6 +2807,24 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // D104 (r15): within-page main-content extraction — each document
+    // wrapped in the full chrome battery (header/nav/link-farm div/
+    // footer); the operator must keep exactly the article div (when
+    // long enough) and the oracle re-derives every block decision:
+    // chrome element removal, block split, per-block link-density
+    // integer arithmetic, and the newline join
+    "q_d104_main_content" -> ((s, d) => {
+      val pages = t(s, d, "documents").select(col("doc_id"), concat(
+        lit("<html><header><h1>Site Title Here</h1></header>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> <a href=\"/c\">Contact</a></nav>"),
+        lit("<div id=\"main\">"), col("text"), lit("</div>"),
+        lit("<div class=\"rel\"><a href=\"/p1\">Related article one</a> <a href=\"/p2\">Related article two</a> <a href=\"/p3\">Related article three</a></div>"),
+        lit("<footer>(c) 2026 Example Corp - All rights reserved</footer></html>"))
+        .as("html"))
+      graft.text.MainContent.extractMainContent(pages, "html", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // D102 (r14): mergeable count-min sketches — per-slice sketches
     // built in one map-side-combined pass, merged by exact counter
     // addition (merge ≡ whole-corpus build BYTE-IDENTICALLY — claim
@@ -6828,6 +6846,41 @@ object SparkEntry {
         |f AS (SELECT o_orderkey, xor(x0, t) AS x0, xor(x1, t) AS x1, xor(x2, t) AS x2 FROM tt)
         |SELECT o_orderkey, CAST((((x0 >> 0) & 1) << 2) | (((x1 >> 0) & 1) << 1) | (((x2 >> 0) & 1) << 0) | (((x0 >> 1) & 1) << 5) | (((x1 >> 1) & 1) << 4) | (((x2 >> 1) & 1) << 3) | (((x0 >> 2) & 1) << 8) | (((x1 >> 2) & 1) << 7) | (((x2 >> 2) & 1) << 6) | (((x0 >> 3) & 1) << 11) | (((x1 >> 3) & 1) << 10) | (((x2 >> 3) & 1) << 9) AS BIGINT) AS h_value FROM f
         |ORDER BY o_orderkey""".stripMargin,
+
+    // D104: the full block arithmetic re-derived — same six chrome
+    // removals ('g' flags: DuckDB replaces first-only by default),
+    // same block-split regex, per-block normalized text + link-text
+    // lengths, the integer link-density rule, the chr(10) join
+    "q_d104_main_content" ->
+      """WITH pages AS (SELECT doc_id,
+        |  '<html><header><h1>Site Title Here</h1></header>' ||
+        |  '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>' ||
+        |  '<div id="main">' || text || '</div>' ||
+        |  '<div class="rel"><a href="/p1">Related article one</a> <a href="/p2">Related article two</a> <a href="/p3">Related article three</a></div>' ||
+        |  '<footer>(c) 2026 Example Corp - All rights reserved</footer></html>' AS html
+        |  FROM documents),
+        |nochrome AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?is)<nav\b[^>]*>.*?</nav>', ' ', 'g'),
+        |    '(?is)<footer\b[^>]*>.*?</footer>', ' ', 'g'),
+        |    '(?is)<aside\b[^>]*>.*?</aside>', ' ', 'g'),
+        |    '(?is)<header\b[^>]*>.*?</header>', ' ', 'g') AS h
+        |  FROM pages),
+        |scored AS (SELECT doc_id, list_transform(regexp_split_to_array(h,
+        |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|section|article|main|blockquote)\b[^>]*>'),
+        |  b -> {'t': trim(regexp_replace(regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+        |        'l': coalesce(list_sum(list_transform(
+        |               regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        |               x -> len(trim(regexp_replace(regexp_replace(x, '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0)}) AS st
+        |  FROM nochrome),
+        |kept AS (SELECT doc_id, list_transform(list_filter(st,
+        |    s -> len(s.t) >= 25 AND s.l * 100 <= 33 * len(s.t)), s -> s.t) AS ks
+        |  FROM scored)
+        |SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_blocks_kept,
+        |  array_to_string(ks, chr(10)) AS content
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // D102: the oracle computes the exact per-key counts; the Spark
     // side's ok flags certify estimate == exact (deterministic at the

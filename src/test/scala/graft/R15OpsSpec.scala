@@ -95,6 +95,62 @@ class R15OpsSpec extends SparkSpec {
       (2L, 0L, 4L, 0L, 80L)))  // appeared — mass the bank never saw
   }
 
+  // ---------------- D104: main-content extraction ----------------
+
+  test("mainContent drops semantic chrome, link farms, and short blocks; keeps the article") {
+    import graft.text.MainContent
+    val body = "This is the actual article body with enough words to clear the minimum length."
+    val page = "<html><header><h1>Site</h1></header>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      "<div id=\"m\">" + body + "</div>" +
+      "<div><a href=\"/p1\">Related article one</a> <a href=\"/p2\">Related article two</a></div>" +
+      "<p>ok</p>" +
+      "<aside>Sidebar promo text that is plenty long but lives in an aside element.</aside>" +
+      "<footer>(c) 2026 Example Corp - All rights reserved</footer></html>"
+    val out = Seq((1L, page)).toDF("doc_id", "html")
+      .select(MainContent.mainContent(col("html")).as("c")).head.getString(0)
+    assert(out == body)
+  }
+
+  test("mainContent keeps a long block with a small inline link; <= boundary is kept") {
+    import graft.text.MainContent
+    // inline link is a small fraction of the text -> content
+    val page = "<div>A paragraph mentioning <a href=\"/x\">one link</a> inside sixty " +
+      "characters of otherwise ordinary running prose text.</div>"
+    val out = Seq((1L, page)).toDF("doc_id", "html")
+      .select(MainContent.mainContent(col("html")).as("c")).head.getString(0)
+    assert(out.contains("A paragraph mentioning one link inside"))
+    // exactly at the boundary: link_len*100 == maxLinkPct*text_len -> kept
+    // text len 100, link len 33 => 3300 <= 3300
+    val link = "x" * 33
+    val rest = "y" * 66
+    val bPage = s"<div><a href=!>$link</a> $rest</div>" // 33 + 1 + 66 = 100 chars
+    val bOut = Seq((1L, bPage)).toDF("doc_id", "html")
+      .select(MainContent.mainContent(col("html")).as("c")).head.getString(0)
+    assert(bOut.nonEmpty, "boundary block must be kept under <=")
+  }
+
+  test("extractMainContent frame form: kept-block count and multi-block join order") {
+    import graft.text.MainContent
+    val page = "<div>First real paragraph with clearly sufficient length here.</div>" +
+      "<div>tiny</div>" +
+      "<div>Second real paragraph, also clearly long enough to keep around.</div>"
+    val r = MainContent.extractMainContent(
+      Seq((7L, page)).toDF("doc_id", "html"), "html", "doc_id").head
+    assert(r.getLong(1) == 2L)
+    assert(r.getString(2) ==
+      "First real paragraph with clearly sufficient length here.\n" +
+        "Second real paragraph, also clearly long enough to keep around.")
+  }
+
+  test("mainContent plan is map-only (no Exchange)") {
+    import graft.text.MainContent
+    val df = Seq((1L, "<div>x</div>")).toDF("doc_id", "html")
+      .select(MainContent.mainContent(col("html")))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   // ---------------- D103b: n-D Hilbert ----------------
 
   test("HilbertIndexN at n=3, bits=4: bijection over the 16^3 grid + unit-step adjacency") {
