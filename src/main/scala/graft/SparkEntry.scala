@@ -2867,11 +2867,20 @@ object SparkEntry {
     // rewrites ASCII — a nonzero count hash-fails).
     "q_c34_mojibake" -> ((s, d) => {
       import s.implicits._
+      // r15: the cp1251 / latin-2 damage classes ride the same gate —
+      // damaged fixtures derived by the exact hop being repaired
+      // (UTF-8 bytes read with the wrong legacy codec)
+      def damage(orig: String, codec: String): String =
+        new String(orig.getBytes(java.nio.charset.StandardCharsets.UTF_8), codec)
       val fixtures = Seq(
         ("fix_cp1252_apos", "donâ€™t"),
         ("fix_latin1_eacute", "cafÃ©"),
         ("fix_double_encoded", "ÃƒÂ©"),
+        ("fix_cp1251_cyrillic", damage("привет мир", "windows-1251")),
+        ("fix_latin2_hacek", damage("žluťoučký kůň", "ISO-8859-2")),
         ("keep_clean_utf8", "café"),
+        ("keep_clean_cyrillic", "привет мир"),
+        ("keep_clean_latin2", "žluťoučký kůň"),
         ("keep_ascii", "hello")).toDF("tag", "s")
       val fixed = fixtures.select(col("tag"),
         graft.functions.FixMojibake(col("s")).as("value"))
@@ -6901,7 +6910,11 @@ object SparkEntry {
         |  ('fix_cp1252_apos', 'don’t'),
         |  ('fix_latin1_eacute', 'café'),
         |  ('fix_double_encoded', 'é'),
+        |  ('fix_cp1251_cyrillic', 'привет мир'),
+        |  ('fix_latin2_hacek', 'žluťoučký kůň'),
         |  ('keep_clean_utf8', 'café'),
+        |  ('keep_clean_cyrillic', 'привет мир'),
+        |  ('keep_clean_latin2', 'žluťoučký kůň'),
         |  ('keep_ascii', 'hello'),
         |  ('zz_corpus_changed', '0')) t(tag, "value")
         |ORDER BY tag""".stripMargin,

@@ -14,14 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprint/dedup/langid signal downstream sees garbage.
   *
   * Algorithm (the standard round-trip test): if the string's chars
-  * all map back to single bytes under Windows-1252 (falling back to
-  * Latin-1 for the 0x80–0x9F codepoints cp1252 leaves unmapped) AND
-  * those bytes decode as STRICT UTF-8, the string was mojibake —
-  * replace it with the decode. Repeat (bounded at 3 passes) for
-  * doubly-encoded text ("ÃƒÂ©" → "Ã©" → "é"). Anything that fails
-  * either test is returned untouched: genuine Latin-1-alphabet text
-  * ("café") encodes to bytes that are NOT valid UTF-8, so it can
-  * never be "repaired" into damage.
+  * all map back to single bytes under a damage codec AND those bytes
+  * decode as STRICT UTF-8, the string was mojibake — replace it with
+  * the decode. Damage codecs in fixed priority order (r15, ftfy's
+  * ordered-encoding-list move): sloppy Windows-1252 (Latin-1
+  * fallback for the 5 unassigned 0x80–0x9F slots — the overwhelmingly
+  * common hop), Windows-1251 (Cyrillic pages read with the Russian
+  * legacy default), ISO-8859-2 / Latin-2 (Central European). Repeat
+  * (bounded at 3 passes) for doubly-encoded text ("ÃƒÂ©" → "Ã©" →
+  * "é"). Anything that fails every round trip is returned untouched:
+  * genuine Latin-1-alphabet text ("café"), real Cyrillic ("привет"),
+  * and real Czech ("žluťoučký") all encode to single-byte images that
+  * are NOT valid UTF-8, so they can never be "repaired" into damage
+  * (spec-gated per repertoire).
   *
   * Honest ambiguity contract (ftfy's own): a human who really typed
   * the literal characters "Ã©" is indistinguishable from the
@@ -48,9 +53,17 @@ case class FixMojibake(child: Expression) extends UnaryExpression {
     var pass = 0
     var changed = false
     while (pass < 3) {
-      val bytes = FixMojibake.toSingleBytes(cur)
-      val decoded = if (bytes == null) null else FixMojibake.strictUtf8(bytes)
-      if (decoded == null || decoded == cur) pass = 3
+      // r15: try the damage codecs in fixed priority order (ftfy's
+      // ordered-encoding-list move) — sloppy cp1252 first (the
+      // overwhelmingly common hop), then cp1251 (Cyrillic pages read
+      // with the Russian legacy default), then latin-2 (Central
+      // European). The codecs rarely compete: a damaged string's
+      // chars live in the one legacy repertoire that produced them,
+      // and where repertoires overlap the byte images — and so the
+      // repairs — coincide.
+      val decoded = FixMojibake.decodeCandidates(cur)
+        .find(d => d != null && d != cur).orNull
+      if (decoded == null) pass = 3
       else { cur = decoded; changed = true; pass += 1 }
     }
     if (changed) UTF8String.fromString(cur) else s
@@ -103,6 +116,56 @@ object FixMojibake {
     }
     out
   }
+
+  /** char → byte reverse table of a single-byte JDK charset, built by
+    * decoding each of the 256 bytes (r15 — no hand tables: whatever
+    * the JDK decoder produces, including its sloppy control-char
+    * mappings for unassigned slots, is by construction the exact
+    * inverse of how the damage was read).
+    */
+  private def buildReverse(name: String): Map[Char, Byte] = {
+    val cs = java.nio.charset.Charset.forName(name)
+    (0 to 255).flatMap { b =>
+      val dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try {
+        val s = dec.decode(java.nio.ByteBuffer.wrap(Array(b.toByte))).toString
+        if (s.length == 1) Some(s.charAt(0) -> b.toByte) else None
+      } catch { case _: java.nio.charset.CharacterCodingException => None }
+    }.toMap
+  }
+
+  private lazy val Cp1251Reverse: Map[Char, Byte] = buildReverse("windows-1251")
+  private lazy val Latin2Reverse: Map[Char, Byte] = buildReverse("ISO-8859-2")
+
+  /** [[toSingleBytes]] under an arbitrary reverse table (strict — a
+    * char outside the table means the text can't have come from that
+    * codec's single bytes).
+    */
+  private def toSingleBytesWith(s: String, rev: Map[Char, Byte]): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      rev.get(s.charAt(i)) match {
+        case Some(b) => out(i) = b
+        case None => return null
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** The strict-UTF-8 decodes of the string's byte images under each
+    * damage codec, priority order (nulls where a codec can't have
+    * produced the string or its bytes aren't UTF-8).
+    */
+  private[functions] def decodeCandidates(cur: String): Iterator[String] =
+    Iterator(
+      toSingleBytes(cur),
+      toSingleBytesWith(cur, Cp1251Reverse),
+      toSingleBytesWith(cur, Latin2Reverse))
+      .map(b => if (b == null) null else strictUtf8(b))
 
   /** Strict UTF-8 decode — null on ANY malformed/unmappable sequence
     * (the default JDK decode silently substitutes U+FFFD, which would

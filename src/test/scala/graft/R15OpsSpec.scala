@@ -95,6 +95,41 @@ class R15OpsSpec extends SparkSpec {
       (2L, 0L, 4L, 0L, 80L)))  // appeared — mass the bank never saw
   }
 
+  // ---------------- C34 (r15): mojibake beyond cp1252 ----------------
+
+  test("FixMojibake repairs cp1251 (Cyrillic) and latin-2 (CE) damage classes") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val cases = Seq(
+      ("привет мир", "windows-1251"),
+      ("Привет, Москва!", "windows-1251"),
+      ("žluťoučký kůň", "ISO-8859-2"),
+      ("Dobrý večer, přátelé", "ISO-8859-2"))
+    cases.foreach { case (orig, codec) =>
+      val damaged = new String(orig.getBytes(UTF_8), codec)
+      assert(damaged != orig, s"damage must change the text ($codec)")
+      val fixed = Seq(Tuple1(damaged)).toDF("s")
+        .select(graft.functions.FixMojibake(col("s")).as("f")).head.getString(0)
+      assert(fixed == orig, s"$codec: '$damaged' -> '$fixed' != '$orig'")
+    }
+  }
+
+  test("clean Cyrillic and Central-European text survives untouched") {
+    val clean = Seq("привет мир", "Привет, Москва!", "žluťoučký kůň",
+      "Dobrý večer, přátelé", "Łódź, Kraków", "café", "hello")
+    clean.foreach { t0 =>
+      val out = Seq(Tuple1(t0)).toDF("s")
+        .select(graft.functions.FixMojibake(col("s")).as("f")).head.getString(0)
+      assert(out == t0, s"clean '$t0' was rewritten to '$out'")
+    }
+  }
+
+  test("cp1252 damage still wins the priority order (r14 behavior unchanged)") {
+    val out = Seq(("donâ€™t", 1), ("cafÃ©", 2), ("ÃƒÂ©", 3)).toDF("s", "i")
+      .select(graft.functions.FixMojibake(col("s")).as("f"), col("i"))
+      .orderBy("i").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("don’t", "café", "é"))
+  }
+
   // ---------------- D104: main-content extraction ----------------
 
   test("mainContent drops semantic chrome, link farms, and short blocks; keeps the article") {
