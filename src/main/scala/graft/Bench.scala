@@ -83,7 +83,11 @@ object Bench {
     // load [6,5] and needed a footnote pointing at the idle local
     // pin). bench.md's protocol says WAIT until idle — so wait, up to
     // a bounded number of rounds, and report how long we waited.
-    val loadBefore = {
+    // r15 (r14 verdict "what's wrong" #1): the artifact itself stamps
+    // the wait-for-idle OUTCOME — how many backoffs were taken and the
+    // final pre-run load — so "which run was the idle pin" can never
+    // again depend on narrative outside the JSON.
+    val (loadBefore, idleWaits) = {
       val maxWaits =
         sys.env.get("SPARK_GRAFT_LOAD_MAX_WAITS").map(_.toInt).getOrElse(10)
       var l = loadAvg
@@ -98,7 +102,7 @@ object Bench {
       }
       if (waits > 0)
         System.err.println(f"BENCH: proceeding at load $l%.1f after $waits wait(s)")
-      l
+      (l, waits)
     }
     val sweepWallStart = System.nanoTime()
     val busyTicksStart = sysBusyTicks
@@ -237,9 +241,11 @@ object Bench {
       // ext_cpu rides with the load field (≤15 chars): it is the
       // number that decides the contended flag, so an artifact that
       // carries the flag also carries its evidence
+      // waits rides with load: together with load[0] (the FINAL
+      // pre-run sample) it is the complete wait-for-idle record
       val loadJson =
         if (!load) ""
-        else s""","load":[${BigDecimal(loadBefore).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)}]""" +
+        else s""","load":[${BigDecimal(loadBefore).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)},${BigDecimal(loadAfter).setScale(loadDec, BigDecimal.RoundingMode.HALF_UP)}],"waits":$idleWaits""" +
           (if (extCpu < 0) ""
            else s""","ext_cpu":${BigDecimal(extCpu).setScale(1, BigDecimal.RoundingMode.HALF_UP)}""")
       val unitJson = if (unit) """"unit":"sec",""" else ""
@@ -255,7 +261,7 @@ object Bench {
     // no matter what (the full detail is still on stdout above).
     def renderMinimal: String = {
       def f2(v: Double) = BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}]$contendedJson$dataJson,"queries":{},"sf":$sfJson}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","nerr":${errs.size},"load":[${f2(loadBefore)},${f2(loadAfter)}],"waits":$idleWaits$contendedJson$dataJson,"queries":{},"sf":$sfJson}"""
     }
     // degrade gracefully: decimals -> q_ prefixes -> error detail ->
     // the "unit" field -> load PRECISION (integers still answer "was

@@ -138,6 +138,20 @@ object Urls {
     * default — never printed in the list itself) parses to an empty
     * tail and is dropped: the default rule is built into both
     * matchers already.
+    *
+    * REFRESH CONTRACT (r15): the PSL changes roughly monthly, so the
+    * rules frame is an external dim with a lifecycle. The update
+    * story: parse the new snapshot, diff against the one in
+    * production via the D85 census —
+    * `Merge.snapshotDiff(parsePublicSuffixList(old),
+    * parsePublicSuffixList(new), keyCols = Seq("suffix"))` — which
+    * yields rows_added / rows_removed / changed_kind counts (a rule
+    * FLIPPING kind — e.g. `jp` → `*.jp` — surfaces as changed_kind,
+    * the subtlest class of PSL churn), review the delta, then swap
+    * the frame atomically (persist the new rules and repoint readers
+    * — the [[graft.sources.SnapshotLog]] single-pointer commit is the
+    * natural home). Spec-gated: a two-snapshot diff with an added, a
+    * removed, and a kind-flipped rule reports exactly those counts.
     */
   def parsePublicSuffixList(lines: DataFrame, lineCol: String = "line"): DataFrame = {
     val r = lower(regexp_extract(trim(col(lineCol)), "^(\\S+)", 1))

@@ -95,6 +95,26 @@ class R15OpsSpec extends SparkSpec {
       (2L, 0L, 4L, 0L, 80L)))  // appeared — mass the bank never saw
   }
 
+  // ---------------- D70c (r15): PSL refresh contract ----------------
+
+  test("PSL refresh: monthly snapshot delta via the D85 census, incl. kind flips") {
+    import graft.text.Urls
+    import graft.operators.Merge
+    val jan = Seq("// header comment", "com", "co.uk", "*.ck", "!www.ck", "jp", "")
+      .toDF("line")
+    val feb = Seq("com", "co.uk", "*.ck", "!www.ck", "*.jp", "dev", "// note")
+      .toDF("line")
+    val d = Merge.snapshotDiff(
+      Urls.parsePublicSuffixList(jan), Urls.parsePublicSuffixList(feb),
+      keyCols = Seq("suffix"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d("rows_added") == 1L)      // dev
+    assert(d("rows_removed") == 0L)    // jp's suffix survives as the wildcard tail
+    assert(d("rows_changed") == 1L)    // jp: exact -> wildcard (the subtle churn class)
+    assert(d("changed_kind") == 1L)
+    assert(d("rows_unchanged") == 4L)  // com, co.uk, ck, www.ck
+  }
+
   // ---------------- C34 (r15): mojibake beyond cp1252 ----------------
 
   test("FixMojibake repairs cp1251 (Cyrillic) and latin-2 (CE) damage classes") {
