@@ -42,6 +42,55 @@ object Pq {
     Array.tabulate(m)(j => sample.map(_.slice(j * sub, j * sub + sub)))
   }
 
+  /** Per-subspace Lloyd-refined codebooks (r15, r14 verdict #5):
+    * seeded from [[codebooksBySample]], then `iters` rounds of L2
+    * assignment + mean update PER SUBSPACE — the textbook PQ training
+    * (Jégou et al. §III: k-means independently in each subspace,
+    * squared-L2, the SAME metric [[encode]] assigns with). All m
+    * subspaces refine in ONE job per iteration: each row explodes to
+    * its m (subspace, code, subvector) entries — same total bytes as
+    * the vector scan — and one grouped aggregate yields every
+    * (subspace, code) mean. Empty clusters keep their previous
+    * centroid (the standard dead-centroid rule). Trained codebooks
+    * buy ADC fidelity; the GATES keep sampled codebooks because the
+    * oracle must re-derive training arithmetic, and a k-means
+    * fixpoint chain in SQL is not worth the gate complexity —
+    * recall with trained banks is MEASURED instead
+    * (`tools/PqRecall`, SCALE_SWEEP).
+    */
+  def codebooksKMeans(emb: DataFrame, vecCol: String, idCol: String,
+                      m: Int, k: Int, dim: Int, iters: Int = 3)
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val sub = dim / m
+    var cbs = codebooksBySample(emb, vecCol, idCol, m, k, dim)
+    if (cbs.isEmpty || cbs(0).isEmpty) return cbs
+    val vecs = graft.CacheScope.persist(
+      emb.select(col(vecCol)).filter(col(vecCol).isNotNull))
+    val meanAggs = (0 until sub).map(d =>
+      avg(element_at(col("sv"), d + 1).cast("double")).as(s"_m$d"))
+    for (_ <- 0 until iters) {
+      val entries = array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          graft.functions.NearestCentroidL2(col(vecCol), cbs(j), j * sub, sub)
+            .as("code"),
+          slice(col(vecCol), j * sub + 1, sub).as("sv"))
+      }: _*)
+      val means = vecs.select(explode(entries).as("e"))
+        .select(col("e.j").as("j"), col("e.code").as("code"), col("e.sv").as("sv"))
+        .groupBy("j", "code")
+        .agg(meanAggs.head, meanAggs.tail: _*)
+        .collect() // m*k rows — bank-sized, never corpus-sized
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (0 until sub).map(d => r.getDouble(d + 2)).toArray)
+        .toMap
+      cbs = Array.tabulate(m)(j => Array.tabulate(cbs(j).length)(c =>
+        means.getOrElse((j, c), cbs(j)(c))))
+    }
+    cbs
+  }
+
   /** id + `code_0..code_{m-1}` int columns (the PQ code words). One
     * scan-local projection; at rest the codes are what a serving
     * store persists instead of the vectors.

@@ -252,6 +252,34 @@ class R15OpsSpec extends SparkSpec {
     }
   }
 
+  test("codebooksKMeans: means recover planted subspace clusters; iters=0 = sampled seed") {
+    // 2 subspaces of 2 dims; subspace 0 has two tight planted clusters
+    // around (0,0) and (10,10); subspace 1 likewise around (5,0)/(0,5)
+    val rows = (0 until 40).map { i =>
+      val e = if (i % 2 == 0) Array(0.1f * (i % 4), 0.1f, 10f, 10.1f)
+      else Array(10f, 10.1f, 0.1f * (i % 4), 0.1f)
+      (i.toLong, e)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val seed = Pq.codebooksBySample(df, "embedding", "vec_id", m = 2, k = 2, dim = 4)
+    val zero = Pq.codebooksKMeans(df, "embedding", "vec_id", m = 2, k = 2, dim = 4, iters = 0)
+    assert(zero.flatten.flatten.toSeq == seed.flatten.flatten.toSeq)
+    val trained = Pq.codebooksKMeans(df, "embedding", "vec_id", m = 2, k = 2, dim = 4, iters = 3)
+    // subspace 0 centroids land near the planted (0.x, 0.1) and (10, 10.1)
+    val c0 = trained(0).map(_.toSeq).sortBy(_.head)
+    assert(c0(0)(0) < 1.0 && c0(1)(0) > 9.0, c0.toSeq.toString)
+    // trained codebooks quantize with strictly lower (or equal) total
+    // squared error than the sampled seed
+    def sqErr(cbs: Array[Array[Array[Double]]]): Double =
+      rows.map { case (_, e) =>
+        (0 until 2).map { j =>
+          cbs(j).map(c => (0 until 2).map(d =>
+            math.pow(e(j * 2 + d) - c(d), 2)).sum).min
+        }.sum
+      }.sum
+    assert(sqErr(trained) <= sqErr(seed) + 1e-9)
+  }
+
   test("bankFingerprint is order/shape/value sensitive") {
     val (coarse, cb) = banks
     val f0 = Pq.bankFingerprint(coarse, cb)
