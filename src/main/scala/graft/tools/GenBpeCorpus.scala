@@ -66,20 +66,27 @@ object GenBpeCorpus {
       concat(pre, stem, suf)
     }
 
-    // ZIPF-shaped word choice (r15: a uniform draw ties every pair
-    // count, and the batch rule's strictness shrink — load-bearing
-    // for bit-exactness — correctly degrades to sequential on ties;
-    // real corpora are Zipfian with distinct head counts, so the
-    // amortization measurement must be too): h uniform in [0, 2^13),
-    // k = h²·K / 2^26 concentrates mass quadratically at low word
-    // indexes — rank-r frequency ∝ 1/sqrt(r), a heavy Zipf-ish head
+    // HEAD + TAIL mixture (r15): a uniform draw ties every pair count
+    // and the batch rule's strictness shrink — load-bearing for
+    // bit-exactness — correctly degrades to sequential on ties; a
+    // pure Zipf head de-duplicates into a few thousand words and the
+    // vocabulary runs dry before 1k merges. Real corpora have BOTH: a
+    // Zipfian head (distinct counts → clash-free batch prefixes) and
+    // a long uniform tail (hapax-rich — merges keep paying). Even
+    // positions draw the quadratic head (h²·K/H² — rank-r frequency
+    // ∝ 1/√r), odd positions draw the uniform tail over the full
+    // 200k word space.
     val H = 8192L
     val docs = spark.range(nDocs.toLong)
       .select(col("id").as("doc_id"),
         array_join(
           transform(sequence(lit(0), lit(wordsPerDoc - 1)), { j =>
-            val h = pmod(col("id") * 31 + j.cast("long") * 17 + (col("id") + j.cast("long")) * (col("id") + j.cast("long")), lit(H))
-            word((h * h * 200000L) / lit(H * H))
+            val jl = j.cast("long")
+            val mix = col("id") * 31 + jl * 17 + (col("id") + jl) * (col("id") + jl)
+            val h = pmod(mix, lit(H))
+            val head = (h * h * 200000L) / lit(H * H)
+            val tail = pmod(mix * 2654435761L, lit(200000L))
+            word(when(pmod(jl, lit(2)) === 0, head).otherwise(tail))
           }),
           " ").as("text"),
         lit("xx").as("lang"),
