@@ -2825,6 +2825,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // e2e-12 (r15): the LAKEHOUSE LIFECYCLE — what a managed ingest
+    // table actually runs, composed end-to-end over the C35 snapshot
+    // log: v0 = initial load; a CDC batch (new keys + updates +
+    // deletes) merged via C23 mergeLatest and committed as v1; C30c
+    // in-place compaction to ceil(n/200) range-ordered files as v2.
+    // A reader pinned to v1 BEFORE the compaction commit re-reads
+    // its full file set AFTER it; the oracle re-derives the post-CDC
+    // table (updates applied, deletes gone, new keys present) and
+    // the content census through BOTH readers in one SQL chain.
+    "q_e2e_lakehouse" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/e2e_lakehouse"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.SnapshotLog.write(
+        docs.filter(col("doc_id") % 3 === 0).repartition(8), dir) // v0
+      val batch = docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [rev1]")).as("text"),
+            col("lang"))
+          .withColumn("op", lit("U")))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 &&
+            col("doc_id") % 2 =!= 0 && col("doc_id") % 5 === 0)
+          .withColumn("op", lit("D")))
+        .withColumn("version", lit(1L))
+      val current = graft.sources.SnapshotLog.read(s, dir)
+        .withColumn("version", lit(0L))
+      val merged = graft.operators.Merge.mergeLatest(current, batch,
+        Seq("doc_id"), Seq("version"), Some("op")).drop("op", "version")
+      graft.sources.SnapshotLog.write(merged, dir) // v1
+      val v1Snap = graft.sources.SnapshotLog.snapshot(s, dir) // pinned pre-compaction
+      graft.sources.SnapshotLog.compactInPlace(s, dir, 200L, Seq("doc_id")) // v2
+      val v2Snap = graft.sources.SnapshotLog.snapshot(s, dir)
+      def census(df: DataFrame, tag: String): DataFrame =
+        df.withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+            col("doc_id"), coalesce(col("text"), lit("")))))
+          .agg(count(lit(1)).cast("long").as("rows"), expr("bit_xor(_h)").as("xr"))
+          .select(expr(s"stack(2, 'rows_$tag', rows, 'xor_$tag', xr) AS (metric, value)"))
+      val disjoint = v1Snap.files.toSet.intersect(v2Snap.files.toSet).isEmpty
+      val alive = v1Snap.files.forall(f =>
+        hfs.exists(new org.apache.hadoop.fs.Path(f)))
+      val certs = Seq(
+        ("cert_disjoint_filesets", if (disjoint) 1L else 0L),
+        ("cert_v1_alive", if (alive) 1L else 0L),
+        ("files_latest", v2Snap.files.size.toLong),
+        ("versions", graft.sources.SnapshotLog.versions(s, dir).size.toLong))
+        .toDF("metric", "value")
+      census(graft.sources.SnapshotLog.read(s, dir), "latest")
+        .unionByName(census(s.read.parquet(v1Snap.files: _*), "v1_reader"))
+        .unionByName(certs)
+        .orderBy("metric")
+    }),
+
     // D102 (r14): mergeable count-min sketches — per-slice sketches
     // built in one map-side-combined pass, merged by exact counter
     // addition (merge ≡ whole-corpus build BYTE-IDENTICALLY — claim
@@ -6890,6 +6946,36 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_blocks_kept,
         |  array_to_string(ks, chr(10)) AS content
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // e2e-12: the post-CDC table derived directly (the three change
+    // classes are key-disjoint: updates on even store keys, deletes
+    // on odd multiples of 5, inserts on the %3=1 slice), censused
+    // once — both readers MUST report it identically; file count =
+    // the C30c ceil arithmetic over the final row count
+    "q_e2e_lakehouse" ->
+      """WITH fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN text || ' [rev1]' ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 3 = 0 AND NOT (doc_id % 2 <> 0 AND doc_id % 5 = 0)
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM fin),
+        |n AS (SELECT count(*) AS n FROM fin)
+        |SELECT * FROM (
+        |  SELECT 'cert_disjoint_filesets' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'cert_v1_alive', 1
+        |  UNION ALL SELECT 'files_latest', CAST((n + 199) // 200 AS BIGINT) FROM n
+        |  UNION ALL SELECT 'rows_latest', CAST(n AS BIGINT) FROM n
+        |  UNION ALL SELECT 'rows_v1_reader', CAST(n AS BIGINT) FROM n
+        |  UNION ALL SELECT 'versions', 3
+        |  UNION ALL SELECT 'xor_latest', CAST(bit_xor(hh) AS BIGINT) FROM h
+        |  UNION ALL SELECT 'xor_v1_reader', CAST(bit_xor(hh) AS BIGINT) FROM h)
+        |ORDER BY metric""".stripMargin,
 
     // D102: the oracle computes the exact per-key counts; the Spark
     // side's ok flags certify estimate == exact (deterministic at the
