@@ -832,6 +832,39 @@ object SparkEntry {
         .orderBy("metric")
     }),
 
+    // C30d (r15): manifest-level DATA SKIPPING — per-file min/max
+    // stats recorded at compaction time; a range read keeps only
+    // overlapping files, decided from the version manifest alone
+    // (zero file opens). The oracle re-derives the filtered census —
+    // skipping must be invisible to results; cert_skipped pins that
+    // files were actually skipped (vacuously true at one file).
+    "q_c30d_data_skipping" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/c30d_log"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.sources.SnapshotLog.write(docs.repartition(8), dir)
+      graft.sources.SnapshotLog.compactInPlace(s, dir, 200L,
+        sortCols = Seq("doc_id"), statsCols = Seq("doc_id"))
+      val sn = graft.sources.SnapshotLog.snapshot(s, dir)
+      val kept = graft.sources.SnapshotLog.prunedFiles(sn, "doc_id", 100L, 300L)
+      val pruned = graft.sources.SnapshotLog.readPruned(s, dir, "doc_id", 100L, 300L)
+      val cen = pruned
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")))))
+        .agg(count(lit(1)).cast("long").as("rows"),
+          coalesce(expr("bit_xor(_h)"), lit(0L)).as("xr"))
+        .select(expr("stack(2, 'rows_pruned', rows, 'xor_pruned', xr) AS (metric, value)"))
+      val certs = Seq(
+        ("cert_skipped",
+          if (kept.size < sn.files.size || sn.files.size <= 1) 1L else 0L),
+        ("files_total", sn.files.size.toLong))
+        .toDF("metric", "value")
+      cen.unionByName(certs).orderBy("metric")
+    }),
+
     // ---- D. scale extensions
     "q_d1_exact_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -4273,6 +4306,26 @@ object SparkEntry {
         |  UNION ALL SELECT 'versions', 2
         |  UNION ALL SELECT 'xor_new_reader', CAST(bit_xor(hh) AS BIGINT) FROM h
         |  UNION ALL SELECT 'xor_old_reader', CAST(bit_xor(hh) AS BIGINT) FROM h)
+        |ORDER BY metric""".stripMargin,
+
+    // data skipping: the filtered census from the ORIGINAL parquet —
+    // identical through the pruned read path or skipping lost rows;
+    // cert_skipped is the Spark-computed fewer-files-opened claim
+    "q_c30d_data_skipping" ->
+      """WITH fin AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 300),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM fin),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'cert_skipped' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'files_total', CAST((n + 199) // 200 AS BIGINT) FROM n
+        |  UNION ALL SELECT 'rows_pruned', (SELECT CAST(count(*) AS BIGINT) FROM fin)
+        |  UNION ALL SELECT 'xor_pruned',
+        |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
         |ORDER BY metric""".stripMargin,
 
     // shard identity, ranges, and the round-trip checksum re-derived

@@ -41,8 +41,13 @@ object SnapshotLog {
 
   val LogDirName = "_graft_log"
 
-  /** A resolved snapshot: the version and the ABSOLUTE data-file paths. */
-  final case class Snapshot(version: Long, files: Seq[String])
+  /** A resolved snapshot: the version, the ABSOLUTE data-file paths,
+    * and (when the commit collected them) per-file column stats —
+    * `stats(file)(col) = (min, max)` over long-castable columns, the
+    * data-skipping index [[readPruned]] consults.
+    */
+  final case class Snapshot(version: Long, files: Seq[String],
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   private def logDir(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(dir, LogDirName)
@@ -96,8 +101,28 @@ object SnapshotLog {
     val rel = Seq.newBuilder[String]
     while (it.hasNext) rel += it.next().asText()
     val base = f.makeQualified(new org.apache.hadoop.fs.Path(dir))
-    Snapshot(v, rel.result().map(r =>
-      new org.apache.hadoop.fs.Path(base, r).toString))
+    val abs = (r: String) => new org.apache.hadoop.fs.Path(base, r).toString
+    val stats = {
+      val node = root.path("stats")
+      if (node.isMissingNode) Map.empty[String, Map[String, (Long, Long)]]
+      else {
+        val b = Map.newBuilder[String, Map[String, (Long, Long)]]
+        val fit = node.fields()
+        while (fit.hasNext) {
+          val e = fit.next()
+          val cb = Map.newBuilder[String, (Long, Long)]
+          val cit = e.getValue.fields()
+          while (cit.hasNext) {
+            val ce = cit.next()
+            cb += ce.getKey -> (ce.getValue.get(0).asLong(),
+              ce.getValue.get(1).asLong())
+          }
+          b += abs(e.getKey) -> cb.result()
+        }
+        b.result()
+      }
+    }
+    Snapshot(v, rel.result().map(abs), stats)
   }
 
   /** Read a snapshot (latest by default) — exactly its file list. */
@@ -114,7 +139,8 @@ object SnapshotLog {
     * optimistic concurrency).
     */
   private def commit(spark: SparkSession, dir: String,
-                     relFiles: Seq[String]): Long = {
+                     relFiles: Seq[String],
+                     stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val next = versions(spark, dir).lastOption.getOrElse(-1L) + 1L
@@ -124,11 +150,53 @@ object SnapshotLog {
     root.put("version", next)
     val arr = root.putArray("files")
     relFiles.foreach { r => arr.add(r); () }
+    if (stats.nonEmpty) {
+      val sn = root.putObject("stats")
+      relFiles.filter(stats.contains).foreach { r =>
+        val fn = sn.putObject(r)
+        stats(r).toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = fn.putArray(c); a.add(lo); a.add(hi); ()
+        }
+      }
+    }
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     val out = f.create(versionFile(dir, next), false) // exclusive create
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     next
+  }
+
+  /** Per-file (min, max) of each long-castable stats column over a
+    * freshly written subdir — ONE column-pruned scan of only the
+    * stats columns (parquet reads just those pages), grouped by
+    * `input_file_name`. Files where a column is all-null carry no
+    * entry for it (= never pruned on it).
+    */
+  private def collectStats(spark: SparkSession, dir: String,
+                           relFiles: Seq[String], statsCols: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] = {
+    if (statsCols.isEmpty || relFiles.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions._
+    val base = fs(spark, dir).makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val paths = relFiles.map(r => new org.apache.hadoop.fs.Path(base, r).toString)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"_lo_$c"), max(col(c).cast("long")).as(s"_hi_$c")))
+    val rows = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // file-count-sized
+    val byAbs = rows.map { r =>
+      val m = statsCols.flatMap { c =>
+        val lo = r.getAs[Any](s"_lo_$c"); val hi = r.getAs[Any](s"_hi_$c")
+        if (lo == null || hi == null) None
+        else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+      }.toMap
+      r.getString(0) -> m
+    }.toMap
+    // input_file_name returns the URI form — match by suffix
+    relFiles.flatMap { rel =>
+      byAbs.collectFirst { case (k, v) if k.endsWith(rel) && v.nonEmpty => rel -> v }
+    }.toMap
   }
 
   /** Write `df` into a fresh uniquely-named data subdir and return
@@ -145,23 +213,34 @@ object SnapshotLog {
       .sorted
   }
 
-  /** REPLACE commit: the next version is exactly `df`'s rows. */
-  def write(df: DataFrame, dir: String): Long =
-    commit(df.sparkSession, dir, writeDataFiles(df, dir))
+  /** REPLACE commit: the next version is exactly `df`'s rows.
+    * `statsCols` (long-castable) adds per-file min/max to the version
+    * manifest — the data-skipping index [[readPruned]] consults.
+    */
+  def write(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long = {
+    val rel = writeDataFiles(df, dir)
+    commit(df.sparkSession, dir, rel,
+      collectStats(df.sparkSession, dir, rel, statsCols))
+  }
 
   /** APPEND commit: the next version is the previous file set plus
     * `df`'s new files (previous files are never rewritten — append
-    * cost is the new data only).
+    * cost is the new data only, including its stats; the previous
+    * files' stats carry over untouched).
     */
-  def append(df: DataFrame, dir: String): Long = {
+  def append(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    val prevRel = versions(spark, dir).lastOption.map { _ =>
-      val s = snapshot(spark, dir)
-      val base = fs(spark, dir).makeQualified(
-        new org.apache.hadoop.fs.Path(dir)).toString
-      s.files.map(abs => abs.stripPrefix(base).stripPrefix("/"))
-    }.getOrElse(Seq.empty)
-    commit(spark, dir, prevRel ++ writeDataFiles(df, dir))
+    val base = fs(spark, dir).makeQualified(
+      new org.apache.hadoop.fs.Path(dir)).toString
+    def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
+    val (prevRel, prevStats) = versions(spark, dir).lastOption.map { _ =>
+      val sn = snapshot(spark, dir)
+      (sn.files.map(toRel),
+        sn.stats.map { case (abs, m) => toRel(abs) -> m })
+    }.getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
+    val newRel = writeDataFiles(df, dir)
+    commit(spark, dir, prevRel ++ newRel,
+      prevStats ++ collectStats(spark, dir, newRel, statsCols))
   }
 
   /** C30c: LIVE in-place compaction — rewrite the CURRENT snapshot
@@ -174,7 +253,8 @@ object SnapshotLog {
     * version.
     */
   def compactInPlace(spark: SparkSession, dir: String, targetRows: Long,
-                     sortCols: Seq[String] = Nil): Long = {
+                     sortCols: Seq[String] = Nil,
+                     statsCols: Seq[String] = Nil): Long = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     import org.apache.spark.sql.functions.col
     val cur = read(spark, dir)
@@ -185,8 +265,45 @@ object SnapshotLog {
         cur.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else cur.repartition(nOut)
-    commit(spark, dir, writeDataFiles(shaped, dir))
+    val rel = writeDataFiles(shaped, dir)
+    commit(spark, dir, rel, collectStats(spark, dir, rel, statsCols))
   }
+
+  /** Manifest-level DATA SKIPPING (r15 — the Delta/Iceberg core
+    * read-path win): resolve the snapshot, keep only files whose
+    * recorded [min, max] for `colName` OVERLAPS [lo, hi] (files
+    * without stats for the column are always kept — skipping must
+    * never lose rows), read exactly those, apply the predicate. With
+    * range-compacted files ([[compactInPlace]] with sortCols) a
+    * point/range query reads O(matching files) of the table and the
+    * decision costs ZERO file opens — the stats live in the one
+    * version manifest already in hand. Returns the filtered frame;
+    * `prunedFileCount` exposes the skip arithmetic for
+    * certification.
+    */
+  def readPruned(spark: SparkSession, dir: String, colName: String,
+                 lo: Long, hi: Long, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val sn = snapshot(spark, dir, version)
+    val kept = prunedFiles(sn, colName, lo, hi)
+    require(sn.files.nonEmpty,
+      s"[graft] SnapshotLog: version ${sn.version} has no data files")
+    val base =
+      if (kept.isEmpty)
+        // every file skipped: filter-false over one file keeps the schema
+        spark.read.parquet(sn.files.head).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(kept: _*)
+    base.filter(col(colName).cast("long").between(lo, hi))
+  }
+
+  /** The files [[readPruned]] would open. */
+  def prunedFiles(sn: Snapshot, colName: String, lo: Long, hi: Long): Seq[String] =
+    sn.files.filter { f =>
+      sn.stats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
 
   /** Reclaim storage: drop all but the newest `keepVersions` version
     * files and delete data files no kept version references. Run only

@@ -71,6 +71,33 @@ class R15OpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("D99b at rest: the upsert IS a partitioned parquet append; probes stay partition-pruned") {
+    val (coarse, cb) = banks
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_upsert").toString + "/idx"
+    val store = emb.filter(col("vec_id") % 3 =!= 2)
+    val inc = emb.filter(col("vec_id") % 3 === 2)
+    Pq.ivfPqIndexStamped(store, "embedding", "vec_id", coarse, cb)
+      .write.partitionBy("cell").parquet(dir)
+    Pq.ivfPqIndexStamped(inc, "embedding", "vec_id", coarse, cb)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    val rebuild = Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarse, cb)
+    // same rows (column order differs under partitionBy — compare by name)
+    val cols = rebuild.columns.sorted.map(col).toIndexedSeq
+    assert(atRest.select(cols: _*).exceptAll(rebuild.select(cols: _*))
+      .unionAll(rebuild.select(cols: _*).exceptAll(atRest.select(cols: _*)))
+      .count() == 0)
+    // serving through the appended at-rest index still partition-prunes
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val served = Pq.ivfPqTopKIndexed(atRest, emb, "embedding", "vec_id",
+      coarse, cb, q, k = 3, nprobe = 1, rerank = 8)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    val inMem = Pq.ivfPqTopKIndexed(rebuild, emb, "embedding", "vec_id",
+      coarse, cb, q, k = 3, nprobe = 1, rerank = 8)
+    assert(served.collect().toSeq == inMem.collect().toSeq)
+  }
+
   test("cellStats: counts partition the corpus; residual of an exact centroid hit is 0") {
     val coarse = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
     val stats = Pq.cellStats(emb, "embedding", coarse)

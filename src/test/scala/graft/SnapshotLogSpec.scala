@@ -87,6 +87,46 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, dir).as[Long].collect().sorted.toSeq == (5L to 8L))
   }
 
+  test("data skipping: stats in the manifest prune files, results stay exact") {
+    val dir = tmp("graft_log_skip")
+    SnapshotLog.write((1L to 1000L).toDF("id").repartition(4), dir)
+    SnapshotLog.compactInPlace(spark, dir, targetRows = 100L,
+      sortCols = Seq("id"), statsCols = Seq("id"))
+    val sn = SnapshotLog.snapshot(spark, dir)
+    assert(sn.files.size == 10 && sn.stats.size == 10)
+    // range-compacted files are disjoint id ranges -> a 150-wide query
+    // overlaps at most 3 of the 10 files
+    val kept = SnapshotLog.prunedFiles(sn, "id", 301L, 450L)
+    assert(kept.size <= 3 && kept.nonEmpty, s"kept ${kept.size}")
+    val got = SnapshotLog.readPruned(spark, dir, "id", 301L, 450L)
+      .as[Long].collect().sorted.toSeq
+    assert(got == (301L to 450L))
+    // an out-of-range query opens zero files and returns empty, schema intact
+    val none = SnapshotLog.readPruned(spark, dir, "id", 5000L, 6000L)
+    assert(SnapshotLog.prunedFiles(sn, "id", 5000L, 6000L).isEmpty)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id"))
+  }
+
+  test("data skipping: append carries old stats forward; statless files never pruned") {
+    val dir = tmp("graft_log_skip2")
+    SnapshotLog.write((1L to 100L).toDF("id").repartition(2), dir,
+      statsCols = Seq("id"))
+    SnapshotLog.append((101L to 200L).toDF("id").repartition(2), dir) // NO stats
+    val sn = SnapshotLog.snapshot(spark, dir)
+    assert(sn.files.size == 4)
+    // the two statless files are always kept, plus overlapping stat'd ones
+    val kept = SnapshotLog.prunedFiles(sn, "id", 150L, 160L)
+    assert(kept.size >= 2 && kept.size < 4 || sn.stats.isEmpty == false)
+    assert(SnapshotLog.readPruned(spark, dir, "id", 150L, 160L)
+      .as[Long].collect().sorted.toSeq == (150L to 160L))
+    // stats survive a further stat'd append
+    SnapshotLog.append((201L to 250L).toDF("id").repartition(1), dir,
+      statsCols = Seq("id"))
+    val sn2 = SnapshotLog.snapshot(spark, dir)
+    assert(sn2.stats.nonEmpty)
+    assert(SnapshotLog.readPruned(spark, dir, "id", 1L, 250L).count() == 250)
+  }
+
   test("vacuum reclaims dropped versions' files, keeps the survivors readable") {
     val dir = tmp("graft_log_vac")
     SnapshotLog.write((1L to 50L).toDF("id").repartition(5), dir)
