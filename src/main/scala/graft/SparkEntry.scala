@@ -865,6 +865,47 @@ object SparkEntry {
       cen.unionByName(certs).orderBy("metric")
     }),
 
+    // s12 (r15): STREAMING CDC ingest into the snapshot-log table —
+    // three replayed change batches (inserts, then inserts + revisions
+    // + deletes, then inserts + higher-version re-revisions) merge
+    // batch-by-batch through mergeLatest, each commit a new version
+    // with its batchId recorded atomically in the manifest. The
+    // oracle derives the final table directly (the change classes
+    // are deterministic functions of doc_id) — three incremental
+    // merges must equal the one-shot derivation.
+    "q_s12_stream_snapshot_cdc" -> ((s, d) => {
+      import s.implicits._
+      val tableDir = "/tmp/graft_gate/s12_table"
+      val arrivals = "/tmp/graft_gate/s12_arrivals"
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val sliceA = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("op", lit("U")).withColumn("version", lit(1L))
+      val sliceB = docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("op", lit("U")).withColumn("version", lit(1L))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev2]")))
+          .withColumn("op", lit("U")).withColumn("version", lit(2L)))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0 &&
+            col("doc_id") % 2 =!= 0 && col("doc_id") % 5 === 0)
+          .withColumn("op", lit("D")).withColumn("version", lit(2L)))
+      val sliceC = docs.filter(col("doc_id") % 3 === 2)
+          .withColumn("op", lit("U")).withColumn("version", lit(1L))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev3]")))
+          .withColumn("op", lit("U")).withColumn("version", lit(3L)))
+      val fin = graft.streaming.StreamingDQ.streamSnapshotCdcReplay(
+        Seq(sliceA, sliceB, sliceC), tableDir, arrivals,
+        Seq("doc_id"), Seq("version"), "op")
+      val cen = fin.withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")), col("version"))))
+        .agg(count(lit(1)).cast("long").as("rows"), expr("bit_xor(_h)").as("xr"))
+        .select(expr("stack(2, 'rows_final', rows, 'xor_final', xr) AS (metric, value)"))
+      val vers = Seq(("versions",
+        graft.sources.SnapshotLog.versions(s, tableDir).size.toLong))
+        .toDF("metric", "value")
+      cen.unionByName(vers).orderBy("metric")
+    }),
+
     // ---- D. scale extensions
     "q_d1_exact_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -4326,6 +4367,35 @@ object SparkEntry {
         |  UNION ALL SELECT 'rows_pruned', (SELECT CAST(count(*) AS BIGINT) FROM fin)
         |  UNION ALL SELECT 'xor_pruned',
         |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
+        |ORDER BY metric""".stripMargin,
+
+    // s12: the final CDC state derived one-shot — rev3 on %10 keys
+    // (version 3 beats everything), rev2 on the even %3=0 keys,
+    // deletes on the odd %3=0 multiples of five, everyone else at
+    // their insert version — censused with the version column riding
+    // in the hash so a wrong winning version hash-fails
+    "q_s12_stream_snapshot_cdc" ->
+      """WITH fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' [rev3]'
+        |         WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN text || ' [rev2]'
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 10 = 0 THEN 3
+        |         WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 2
+        |         ELSE 1 END AS version
+        |  FROM documents
+        |  WHERE NOT (doc_id % 3 = 0 AND doc_id % 2 <> 0 AND doc_id % 5 = 0)),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '') || '|'
+        |        || CAST(version AS VARCHAR)),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM fin)
+        |SELECT * FROM (
+        |  SELECT 'rows_final' AS metric,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM fin) AS value
+        |  UNION ALL SELECT 'versions', 3
+        |  UNION ALL SELECT 'xor_final', (SELECT CAST(bit_xor(hh) AS BIGINT) FROM h))
         |ORDER BY metric""".stripMargin,
 
     // shard identity, ranges, and the round-trip checksum re-derived

@@ -47,7 +47,8 @@ object SnapshotLog {
     * data-skipping index [[readPruned]] consults.
     */
   final case class Snapshot(version: Long, files: Seq[String],
-                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+                            stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                            meta: Map[String, String] = Map.empty)
 
   private def logDir(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(dir, LogDirName)
@@ -122,7 +123,17 @@ object SnapshotLog {
         b.result()
       }
     }
-    Snapshot(v, rel.result().map(abs), stats)
+    val meta = {
+      val node = root.path("meta")
+      if (node.isMissingNode) Map.empty[String, String]
+      else {
+        val b = Map.newBuilder[String, String]
+        val mit = node.fields()
+        while (mit.hasNext) { val e = mit.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }
+    }
+    Snapshot(v, rel.result().map(abs), stats, meta)
   }
 
   /** Read a snapshot (latest by default) — exactly its file list. */
@@ -140,7 +151,8 @@ object SnapshotLog {
     */
   private def commit(spark: SparkSession, dir: String,
                      relFiles: Seq[String],
-                     stats: Map[String, Map[String, (Long, Long)]] = Map.empty): Long = {
+                     stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                     meta: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val next = versions(spark, dir).lastOption.getOrElse(-1L) + 1L
@@ -158,6 +170,10 @@ object SnapshotLog {
           val a = fn.putArray(c); a.add(lo); a.add(hi); ()
         }
       }
+    }
+    if (meta.nonEmpty) {
+      val mn = root.putObject("meta")
+      meta.toSeq.sortBy(_._1).foreach { case (k2, v2) => mn.put(k2, v2); () }
     }
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     val out = f.create(versionFile(dir, next), false) // exclusive create
@@ -217,10 +233,11 @@ object SnapshotLog {
     * `statsCols` (long-castable) adds per-file min/max to the version
     * manifest — the data-skipping index [[readPruned]] consults.
     */
-  def write(df: DataFrame, dir: String, statsCols: Seq[String] = Nil): Long = {
+  def write(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
+            meta: Map[String, String] = Map.empty): Long = {
     val rel = writeDataFiles(df, dir)
     commit(df.sparkSession, dir, rel,
-      collectStats(df.sparkSession, dir, rel, statsCols))
+      collectStats(df.sparkSession, dir, rel, statsCols), meta)
   }
 
   /** APPEND commit: the next version is the previous file set plus

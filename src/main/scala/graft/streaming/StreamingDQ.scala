@@ -642,6 +642,70 @@ object StreamingDQ {
     writer.manifestDf(spark)
   }
 
+  /** s12 (r15): STREAMING CDC ingest into a C35 snapshot-log table —
+    * each micro-batch of keyed change records (op + version columns,
+    * the C23 contract) merges into the CURRENT snapshot via
+    * [[graft.operators.Merge.mergeLatest]] and commits as the NEXT
+    * version: the streaming lakehouse write path (what a streaming
+    * MERGE INTO does on the public lake formats), composed entirely
+    * from operators this engine already gates. The stored table keeps
+    * keyCols ++ versionCols ++ payload (no op column — deletes remove
+    * the key; the version rides so later batches order against it).
+    *
+    * EXACTLY-ONCE across restarts: the committing batchId is recorded
+    * in the version manifest's meta, atomically with the commit
+    * itself (one exclusive-create file) — a re-delivered batch
+    * (batchId ≤ the last committed one, read from the CURRENT
+    * manifest, not process memory) is skipped, so replays after a
+    * crash or a duplicated foreachBatch call change nothing.
+    */
+  final class SnapshotCdcStreamWriter(tableDir: String, keyCols: Seq[String],
+                                      versionCols: Seq[String], opCol: String)
+      extends Serializable {
+    def writeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val spark = batch.sparkSession
+      val vs = graft.sources.SnapshotLog.versions(spark, tableDir)
+      val last = vs.lastOption
+        .map(v => graft.sources.SnapshotLog.snapshot(spark, tableDir, v))
+        .flatMap(_.meta.get("batchId")).map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) return // re-delivered: already committed
+      val merged =
+        if (vs.isEmpty)
+          graft.operators.Merge.compactLatest(batch, keyCols, versionCols,
+            Some(opCol)).drop(opCol)
+        else {
+          val cur = graft.sources.SnapshotLog.read(spark, tableDir)
+          graft.operators.Merge.mergeLatest(cur, batch, keyCols, versionCols,
+            Some(opCol)).drop(opCol)
+        }
+      graft.sources.SnapshotLog.write(merged, tableDir,
+        meta = Map("batchId" -> batchId.toString))
+      ()
+    }
+  }
+
+  /** Gate harness for [[SnapshotCdcStreamWriter]]: replay the given
+    * change slices as a file stream (one arrival file per slice,
+    * maxFilesPerTrigger=1, AvailableNow — the s11 arrival
+    * discipline), run the CDC snapshot writer over it, and return
+    * the FINAL snapshot.
+    */
+  def streamSnapshotCdcReplay(slices: Seq[DataFrame], tableDir: String,
+                              arrivalsDir: String, keyCols: Seq[String],
+                              versionCols: Seq[String],
+                              opCol: String): DataFrame = {
+    require(slices.nonEmpty, "streamSnapshotCdcReplay: need >= 1 slice")
+    val spark = slices.head.sparkSession
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(root, true)
+    val writer = new SnapshotCdcStreamWriter(tableDir, keyCols, versionCols, opCol)
+    replayArrivalsForeachBatch(slices, slices.head.schema, arrivalsDir) {
+      (batch, id) => writer.writeBatch(batch, id)
+    }
+    graft.sources.SnapshotLog.read(spark, tableDir)
+  }
+
   /** [[replayArrivals]]' file-arrival discipline with a foreachBatch
     * SINK instead of the memory sink: one arrival file per slice,
     * maxFilesPerTrigger=1, AvailableNow, shuffle partitions pinned to

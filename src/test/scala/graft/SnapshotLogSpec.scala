@@ -127,6 +127,36 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.readPruned(spark, dir, "id", 1L, 250L).count() == 250)
   }
 
+  test("streaming CDC writer: re-delivered batches are no-ops, even from a fresh writer") {
+    import graft.streaming.StreamingDQ.SnapshotCdcStreamWriter
+    val dir = tmp("graft_log_cdc")
+    val w = new SnapshotCdcStreamWriter(dir, Seq("id"), Seq("version"), "op")
+    val b0 = Seq((1L, "a", "U", 1L), (2L, "b", "U", 1L))
+      .toDF("id", "payload", "op", "version")
+    val b1 = Seq((2L, "b2", "U", 2L), (1L, "a", "D", 2L), (3L, "c", "U", 1L))
+      .toDF("id", "payload", "op", "version")
+    w.writeBatch(b0, 0L)
+    w.writeBatch(b1, 1L)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L))
+    val fin = SnapshotLog.read(spark, dir)
+      .select("id", "payload", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(fin.toSeq == Seq((2L, "b2", 2L), (3L, "c", 1L))) // 1 deleted, 2 revised
+    // same-writer re-delivery: no new version
+    w.writeBatch(b1, 1L)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L))
+    // RESTART-SAFE: a brand-new writer (fresh process) reads the last
+    // committed batchId from the manifest, not memory — still a no-op
+    val w2 = new SnapshotCdcStreamWriter(dir, Seq("id"), Seq("version"), "op")
+    w2.writeBatch(b1, 1L)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L))
+    // and a genuinely new batch through the new writer commits
+    w2.writeBatch(Seq((4L, "d", "U", 1L)).toDF("id", "payload", "op", "version"), 2L)
+    assert(SnapshotLog.versions(spark, dir) == Seq(0L, 1L, 2L))
+    assert(SnapshotLog.read(spark, dir).count() == 3)
+    assert(SnapshotLog.snapshot(spark, dir).meta("batchId") == "2")
+  }
+
   test("vacuum reclaims dropped versions' files, keeps the survivors readable") {
     val dir = tmp("graft_log_vac")
     SnapshotLog.write((1L to 50L).toDF("id").repartition(5), dir)
