@@ -136,13 +136,28 @@ object SnapshotLog {
     Snapshot(v, rel.result().map(abs), stats, meta)
   }
 
-  /** Read a snapshot (latest by default) — exactly its file list. */
+  /** Read a snapshot (latest by default) — exactly its file list,
+    * under the MANIFEST-RECORDED schema (r15 schema evolution, the
+    * Delta rule: the committed schema is table truth, not the file
+    * footers): files written before a column existed read it as null,
+    * with ZERO footer scans — no `mergeSchema` pass over 100k files.
+    * Manifests without a recorded schema (pre-r15) fall back to
+    * parquet inference.
+    */
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, dir, version)
     require(s.files.nonEmpty,
       s"[graft] SnapshotLog: version ${s.version} has no data files")
-    spark.read.parquet(s.files: _*)
+    s.meta.get(SchemaKey) match {
+      case Some(ddl) =>
+        spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(s.files: _*)
+      case None => spark.read.parquet(s.files: _*)
+    }
   }
+
+  /** The manifest meta key carrying the committed schema DDL. */
+  val SchemaKey = "schemaDdl"
 
   /** Commit `relFiles` as the next version. Exclusive create is the
     * atomicity primitive; a racing committer loses with a loud
@@ -237,7 +252,8 @@ object SnapshotLog {
             meta: Map[String, String] = Map.empty): Long = {
     val rel = writeDataFiles(df, dir)
     commit(df.sparkSession, dir, rel,
-      collectStats(df.sparkSession, dir, rel, statsCols), meta)
+      collectStats(df.sparkSession, dir, rel, statsCols),
+      meta + (SchemaKey -> df.schema.toDDL))
   }
 
   /** APPEND commit: the next version is the previous file set plus
@@ -256,8 +272,12 @@ object SnapshotLog {
         sn.stats.map { case (abs, m) => toRel(abs) -> m })
     }.getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
     val newRel = writeDataFiles(df, dir)
+    // schema evolution, append flavor: the committed schema is the
+    // appender's (latest writer wins — adding a column evolves the
+    // table, old files null-fill it on read; dropping one hides it)
     commit(spark, dir, prevRel ++ newRel,
-      prevStats ++ collectStats(spark, dir, newRel, statsCols))
+      prevStats ++ collectStats(spark, dir, newRel, statsCols),
+      Map(SchemaKey -> df.schema.toDDL))
   }
 
   /** C30c: LIVE in-place compaction — rewrite the CURRENT snapshot
@@ -283,7 +303,8 @@ object SnapshotLog {
           .sortWithinPartitions(sortCols.map(col): _*)
       else cur.repartition(nOut)
     val rel = writeDataFiles(shaped, dir)
-    commit(spark, dir, rel, collectStats(spark, dir, rel, statsCols))
+    commit(spark, dir, rel, collectStats(spark, dir, rel, statsCols),
+      Map(SchemaKey -> cur.schema.toDDL))
   }
 
   /** Manifest-level DATA SKIPPING (r15 — the Delta/Iceberg core

@@ -127,6 +127,25 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.readPruned(spark, dir, "id", 1L, 250L).count() == 250)
   }
 
+  test("schema evolution: appended column null-fills old files, zero footer scans") {
+    val dir = tmp("graft_log_evo")
+    SnapshotLog.write((1L to 10L).toDF("id"), dir)
+    // append a batch that carries a NEW column
+    SnapshotLog.append((11L to 15L).map(i => (i, s"tag$i")).toDF("id", "tag"), dir)
+    val out = SnapshotLog.read(spark, dir)
+    assert(out.columns.toSeq == Seq("id", "tag"))
+    assert(out.count() == 15)
+    assert(out.filter(col("tag").isNull).count() == 10) // old files null-fill
+    assert(out.filter(col("tag") === "tag12").count() == 1)
+    // time travel still reads v0 under ITS schema
+    assert(SnapshotLog.read(spark, dir, 0L).columns.toSeq == Seq("id"))
+    // compaction rewrites under the evolved schema; nulls survive
+    SnapshotLog.compactInPlace(spark, dir, targetRows = 100L)
+    val compacted = SnapshotLog.read(spark, dir)
+    assert(compacted.columns.toSeq == Seq("id", "tag"))
+    assert(compacted.filter(col("tag").isNull).count() == 10)
+  }
+
   test("streaming CDC writer: re-delivered batches are no-ops, even from a fresh writer") {
     import graft.streaming.StreamingDQ.SnapshotCdcStreamWriter
     val dir = tmp("graft_log_cdc")
