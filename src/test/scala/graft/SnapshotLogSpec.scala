@@ -127,6 +127,44 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.readPruned(spark, dir, "id", 1L, 250L).count() == 250)
   }
 
+  test("Hilbert clustering x manifest stats: BOTH dims prune; linear sort prunes only its own") {
+    // 32x32 grid of points; compact under (a) Hilbert order on (x,y)
+    // and (b) linear sort on x alone, stats on both dims each time.
+    // A small 2-D box query must skip most files under Hilbert on
+    // EITHER dim's stats; the linear layout covers the full y range
+    // in every file, so y-stats prune nothing there.
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    def build(sorted: org.apache.spark.sql.DataFrame): (String, SnapshotLog.Snapshot) = {
+      val dir = tmp("graft_log_hil")
+      SnapshotLog.write(sorted.coalesce(1), dir)
+      SnapshotLog.compactInPlace(spark, dir, targetRows = 64L,
+        sortCols = Seq("ord"), statsCols = Seq("x", "y"))
+      (dir, SnapshotLog.snapshot(spark, dir))
+    }
+    val hil = graft.sources.Hilbert.withHilbertValue(pts, "x", "y", bits = 5)
+      .withColumnRenamed("h_value", "ord")
+    val lin = pts.withColumn("ord", col("x") * 32 + col("y"))
+    val (hd, hSnap) = build(hil)
+    val (_, lSnap) = build(lin)
+    assert(hSnap.files.size == 16 && lSnap.files.size == 16)
+    // box query [8,11] x [8,11]: Hilbert files are tight rectangles —
+    // intersecting BOTH dims' stats keeps only a corner of the files
+    def kept2d(sn: SnapshotLog.Snapshot): Int =
+      SnapshotLog.prunedFiles(sn, "x", 8L, 11L)
+        .intersect(SnapshotLog.prunedFiles(sn, "y", 8L, 11L)).size
+    assert(kept2d(hSnap) <= 4, s"hilbert kept ${kept2d(hSnap)} of 16")
+    // the linear layout spans all of y in every file: y-stats keep everything
+    assert(lSnap.files.forall(f =>
+      lSnap.stats(f)("y") == (0L, 31L)), "linear files span full y")
+    assert(kept2d(hSnap) < kept2d(lSnap))
+    // and skipping stays exact: the pruned 2-D read returns the box
+    val got = SnapshotLog.readPruned(spark, hd, "x", 8L, 11L)
+      .filter(col("y").between(8L, 11L))
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (for (x <- 8L to 11L; y <- 8L to 11L) yield (x, y)).toSet)
+  }
+
   test("schema evolution: appended column null-fills old files, zero footer scans") {
     val dir = tmp("graft_log_evo")
     SnapshotLog.write((1L to 10L).toDF("id"), dir)
