@@ -865,6 +865,47 @@ object SparkEntry {
       cen.unionByName(certs).orderBy("metric")
     }),
 
+    // C30e (r15): COPY-ON-WRITE DELETE with manifest-pruned rewrites
+    // (the GDPR-erasure / bad-crawl-day rollback shape): delete a
+    // doc_id range from the compacted table — files whose stats don't
+    // overlap carry into the next version UNTOUCHED (cert'd by path
+    // identity), only overlapping files rewrite (cert'd bounded by
+    // the touched count). The oracle re-derives the surviving census.
+    "q_c30e_cow_delete" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/c30e_log"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.sources.SnapshotLog.write(docs.repartition(8), dir)
+      graft.sources.SnapshotLog.compactInPlace(s, dir, 200L,
+        sortCols = Seq("doc_id"), statsCols = Seq("doc_id"))
+      val before = graft.sources.SnapshotLog.snapshot(s, dir)
+      val touched = graft.sources.SnapshotLog
+        .prunedFiles(before, "doc_id", 10L, 40L).toSet
+      graft.sources.SnapshotLog.deleteRange(s, dir, "doc_id", 10L, 40L)
+      val after = graft.sources.SnapshotLog.snapshot(s, dir)
+      val untouched = before.files.filterNot(touched)
+      val rewritten = after.files.toSet -- untouched.toSet
+      val cen = graft.sources.SnapshotLog.read(s, dir)
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")))))
+        .agg(count(lit(1)).cast("long").as("rows"),
+          coalesce(expr("bit_xor(_h)"), lit(0L)).as("xr"))
+        .select(expr("stack(2, 'rows_after', rows, 'xor_after', xr) AS (metric, value)"))
+      val certs = Seq(
+        ("cert_untouched_carried",
+          if (untouched.forall(after.files.contains)) 1L else 0L),
+        ("cert_touched_dropped",
+          if (after.files.toSet.intersect(touched).isEmpty) 1L else 0L),
+        ("cert_rewrite_bounded",
+          if (rewritten.size <= touched.size) 1L else 0L),
+        ("versions", graft.sources.SnapshotLog.versions(s, dir).size.toLong))
+        .toDF("metric", "value")
+      cen.unionByName(certs).orderBy("metric")
+    }),
+
     // s12 (r15): STREAMING CDC ingest into the snapshot-log table —
     // three replayed change batches (inserts, then inserts + revisions
     // + deletes, then inserts + higher-version re-revisions) merge
@@ -4366,6 +4407,27 @@ object SparkEntry {
         |  UNION ALL SELECT 'files_total', CAST((n + 199) // 200 AS BIGINT) FROM n
         |  UNION ALL SELECT 'rows_pruned', (SELECT CAST(count(*) AS BIGINT) FROM fin)
         |  UNION ALL SELECT 'xor_pruned',
+        |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
+        |ORDER BY metric""".stripMargin,
+
+    // C30e: the surviving census from the ORIGINAL parquet — a delete
+    // that lost or resurrected rows hash-fails; the rewrite-economics
+    // certs are Spark-computed path-identity claims
+    "q_c30e_cow_delete" ->
+      """WITH fin AS (SELECT doc_id, text FROM documents
+        |  WHERE NOT (doc_id BETWEEN 10 AND 40)),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM fin)
+        |SELECT * FROM (
+        |  SELECT 'cert_rewrite_bounded' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'cert_touched_dropped', 1
+        |  UNION ALL SELECT 'cert_untouched_carried', 1
+        |  UNION ALL SELECT 'rows_after', (SELECT CAST(count(*) AS BIGINT) FROM fin)
+        |  UNION ALL SELECT 'versions', 3
+        |  UNION ALL SELECT 'xor_after',
         |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
         |ORDER BY metric""".stripMargin,
 

@@ -343,6 +343,53 @@ object SnapshotLog {
       }
     }
 
+  /** Copy-on-write DELETE with manifest-level file pruning (r15 — the
+    * Delta DELETE shape): drop rows whose `colName` falls in
+    * [lo, hi]. Files whose recorded stats DON'T overlap the range are
+    * carried into the next version UNTOUCHED — no read, no write, no
+    * stat recomputation; only overlapping files rewrite, minus the
+    * matching rows. With range-compacted stats ([[compactInPlace]]
+    * with sortCols + statsCols) a targeted delete — the GDPR
+    * erasure / bad-crawl-day rollback shape — costs O(matching
+    * files) of IO on a 100 TB table. Readers pinned to the previous
+    * version keep every file they resolved (the C30c isolation
+    * contract; deleted bytes are reclaimed by [[vacuum]]). Returns
+    * the committed version (the CURRENT one unchanged if no file
+    * overlaps — an empty delete commits nothing).
+    */
+  def deleteRange(spark: SparkSession, dir: String, colName: String,
+                  lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    val sn = snapshot(spark, dir)
+    val touchedAbs = prunedFiles(sn, colName, lo, hi)
+    if (touchedAbs.isEmpty) return sn.version
+    val touched = touchedAbs.toSet
+    val base = fs(spark, dir).makeQualified(
+      new org.apache.hadoop.fs.Path(dir)).toString
+    def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
+    val untouchedRel = sn.files.filterNot(touched).map(toRel)
+    val reader = sn.meta.get(SchemaKey) match {
+      case Some(ddl) => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(touchedAbs: _*)
+      case None => spark.read.parquet(touchedAbs: _*)
+    }
+    val remaining = reader.filter(
+      !col(colName).cast("long").between(lo, hi) || col(colName).isNull)
+    val newRel =
+      if (remaining.isEmpty) Seq.empty[String]
+      else writeDataFiles(remaining, dir)
+    // stats: carry the untouched files' entries; recompute the same
+    // column set for the rewritten files
+    val statCols = sn.stats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val carried = sn.stats.collect {
+      case (abs, m) if !touched(abs) => toRel(abs) -> m
+    }
+    commit(spark, dir, untouchedRel ++ newRel,
+      carried ++ collectStats(spark, dir, newRel, statCols),
+      sn.meta.get(SchemaKey).map(SchemaKey -> _).toMap)
+  }
+
   /** Reclaim storage: drop all but the newest `keepVersions` version
     * files and delete data files no kept version references. Run only
     * after readers of the dropped versions have drained (the standard

@@ -165,6 +165,37 @@ class SnapshotLogSpec extends SparkSpec {
     assert(got == (for (x <- 8L to 11L; y <- 8L to 11L) yield (x, y)).toSet)
   }
 
+  test("deleteRange: untouched files carry over byte-identically; only overlaps rewrite") {
+    val dir = tmp("graft_log_del")
+    SnapshotLog.write((1L to 1000L).toDF("id").repartition(4), dir)
+    SnapshotLog.compactInPlace(spark, dir, targetRows = 100L,
+      sortCols = Seq("id"), statsCols = Seq("id"))
+    val before = SnapshotLog.snapshot(spark, dir)
+    assert(before.files.size == 10)
+    val touched = SnapshotLog.prunedFiles(before, "id", 250L, 349L)
+    assert(touched.size <= 3 && touched.nonEmpty)
+    val v = SnapshotLog.deleteRange(spark, dir, "id", 250L, 349L)
+    val after = SnapshotLog.snapshot(spark, dir, v)
+    // every non-overlapping file carried over as-is (same path, no rewrite)
+    val untouched = before.files.filterNot(touched.toSet)
+    assert(untouched.forall(after.files.contains))
+    // the touched files are gone from the new version
+    assert(after.files.toSet.intersect(touched.toSet).isEmpty)
+    // rows exact
+    assert(SnapshotLog.read(spark, dir).as[Long].collect().sorted.toSeq ==
+      ((1L to 249L) ++ (350L to 1000L)))
+    // carried stats still prune: a query inside the deleted range opens
+    // only the REWRITTEN files (the carried files' stats exclude it)
+    val kept = SnapshotLog.prunedFiles(after, "id", 260L, 270L)
+    assert(kept.forall(f => !untouched.contains(f)), s"kept $kept")
+    assert(SnapshotLog.readPruned(spark, dir, "id", 260L, 270L).count() == 0)
+    // a delete that overlaps nothing commits nothing
+    assert(SnapshotLog.deleteRange(spark, dir, "id", 5000L, 6000L) == v)
+    assert(SnapshotLog.versions(spark, dir).last == v)
+    // a pinned pre-delete reader still reads everything (C30c isolation)
+    assert(spark.read.parquet(before.files: _*).count() == 1000)
+  }
+
   test("schema evolution: appended column null-fills old files, zero footer scans") {
     val dir = tmp("graft_log_evo")
     SnapshotLog.write((1L to 10L).toDF("id"), dir)
