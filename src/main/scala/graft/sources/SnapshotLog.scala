@@ -36,6 +36,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * listing ever happens on the read path (object-store listings are
   * slow and eventually consistent — the reason every lake format
   * moved file discovery into a log).
+  *
+  * The full surface (r15): [[write]] (replace) / [[append]] (old
+  * bytes never rewritten) / [[compactInPlace]] (C30c live
+  * compaction) / [[vacuum]]; per-file min/max STATS in the manifest
+  * + [[readPruned]] data skipping (C35b — zero file opens to decide);
+  * manifest-recorded SCHEMA with evolution on append and
+  * per-version time travel (C35c); [[deleteRange]] copy-on-write
+  * DELETE with manifest-pruned rewrites (C35d); and the streaming
+  * CDC write path committing each micro-batch as a version with its
+  * batchId atomically in the manifest meta
+  * ([[graft.streaming.StreamingDQ.SnapshotCdcStreamWriter]], S12).
   */
 object SnapshotLog {
 
