@@ -906,6 +906,41 @@ object SparkEntry {
       cen.unionByName(certs).orderBy("metric")
     }),
 
+    // C30f (r15): COPY-ON-WRITE UPDATE — deleteRange's sibling
+    // closing the DML triad: matching rows rewrite with the set
+    // expression applied, non-matching rows in touched files rewrite
+    // unchanged, non-overlapping files carry over path-identically.
+    // The oracle re-derives the post-update census directly.
+    "q_c30f_cow_update" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/c30f_log"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.sources.SnapshotLog.write(docs.repartition(8), dir)
+      graft.sources.SnapshotLog.compactInPlace(s, dir, 200L,
+        sortCols = Seq("doc_id"), statsCols = Seq("doc_id"))
+      val before = graft.sources.SnapshotLog.snapshot(s, dir)
+      val touched = graft.sources.SnapshotLog
+        .prunedFiles(before, "doc_id", 10L, 40L).toSet
+      graft.sources.SnapshotLog.updateRange(s, dir, "doc_id", 10L, 40L,
+        Map("text" -> concat(col("text"), lit(" [upd]"))))
+      val after = graft.sources.SnapshotLog.snapshot(s, dir)
+      val untouched = before.files.filterNot(touched)
+      val cen = graft.sources.SnapshotLog.read(s, dir)
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")))))
+        .agg(count(lit(1)).cast("long").as("rows"), expr("bit_xor(_h)").as("xr"))
+        .select(expr("stack(2, 'rows_after', rows, 'xor_after', xr) AS (metric, value)"))
+      val certs = Seq(
+        ("cert_untouched_carried",
+          if (untouched.forall(after.files.contains)) 1L else 0L),
+        ("versions", graft.sources.SnapshotLog.versions(s, dir).size.toLong))
+        .toDF("metric", "value")
+      cen.unionByName(certs).orderBy("metric")
+    }),
+
     // s12 (r15): STREAMING CDC ingest into the snapshot-log table —
     // three replayed change batches (inserts, then inserts + revisions
     // + deletes, then inserts + higher-version re-revisions) merge
@@ -4429,6 +4464,25 @@ object SparkEntry {
         |  UNION ALL SELECT 'versions', 3
         |  UNION ALL SELECT 'xor_after',
         |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
+        |ORDER BY metric""".stripMargin,
+
+    // C30f: post-update census re-derived — a lost row, a rewritten
+    // non-matching row, or an unapplied update all hash-fail
+    "q_c30f_cow_update" ->
+      """WITH fin AS (SELECT doc_id,
+        |  CASE WHEN doc_id BETWEEN 10 AND 40 THEN text || ' [upd]'
+        |       ELSE text END AS text
+        |  FROM documents),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM fin)
+        |SELECT * FROM (
+        |  SELECT 'cert_untouched_carried' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'rows_after', (SELECT CAST(count(*) AS BIGINT) FROM fin)
+        |  UNION ALL SELECT 'versions', 3
+        |  UNION ALL SELECT 'xor_after', (SELECT CAST(bit_xor(hh) AS BIGINT) FROM h))
         |ORDER BY metric""".stripMargin,
 
     // s12: the final CDC state derived one-shot — rev3 on %10 keys

@@ -401,6 +401,54 @@ object SnapshotLog {
       sn.meta.get(SchemaKey).map(SchemaKey -> _).toMap)
   }
 
+  /** Copy-on-write UPDATE (r15 — [[deleteRange]]'s sibling, closing
+    * the DML triad: insert = [[append]], delete = [[deleteRange]],
+    * update = this): rewrite rows whose `colName` falls in [lo, hi],
+    * applying `set` (column name → expression over the row) to the
+    * MATCHING rows only; non-matching rows in touched files rewrite
+    * unchanged, and files whose stats don't overlap carry into the
+    * next version untouched — the same manifest-pruned economics.
+    * `set` may not touch key/stat columns' TYPES (the committed
+    * schema is unchanged — expressions are cast to the column's
+    * existing type, loudly failing on incompatibles). Returns the
+    * committed version (current one if nothing overlaps).
+    */
+  def updateRange(spark: SparkSession, dir: String, colName: String,
+                  lo: Long, hi: Long,
+                  set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "[graft] updateRange: empty set clause")
+    val sn = snapshot(spark, dir)
+    val touchedAbs = prunedFiles(sn, colName, lo, hi)
+    if (touchedAbs.isEmpty) return sn.version
+    val touched = touchedAbs.toSet
+    val base = fs(spark, dir).makeQualified(
+      new org.apache.hadoop.fs.Path(dir)).toString
+    def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
+    val untouchedRel = sn.files.filterNot(touched).map(toRel)
+    val reader = sn.meta.get(SchemaKey) match {
+      case Some(ddl) => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(touchedAbs: _*)
+      case None => spark.read.parquet(touchedAbs: _*)
+    }
+    set.keys.foreach(c => require(reader.columns.contains(c),
+      s"[graft] updateRange: unknown column '$c'"))
+    val hit = col(colName).cast("long").between(lo, hi)
+    val updated = set.foldLeft(reader) { case (df, (c, e)) =>
+      val dt = df.schema(c).dataType
+      df.withColumn(c, when(hit, e.cast(dt)).otherwise(col(c)))
+    }
+    val newRel = writeDataFiles(updated, dir)
+    val statCols = sn.stats.values.flatMap(_.keys).toSeq.distinct.sorted
+    val carried = sn.stats.collect {
+      case (abs, m) if !touched(abs) => toRel(abs) -> m
+    }
+    commit(spark, dir, untouchedRel ++ newRel,
+      carried ++ collectStats(spark, dir, newRel, statCols),
+      sn.meta.get(SchemaKey).map(SchemaKey -> _).toMap)
+  }
+
   /** Reclaim storage: drop all but the newest `keepVersions` version
     * files and delete data files no kept version references. Run only
     * after readers of the dropped versions have drained (the standard

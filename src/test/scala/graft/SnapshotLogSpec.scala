@@ -196,6 +196,36 @@ class SnapshotLogSpec extends SparkSpec {
     assert(spark.read.parquet(before.files: _*).count() == 1000)
   }
 
+  test("updateRange: matching rows rewritten in place, untouched files carried, stats refreshed") {
+    val dir = tmp("graft_log_upd")
+    SnapshotLog.write((1L to 400L).map(i => (i, s"v$i")).toDF("id", "payload"), dir)
+    SnapshotLog.compactInPlace(spark, dir, targetRows = 100L,
+      sortCols = Seq("id"), statsCols = Seq("id"))
+    val before = SnapshotLog.snapshot(spark, dir)
+    assert(before.files.size == 4)
+    val touched = SnapshotLog.prunedFiles(before, "id", 150L, 180L).toSet
+    assert(touched.size <= 2)
+    SnapshotLog.updateRange(spark, dir, "id", 150L, 180L,
+      Map("payload" -> concat(col("payload"), lit("!"))))
+    val after = SnapshotLog.snapshot(spark, dir)
+    assert(before.files.filterNot(touched).forall(after.files.contains))
+    val out = SnapshotLog.read(spark, dir)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 400)
+    (1L to 400L).foreach { i =>
+      val want = if (i >= 150 && i <= 180) s"v$i!" else s"v$i"
+      assert(out(i) == want, s"id $i: ${out(i)}")
+    }
+    // no-overlap update commits nothing; unknown column refused
+    val v = SnapshotLog.versions(spark, dir).last
+    assert(SnapshotLog.updateRange(spark, dir, "id", 9000L, 9999L,
+      Map("payload" -> lit("x"))) == v)
+    intercept[IllegalArgumentException] {
+      SnapshotLog.updateRange(spark, dir, "id", 1L, 2L, Map("nope" -> lit("x")))
+    }
+  }
+
   test("schema evolution: appended column null-fills old files, zero footer scans") {
     val dir = tmp("graft_log_evo")
     SnapshotLog.write((1L to 10L).toDF("id"), dir)
