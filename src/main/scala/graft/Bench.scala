@@ -12,35 +12,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/parquet-reader paths so per-query numbers
-    // reflect steady state rather than first-use compilation. A warm-up
-    // failure means every number below is suspect, so it must be LOUD.
-    // The warm-up counts double as the corpus fingerprint input (below).
-    val tableCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    try {
-      Tables.all.foreach(n => tableCounts(n) = Tables.load(spark, sfDir, n).count())
-      spark.range(1000000).selectExpr("sum(id)").collect()
-    } catch {
-      case t: Throwable =>
-        System.err.println(s"BENCH WARM-UP FAILED: ${t.getClass.getName}: ${t.getMessage}")
-    }
-    // Corpus fingerprint: one 8-hex hash over every table's (name,
-    // schema DDL, row count) plus the total row count. The r10 driver
-    // regenerated the testdata mid-round and per-query deltas read as
-    // perf regressions until a judge rerun traced the corpus change —
-    // a bench artifact must identify WHAT it measured. Two artifacts
-    // with different "data" fingerprints are not comparable
-    // round-over-round; the schema DDL inside the hash also catches
-    // physical-type flips (e.g. ts int64-nanos vs timestamp[us]) that
-    // leave row counts identical.
-    val dataJson = {
-      val sig = Tables.all.sorted.map { n =>
-        val schema = scala.util.Try(Tables.load(spark, sfDir, n).schema.sql).getOrElse("?")
-        s"$n|$schema|${tableCounts.getOrElse(n, -1L)}"
-      }.mkString(";")
-      val fp = f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
-      s""","data":{"fp":"$fp","rows":${tableCounts.values.sum}}"""
-    }
     def loadAvg: Double = {
       val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       if (la >= 0) la else 0.0
@@ -68,12 +39,14 @@ object Bench {
         case _ => -1L
       }
     // Contention self-defense (r8: a load-4->8 driver run read as a 2x
-    // regression until a judge rerun). Start threshold per
-    // tools/bench.md: ~8 on this 32-CPU box. One retry after a backoff
-    // when the box is busy at start; the flag after the sweep keys on
-    // MEASURED external cores, not the self-polluted load sample.
+    // regression until a judge rerun). r16 (r15 verdict #10): the r15
+    // threshold of 8 let a load-[4,3] box produce the round's committed
+    // artifact while the idle pin sat at [1,2] — heavy gates drifted
+    // 2-4x. Back off until the box is genuinely idle (< 2), and to keep
+    // the sample honest the wait loop now runs BEFORE the warm-up, so
+    // it reads EXTERNAL load, not our own warm-up's.
     val contentionThreshold =
-      sys.env.get("SPARK_GRAFT_LOAD_THRESHOLD").map(_.toDouble).getOrElse(8.0)
+      sys.env.get("SPARK_GRAFT_LOAD_THRESHOLD").map(_.toDouble).getOrElse(2.0)
     // external cores above this during the sweep void round-over-round
     // comparison (32-way stages lose whole cores to the other process)
     val extCpuThreshold =
@@ -103,6 +76,38 @@ object Bench {
       if (waits > 0)
         System.err.println(f"BENCH: proceeding at load $l%.1f after $waits wait(s)")
       (l, waits)
+    }
+    // warm the JVM/codegen/parquet-reader paths so per-query numbers
+    // reflect steady state rather than first-use compilation. A warm-up
+    // failure means every number below is suspect, so it must be LOUD.
+    // The warm-up counts double as the corpus fingerprint input (below).
+    // Runs AFTER the wait-for-idle gate (r16): its own 32-thread burst
+    // pushes the 1-min load past the tightened threshold, and the gate
+    // must read the BOX's load, not ours.
+    val tableCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    try {
+      Tables.all.foreach(n => tableCounts(n) = Tables.load(spark, sfDir, n).count())
+      spark.range(1000000).selectExpr("sum(id)").collect()
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"BENCH WARM-UP FAILED: ${t.getClass.getName}: ${t.getMessage}")
+    }
+    // Corpus fingerprint: one 8-hex hash over every table's (name,
+    // schema DDL, row count) plus the total row count. The r10 driver
+    // regenerated the testdata mid-round and per-query deltas read as
+    // perf regressions until a judge rerun traced the corpus change —
+    // a bench artifact must identify WHAT it measured. Two artifacts
+    // with different "data" fingerprints are not comparable
+    // round-over-round; the schema DDL inside the hash also catches
+    // physical-type flips (e.g. ts int64-nanos vs timestamp[us]) that
+    // leave row counts identical.
+    val dataJson = {
+      val sig = Tables.all.sorted.map { n =>
+        val schema = scala.util.Try(Tables.load(spark, sfDir, n).schema.sql).getOrElse("?")
+        s"$n|$schema|${tableCounts.getOrElse(n, -1L)}"
+      }.mkString(";")
+      val fp = f"${scala.util.hashing.MurmurHash3.stringHash(sig)}%08x"
+      s""","data":{"fp":"$fp","rows":${tableCounts.values.sum}}"""
     }
     val sweepWallStart = System.nanoTime()
     val busyTicksStart = sysBusyTicks

@@ -17,11 +17,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * coordination between readers and writers.
   *
   * Commit atomicity rides on EXCLUSIVE CREATE (`create(path,
-  * overwrite=false)`): POSIX/HDFS give it directly; on object stores
-  * it maps to conditional PUT (If-None-Match), which S3/GCS/ABFS all
-  * provide. Two racing committers produce one winner and one loud
-  * `FileAlreadyExistsException` — optimistic concurrency, retry by
-  * re-reading the latest version (the Delta protocol's exact story).
+  * overwrite=false)`): POSIX/HDFS give it directly. On object stores
+  * the REQUIRED connector capability is a conditional PUT
+  * (If-None-Match) behind that call — which the stores themselves
+  * expose but not every Hadoop connector wires up: s3a maps
+  * `create(false)` to exists-check-then-PUT unless the conditional
+  * write is enabled (recent Hadoop, `fs.s3a.create.conditional
+  * .enabled`), and `RawLocalFileSystem` is likewise check-then-create
+  * (tests run on the checksummed `file:` LocalFileSystem wrapper,
+  * whose create path is effectively single-process-safe). Deploying
+  * this log on a store whose connector lacks true conditional create
+  * degrades two racing committers to last-write-wins — silently
+  * dropping a commit — so that capability/config is a DEPLOYMENT
+  * PRECONDITION, not something this code can conjure (r15 advice
+  * #5). Where it holds, two racing committers produce one winner and
+  * one loud `FileAlreadyExistsException`, which [[append]]/
+  * [[deleteRange]]/[[updateRange]]/[[mergeInto]] absorb with a
+  * bounded rebase-and-retry loop (r16 — the Delta protocol's
+  * optimistic-concurrency story; non-rebasable overlap raises
+  * `ConcurrentModificationException`).
   *
   * Data files live under `data-<uuid>/` subdirectories written by
   * Spark's parquet committer (each commit gets a FRESH subdir, so
@@ -157,13 +171,22 @@ object SnapshotLog {
     */
   def read(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
     val s = snapshot(spark, dir, version)
-    require(s.files.nonEmpty,
-      s"[graft] SnapshotLog: version ${s.version} has no data files")
     s.meta.get(SchemaKey) match {
       case Some(ddl) =>
-        spark.read.schema(
-          org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(s.files: _*)
-      case None => spark.read.parquet(s.files: _*)
+        val sch = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        if (s.files.isEmpty)
+          // a legal empty version (e.g. a deleteRange that removed the
+          // last row) reads as zero rows UNDER THE COMMITTED SCHEMA —
+          // r15 advice #4: a full-table delete must not make the table
+          // unreadable until the next write
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        else spark.read.schema(sch).parquet(s.files: _*)
+      case None =>
+        require(s.files.nonEmpty,
+          s"[graft] SnapshotLog: version ${s.version} has no data files " +
+            "and no recorded schema to read an empty table under")
+        spark.read.parquet(s.files: _*)
     }
   }
 
@@ -305,6 +328,7 @@ object SnapshotLog {
                      statsCols: Seq[String] = Nil): Long = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     import org.apache.spark.sql.functions.col
+    val sn = snapshot(spark, dir)
     val cur = read(spark, dir)
     val n = cur.count()
     val nOut = math.max(1L, (n + targetRows - 1) / targetRows).toInt
@@ -314,8 +338,11 @@ object SnapshotLog {
           .sortWithinPartitions(sortCols.map(col): _*)
       else cur.repartition(nOut)
     val rel = writeDataFiles(shaped, dir)
+    // carry the previous meta forward (minus the schema, re-stamped):
+    // a maintenance commit must not reset stream watermarks like the
+    // CDC writer's batchId (r15 advice #3)
     commit(spark, dir, rel, collectStats(spark, dir, rel, statsCols),
-      Map(SchemaKey -> cur.schema.toDDL))
+      sn.meta + (SchemaKey -> cur.schema.toDDL))
   }
 
   /** Manifest-level DATA SKIPPING (r15 — the Delta/Iceberg core
@@ -335,13 +362,30 @@ object SnapshotLog {
     import org.apache.spark.sql.functions.col
     val sn = snapshot(spark, dir, version)
     val kept = prunedFiles(sn, colName, lo, hi)
-    require(sn.files.nonEmpty,
-      s"[graft] SnapshotLog: version ${sn.version} has no data files")
+    // the manifest-recorded schema is table truth here exactly as in
+    // [[read]] — r15 advice #2: after a schema-evolving append, a
+    // pruned read over mixed old/new files must null-fill evolved
+    // columns, not depend on which file Spark infers the schema from
+    val schemaOpt = sn.meta.get(SchemaKey)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    def readFiles(fs: Seq[String]): DataFrame = schemaOpt match {
+      case Some(sch) => spark.read.schema(sch).parquet(fs: _*)
+      case None => spark.read.parquet(fs: _*)
+    }
     val base =
-      if (kept.isEmpty)
-        // every file skipped: filter-false over one file keeps the schema
-        spark.read.parquet(sn.files.head).filter(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(kept: _*)
+      if (kept.nonEmpty) readFiles(kept)
+      else schemaOpt match {
+        case Some(sch) =>
+          // every file skipped: zero rows under the committed schema
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None =>
+          require(sn.files.nonEmpty,
+            s"[graft] SnapshotLog: version ${sn.version} has no data files")
+          // filter-false over one file keeps the inferred schema
+          readFiles(Seq(sn.files.head))
+            .filter(org.apache.spark.sql.functions.lit(false))
+      }
     base.filter(col(colName).cast("long").between(lo, hi))
   }
 
@@ -396,9 +440,11 @@ object SnapshotLog {
     val carried = sn.stats.collect {
       case (abs, m) if !touched(abs) => toRel(abs) -> m
     }
+    // full meta carries (schema AND e.g. the CDC batchId watermark —
+    // r15 advice #3: maintenance commits must not reset it)
     commit(spark, dir, untouchedRel ++ newRel,
       carried ++ collectStats(spark, dir, newRel, statCols),
-      sn.meta.get(SchemaKey).map(SchemaKey -> _).toMap)
+      sn.meta)
   }
 
   /** Copy-on-write UPDATE (r15 — [[deleteRange]]'s sibling, closing
@@ -446,7 +492,7 @@ object SnapshotLog {
     }
     commit(spark, dir, untouchedRel ++ newRel,
       carried ++ collectStats(spark, dir, newRel, statCols),
-      sn.meta.get(SchemaKey).map(SchemaKey -> _).toMap)
+      sn.meta)
   }
 
   /** Reclaim storage: drop all but the newest `keepVersions` version

@@ -158,8 +158,15 @@ object StagedCommit {
           }
         }
       }
+      // also drop a leftover _graft_manifest.json: if this dir was
+      // previously manifest-committed, the staged swap deletes the old
+      // unique parts (they match the stale rule) but a surviving
+      // manifest would keep naming them — readers trust the manifest
+      // when one exists, so a stale one serves deleted paths (r15
+      // advice #1). A staged-protocol dir must carry no manifest.
       Option(fs.listStatus(d)).getOrElse(Array.empty).foreach { st =>
-        if (st.isFile && isStale(st.getPath.getName)) {
+        val n = st.getPath.getName
+        if (st.isFile && (isStale(n) || n == ManifestName)) {
           fs.delete(st.getPath, false); ()
         }
       }
