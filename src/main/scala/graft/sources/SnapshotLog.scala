@@ -193,18 +193,17 @@ object SnapshotLog {
   /** The manifest meta key carrying the committed schema DDL. */
   val SchemaKey = "schemaDdl"
 
-  /** Commit `relFiles` as the next version. Exclusive create is the
-    * atomicity primitive; a racing committer loses with a loud
-    * `FileAlreadyExistsException` (re-read latest and retry —
-    * optimistic concurrency).
+  /** Write the version file for EXACTLY `next` — the one atomicity
+    * primitive (exclusive create). Throws
+    * `FileAlreadyExistsException`-shaped errors when a racer got
+    * there first; [[commitRebase]] absorbs those.
     */
-  private def commit(spark: SparkSession, dir: String,
-                     relFiles: Seq[String],
-                     stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                     meta: Map[String, String] = Map.empty): Long = {
+  private def writeVersionFileAt(spark: SparkSession, dir: String, next: Long,
+                                 relFiles: Seq[String],
+                                 stats: Map[String, Map[String, (Long, Long)]],
+                                 meta: Map[String, String]): Unit = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
-    val next = versions(spark, dir).lastOption.getOrElse(-1L) + 1L
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("format", "graft-log-v1")
@@ -228,7 +227,63 @@ object SnapshotLog {
     val out = f.create(versionFile(dir, next), false) // exclusive create
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    next
+  }
+
+  /** Did the exclusive create lose a race? Connectors surface it as
+    * `o.a.h.fs.FileAlreadyExistsException`, `java.nio`'s sibling, or
+    * a plain IOException mentioning existence — normalize here.
+    */
+  private def isAlreadyExists(t: Throwable): Boolean = t match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case e: java.io.IOException =>
+      Option(e.getMessage).exists(_.toLowerCase.contains("already exists"))
+    case _ => false
+  }
+
+  /** TEST-ONLY: invoked between planning a commit and writing its
+    * version file — the race window. Specs install a hook that lands
+    * a competing commit there to exercise [[commitRebase]]
+    * deterministically; production never sets it.
+    */
+  private[graft] var raceTestHook: () => Unit = () => ()
+
+  /** The OPTIMISTIC-COMMIT loop (r16 — the missing half of the
+    * exclusive-create story): `plan(latest)` turns the CURRENT latest
+    * snapshot (None on an empty table) into the (files, stats, meta)
+    * to commit as the next version; when the exclusive create loses a
+    * race, the loop re-reads the new latest and RE-PLANS against it —
+    * the Delta rebase. `plan` raises
+    * `ConcurrentModificationException` itself when the new latest
+    * overlaps what the caller already rewrote (the conflict matrix's
+    * non-trivial case); data files are NEVER rewritten on retry, only
+    * the carry arithmetic re-derives. Bounded at 10 attempts with
+    * linear backoff — past that the original race loss rethrows.
+    */
+  private def commitRebase(spark: SparkSession, dir: String)(
+      plan: Option[Snapshot] => (Seq[String],
+        Map[String, Map[String, (Long, Long)]], Map[String, String])): Long = {
+    val maxAttempts = 10
+    var attempt = 0
+    while (true) {
+      val latest = versions(spark, dir).lastOption
+        .map(v => snapshot(spark, dir, v))
+      val (rel, stats, meta) = plan(latest)
+      raceTestHook()
+      val next = latest.map(_.version + 1L).getOrElse(0L)
+      try {
+        writeVersionFileAt(spark, dir, next, rel, stats, meta)
+        return next
+      } catch {
+        case t: Throwable if isAlreadyExists(t) =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw new java.io.IOException(
+            s"[graft] SnapshotLog: lost the commit race $maxAttempts times " +
+              s"under $dir — giving up (live contention storm?)", t)
+          Thread.sleep(25L * attempt)
+      }
+    }
+    -1L // unreachable
   }
 
   /** Per-file (min, max) of each long-castable stats column over a
@@ -285,9 +340,12 @@ object SnapshotLog {
   def write(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
             meta: Map[String, String] = Map.empty): Long = {
     val rel = writeDataFiles(df, dir)
-    commit(df.sparkSession, dir, rel,
-      collectStats(df.sparkSession, dir, rel, statsCols),
-      meta + (SchemaKey -> df.schema.toDDL))
+    val stats = collectStats(df.sparkSession, dir, rel, statsCols)
+    // REPLACE depends on nothing in the previous version: a lost race
+    // rebases to "take the next slot" with the same payload
+    commitRebase(df.sparkSession, dir) { _ =>
+      (rel, stats, meta + (SchemaKey -> df.schema.toDDL))
+    }
   }
 
   /** APPEND commit: the next version is the previous file set plus
@@ -300,18 +358,21 @@ object SnapshotLog {
     val base = fs(spark, dir).makeQualified(
       new org.apache.hadoop.fs.Path(dir)).toString
     def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
-    val (prevRel, prevStats) = versions(spark, dir).lastOption.map { _ =>
-      val sn = snapshot(spark, dir)
-      (sn.files.map(toRel),
-        sn.stats.map { case (abs, m) => toRel(abs) -> m })
-    }.getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
     val newRel = writeDataFiles(df, dir)
+    val newStats = collectStats(spark, dir, newRel, statsCols)
+    // appends never conflict: a lost race rebases onto the NEW
+    // latest's file set (blind append, the conflict matrix's trivial
+    // row); the data files written above are reused as-is.
     // schema evolution, append flavor: the committed schema is the
     // appender's (latest writer wins — adding a column evolves the
     // table, old files null-fill it on read; dropping one hides it)
-    commit(spark, dir, prevRel ++ newRel,
-      prevStats ++ collectStats(spark, dir, newRel, statsCols),
-      Map(SchemaKey -> df.schema.toDDL))
+    commitRebase(spark, dir) { latest =>
+      val (prevRel, prevStats) = latest.map { sn =>
+        (sn.files.map(toRel), sn.stats.map { case (abs, m) => toRel(abs) -> m })
+      }.getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
+      (prevRel ++ newRel, prevStats ++ newStats,
+        Map(SchemaKey -> df.schema.toDDL))
+    }
   }
 
   /** C30c: LIVE in-place compaction — rewrite the CURRENT snapshot
@@ -338,11 +399,23 @@ object SnapshotLog {
           .sortWithinPartitions(sortCols.map(col): _*)
       else cur.repartition(nOut)
     val rel = writeDataFiles(shaped, dir)
+    val newStats = collectStats(spark, dir, rel, statsCols)
     // carry the previous meta forward (minus the schema, re-stamped):
     // a maintenance commit must not reset stream watermarks like the
-    // CDC writer's batchId (r15 advice #3)
-    commit(spark, dir, rel, collectStats(spark, dir, rel, statsCols),
-      sn.meta + (SchemaKey -> cur.schema.toDDL))
+    // CDC writer's batchId (r15 advice #3). A lost race rebases only
+    // when the racer left the FILE SET untouched (metadata-only
+    // commit) — compaction rewrote everything, so any concurrent data
+    // change conflicts.
+    commitRebase(spark, dir) { latestOpt =>
+      val latest = latestOpt.getOrElse(sn)
+      if (latest.version != sn.version &&
+          latest.files.toSet != sn.files.toSet)
+        throw new java.util.ConcurrentModificationException(
+          s"[graft] compactInPlace: table advanced from v${sn.version} to " +
+            s"v${latest.version} with a different file set while compacting — " +
+            "re-run against the new version")
+      (rel, newStats, latest.meta + (SchemaKey -> cur.schema.toDDL))
+    }
   }
 
   /** Manifest-level DATA SKIPPING (r15 — the Delta/Iceberg core
@@ -422,7 +495,6 @@ object SnapshotLog {
     val base = fs(spark, dir).makeQualified(
       new org.apache.hadoop.fs.Path(dir)).toString
     def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
-    val untouchedRel = sn.files.filterNot(touched).map(toRel)
     val reader = sn.meta.get(SchemaKey) match {
       case Some(ddl) => spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -437,14 +509,31 @@ object SnapshotLog {
     // stats: carry the untouched files' entries; recompute the same
     // column set for the rewritten files
     val statCols = sn.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val carried = sn.stats.collect {
-      case (abs, m) if !touched(abs) => toRel(abs) -> m
-    }
+    val newStats = collectStats(spark, dir, newRel, statCols)
     // full meta carries (schema AND e.g. the CDC batchId watermark —
-    // r15 advice #3: maintenance commits must not reset it)
-    commit(spark, dir, untouchedRel ++ newRel,
-      carried ++ collectStats(spark, dir, newRel, statCols),
-      sn.meta)
+    // r15 advice #3: maintenance commits must not reset it). A lost
+    // race rebases when the racer neither rewrote our touched files
+    // nor added files overlapping the delete range; otherwise the
+    // serializable answer differs and we conflict loudly.
+    commitRebase(spark, dir) { latestOpt =>
+      val latest = latestOpt.getOrElse(sn)
+      if (latest.version != sn.version) {
+        if (!touchedAbs.forall(latest.files.contains))
+          throw new java.util.ConcurrentModificationException(
+            s"[graft] deleteRange: a concurrent commit rewrote files this " +
+              s"delete read (table at v${latest.version}) — re-run")
+        val extra = prunedFiles(latest, colName, lo, hi).toSet -- touched
+        if (extra.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"[graft] deleteRange: a concurrent commit added ${extra.size} " +
+              s"file(s) overlapping [$lo,$hi] — re-run to cover their rows")
+      }
+      val untouchedRelNow = latest.files.filterNot(touched).map(toRel)
+      val carriedNow = latest.stats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      (untouchedRelNow ++ newRel, carriedNow ++ newStats, latest.meta)
+    }
   }
 
   /** Copy-on-write UPDATE (r15 — [[deleteRange]]'s sibling, closing
@@ -471,7 +560,6 @@ object SnapshotLog {
     val base = fs(spark, dir).makeQualified(
       new org.apache.hadoop.fs.Path(dir)).toString
     def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
-    val untouchedRel = sn.files.filterNot(touched).map(toRel)
     val reader = sn.meta.get(SchemaKey) match {
       case Some(ddl) => spark.read.schema(
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -487,12 +575,28 @@ object SnapshotLog {
     }
     val newRel = writeDataFiles(updated, dir)
     val statCols = sn.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val carried = sn.stats.collect {
-      case (abs, m) if !touched(abs) => toRel(abs) -> m
+    val newStats = collectStats(spark, dir, newRel, statCols)
+    // same rebase/conflict rule as deleteRange (the update read the
+    // same touched set and must cover any concurrently-added overlap)
+    commitRebase(spark, dir) { latestOpt =>
+      val latest = latestOpt.getOrElse(sn)
+      if (latest.version != sn.version) {
+        if (!touchedAbs.forall(latest.files.contains))
+          throw new java.util.ConcurrentModificationException(
+            s"[graft] updateRange: a concurrent commit rewrote files this " +
+              s"update read (table at v${latest.version}) — re-run")
+        val extra = prunedFiles(latest, colName, lo, hi).toSet -- touched
+        if (extra.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"[graft] updateRange: a concurrent commit added ${extra.size} " +
+              s"file(s) overlapping [$lo,$hi] — re-run to cover their rows")
+      }
+      val untouchedRelNow = latest.files.filterNot(touched).map(toRel)
+      val carriedNow = latest.stats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      (untouchedRelNow ++ newRel, carriedNow ++ newStats, latest.meta)
     }
-    commit(spark, dir, untouchedRel ++ newRel,
-      carried ++ collectStats(spark, dir, newRel, statCols),
-      sn.meta)
   }
 
   /** The data files a CDC batch's keys can possibly live in — the
@@ -525,13 +629,17 @@ object SnapshotLog {
       sn.stats.get(f).flatMap(_.get(keyCol)).map { case (lo, hi) => (f, lo, hi) }
     }
     val statless = sn.files.toSet -- ranged.map(_._1)
-    if (ranged.isEmpty) return sn.files // statless table: everything touched
     val keys = batch.select(col(keyCol).cast("long").as("_k"))
       .where(col("_k").isNotNull)
     val mm = keys.agg(min("_k"), max("_k")).head()
+    // an empty (or all-null-key) batch can change nothing — it touches
+    // no file at all, even statless ones, so it commits metadata-only.
+    // (Null keys are outside the CDC contract mergeLatest already
+    // assumes; they never prune and never match a range.)
+    if (mm.isNullAt(0)) return Seq.empty
+    if (ranged.isEmpty) return sn.files // statless table: everything touched
     val hitSet: Set[String] =
-      if (mm.isNullAt(0)) Set.empty // keyless batch touches no ranged file
-      else {
+      {
         val (bLo, bHi) = (mm.getLong(0), mm.getLong(1))
         val candidates = ranged.filter { case (_, lo, hi) => hi >= bLo && lo <= bHi }
         if (candidates.isEmpty) Set.empty
@@ -595,7 +703,6 @@ object SnapshotLog {
     val base = fs(spark, dir).makeQualified(
       new org.apache.hadoop.fs.Path(dir)).toString
     def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
-    val untouchedRel = sn.files.filterNot(touched).map(toRel)
     val batchCols = batch.columns.toSet
     val merged =
       if (touchedAbs.isEmpty)
@@ -628,12 +735,30 @@ object SnapshotLog {
     val newRel = if (out.isEmpty) Seq.empty[String] else writeDataFiles(out, dir)
     val statCols =
       (sn.stats.values.flatMap(_.keys).toSeq ++ statsCols).distinct.sorted
-    val carried = sn.stats.collect {
-      case (abs, m) if !touched(abs) => toRel(abs) -> m
+    val newStats = collectStats(spark, dir, newRel, statCols)
+    // rebase rule: a racer may neither rewrite our touched files nor
+    // land files whose key range overlaps the batch's keys (the merge
+    // result would be stale for those keys) — otherwise conflict.
+    commitRebase(spark, dir) { latestOpt =>
+      val latest = latestOpt.getOrElse(sn)
+      if (latest.version != sn.version) {
+        if (!touchedAbs.forall(latest.files.contains))
+          throw new java.util.ConcurrentModificationException(
+            s"[graft] mergeInto: a concurrent commit rewrote files this " +
+              s"merge read (table at v${latest.version}) — re-run")
+        val extra = batchTouchedFiles(latest, batch, keyCols.head).toSet -- touched
+        if (extra.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"[graft] mergeInto: a concurrent commit added ${extra.size} " +
+              "file(s) overlapping the batch's keys — re-run to merge them")
+      }
+      val untouchedRelNow = latest.files.filterNot(touched).map(toRel)
+      val carriedNow = latest.stats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      (untouchedRelNow ++ newRel, carriedNow ++ newStats,
+        latest.meta ++ meta + (SchemaKey -> out.schema.toDDL))
     }
-    commit(spark, dir, untouchedRel ++ newRel,
-      carried ++ collectStats(spark, dir, newRel, statCols),
-      sn.meta ++ meta + (SchemaKey -> out.schema.toDDL))
   }
 
   /** Reclaim storage: drop all but the newest `keepVersions` version
