@@ -87,7 +87,11 @@ object SnapshotLog {
 
   private val VersionRe = "v(\\d{20})\\.json".r
 
-  /** All committed versions, ascending (empty = not a snapshot table). */
+  /** All committed versions, ascending (empty = not a snapshot table).
+    * This is the FULL log listing — the maintenance/time-travel path
+    * ([[vacuum]], version audits). The hot read path goes through
+    * [[latestVersion]] instead, which is checkpoint-bounded.
+    */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val f = fs(spark, dir)
     val ld = logDir(dir)
@@ -99,18 +103,91 @@ object SnapshotLog {
       }).sorted
   }
 
-  /** Resolve a snapshot (latest when `version < 0`). One log listing
-    * + one version-file read; the data dir is never listed.
+  /** C35g (r16): the checkpoint pointer — `_graft_log/_last_checkpoint`
+    * holds a recently-committed version number so [[latestVersion]]
+    * resolves the head by PROBING FORWARD from it (a handful of
+    * existence checks) instead of listing the whole log, which under
+    * per-micro-batch CDC commits grows one file per batch forever
+    * (the r15 verdict's log-growth finding). Because every version
+    * file here is a COMPLETE manifest — not a delta to replay — the
+    * pointer is the entire checkpoint; there is no separate
+    * checkpoint-state file to write (the public delta logs need one
+    * only because their commits are incremental). The pointer is a
+    * best-effort HINT, refreshed every [[CheckpointInterval]] commits
+    * and on [[vacuum]]: stale, missing, torn, or
+    * pointing-at-a-vacuumed-version all degrade safely to the full
+    * listing; correctness never depends on it.
+    */
+  val LastCheckpointName = "_last_checkpoint"
+
+  /** Refresh the pointer every this many commits. */
+  val CheckpointInterval = 10L
+
+  private def checkpointFile(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(logDir(dir), LastCheckpointName)
+
+  private def readCheckpointHint(f: org.apache.hadoop.fs.FileSystem,
+                                 dir: String): Option[Long] =
+    try {
+      val in = f.open(checkpointFile(dir))
+      val bytes =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      val v = node.path("version")
+      if (v.isMissingNode) None else Some(v.asLong())
+    } catch { case _: Exception => None } // absent/torn/garbage: hint only
+
+  private def writeCheckpointHint(f: org.apache.hadoop.fs.FileSystem,
+                                  dir: String, v: Long): Unit =
+    try {
+      val out = f.create(checkpointFile(dir), true) // overwrite: a hint
+      try out.write(s"""{"version":$v}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () } // best-effort by design
+
+  /** The latest committed version WITHOUT listing the log when the
+    * checkpoint hint is live: start at the hint and probe forward
+    * until the first missing version file (commits are contiguous by
+    * construction, so the first gap is the head). Falls back to the
+    * full [[versions]] listing when there is no usable hint. None =
+    * not a snapshot table.
+    */
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    readCheckpointHint(f, dir) match {
+      case Some(h) if f.exists(versionFile(dir, h)) =>
+        var v = h
+        while (f.exists(versionFile(dir, v + 1L))) v += 1L
+        Some(v)
+      case _ => versions(spark, dir).lastOption
+    }
+  }
+
+  /** Resolve a snapshot (latest when `version < 0`). Checkpoint-
+    * bounded head resolution (or one existence check for an explicit
+    * version) + one version-file read; neither the data dir nor —
+    * when the checkpoint hint is live — the log dir is ever listed.
     */
   def snapshot(spark: SparkSession, dir: String, version: Long = -1L): Snapshot = {
-    val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"[graft] SnapshotLog: no committed versions under $dir")
-    val v = if (version < 0) vs.last else {
-      require(vs.contains(version),
-        s"[graft] SnapshotLog: version $version not in committed set $vs")
+    val f = fs(spark, dir)
+    val v = if (version < 0) {
+      val latest = latestVersion(spark, dir)
+      require(latest.nonEmpty,
+        s"[graft] SnapshotLog: no committed versions under $dir")
+      latest.get
+    } else {
+      require(f.exists(versionFile(dir, version)),
+        s"[graft] SnapshotLog: version $version not committed (or vacuumed) " +
+          s"under $dir")
       version
     }
-    val f = fs(spark, dir)
     val in = f.open(versionFile(dir, v))
     val bytes =
       try {
@@ -266,13 +343,14 @@ object SnapshotLog {
     val maxAttempts = 10
     var attempt = 0
     while (true) {
-      val latest = versions(spark, dir).lastOption
-        .map(v => snapshot(spark, dir, v))
+      val latest = latestVersion(spark, dir).map(v => snapshot(spark, dir, v))
       val (rel, stats, meta) = plan(latest)
       raceTestHook()
       val next = latest.map(_.version + 1L).getOrElse(0L)
       try {
         writeVersionFileAt(spark, dir, next, rel, stats, meta)
+        if (next % CheckpointInterval == 0L)
+          writeCheckpointHint(fs(spark, dir), dir, next)
         return next
       } catch {
         case t: Throwable if isAlreadyExists(t) =>
@@ -762,17 +840,33 @@ object SnapshotLog {
   }
 
   /** Reclaim storage: drop all but the newest `keepVersions` version
-    * files and delete data files no kept version references. Run only
+    * files and delete data files no kept version references — the LOG
+    * RETENTION half of C35g (under per-batch CDC commits the log
+    * grows one version file per batch; this is the bound). Run only
     * after readers of the dropped versions have drained (the standard
-    * vacuum contract).
+    * vacuum contract). Refreshes the checkpoint pointer to the newest
+    * kept version so head resolution never probes from a vacuumed
+    * hint.
+    *
+    * `orphanAgeMs >= 0` additionally sweeps ABORTED-COMMIT ORPHANS
+    * (r15 verdict "what's wrong" #4): a crashed or race-losing writer
+    * leaves a full `data-<uuid>/` subdir no version ever referenced,
+    * which the reference-based pass above can never see. The sweep
+    * lists the top-level data subdirs (a maintenance-time listing —
+    * the READ path still never lists) and deletes any dir containing
+    * no file referenced by ANY kept version, provided it is older
+    * than `orphanAgeMs` — the age gate keeps a concurrent writer's
+    * in-flight subdir safe (the Delta tombstone-retention pattern;
+    * size it beyond your longest conceivable write, e.g. 24 h).
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1,
+             orphanAgeMs: Long = -1L): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
     val vs = versions(spark, dir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    val f = fs(spark, dir)
+    val keptFiles = keep.flatMap(v => snapshot(spark, dir, v).files).toSet
     if (drop.nonEmpty) {
-      val f = fs(spark, dir)
-      val keptFiles = keep.flatMap(v => snapshot(spark, dir, v).files).toSet
       val dead = drop.flatMap(v => snapshot(spark, dir, v).files)
         .filterNot(keptFiles)
       dead.foreach { p =>
@@ -785,6 +879,21 @@ object SnapshotLog {
           if (Option(f.listStatus(d)).exists(_.isEmpty)) { f.delete(d, false) }
           ()
         }
+    }
+    keep.lastOption.foreach(v => writeCheckpointHint(f, dir, v))
+    if (orphanAgeMs >= 0L) {
+      val cutoff = System.currentTimeMillis() - orphanAgeMs
+      val root = f.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      val keptDirs = keptFiles
+        .map(p => new org.apache.hadoop.fs.Path(p).getParent.toString)
+      Option(f.listStatus(root)).getOrElse(Array.empty).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("data-") &&
+            !keptDirs.contains(st.getPath.toString) &&
+            st.getModificationTime < cutoff) {
+          f.delete(st.getPath, true); ()
+        }
+      }
     }
   }
 }

@@ -668,12 +668,15 @@ object StreamingDQ {
       extends Serializable {
     def writeBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       val spark = batch.sparkSession
-      val vs = graft.sources.SnapshotLog.versions(spark, tableDir)
-      val last = vs.lastOption
+      // checkpoint-bounded head resolution (r16): a per-minute stream
+      // commits ~half a million versions a year — the writer must not
+      // list the whole log every batch
+      val head = graft.sources.SnapshotLog.latestVersion(spark, tableDir)
+      val last = head
         .map(v => graft.sources.SnapshotLog.snapshot(spark, tableDir, v))
         .flatMap(_.meta.get("batchId")).map(_.toLong).getOrElse(-1L)
       if (batchId <= last) return // re-delivered: already committed
-      if (vs.isEmpty) {
+      if (head.isEmpty) {
         // bootstrap: first batch becomes v0, RANGE-CLUSTERED on the key
         // with key stats recorded — compactLatest's groupBy leaves hash
         // layout, under which every file's key range spans the whole
