@@ -862,7 +862,34 @@ object SparkEntry {
           if (kept.size < sn.files.size || sn.files.size <= 1) 1L else 0L),
         ("files_total", sn.files.size.toLong))
         .toDF("metric", "value")
-      cen.unionByName(certs).orderBy("metric")
+      // r16 (C35i): STRING data skipping — a second table
+      // range-clustered by lang with STRING manifest bounds; the
+      // 'de'..'en' slice (2 of the five langs) reads only
+      // overlapping files, decided from the manifest alone, and the
+      // oracle re-derives its census — string skipping must be
+      // invisible to results too
+      val dirS = "/tmp/graft_gate/c30d_log_str"
+      hfs.delete(new org.apache.hadoop.fs.Path(dirS), true)
+      val docsL = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      graft.sources.SnapshotLog.write(docsL.repartition(8), dirS)
+      graft.sources.SnapshotLog.compactInPlace(s, dirS, 200L,
+        sortCols = Seq("lang", "doc_id"), statsCols = Seq("lang"))
+      val snS = graft.sources.SnapshotLog.snapshot(s, dirS)
+      val keptS = graft.sources.SnapshotLog.prunedFilesStr(snS, "lang", "de", "en")
+      val cenS = graft.sources.SnapshotLog
+        .readPrunedStr(s, dirS, "lang", "de", "en")
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("lang"), lit("")))))
+        .agg(count(lit(1)).cast("long").as("rows"),
+          coalesce(expr("bit_xor(_h)"), lit(0L)).as("xr"))
+        .select(expr("stack(2, 'rows_pruned_str', rows, 'xor_pruned_str', xr) AS (metric, value)"))
+      val certsS = Seq(
+        ("cert_skipped_str",
+          if (keptS.size < snS.files.size || snS.files.size <= 1) 1L else 0L),
+        ("files_total_str", snS.files.size.toLong))
+        .toDF("metric", "value")
+      cen.unionByName(certs).unionByName(cenS).unionByName(certsS)
+        .orderBy("metric")
     }),
 
     // C30e (r15): COPY-ON-WRITE DELETE with manifest-pruned rewrites
@@ -4489,13 +4516,26 @@ object SparkEntry {
         |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
         |      CAST(i AS INT), 1)) - 1),
         |    (a, x) -> a * 16 + x) AS hh FROM fin),
+        |finS AS (SELECT doc_id, lang FROM documents
+        |  WHERE lang BETWEEN 'de' AND 'en'),
+        |hS AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(lang, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM finS),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT * FROM (
         |  SELECT 'cert_skipped' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'cert_skipped_str', 1
         |  UNION ALL SELECT 'files_total', CAST((n + 199) // 200 AS BIGINT) FROM n
+        |  UNION ALL SELECT 'files_total_str', CAST((n + 199) // 200 AS BIGINT) FROM n
         |  UNION ALL SELECT 'rows_pruned', (SELECT CAST(count(*) AS BIGINT) FROM fin)
+        |  UNION ALL SELECT 'rows_pruned_str',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM finS)
         |  UNION ALL SELECT 'xor_pruned',
-        |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
+        |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0)
+        |  UNION ALL SELECT 'xor_pruned_str',
+        |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM hS), 0))
         |ORDER BY metric""".stripMargin,
 
     // C30e: the surviving census from the ORIGINAL parquet — a delete

@@ -68,12 +68,15 @@ object SnapshotLog {
 
   /** A resolved snapshot: the version, the ABSOLUTE data-file paths,
     * and (when the commit collected them) per-file column stats —
-    * `stats(file)(col) = (min, max)` over long-castable columns, the
-    * data-skipping index [[readPruned]] consults.
+    * `stats(file)(col) = (min, max)` over long-castable columns and
+    * `strStats(file)(col) = (min, max)` over string columns (r16,
+    * parquet-style truncated bounds) — the data-skipping indexes
+    * [[readPruned]] / [[readPrunedStr]] consult.
     */
   final case class Snapshot(version: Long, files: Seq[String],
                             stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                            meta: Map[String, String] = Map.empty)
+                            meta: Map[String, String] = Map.empty,
+                            strStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private def logDir(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(dir, LogDirName)
@@ -235,7 +238,27 @@ object SnapshotLog {
         b.result()
       }
     }
-    Snapshot(v, rel.result().map(abs), stats, meta)
+    val strStats = {
+      val node = root.path("strStats")
+      if (node.isMissingNode) Map.empty[String, Map[String, (String, String)]]
+      else {
+        val b = Map.newBuilder[String, Map[String, (String, String)]]
+        val fit = node.fields()
+        while (fit.hasNext) {
+          val e = fit.next()
+          val cb = Map.newBuilder[String, (String, String)]
+          val cit = e.getValue.fields()
+          while (cit.hasNext) {
+            val ce = cit.next()
+            cb += ce.getKey -> (ce.getValue.get(0).asText(),
+              ce.getValue.get(1).asText())
+          }
+          b += abs(e.getKey) -> cb.result()
+        }
+        b.result()
+      }
+    }
+    Snapshot(v, rel.result().map(abs), stats, meta, strStats)
   }
 
   /** Read a snapshot (latest by default) — exactly its file list,
@@ -278,7 +301,9 @@ object SnapshotLog {
   private def writeVersionFileAt(spark: SparkSession, dir: String, next: Long,
                                  relFiles: Seq[String],
                                  stats: Map[String, Map[String, (Long, Long)]],
-                                 meta: Map[String, String]): Unit = {
+                                 meta: Map[String, String],
+                                 strStats: Map[String, Map[String, (String, String)]]
+                                   = Map.empty): Unit = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -292,6 +317,15 @@ object SnapshotLog {
       relFiles.filter(stats.contains).foreach { r =>
         val fn = sn.putObject(r)
         stats(r).toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = fn.putArray(c); a.add(lo); a.add(hi); ()
+        }
+      }
+    }
+    if (strStats.nonEmpty) {
+      val sn = root.putObject("strStats")
+      relFiles.filter(strStats.contains).foreach { r =>
+        val fn = sn.putObject(r)
+        strStats(r).toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
           val a = fn.putArray(c); a.add(lo); a.add(hi); ()
         }
       }
@@ -337,18 +371,23 @@ object SnapshotLog {
     * the carry arithmetic re-derives. Bounded at 10 attempts with
     * linear backoff — past that the original race loss rethrows.
     */
+  private final case class CommitPlan(
+      rel: Seq[String],
+      stats: Map[String, Map[String, (Long, Long)]],
+      meta: Map[String, String],
+      strStats: Map[String, Map[String, (String, String)]] = Map.empty)
+
   private def commitRebase(spark: SparkSession, dir: String)(
-      plan: Option[Snapshot] => (Seq[String],
-        Map[String, Map[String, (Long, Long)]], Map[String, String])): Long = {
+      plan: Option[Snapshot] => CommitPlan): Long = {
     val maxAttempts = 10
     var attempt = 0
     while (true) {
       val latest = latestVersion(spark, dir).map(v => snapshot(spark, dir, v))
-      val (rel, stats, meta) = plan(latest)
+      val p = plan(latest)
       raceTestHook()
       val next = latest.map(_.version + 1L).getOrElse(0L)
       try {
-        writeVersionFileAt(spark, dir, next, rel, stats, meta)
+        writeVersionFileAt(spark, dir, next, p.rel, p.stats, p.meta, p.strStats)
         if (next % CheckpointInterval == 0L)
           writeCheckpointHint(fs(spark, dir), dir, next)
         return next
@@ -364,38 +403,96 @@ object SnapshotLog {
     -1L // unreachable
   }
 
-  /** Per-file (min, max) of each long-castable stats column over a
-    * freshly written subdir — ONE column-pruned scan of only the
-    * stats columns (parquet reads just those pages), grouped by
-    * `input_file_name`. Files where a column is all-null carry no
-    * entry for it (= never pruned on it).
+  /** Per-file (min, max) of each stats column over a freshly written
+    * subdir — ONE column-pruned scan of only the stats columns
+    * (parquet reads just those pages), grouped by `input_file_name`.
+    * Long-castable columns land in the first (numeric) map; STRING
+    * columns (r16) land in the second, with parquet-style truncated
+    * bounds ([[truncatedLower]]/[[truncatedUpper]]) so a long-URL
+    * column cannot bloat the manifest. Files where a column is
+    * all-null carry no entry for it (= never pruned on it).
     */
   private def collectStats(spark: SparkSession, dir: String,
                            relFiles: Seq[String], statsCols: Seq[String])
-      : Map[String, Map[String, (Long, Long)]] = {
-    if (statsCols.isEmpty || relFiles.isEmpty) return Map.empty
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (String, String)]]) = {
+    if (statsCols.isEmpty || relFiles.isEmpty) return (Map.empty, Map.empty)
     import org.apache.spark.sql.functions._
     val base = fs(spark, dir).makeQualified(new org.apache.hadoop.fs.Path(dir))
     val paths = relFiles.map(r => new org.apache.hadoop.fs.Path(base, r).toString)
-    val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"_lo_$c"), max(col(c).cast("long")).as(s"_hi_$c")))
-    val rows = spark.read.parquet(paths: _*)
+    val df = spark.read.parquet(paths: _*)
+    val strCols = statsCols.filter(c =>
+      df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val numCols = statsCols.filterNot(strCols.contains)
+    val aggs = numCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"_lo_$c"),
+      max(col(c).cast("long")).as(s"_hi_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).as(s"_slo_$c"), max(col(c)).as(s"_shi_$c")))
+    val rows = df
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // file-count-sized
-    val byAbs = rows.map { r =>
-      val m = statsCols.flatMap { c =>
+    val numByAbs = rows.map { r =>
+      val m = numCols.flatMap { c =>
         val lo = r.getAs[Any](s"_lo_$c"); val hi = r.getAs[Any](s"_hi_$c")
         if (lo == null || hi == null) None
         else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
       }.toMap
       r.getString(0) -> m
     }.toMap
-    // input_file_name returns the URI form — match by suffix
-    relFiles.flatMap { rel =>
-      byAbs.collectFirst { case (k, v) if k.endsWith(rel) && v.nonEmpty => rel -> v }
+    val strByAbs = rows.map { r =>
+      val m = strCols.flatMap { c =>
+        val lo = r.getAs[String](s"_slo_$c"); val hi = r.getAs[String](s"_shi_$c")
+        if (lo == null || hi == null) None
+        else for {
+          tl <- truncatedLower(lo)
+          th <- truncatedUpper(hi)
+        } yield c -> (tl, th)
+      }.toMap
+      r.getString(0) -> m
     }.toMap
+    // input_file_name returns the URI form — match by suffix
+    def bySuffix[A](byAbs: Map[String, Map[String, A]]) =
+      relFiles.flatMap { rel =>
+        byAbs.collectFirst { case (k, v) if k.endsWith(rel) && v.nonEmpty => rel -> v }
+      }.toMap
+    (bySuffix(numByAbs), bySuffix(strByAbs))
   }
+
+  /** Manifest string bounds are truncated to this many UTF-16 units —
+    * a URL column must not turn the manifest into a second copy of
+    * the data (the parquet statistics rule).
+    */
+  val StrStatLen = 64
+
+  /** A truncated LOWER bound: any prefix of the true min is <= it, so
+    * plain truncation is safe. Values containing surrogates are
+    * dropped entirely (no entry → never pruned): Spark orders strings
+    * by UTF-8 bytes (code points) while the driver-side prune
+    * compares UTF-16 units, and the two orders disagree exactly on
+    * supplementary-plane characters.
+    */
+  private def truncatedLower(s: String): Option[String] =
+    if (s.exists(Character.isSurrogate)) None
+    else Some(if (s.length <= StrStatLen) s else s.substring(0, StrStatLen))
+
+  /** A truncated UPPER bound must stay >= every value with that
+    * prefix: take the prefix and INCREMENT its last incrementable
+    * unit (the parquet `truncate + increment` rule). All-max-unit
+    * prefixes (un-incrementable) and surrogate carriers drop the
+    * entry instead — safe, the file just never prunes on the column.
+    */
+  private def truncatedUpper(s: String): Option[String] =
+    if (s.exists(Character.isSurrogate)) None
+    else if (s.length <= StrStatLen) Some(s)
+    else {
+      val p = s.substring(0, StrStatLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else { p(i) = (p(i) + 1).toChar; Some(new String(p, 0, i + 1)) }
+    }
 
   /** Write `df` into a fresh uniquely-named data subdir and return
     * the written parquet files' dir-relative names.
@@ -418,11 +515,11 @@ object SnapshotLog {
   def write(df: DataFrame, dir: String, statsCols: Seq[String] = Nil,
             meta: Map[String, String] = Map.empty): Long = {
     val rel = writeDataFiles(df, dir)
-    val stats = collectStats(df.sparkSession, dir, rel, statsCols)
+    val (stats, strStats) = collectStats(df.sparkSession, dir, rel, statsCols)
     // REPLACE depends on nothing in the previous version: a lost race
     // rebases to "take the next slot" with the same payload
     commitRebase(df.sparkSession, dir) { _ =>
-      (rel, stats, meta + (SchemaKey -> df.schema.toDDL))
+      CommitPlan(rel, stats, meta + (SchemaKey -> df.schema.toDDL), strStats)
     }
   }
 
@@ -437,7 +534,7 @@ object SnapshotLog {
       new org.apache.hadoop.fs.Path(dir)).toString
     def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
     val newRel = writeDataFiles(df, dir)
-    val newStats = collectStats(spark, dir, newRel, statsCols)
+    val (newStats, newStr) = collectStats(spark, dir, newRel, statsCols)
     // appends never conflict: a lost race rebases onto the NEW
     // latest's file set (blind append, the conflict matrix's trivial
     // row); the data files written above are reused as-is.
@@ -445,11 +542,13 @@ object SnapshotLog {
     // appender's (latest writer wins — adding a column evolves the
     // table, old files null-fill it on read; dropping one hides it)
     commitRebase(spark, dir) { latest =>
-      val (prevRel, prevStats) = latest.map { sn =>
-        (sn.files.map(toRel), sn.stats.map { case (abs, m) => toRel(abs) -> m })
-      }.getOrElse((Seq.empty[String], Map.empty[String, Map[String, (Long, Long)]]))
-      (prevRel ++ newRel, prevStats ++ newStats,
-        Map(SchemaKey -> df.schema.toDDL))
+      val prevRel = latest.map(_.files.map(toRel)).getOrElse(Seq.empty)
+      val prevStats = latest.map(_.stats.map { case (abs, m) => toRel(abs) -> m })
+        .getOrElse(Map.empty[String, Map[String, (Long, Long)]])
+      val prevStr = latest.map(_.strStats.map { case (abs, m) => toRel(abs) -> m })
+        .getOrElse(Map.empty[String, Map[String, (String, String)]])
+      CommitPlan(prevRel ++ newRel, prevStats ++ newStats,
+        Map(SchemaKey -> df.schema.toDDL), prevStr ++ newStr)
     }
   }
 
@@ -477,7 +576,7 @@ object SnapshotLog {
           .sortWithinPartitions(sortCols.map(col): _*)
       else cur.repartition(nOut)
     val rel = writeDataFiles(shaped, dir)
-    val newStats = collectStats(spark, dir, rel, statsCols)
+    val (newStats, newStr) = collectStats(spark, dir, rel, statsCols)
     // carry the previous meta forward (minus the schema, re-stamped):
     // a maintenance commit must not reset stream watermarks like the
     // CDC writer's batchId (r15 advice #3). A lost race rebases only
@@ -492,7 +591,8 @@ object SnapshotLog {
           s"[graft] compactInPlace: table advanced from v${sn.version} to " +
             s"v${latest.version} with a different file set while compacting — " +
             "re-run against the new version")
-      (rel, newStats, latest.meta + (SchemaKey -> cur.schema.toDDL))
+      CommitPlan(rel, newStats, latest.meta + (SchemaKey -> cur.schema.toDDL),
+        newStr)
     }
   }
 
@@ -549,6 +649,53 @@ object SnapshotLog {
       }
     }
 
+  /** C35i (r16): STRING data skipping — [[readPruned]]'s sibling over
+    * the string stats, extending the zero-file-opens decision to
+    * text-keyed reads (language slices, URL/host prefixes). Same
+    * safety rule: files without a recorded (possibly truncated) bound
+    * for the column are always kept; truncation only widens bounds,
+    * so skipping can keep extra files but never lose rows. Bounds are
+    * compared with Java's UTF-16 ordering, which matches Spark's
+    * UTF-8 binary ordering on all BMP text — values carrying
+    * supplementary-plane characters never record stats (see
+    * [[truncatedLower]]), keeping the two orders from ever
+    * disagreeing about a pruned file.
+    */
+  def readPrunedStr(spark: SparkSession, dir: String, colName: String,
+                    lo: String, hi: String, version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val sn = snapshot(spark, dir, version)
+    val kept = prunedFilesStr(sn, colName, lo, hi)
+    val schemaOpt = sn.meta.get(SchemaKey)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    def readFiles(fs: Seq[String]): DataFrame = schemaOpt match {
+      case Some(sch) => spark.read.schema(sch).parquet(fs: _*)
+      case None => spark.read.parquet(fs: _*)
+    }
+    val base =
+      if (kept.nonEmpty) readFiles(kept)
+      else schemaOpt match {
+        case Some(sch) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+        case None =>
+          require(sn.files.nonEmpty,
+            s"[graft] SnapshotLog: version ${sn.version} has no data files")
+          readFiles(Seq(sn.files.head))
+            .filter(org.apache.spark.sql.functions.lit(false))
+      }
+    base.filter(col(colName).between(lit(lo), lit(hi)))
+  }
+
+  /** The files [[readPrunedStr]] would open. */
+  def prunedFilesStr(sn: Snapshot, colName: String, lo: String, hi: String): Seq[String] =
+    sn.files.filter { f =>
+      sn.strStats.get(f).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx.compareTo(lo) >= 0 && mn.compareTo(hi) <= 0
+        case None => true
+      }
+    }
+
   /** Copy-on-write DELETE with manifest-level file pruning (r15 — the
     * Delta DELETE shape): drop rows whose `colName` falls in
     * [lo, hi]. Files whose recorded stats DON'T overlap the range are
@@ -586,8 +733,9 @@ object SnapshotLog {
       else writeDataFiles(remaining, dir)
     // stats: carry the untouched files' entries; recompute the same
     // column set for the rewritten files
-    val statCols = sn.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val newStats = collectStats(spark, dir, newRel, statCols)
+    val statCols = (sn.stats.values.flatMap(_.keys) ++
+      sn.strStats.values.flatMap(_.keys)).toSeq.distinct.sorted
+    val (newStats, newStr) = collectStats(spark, dir, newRel, statCols)
     // full meta carries (schema AND e.g. the CDC batchId watermark —
     // r15 advice #3: maintenance commits must not reset it). A lost
     // race rebases when the racer neither rewrote our touched files
@@ -610,7 +758,11 @@ object SnapshotLog {
       val carriedNow = latest.stats.collect {
         case (abs, m) if !touched(abs) => toRel(abs) -> m
       }
-      (untouchedRelNow ++ newRel, carriedNow ++ newStats, latest.meta)
+      val carriedStrNow = latest.strStats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      CommitPlan(untouchedRelNow ++ newRel, carriedNow ++ newStats,
+        latest.meta, carriedStrNow ++ newStr)
     }
   }
 
@@ -652,8 +804,9 @@ object SnapshotLog {
       df.withColumn(c, when(hit, e.cast(dt)).otherwise(col(c)))
     }
     val newRel = writeDataFiles(updated, dir)
-    val statCols = sn.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-    val newStats = collectStats(spark, dir, newRel, statCols)
+    val statCols = (sn.stats.values.flatMap(_.keys) ++
+      sn.strStats.values.flatMap(_.keys)).toSeq.distinct.sorted
+    val (newStats, newStr) = collectStats(spark, dir, newRel, statCols)
     // same rebase/conflict rule as deleteRange (the update read the
     // same touched set and must cover any concurrently-added overlap)
     commitRebase(spark, dir) { latestOpt =>
@@ -673,7 +826,11 @@ object SnapshotLog {
       val carriedNow = latest.stats.collect {
         case (abs, m) if !touched(abs) => toRel(abs) -> m
       }
-      (untouchedRelNow ++ newRel, carriedNow ++ newStats, latest.meta)
+      val carriedStrNow = latest.strStats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      CommitPlan(untouchedRelNow ++ newRel, carriedNow ++ newStats,
+        latest.meta, carriedStrNow ++ newStr)
     }
   }
 
@@ -811,9 +968,9 @@ object SnapshotLog {
       }
     val out = opCol.fold(merged)(merged.drop(_))
     val newRel = if (out.isEmpty) Seq.empty[String] else writeDataFiles(out, dir)
-    val statCols =
-      (sn.stats.values.flatMap(_.keys).toSeq ++ statsCols).distinct.sorted
-    val newStats = collectStats(spark, dir, newRel, statCols)
+    val statCols = (sn.stats.values.flatMap(_.keys).toSeq ++
+      sn.strStats.values.flatMap(_.keys) ++ statsCols).distinct.sorted
+    val (newStats, newStr) = collectStats(spark, dir, newRel, statCols)
     // rebase rule: a racer may neither rewrite our touched files nor
     // land files whose key range overlaps the batch's keys (the merge
     // result would be stale for those keys) — otherwise conflict.
@@ -834,8 +991,12 @@ object SnapshotLog {
       val carriedNow = latest.stats.collect {
         case (abs, m) if !touched(abs) => toRel(abs) -> m
       }
-      (untouchedRelNow ++ newRel, carriedNow ++ newStats,
-        latest.meta ++ meta + (SchemaKey -> out.schema.toDDL))
+      val carriedStrNow = latest.strStats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      CommitPlan(untouchedRelNow ++ newRel, carriedNow ++ newStats,
+        latest.meta ++ meta + (SchemaKey -> out.schema.toDDL),
+        carriedStrNow ++ newStr)
     }
   }
 

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.SnapshotLog
+import org.apache.spark.sql.functions._
+
+/** r16: C35i — STRING min/max manifest stats and [[SnapshotLog
+  * .readPrunedStr]] data skipping: exact on clustered text keys,
+  * truncation-safe on long values (parquet's truncate+increment
+  * rule), surrogate-safe (no stats rather than wrong stats), and
+  * carried/recomputed through the copy-on-write ops like the numeric
+  * stats.
+  */
+class R16StrStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    Files.createTempDirectory(p).toString + "/t"
+
+  private val langs = Seq("de", "en", "es", "fr", "zh")
+
+  private def langTable(tag: String, sortCols: Seq[String]): String = {
+    val dir = tmp(tag)
+    val df = (1L to 100L).map(i => (i, langs((i % 5).toInt), s"t$i"))
+      .toDF("id", "lang", "text")
+    SnapshotLog.write(df.repartition(4), dir)
+    SnapshotLog.compactInPlace(spark, dir, 20L, sortCols,
+      statsCols = Seq("lang", "id"))
+    dir
+  }
+
+  test("string skipping prunes lang slices exactly; results match the plain filter") {
+    val dir = langTable("graft_str_skip", Seq("lang", "id"))
+    val sn = SnapshotLog.snapshot(spark, dir)
+    assert(sn.files.size == 5)
+    assert(sn.files.forall(f => sn.strStats.get(f).exists(_.contains("lang"))))
+    // the de..es slice covers 3 of 5 langs: strictly fewer files open
+    val kept = SnapshotLog.prunedFilesStr(sn, "lang", "de", "es")
+    assert(kept.size < sn.files.size)
+    val pruned = SnapshotLog.readPrunedStr(spark, dir, "lang", "de", "es")
+    val want = SnapshotLog.read(spark, dir).filter(col("lang").between("de", "es"))
+    assert(pruned.count() == want.count() && pruned.count() == 60)
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq ==
+      want.select("id").as[Long].collect().sorted.toSeq)
+    // a slice past every bound: zero files, schema intact
+    val none = SnapshotLog.readPrunedStr(spark, dir, "lang", "zz", "zzz")
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "lang", "text"))
+  }
+
+  test("long values truncate with a safe incremented upper bound — rows never lost") {
+    val dir = tmp("graft_str_trunc")
+    val pad = "x" * 80 // > StrStatLen, shared prefix beyond the cut
+    val df = Seq((1L, pad + "aaa"), (2L, pad + "zzz"), (3L, "short"))
+      .toDF("id", "k")
+    SnapshotLog.write(df.repartition(1), dir, statsCols = Seq("k"))
+    val sn = SnapshotLog.snapshot(spark, dir)
+    val (lo, hi) = sn.strStats(sn.files.head)("k")
+    assert(lo == "short") // min is the short value, untruncated
+    assert(hi.length <= SnapshotLog.StrStatLen)
+    assert(hi.compareTo(pad + "zzz") > 0, "upper bound must dominate the true max")
+    // range queries on the padded values still find their rows
+    val got = SnapshotLog.readPrunedStr(spark, dir, "k", pad + "a", pad + "b")
+    assert(got.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(SnapshotLog.readPrunedStr(spark, dir, "k", pad, pad + "~").count() == 2)
+  }
+
+  test("supplementary-plane values record no stats (never pruned, never wrong)") {
+    val dir = tmp("graft_str_surr")
+    val df = Seq((1L, "😀emoji"), (2L, "plain")).toDF("id", "k")
+    SnapshotLog.write(df.repartition(1), dir, statsCols = Seq("k", "id"))
+    val sn = SnapshotLog.snapshot(spark, dir)
+    // min or max carries a surrogate -> the k entry is dropped entirely
+    assert(!sn.strStats.get(sn.files.head).exists(_.contains("k")))
+    assert(sn.stats(sn.files.head).contains("id")) // numeric stats unaffected
+    // and the file is always kept: no silent loss
+    assert(SnapshotLog.readPrunedStr(spark, dir, "k", "a", "b").count() == 0)
+    assert(SnapshotLog.readPrunedStr(spark, dir, "k", "p", "q").count() == 1)
+  }
+
+  test("string stats carry through deleteRange and survive in rewritten files") {
+    // id-clustered so the id-delete is file-pruned; every file still
+    // carries (wide) lang string stats
+    val dir = langTable("graft_str_carry", Seq("id"))
+    val before = SnapshotLog.snapshot(spark, dir)
+    // delete a numeric id range: only id-overlapping files rewrite
+    SnapshotLog.deleteRange(spark, dir, "id", 1L, 10L)
+    val after = SnapshotLog.snapshot(spark, dir)
+    // every file in the new version still has lang string stats
+    assert(after.files.forall(f => after.strStats.get(f).exists(_.contains("lang"))))
+    // untouched files carried their exact entries
+    val carried = before.files.filter(after.files.contains)
+    assert(carried.nonEmpty)
+    carried.foreach(f => assert(after.strStats(f) == before.strStats(f)))
+    // and string skipping still works post-delete
+    val zh = SnapshotLog.readPrunedStr(spark, dir, "lang", "zh", "zh")
+    assert(zh.count() == SnapshotLog.read(spark, dir)
+      .filter(col("lang") === "zh").count())
+  }
+}
