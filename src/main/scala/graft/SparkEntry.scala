@@ -1021,6 +1021,39 @@ object SparkEntry {
       cen.unionByName(certs).orderBy("metric")
     }),
 
+    // C35j (r16): CHANGE DATA FEED — four commits (base write,
+    // append of the odd half, a pruned range delete, a pruned range
+    // update) and readChanges(0,3) must reproduce each version's
+    // exact row delta: inserts at v1, deletes at v2, the
+    // delete+insert pair at v3, with rewritten-but-unchanged carrier
+    // rows cancelled. The oracle derives every class one-shot from
+    // the original parquet.
+    "q_c35_cdf" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/c35_cdf"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      graft.sources.SnapshotLog.write(
+        docs.filter(col("doc_id") % 2 === 0).repartition(4), dir,
+        statsCols = Seq("doc_id"))
+      graft.sources.SnapshotLog.append(
+        docs.filter(col("doc_id") % 2 === 1).repartition(2), dir,
+        statsCols = Seq("doc_id"))
+      graft.sources.SnapshotLog.deleteRange(s, dir, "doc_id", 10L, 40L)
+      graft.sources.SnapshotLog.updateRange(s, dir, "doc_id", 50L, 80L,
+        Map("text" -> concat(col("text"), lit(" [u]"))))
+      graft.sources.SnapshotLog.readChanges(s, dir, 0L, 3L)
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")))))
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(expr("bit_xor(_h)"), lit(0L)).as("xr"))
+        .orderBy("commit_version", "change_type")
+    }),
+
     // s12 (r15): STREAMING CDC ingest into the snapshot-log table —
     // three replayed change batches (inserts, then inserts + revisions
     // + deletes, then inserts + higher-version re-revisions) merge
@@ -4609,6 +4642,33 @@ object SparkEntry {
         |  UNION ALL SELECT 'xor_after',
         |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
         |ORDER BY metric""".stripMargin,
+
+    // C35j: every change class derived one-shot — odd docs insert at
+    // v1, the [10,40] range deletes at v2, the [50,80] range emits
+    // its delete+insert pair at v3; a CDF that leaked carrier rows,
+    // missed a class, or mis-stamped a version breaks count or hash
+    "q_c35_cdf" ->
+      """WITH ch AS (
+        |  SELECT 1 AS v, 'insert' AS ct, doc_id, text FROM documents
+        |    WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 2, 'delete', doc_id, text FROM documents
+        |    WHERE doc_id BETWEEN 10 AND 40
+        |  UNION ALL
+        |  SELECT 3, 'delete', doc_id, text FROM documents
+        |    WHERE doc_id BETWEEN 50 AND 80
+        |  UNION ALL
+        |  SELECT 3, 'insert', doc_id, text || ' [u]' FROM documents
+        |    WHERE doc_id BETWEEN 50 AND 80),
+        |h AS (SELECT v, ct, list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM ch)
+        |SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  coalesce(CAST(bit_xor(hh) AS BIGINT), 0) AS xr
+        |FROM h GROUP BY v, ct ORDER BY 1, 2""".stripMargin,
 
     // s12: the final CDC state derived one-shot — rev3 on %10 keys
     // (version 3 beats everything), rev2 on the even %3=0 keys,

@@ -687,6 +687,71 @@ object SnapshotLog {
     base.filter(col(colName).between(lit(lo), lit(hi)))
   }
 
+  /** C35j (r16): CHANGE DATA FEED — the per-version row deltas
+    * between `fromVersion` and `toVersion` (latest when negative),
+    * derived from the log alone: for each consecutive version pair
+    * the file-set diff names the only files worth reading (a commit
+    * here rewrites exactly what changed — [[deleteRange]]/
+    * [[updateRange]]/[[mergeInto]] are file-pruned), and a multiset
+    * anti-join (`exceptAll`) between the added and removed files'
+    * rows cancels the carried-along rewrites: an UPDATE surfaces as
+    * its delete+insert pair, a pure DELETE as deletes, an append as
+    * inserts, and a COMPACTION — data-neutral by construction —
+    * cancels to zero rows. Output = the table's columns plus
+    * `_change_type` ('insert'|'delete') and `_commit_version`;
+    * downstream incremental consumers read O(changed files) per
+    * version, never the table (the r15 verdict's engine-gap #5 —
+    * previously they had to diff full reads by hand with D85).
+    * Schema evolution across the range null-fills older steps'
+    * missing columns; each step reads under ITS destination
+    * version's committed schema. Metadata-only commits contribute
+    * nothing.
+    */
+  def readChanges(spark: SparkSession, dir: String,
+                  fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to =
+      if (toVersion >= 0) toVersion
+      else latestVersion(spark, dir).getOrElse(
+        throw new IllegalArgumentException(
+          s"[graft] readChanges: no committed versions under $dir"))
+    require(fromVersion >= 0 && to > fromVersion,
+      s"[graft] readChanges: need 0 <= from < to, got [$fromVersion, $to]")
+    val steps = (fromVersion until to).flatMap { v =>
+      val a = snapshot(spark, dir, v)
+      val b = snapshot(spark, dir, v + 1)
+      val aSet = a.files.toSet
+      val bSet = b.files.toSet
+      val added = b.files.filterNot(aSet)
+      val gone = a.files.filterNot(bSet)
+      if (added.isEmpty && gone.isEmpty) None // metadata-only commit
+      else {
+        val schemaOpt = b.meta.get(SchemaKey)
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        def side(files: Seq[String], other: Seq[String]): DataFrame =
+          if (files.nonEmpty) schemaOpt match {
+            case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+            case None => spark.read.parquet(files: _*)
+          }
+          else schemaOpt match {
+            case Some(sch) => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+            case None => spark.read.parquet(other: _*).filter(lit(false))
+          }
+        val insRaw = side(added, gone)
+        val delRaw = side(gone, added)
+        val ins = insRaw.exceptAll(delRaw).withColumn("_change_type", lit("insert"))
+        val del = delRaw.exceptAll(insRaw).withColumn("_change_type", lit("delete"))
+        Some(ins.unionByName(del).withColumn("_commit_version", lit(v + 1L)))
+      }
+    }
+    if (steps.isEmpty)
+      read(spark, dir, to).filter(lit(false))
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    else steps.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** The files [[readPrunedStr]] would open. */
   def prunedFilesStr(sn: Snapshot, colName: String, lo: String, hi: String): Seq[String] =
     sn.files.filter { f =>

@@ -92,4 +92,40 @@ class R16LogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, dir).count() == 15)
     assert(SnapshotLog.read(spark, dir, 0L).count() == 10) // v0 still readable
   }
+
+  test("CDF: per-version deltas exact; compaction cancels; evolution null-fills") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp("graft_cdf")
+    SnapshotLog.write((1L to 20L).map(i => (i, s"t$i")).toDF("id", "text")
+      .repartition(2), dir, statsCols = Seq("id"))
+    SnapshotLog.append((21L to 30L).map(i => (i, s"t$i", s"L${i % 2}"))
+      .toDF("id", "text", "lang"), dir, statsCols = Seq("id")) // v1: evolves
+    SnapshotLog.compactInPlace(spark, dir, 10L, Seq("id"), Seq("id")) // v2: neutral
+    SnapshotLog.deleteRange(spark, dir, "id", 5L, 8L)                 // v3
+    SnapshotLog.updateRange(spark, dir, "id", 25L, 26L,
+      Map("text" -> concat(col("text"), lit("!"))))                   // v4
+    val cdf = SnapshotLog.readChanges(spark, dir, 0L)
+    assert(cdf.columns.toSet ==
+      Set("id", "text", "lang", "_change_type", "_commit_version"))
+    def slice(v: Long, ct: String) =
+      cdf.filter(col("_commit_version") === v && col("_change_type") === ct)
+        .select("id").as[Long].collect().sorted.toSeq
+    assert(slice(1L, "insert") == (21L to 30L)) // the evolving append
+    assert(slice(1L, "delete").isEmpty)
+    // v1 inserts carry lang; pre-evolution steps null-fill it
+    assert(cdf.filter(col("_commit_version") === 1L &&
+      col("lang").isNull).count() == 0)
+    assert(cdf.filter(col("_commit_version") === 2L).count() == 0) // compaction
+    assert(slice(3L, "delete") == (5L to 8L))
+    assert(slice(3L, "insert").isEmpty)
+    assert(slice(4L, "delete") == Seq(25L, 26L))
+    assert(slice(4L, "insert") == Seq(25L, 26L))
+    // the update pair differs exactly by the set expression
+    val newText = cdf.filter(col("_commit_version") === 4L &&
+      col("_change_type") === "insert").select("text")
+      .as[String].collect().sorted.toSeq
+    assert(newText == Seq("t25!", "t26!"))
+    // a window with only metadata-only/neutral commits yields zero rows
+    assert(SnapshotLog.readChanges(spark, dir, 1L, 2L).count() == 0)
+  }
 }
