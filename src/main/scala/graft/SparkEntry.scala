@@ -968,6 +968,47 @@ object SparkEntry {
       cen.unionByName(certs).orderBy("metric")
     }),
 
+    // C30g (r16): PARTITIONED live compaction — compact ONE lang
+    // partition of a live hive-laid-out table in place: only the
+    // _p=de files rewrite into ceil(n_de/100) range-ordered files
+    // (the q_c30b ceil arithmetic, re-derived by the oracle); every
+    // other partition's files carry path-identically (cert'd), and
+    // the full-table census proves no row moved.
+    "q_c30g_partitioned_compaction" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/c30g_log"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.SnapshotLog.writePartitionedBy(
+        docs.repartition(6), dir, "lang", statsCols = Seq("doc_id"))
+      val before = graft.sources.SnapshotLog.snapshot(s, dir)
+      graft.sources.SnapshotLog.compactPartitionInPlace(s, dir, "lang", "de",
+        100L, sortCols = Seq("doc_id"), statsCols = Seq("doc_id"))
+      val after = graft.sources.SnapshotLog.snapshot(s, dir)
+      val deBefore = before.files
+        .filter(f => graft.sources.SnapshotLog.filePartition(f).contains("de")).toSet
+      val others = before.files.filterNot(deBefore)
+      val cen = graft.sources.SnapshotLog.read(s, dir)
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")),
+          coalesce(col("lang"), lit("")))))
+        .agg(count(lit(1)).cast("long").as("rows"),
+          coalesce(expr("bit_xor(_h)"), lit(0L)).as("xr"))
+        .select(expr("stack(2, 'rows_after', rows, 'xor_after', xr) AS (metric, value)"))
+      val certs = Seq(
+        ("cert_other_carried",
+          if (others.forall(after.files.contains)) 1L else 0L),
+        ("cert_de_dropped",
+          if (after.files.toSet.intersect(deBefore).isEmpty) 1L else 0L),
+        ("files_de_after", after.files.count(f =>
+          graft.sources.SnapshotLog.filePartition(f).contains("de")).toLong),
+        ("versions", graft.sources.SnapshotLog.versions(s, dir).size.toLong))
+        .toDF("metric", "value")
+      cen.unionByName(certs).orderBy("metric")
+    }),
+
     // C30h (r16): FILE-PRUNED CDC MERGE — deleteRange's upsert
     // sibling and the fix for the r15 verdict's one `weak`. One batch
     // carrying updates [10,40], deletes [41,45], and brand-new keys
@@ -4609,6 +4650,30 @@ object SparkEntry {
         |  UNION ALL SELECT 'rows_after', (SELECT CAST(count(*) AS BIGINT) FROM fin)
         |  UNION ALL SELECT 'versions', 3
         |  UNION ALL SELECT 'xor_after', (SELECT CAST(bit_xor(hh) AS BIGINT) FROM h))
+        |ORDER BY metric""".stripMargin,
+
+    // C30g: the full-table census must be byte-identical through a
+    // one-partition compaction (no row may move or change), the de
+    // file count is the C30b ceil arithmetic over the de class, and
+    // the path-identity certs are Spark-computed claims
+    "q_c30g_partitioned_compaction" ->
+      """WITH h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '') || '|'
+        |        || coalesce(lang, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM documents),
+        |nde AS (SELECT count(*) AS n FROM documents WHERE lang = 'de')
+        |SELECT * FROM (
+        |  SELECT 'cert_de_dropped' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'cert_other_carried', 1
+        |  UNION ALL SELECT 'files_de_after',
+        |    CAST((n + 99) // 100 AS BIGINT) FROM nde
+        |  UNION ALL SELECT 'rows_after',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |  UNION ALL SELECT 'versions', 2
+        |  UNION ALL SELECT 'xor_after',
+        |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
         |ORDER BY metric""".stripMargin,
 
     // C30h: the post-merge table derived one-shot — updates on

@@ -495,17 +495,64 @@ object SnapshotLog {
     }
 
   /** Write `df` into a fresh uniquely-named data subdir and return
-    * the written parquet files' dir-relative names.
+    * the written parquet files' dir-relative names. With
+    * `partitionBy` set, files land under hive-style `_p=<value>/`
+    * subdirs keyed by that column's values — the partition column
+    * itself STAYS IN THE DATA (it is cloned into the throwaway `_p`
+    * path key), so reading an explicit file list needs no partition
+    * inference and every existing read path works unchanged; the
+    * path segment is purely the file→partition identity
+    * [[compactPartitionInPlace]] prunes on.
     */
-  private def writeDataFiles(df: DataFrame, dir: String): Seq[String] = {
+  private def writeDataFiles(df: DataFrame, dir: String,
+                             partitionBy: Option[String] = None): Seq[String] = {
     val sub = s"data-${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val target = new org.apache.hadoop.fs.Path(dir, sub)
-    df.write.mode("overwrite").parquet(target.toString)
     val f = fs(df.sparkSession, dir)
-    Option(f.listStatus(target)).getOrElse(Array.empty).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$sub/${st.getPath.getName}")
-      .sorted
+    partitionBy match {
+      case None =>
+        df.write.mode("overwrite").parquet(target.toString)
+        Option(f.listStatus(target)).getOrElse(Array.empty).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => s"$sub/${st.getPath.getName}")
+          .sorted
+      case Some(c) =>
+        df.withColumn("_p", org.apache.spark.sql.functions.col(c))
+          .write.partitionBy("_p").mode("overwrite").parquet(target.toString)
+        Option(f.listStatus(target)).getOrElse(Array.empty).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("_p="))
+          .flatMap { pd =>
+            Option(f.listStatus(pd.getPath)).getOrElse(Array.empty).toSeq
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .map(st => s"$sub/${pd.getPath.getName}/${st.getPath.getName}")
+          }
+          .sorted
+    }
+  }
+
+  /** The hive path segment's partition value for a data file written
+    * by the partitioned layout (None for unpartitioned files).
+    * Percent-escapes in the segment (hive path escaping) decode back
+    * to the raw value.
+    */
+  def filePartition(file: String): Option[String] = {
+    val seg = file.split('/').find(_.startsWith("_p="))
+    seg.map { s =>
+      val raw = s.drop(3)
+      // hive-style %XX unescape
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val ch = raw.charAt(i)
+        if (ch == '%' && i + 2 < raw.length) {
+          try {
+            sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(ch); i += 1 }
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
   }
 
   /** REPLACE commit: the next version is exactly `df`'s rows.
@@ -593,6 +640,97 @@ object SnapshotLog {
             "re-run against the new version")
       CommitPlan(rel, newStats, latest.meta + (SchemaKey -> cur.schema.toDDL),
         newStr)
+    }
+  }
+
+  /** C30g (r16): REPLACE commit under the hive-partitioned data
+    * layout — files land in `_p=<value>/` subdirs of the data dir,
+    * keyed by `partCol`, so every file carries its partition identity
+    * in its PATH (the partition column also stays in the data — reads
+    * need no inference). This is the layout
+    * [[compactPartitionInPlace]] maintains one partition at a time.
+    */
+  def writePartitionedBy(df: DataFrame, dir: String, partCol: String,
+                         statsCols: Seq[String] = Nil,
+                         meta: Map[String, String] = Map.empty): Long = {
+    require(df.columns.contains(partCol),
+      s"[graft] writePartitionedBy: unknown partition column '$partCol'")
+    val rel = writeDataFiles(df, dir, partitionBy = Some(partCol))
+    val (stats, strStats) = collectStats(df.sparkSession, dir, rel, statsCols)
+    commitRebase(df.sparkSession, dir) { _ =>
+      CommitPlan(rel, stats, meta + (SchemaKey -> df.schema.toDDL), strStats)
+    }
+  }
+
+  /** C30g (r16): PARTITIONED live compaction — compact ONE hive
+    * partition of a live table in place: the C30b per-partition
+    * ceil-exact shaping composed with the snapshot log. Only the
+    * files under `_p=<value>/` rewrite (into `ceil(rows/targetRows)`
+    * range-ordered files when `sortCols` given); every other
+    * partition's files carry into the next version PATH-IDENTICALLY,
+    * stats and all. The table must be fully partition-laid-out
+    * ([[writePartitionedBy]] / previous partitioned compactions) —
+    * a file without a `_p=` segment has no partition identity and is
+    * refused loudly rather than guessed at. Daily use: compact
+    * yesterday's hot partition while the other 10k partitions of a
+    * 100 TB table are untouched bytes. Returns the committed version
+    * (the current one if the partition has no files).
+    */
+  def compactPartitionInPlace(spark: SparkSession, dir: String,
+                              partCol: String, value: String,
+                              targetRows: Long, sortCols: Seq[String] = Nil,
+                              statsCols: Seq[String] = Nil): Long = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    import org.apache.spark.sql.functions.col
+    val sn = snapshot(spark, dir)
+    val unpartitioned = sn.files.filter(f => filePartition(f).isEmpty)
+    require(unpartitioned.isEmpty,
+      s"[graft] compactPartitionInPlace: ${unpartitioned.size} file(s) carry " +
+        "no _p= partition segment — the table is not (fully) partition-" +
+        "laid-out; write it with writePartitionedBy first")
+    def partFiles(s0: Snapshot) =
+      s0.files.filter(f => filePartition(f).contains(value))
+    val touchedAbs = partFiles(sn)
+    if (touchedAbs.isEmpty) return sn.version
+    val touched = touchedAbs.toSet
+    val base = fs(spark, dir).makeQualified(
+      new org.apache.hadoop.fs.Path(dir)).toString
+    def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
+    val reader = sn.meta.get(SchemaKey) match {
+      case Some(ddl) => spark.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(touchedAbs: _*)
+      case None => spark.read.parquet(touchedAbs: _*)
+    }
+    val n = reader.count()
+    val nOut = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    val shaped =
+      if (sortCols.nonEmpty)
+        reader.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else reader.repartition(nOut)
+    val newRel = writeDataFiles(shaped, dir, partitionBy = Some(partCol))
+    val statCols = (sn.stats.values.flatMap(_.keys) ++
+      sn.strStats.values.flatMap(_.keys) ++ statsCols).toSeq.distinct.sorted
+    val (newStats, newStr) = collectStats(spark, dir, newRel, statCols)
+    commitRebase(spark, dir) { latestOpt =>
+      val latest = latestOpt.getOrElse(sn)
+      if (latest.version != sn.version) {
+        if (!touchedAbs.forall(latest.files.contains) ||
+            (partFiles(latest).toSet -- touched).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"[graft] compactPartitionInPlace: partition '$value' changed " +
+              s"concurrently (table at v${latest.version}) — re-run")
+      }
+      val untouchedRelNow = latest.files.filterNot(touched).map(toRel)
+      val carriedNow = latest.stats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      val carriedStrNow = latest.strStats.collect {
+        case (abs, m) if !touched(abs) => toRel(abs) -> m
+      }
+      CommitPlan(untouchedRelNow ++ newRel, carriedNow ++ newStats,
+        latest.meta, carriedStrNow ++ newStr)
     }
   }
 

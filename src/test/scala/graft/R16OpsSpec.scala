@@ -168,4 +168,50 @@ class R16OpsSpec extends SparkSpec {
       Seq((1L, "bogus", 9L, "U")).toDF("id", "text", "version", "op"), 1L)
     assert(SnapshotLog.versions(spark, dir).size == before)
   }
+
+  test("partitioned live compaction: one partition rewrites, the rest carry path-identically") {
+    val dir = tmp("graft_pcomp")
+    val df = (1L to 100L).map(i => (i, s"L${i % 4}", s"t$i")).toDF("id", "lang", "text")
+    SnapshotLog.writePartitionedBy(df.repartition(4), dir, "lang",
+      statsCols = Seq("id"))
+    val before = SnapshotLog.snapshot(spark, dir)
+    def files(sn: SnapshotLog.Snapshot, v: String) =
+      sn.files.filter(f => SnapshotLog.filePartition(f).contains(v))
+    assert(files(before, "L0").size == 4) // fragmented: one file per writer task
+    val v = SnapshotLog.compactPartitionInPlace(spark, dir, "lang", "L0",
+      targetRows = 10L, sortCols = Seq("id"), statsCols = Seq("id"))
+    val after = SnapshotLog.snapshot(spark, dir)
+    assert(after.version == v && v == before.version + 1)
+    assert(files(after, "L0").size == 3) // ceil(25/10)
+    // other partitions carried path-identically, stats and all
+    val others = before.files.filterNot(files(before, "L0").toSet)
+    assert(others.forall(after.files.contains))
+    others.foreach(f => assert(after.stats.get(f) == before.stats.get(f)))
+    // content unmoved
+    assert(SnapshotLog.read(spark, dir).count() == 100)
+    assert(SnapshotLog.read(spark, dir).filter(col("lang") === "L0")
+      .select("id").as[Long].collect().sorted.toSeq == (4L to 100L by 4L))
+    // a value with no files: current version returned, nothing commits
+    assert(SnapshotLog.compactPartitionInPlace(spark, dir, "lang", "nope", 10L) == v)
+    // an unpartitioned table is refused loudly
+    val flat = tmp("graft_pcomp_flat")
+    SnapshotLog.write(df, flat)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.compactPartitionInPlace(spark, flat, "lang", "L0", 10L)
+    }
+    assert(e.getMessage.contains("not (fully) partition-laid-out"))
+  }
+
+  test("partition identity survives hive path escaping") {
+    val dir = tmp("graft_pesc")
+    val df = Seq((1L, "a b", "x"), (2L, "c:d", "y"), (3L, "plain", "z"))
+      .toDF("id", "lang", "text")
+    SnapshotLog.writePartitionedBy(df, dir, "lang")
+    val sn = SnapshotLog.snapshot(spark, dir)
+    val parts = sn.files.flatMap(SnapshotLog.filePartition).toSet
+    assert(parts == Set("a b", "c:d", "plain"))
+    SnapshotLog.compactPartitionInPlace(spark, dir, "lang", "a b", 10L)
+    assert(SnapshotLog.read(spark, dir).count() == 3)
+    assert(SnapshotLog.read(spark, dir).filter(col("lang") === "a b").count() == 1)
+  }
 }
