@@ -3025,6 +3025,61 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // D99d (r16): the RE-TRAIN path D99c's drift report calls for —
+    // nothing executed it before. Old store-slice banks index the
+    // drifted (full) corpus as log v0; the drift census (n_after >
+    // n_before) pulls the trigger; fresh banks train on the CURRENT
+    // corpus, the re-encoded stamped index SWAPS ATOMICALLY as log
+    // v1; serving through the swapped table (behind the in-plan
+    // bank_fp guard) is graded against the oracle's full IVF-PQ
+    // re-derivation under the new banks, with pinned cert rows:
+    // merged-vs-fresh mismatches 0, drift trigger fired, the
+    // STALE-SERVER guard trips (old banks + new table raise), and
+    // exactly 2 committed versions.
+    "q_d99d_retrain" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = "/tmp/graft_gate/d99d_index"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val store = emb.filter(col("vec_id") % 3 =!= 2)
+      val coarseOld = Ann.trainCentroidsBySample(store, "embedding", "vec_id", 4)
+      val cbOld = Pq.codebooksBySample(store, "embedding", "vec_id", m = 4, k = 4, dim = 64)
+      graft.sources.SnapshotLog.write(
+        Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarseOld, cbOld), dir,
+        meta = Map("bank_fp" -> Pq.bankFingerprint(coarseOld, cbOld).toString))
+      // the D99c signal: increment mass the old bank never saw
+      val drift = Pq.cellDriftReport(
+        Pq.cellStats(store, "embedding", coarseOld),
+        Pq.cellStats(emb, "embedding", coarseOld))
+        .agg(sum(col("n_after") - col("n_before"))).head().getLong(0)
+      val (coarseNew, cbNew, v) =
+        if (drift > 0)
+          Pq.retrainIvfPqIndex(emb, "embedding", "vec_id", dir,
+            nlist = 4, m = 4, kCodes = 4, dim = 64)
+        else (coarseOld, cbOld, 0L)
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      val atRest = graft.sources.SnapshotLog.read(s, dir)
+      val serveNew = Pq.ivfPqTopKIndexed(
+        Pq.requireBankFp(atRest, coarseNew, cbNew), emb, "embedding", "vec_id",
+        coarseNew, cbNew, q, k = 10, nprobe = 2, rerank = 50)
+      val fresh = Pq.ivfPqTopKIndexed(
+        Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarseNew, cbNew),
+        emb, "embedding", "vec_id", coarseNew, cbNew, q,
+        k = 10, nprobe = 2, rerank = 50)
+      val mismatches = serveNew.exceptAll(fresh)
+        .unionAll(fresh.exceptAll(serveNew)).count()
+      val staleGuardTrips = scala.util.Try(
+        Pq.requireBankFp(atRest, coarseOld, cbOld).count()).isFailure
+      import s.implicits._
+      serveNew.unionByName(Seq(
+        (-1L, mismatches.toDouble, if (drift > 0) 1.0 else 0.0),
+        (-2L, if (staleGuardTrips) 1.0 else 0.0,
+          graft.sources.SnapshotLog.versions(s, dir).size.toDouble))
+        .toDF("vec_id", "adc", "l2"))
+    }),
+
     // D101 (r14): BATCH IVF-PQ serving — the whole eval set through
     // the cell-pruned ADC + exact-re-rank path in ONE job: per-query
     // probe cells and ADC lookup tables computed RELATIONALLY on the
@@ -7152,6 +7207,58 @@ object SparkEntry {
         |ORDER BY l2 ASC, c.vec_id ASC LIMIT 10)
         |SELECT * FROM served
         |UNION ALL SELECT CAST(-1 AS BIGINT), 0.0, 0.0""".stripMargin,
+
+    // D99d: serving after the re-train swap must equal the q_d99
+    // chain under FULL-CORPUS banks (retrain trains on the current
+    // corpus — first-4-by-id sampling, the same convention), plus
+    // the pinned cert rows: (-1, mismatches=0, drift-fired=1) and
+    // (-2, stale-guard-tripped=1, versions=2)
+    "q_d99d_retrain" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |  CAST(embedding AS DOUBLE[]) AS cv FROM embeddings ORDER BY vec_id LIMIT 4),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cellof AS (SELECT vec_id, cid AS cell FROM (
+        |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY (list_dot_product(c.cv, c.cv) - 2*list_dot_product(e.v, c.cv)) ASC,
+        |             c.cid ASC) AS rn
+        |  FROM ev e CROSS JOIN cents c) WHERE rn = 1),
+        |probe AS (SELECT cid AS cell FROM (
+        |  SELECT c.cid, row_number() OVER (
+        |    ORDER BY (list_dot_product(c.cv, c.cv)
+        |              - 2*list_dot_product((SELECT v FROM q), c.cv)) ASC,
+        |    c.cid ASC) AS rn FROM cents c) WHERE rn <= 2),
+        |subs AS (SELECT j FROM (VALUES (0),(1),(2),(3)) t(j)),
+        |pe AS (SELECT e.vec_id, e.v FROM ev e
+        |  JOIN cellof co ON e.vec_id = co.vec_id
+        |  JOIN probe p ON co.cell = p.cell),
+        |es AS (SELECT vec_id, j, v[(16*j+1):(16*j+16)] AS sv FROM pe CROSS JOIN subs),
+        |cs AS (SELECT cid, j, cv[(16*j+1):(16*j+16)] AS csv FROM cents CROSS JOIN subs),
+        |enc AS (SELECT vec_id, j, cid FROM (
+        |  SELECT e.vec_id, e.j, cs.cid, row_number() OVER (PARTITION BY e.vec_id, e.j
+        |    ORDER BY (list_dot_product(cs.csv, cs.csv) - 2*list_dot_product(e.sv, cs.csv)) ASC,
+        |             cs.cid ASC) AS rn
+        |  FROM es e JOIN cs ON e.j = cs.j) WHERE rn = 1),
+        |qs AS (SELECT j, (SELECT v FROM q)[(16*j+1):(16*j+16)] AS qv FROM subs),
+        |lut AS (SELECT cs.j, cs.cid,
+        |  (list_dot_product(qs.qv, qs.qv) - 2*list_dot_product(qs.qv, cs.csv)
+        |    + list_dot_product(cs.csv, cs.csv)) AS s
+        |  FROM cs JOIN qs ON cs.j = qs.j),
+        |sc AS (SELECT vec_id,
+        |  max(CASE WHEN j=0 THEN s END) AS s0, max(CASE WHEN j=1 THEN s END) AS s1,
+        |  max(CASE WHEN j=2 THEN s END) AS s2, max(CASE WHEN j=3 THEN s END) AS s3
+        |  FROM enc JOIN lut USING (j, cid) GROUP BY vec_id),
+        |cand AS (SELECT vec_id, round(s0 + s1 + s2 + s3, 4) AS adc FROM sc
+        |  ORDER BY adc ASC, vec_id ASC LIMIT 50),
+        |served AS (SELECT c.vec_id, c.adc,
+        |  round(list_dot_product((SELECT v FROM q), (SELECT v FROM q))
+        |    - 2*list_dot_product(e.v, (SELECT v FROM q))
+        |    + list_dot_product(e.v, e.v), 4) AS l2
+        |FROM cand c JOIN ev e ON c.vec_id = e.vec_id
+        |ORDER BY l2 ASC, c.vec_id ASC LIMIT 10)
+        |SELECT * FROM served
+        |UNION ALL SELECT CAST(-1 AS BIGINT), 0.0, 1.0
+        |UNION ALL SELECT CAST(-2 AS BIGINT), 1.0, 2.0""".stripMargin,
 
     // D99c: both censuses re-derived — assignment by the store-slice
     // bank, per-row micro-quantized residual, exact long sums

@@ -316,6 +316,66 @@ object Pq {
       .drop("_fpMin", "_fpMax")
   }
 
+  /** D99d (r16): the in-plan SERVING guard — the read-side half of
+    * the bank_fp discipline. A server holds (coarse, codebooks) in
+    * memory and reads the at-rest index; after a re-train swap, an
+    * old server's banks no longer match the table, and ADC scores
+    * computed with mismatched banks are subtly wrong in a way no
+    * schema check can see. This filter raises IN-PLAN when any index
+    * row's `bank_fp` differs from the fingerprint of the banks in
+    * hand — one broadcast one-row frame, same shape as the
+    * [[mergeIvfPqIndexes]] guard — so a mixed-bank serving window is
+    * impossible: the stale server fails loudly instead of serving
+    * quietly-degraded shortlists.
+    */
+  def requireBankFp(index: DataFrame, coarse: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(index.columns.contains("bank_fp"),
+      "[graft] requireBankFp: index is not STAMPED (ivfPqIndexStamped)")
+    val expect = bankFingerprint(coarse, codebooks)
+    val fp = index.agg(min(col("bank_fp")).as("_fpMin"),
+      max(col("bank_fp")).as("_fpMax"))
+    index.crossJoin(broadcast(fp))
+      .filter(when(col("_fpMin") === lit(expect) &&
+          col("_fpMax") === lit(expect), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"requireBankFp: server banks (fp $expect) do not match the "),
+          lit("index (fp "), col("_fpMin").cast("string"),
+          lit(".."), col("_fpMax").cast("string"),
+          lit(") — re-resolve the index version or reload banks")))))
+      .drop("_fpMin", "_fpMax")
+  }
+
+  /** D99d (r16): EXECUTE the re-train D99c's drift report signals —
+    * nothing executed it before (the r15 verdict's engine-gap #7):
+    * train fresh banks on the CURRENT corpus (sampled seeding, or
+    * Lloyd-refined with `iters > 0` — the SCALE_SWEEP-measured
+    * recall buy on drifted data), re-encode map-only (one scan, two
+    * codegen'd bank expressions per row, no shuffle), and SWAP
+    * ATOMICALLY by committing the stamped index as the next version
+    * of its snapshot-log table: readers resolve old-or-new, never a
+    * half-re-encoded mix, and pinned old readers keep their files
+    * (the C30c isolation contract). The bank fingerprint rides both
+    * in every row (`bank_fp`) and in the version meta, so
+    * [[requireBankFp]] closes the stale-server window. Returns
+    * (coarse, codebooks, committed version).
+    */
+  def retrainIvfPqIndex(emb: DataFrame, vecCol: String, idCol: String,
+                        indexDir: String, nlist: Int, m: Int, kCodes: Int,
+                        dim: Int, iters: Int = 0)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Long) = {
+    val coarse =
+      if (iters > 0) Ann.trainCentroidsKMeans(emb, vecCol, idCol, nlist, iters)
+      else Ann.trainCentroidsBySample(emb, vecCol, idCol, nlist)
+    val cbs =
+      if (iters > 0) codebooksKMeans(emb, vecCol, idCol, m, kCodes, dim, iters)
+      else codebooksBySample(emb, vecCol, idCol, m, kCodes, dim)
+    val idx = ivfPqIndexStamped(emb, vecCol, idCol, coarse, cbs)
+    val v = graft.sources.SnapshotLog.write(idx, indexDir,
+      meta = Map("bank_fp" -> bankFingerprint(coarse, cbs).toString))
+    (coarse, cbs, v)
+  }
+
   /** Per-cell occupancy + residual mass of a corpus under a coarse
     * bank: (cell, n, resid_sum_micro) where the residual is the exact
     * squared L2 from each vector to its ASSIGNED centroid,

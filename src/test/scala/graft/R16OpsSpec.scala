@@ -214,4 +214,44 @@ class R16OpsSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, dir).count() == 3)
     assert(SnapshotLog.read(spark, dir).filter(col("lang") === "a b").count() == 1)
   }
+
+  test("IVF-PQ retrain: atomic swap via the log; bank guard closes the stale-server window") {
+    import graft.ann.Pq
+    val dir = tmp("graft_retrain")
+    // a tiny synthetic corpus: 24 vectors of dim 8
+    val emb = (0L until 24L).map { i =>
+      (i, (0 until 8).map(dd => ((i * 7 + dd * 3) % 13).toFloat / 13f).toArray.toSeq)
+    }.toDF("vec_id", "embedding")
+    // "old" banks from the tail slice so they genuinely differ from
+    // the full-corpus retrain (sampling is first-k-by-id)
+    val coarseOld = graft.ann.Ann.trainCentroidsBySample(
+      emb.filter(col("vec_id") >= 12L), "embedding", "vec_id", 2)
+    val cbOld = Pq.codebooksBySample(
+      emb.filter(col("vec_id") >= 12L), "embedding", "vec_id", m = 2, k = 2, dim = 8)
+    SnapshotLog.write(
+      Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarseOld, cbOld), dir)
+    // retrain on the full corpus and swap as v1
+    val (coarseNew, cbNew, v) = Pq.retrainIvfPqIndex(
+      emb, "embedding", "vec_id", dir, nlist = 2, m = 2, kCodes = 2, dim = 8)
+    assert(v == 1L)
+    val atRest = SnapshotLog.read(spark, dir)
+    // new banks serve; version meta carries the fingerprint
+    assert(Pq.requireBankFp(atRest, coarseNew, cbNew).count() == 24)
+    assert(SnapshotLog.snapshot(spark, dir).meta.get("bank_fp")
+      .contains(Pq.bankFingerprint(coarseNew, cbNew).toString))
+    // a stale server (old banks) raises in-plan instead of serving
+    val e = intercept[Exception] {
+      Pq.requireBankFp(atRest, coarseOld, cbOld).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => Option(t.getMessage)
+      .exists(_.contains("requireBankFp"))))
+    // pinned readers still resolve the OLD index (v0) — old-or-new, never mixed
+    val old = SnapshotLog.read(spark, dir, 0L)
+    assert(Pq.requireBankFp(old, coarseOld, cbOld).count() == 24)
+    // the swapped index equals a fresh build row-for-row
+    val fresh = Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarseNew, cbNew)
+    assert(atRest.exceptAll(fresh).unionAll(fresh.exceptAll(atRest)).count() == 0)
+  }
 }
