@@ -1012,7 +1012,7 @@ object SparkEntry {
     // C30h (r16): FILE-PRUNED CDC MERGE — deleteRange's upsert
     // sibling and the fix for the r15 verdict's one `weak`. One batch
     // carrying updates [10,40], deletes [41,45], and brand-new keys
-    // (doc_id+10M on the %7 class) merges into the range-compacted
+    // (doc_id+1e9 on the %7 class) merges into the range-compacted
     // table: only files whose key range can contain a batch key
     // rewrite (cert'd by exact path identity on the rest — the
     // q_c30e pattern), the new keys land without reading anything,
@@ -1035,7 +1035,7 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id").between(41, 45))
           .withColumn("version", lit(2L)).withColumn("op", lit("D")))
         .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("doc_id", col("doc_id") + 1000000000L)
           .withColumn("text", concat(col("text"), lit(" [new]")))
           .withColumn("version", lit(2L)).withColumn("op", lit("U")))
       val touched = graft.sources.SnapshotLog
@@ -4733,7 +4733,7 @@ object SparkEntry {
 
     // C30h: the post-merge table derived one-shot — updates on
     // [10,40] at version 2, deletes on [41,45], originals elsewhere,
-    // plus the %7 class re-keyed +10M as inserts; version rides in
+    // plus the %7 class re-keyed +1e9 as inserts; version rides in
     // the hash so a wrong winning version hash-fails. The
     // rewrite-economics certs are Spark-computed path-identity claims
     "q_c30h_merge_into" ->
@@ -4744,7 +4744,7 @@ object SparkEntry {
         |    CASE WHEN doc_id BETWEEN 10 AND 40 THEN 2 ELSE 1 END AS version
         |  FROM documents WHERE NOT (doc_id BETWEEN 41 AND 45)
         |  UNION ALL
-        |  SELECT doc_id + 10000000, text || ' [new]', 2
+        |  SELECT doc_id + 1000000000, text || ' [new]', 2
         |  FROM documents WHERE doc_id % 7 = 0),
         |h AS (SELECT list_reduce(list_transform(range(1, 16),
         |    i -> strpos('0123456789abcdef', substr(md5(
