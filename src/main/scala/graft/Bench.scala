@@ -295,9 +295,29 @@ object Bench {
         // drop the sub-threshold tail, say how many were dropped
         (render(2, true, tokenNames = true, minSec = 0.05), 1900),
         (render(1, true, errDetail = false, unit = false, loadDec = 0,
-          tokenNames = true, minSec = 0.1), 1912)))
+          tokenNames = true, minSec = 0.1), 1912),
+        // r16: 225 queries outgrew the 0.1 rung too (the artifact fell
+        // all the way to renderMinimal and lost its map) — coarser
+        // thresholds still carry every multi-hundred-ms gate, which is
+        // where drift analysis actually looks
+        (render(1, true, errDetail = false, unit = false, loadDec = 0,
+          tokenNames = true, minSec = 0.2), 1912),
+        (render(1, true, errDetail = false, unit = false, loadDec = 0,
+          tokenNames = true, minSec = 0.5), 1912)))
       .collectFirst { case (s, cap) if s.length <= cap => s }
       .getOrElse(renderMinimal)
+    // full-precision per-query dump for LOCAL analysis (never the
+    // driver line — that one is tail-budgeted above): every query,
+    // 3 decimals, full names
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").foreach { path =>
+      val full = results.map { case (k, v, _) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        s"""{"total":$total,"queries":$full}""".getBytes)
+      ()
+    }
     println(line)
     spark.stop()
   }
