@@ -1095,6 +1095,47 @@ object SparkEntry {
         .orderBy("commit_version", "change_type")
     }),
 
+    // C30i (r16): COPY-ON-WRITE DELETE over a STRING range — the
+    // by-language purge / domain-prefix takedown shape C35i's string
+    // stats enable: drop the zh slice of a lang-clustered table;
+    // only lang-overlapping files rewrite (path-identity certs, the
+    // q_c30e pattern), and the surviving census is re-derived from
+    // the ORIGINAL parquet.
+    "q_c30i_cow_delete_str" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/c30i_log"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.SnapshotLog.write(docs.repartition(8), dir)
+      graft.sources.SnapshotLog.compactInPlace(s, dir, 200L,
+        sortCols = Seq("lang", "doc_id"), statsCols = Seq("lang", "doc_id"))
+      val before = graft.sources.SnapshotLog.snapshot(s, dir)
+      val touched = graft.sources.SnapshotLog
+        .prunedFilesStr(before, "lang", "zh", "zh").toSet
+      graft.sources.SnapshotLog.deleteRangeStr(s, dir, "lang", "zh", "zh")
+      val after = graft.sources.SnapshotLog.snapshot(s, dir)
+      val untouched = before.files.filterNot(touched)
+      val cen = graft.sources.SnapshotLog.read(s, dir)
+        .withColumn("_h", Dedup.portableTokenHash60(concat_ws("|",
+          col("doc_id"), coalesce(col("text"), lit("")),
+          coalesce(col("lang"), lit("")))))
+        .agg(count(lit(1)).cast("long").as("rows"),
+          coalesce(expr("bit_xor(_h)"), lit(0L)).as("xr"))
+        .select(expr("stack(2, 'rows_after', rows, 'xor_after', xr) AS (metric, value)"))
+      val certs = Seq(
+        ("cert_untouched_carried",
+          if (untouched.forall(after.files.contains)) 1L else 0L),
+        ("cert_touched_dropped",
+          if (after.files.toSet.intersect(touched).isEmpty) 1L else 0L),
+        ("cert_pruned", // vacuous-true at one file
+          if (touched.size < before.files.size || before.files.size <= 1) 1L else 0L),
+        ("versions", graft.sources.SnapshotLog.versions(s, dir).size.toLong))
+        .toDF("metric", "value")
+      cen.unionByName(certs).orderBy("metric")
+    }),
+
     // s12 (r15): STREAMING CDC ingest into the snapshot-log table —
     // three replayed change batches (inserts, then inserts + revisions
     // + deletes, then inserts + higher-version re-revisions) merge
@@ -4789,6 +4830,29 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  coalesce(CAST(bit_xor(hh) AS BIGINT), 0) AS xr
         |FROM h GROUP BY v, ct ORDER BY 1, 2""".stripMargin,
+
+    // C30i: the survivors after the zh purge, re-derived — a delete
+    // that lost or resurrected a row in ANY language hash-fails; the
+    // rewrite-economics certs are Spark-computed path-identity claims
+    "q_c30i_cow_delete_str" ->
+      """WITH fin AS (SELECT doc_id, text, lang FROM documents
+        |  WHERE lang IS NULL OR NOT (lang BETWEEN 'zh' AND 'zh')),
+        |h AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> strpos('0123456789abcdef', substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '') || '|'
+        |        || coalesce(lang, '')),
+        |      CAST(i AS INT), 1)) - 1),
+        |    (a, x) -> a * 16 + x) AS hh FROM fin)
+        |SELECT * FROM (
+        |  SELECT 'cert_pruned' AS metric, CAST(1 AS BIGINT) AS value
+        |  UNION ALL SELECT 'cert_touched_dropped', 1
+        |  UNION ALL SELECT 'cert_untouched_carried', 1
+        |  UNION ALL SELECT 'rows_after',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM fin)
+        |  UNION ALL SELECT 'versions', 3
+        |  UNION ALL SELECT 'xor_after',
+        |    coalesce((SELECT CAST(bit_xor(hh) AS BIGINT) FROM h), 0))
+        |ORDER BY metric""".stripMargin,
 
     // s12: the final CDC state derived one-shot — rev3 on %10 keys
     // (version 3 beats everything), rev2 on the even %3=0 keys,

@@ -916,8 +916,42 @@ object SnapshotLog {
   def deleteRange(spark: SparkSession, dir: String, colName: String,
                   lo: Long, hi: Long): Long = {
     import org.apache.spark.sql.functions.col
+    cowModify(spark, dir, "deleteRange", prunedFiles(_, colName, lo, hi)) {
+      reader => reader.filter(
+        !col(colName).cast("long").between(lo, hi) || col(colName).isNull)
+    }
+  }
+
+  /** [[deleteRange]] over a STRING column range (r16 — C35i's string
+    * stats make it file-pruned): the by-language purge / domain-
+    * prefix takedown shape. Same economics, same isolation, same
+    * null rule (null values never match a range and are kept).
+    */
+  def deleteRangeStr(spark: SparkSession, dir: String, colName: String,
+                     lo: String, hi: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    cowModify(spark, dir, "deleteRangeStr",
+      prunedFilesStr(_, colName, lo, hi)) { reader =>
+      reader.filter(
+        !col(colName).between(lit(lo), lit(hi)) || col(colName).isNull)
+    }
+  }
+
+  /** The shared copy-on-write core of the pruned DML family:
+    * `touchedOf` names the files the operation may rewrite (from the
+    * manifest alone — [[prunedFiles]]/[[prunedFilesStr]] flavors),
+    * `modify` turns their rows into the rewrite; everything else —
+    * committed-schema read, stats recompute over the table's stat
+    * column set, full meta carry (the CDC batchId watermark), and
+    * the optimistic rebase (conflict iff a racer rewrote a touched
+    * file or landed a file `touchedOf` would now select) — is one
+    * code path for every flavor.
+    */
+  private def cowModify(spark: SparkSession, dir: String, op: String,
+                        touchedOf: Snapshot => Seq[String])(
+                        modify: DataFrame => DataFrame): Long = {
     val sn = snapshot(spark, dir)
-    val touchedAbs = prunedFiles(sn, colName, lo, hi)
+    val touchedAbs = touchedOf(sn)
     if (touchedAbs.isEmpty) return sn.version
     val touched = touchedAbs.toSet
     val base = fs(spark, dir).makeQualified(
@@ -929,11 +963,10 @@ object SnapshotLog {
         .parquet(touchedAbs: _*)
       case None => spark.read.parquet(touchedAbs: _*)
     }
-    val remaining = reader.filter(
-      !col(colName).cast("long").between(lo, hi) || col(colName).isNull)
+    val out = modify(reader)
     val newRel =
-      if (remaining.isEmpty) Seq.empty[String]
-      else writeDataFiles(remaining, dir)
+      if (out.isEmpty) Seq.empty[String]
+      else writeDataFiles(out, dir)
     // stats: carry the untouched files' entries; recompute the same
     // column set for the rewritten files
     val statCols = (sn.stats.values.flatMap(_.keys) ++
@@ -942,20 +975,20 @@ object SnapshotLog {
     // full meta carries (schema AND e.g. the CDC batchId watermark —
     // r15 advice #3: maintenance commits must not reset it). A lost
     // race rebases when the racer neither rewrote our touched files
-    // nor added files overlapping the delete range; otherwise the
+    // nor added files this operation would now select; otherwise the
     // serializable answer differs and we conflict loudly.
     commitRebase(spark, dir) { latestOpt =>
       val latest = latestOpt.getOrElse(sn)
       if (latest.version != sn.version) {
         if (!touchedAbs.forall(latest.files.contains))
           throw new java.util.ConcurrentModificationException(
-            s"[graft] deleteRange: a concurrent commit rewrote files this " +
-              s"delete read (table at v${latest.version}) — re-run")
-        val extra = prunedFiles(latest, colName, lo, hi).toSet -- touched
+            s"[graft] $op: a concurrent commit rewrote files this " +
+              s"operation read (table at v${latest.version}) — re-run")
+        val extra = touchedOf(latest).toSet -- touched
         if (extra.nonEmpty)
           throw new java.util.ConcurrentModificationException(
-            s"[graft] deleteRange: a concurrent commit added ${extra.size} " +
-              s"file(s) overlapping [$lo,$hi] — re-run to cover their rows")
+            s"[graft] $op: a concurrent commit added ${extra.size} " +
+              "overlapping file(s) — re-run to cover their rows")
       }
       val untouchedRelNow = latest.files.filterNot(touched).map(toRel)
       val carriedNow = latest.stats.collect {
@@ -984,56 +1017,39 @@ object SnapshotLog {
   def updateRange(spark: SparkSession, dir: String, colName: String,
                   lo: Long, hi: Long,
                   set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{col, when}
+    import org.apache.spark.sql.functions.col
     require(set.nonEmpty, "[graft] updateRange: empty set clause")
-    val sn = snapshot(spark, dir)
-    val touchedAbs = prunedFiles(sn, colName, lo, hi)
-    if (touchedAbs.isEmpty) return sn.version
-    val touched = touchedAbs.toSet
-    val base = fs(spark, dir).makeQualified(
-      new org.apache.hadoop.fs.Path(dir)).toString
-    def toRel(abs: String) = abs.stripPrefix(base).stripPrefix("/")
-    val reader = sn.meta.get(SchemaKey) match {
-      case Some(ddl) => spark.read.schema(
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(touchedAbs: _*)
-      case None => spark.read.parquet(touchedAbs: _*)
+    cowModify(spark, dir, "updateRange", prunedFiles(_, colName, lo, hi)) {
+      reader => applySet(reader, col(colName).cast("long").between(lo, hi),
+        set, "updateRange")
     }
+  }
+
+  /** [[updateRange]] over a STRING column range (r16) — e.g. restamp
+    * a license or source field for one domain-prefix slice, paying
+    * only that slice's files.
+    */
+  def updateRangeStr(spark: SparkSession, dir: String, colName: String,
+                     lo: String, hi: String,
+                     set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(set.nonEmpty, "[graft] updateRangeStr: empty set clause")
+    cowModify(spark, dir, "updateRangeStr",
+      prunedFilesStr(_, colName, lo, hi)) { reader =>
+      applySet(reader, col(colName).between(lit(lo), lit(hi)), set,
+        "updateRangeStr")
+    }
+  }
+
+  private def applySet(reader: DataFrame, hit: org.apache.spark.sql.Column,
+                       set: Map[String, org.apache.spark.sql.Column],
+                       op: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
     set.keys.foreach(c => require(reader.columns.contains(c),
-      s"[graft] updateRange: unknown column '$c'"))
-    val hit = col(colName).cast("long").between(lo, hi)
-    val updated = set.foldLeft(reader) { case (df, (c, e)) =>
+      s"[graft] $op: unknown column '$c'"))
+    set.foldLeft(reader) { case (df, (c, e)) =>
       val dt = df.schema(c).dataType
       df.withColumn(c, when(hit, e.cast(dt)).otherwise(col(c)))
-    }
-    val newRel = writeDataFiles(updated, dir)
-    val statCols = (sn.stats.values.flatMap(_.keys) ++
-      sn.strStats.values.flatMap(_.keys)).toSeq.distinct.sorted
-    val (newStats, newStr) = collectStats(spark, dir, newRel, statCols)
-    // same rebase/conflict rule as deleteRange (the update read the
-    // same touched set and must cover any concurrently-added overlap)
-    commitRebase(spark, dir) { latestOpt =>
-      val latest = latestOpt.getOrElse(sn)
-      if (latest.version != sn.version) {
-        if (!touchedAbs.forall(latest.files.contains))
-          throw new java.util.ConcurrentModificationException(
-            s"[graft] updateRange: a concurrent commit rewrote files this " +
-              s"update read (table at v${latest.version}) — re-run")
-        val extra = prunedFiles(latest, colName, lo, hi).toSet -- touched
-        if (extra.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"[graft] updateRange: a concurrent commit added ${extra.size} " +
-              s"file(s) overlapping [$lo,$hi] — re-run to cover their rows")
-      }
-      val untouchedRelNow = latest.files.filterNot(touched).map(toRel)
-      val carriedNow = latest.stats.collect {
-        case (abs, m) if !touched(abs) => toRel(abs) -> m
-      }
-      val carriedStrNow = latest.strStats.collect {
-        case (abs, m) if !touched(abs) => toRel(abs) -> m
-      }
-      CommitPlan(untouchedRelNow ++ newRel, carriedNow ++ newStats,
-        latest.meta, carriedStrNow ++ newStr)
     }
   }
 

@@ -96,4 +96,30 @@ class R16StrStatsSpec extends SparkSpec {
     assert(zh.count() == SnapshotLog.read(spark, dir)
       .filter(col("lang") === "zh").count())
   }
+
+  test("string-range DML: deleteRangeStr purges a lang slice file-pruned; updateRangeStr restamps") {
+    val dir = langTable("graft_str_dml", Seq("lang", "id"))
+    val before = SnapshotLog.snapshot(spark, dir)
+    val touched = SnapshotLog.prunedFilesStr(before, "lang", "zh", "zh").toSet
+    assert(touched.size < before.files.size)
+    SnapshotLog.deleteRangeStr(spark, dir, "lang", "zh", "zh")
+    val after = SnapshotLog.snapshot(spark, dir)
+    assert(before.files.filterNot(touched).forall(after.files.contains))
+    assert(after.files.toSet.intersect(touched).isEmpty)
+    val cur = SnapshotLog.read(spark, dir)
+    assert(cur.count() == 80 && cur.filter(col("lang") === "zh").count() == 0)
+    // update one lang slice's text, other slices' files carried
+    val before2 = SnapshotLog.snapshot(spark, dir)
+    val touched2 = SnapshotLog.prunedFilesStr(before2, "lang", "de", "de").toSet
+    SnapshotLog.updateRangeStr(spark, dir, "lang", "de", "de",
+      Map("text" -> concat(col("text"), lit(" [de]"))))
+    val after2 = SnapshotLog.snapshot(spark, dir)
+    assert(before2.files.filterNot(touched2).forall(after2.files.contains))
+    val got = SnapshotLog.read(spark, dir)
+    assert(got.filter(col("lang") === "de" && !col("text").endsWith(" [de]")).count() == 0)
+    assert(got.filter(col("lang") =!= "de" && col("text").endsWith(" [de]")).count() == 0)
+    // no-op string delete commits nothing
+    val v = SnapshotLog.deleteRangeStr(spark, dir, "lang", "xx", "xy")
+    assert(v == after2.version)
+  }
 }
