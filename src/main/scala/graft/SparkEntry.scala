@@ -3234,6 +3234,48 @@ object SparkEntry {
     // its full file set AFTER it; the oracle re-derives the post-CDC
     // table (updates applied, deletes gone, new keys present) and
     // the content census through BOTH readers in one SQL chain.
+    // e2e-13 (r16): the INCREMENTAL CONSUMER — a downstream per-lang
+    // materialized view maintained purely from C35j change-data-feed
+    // deltas (base aggregate at v0, then +1/-1 per insert/delete —
+    // updates that MOVE a row between langs arrive as their
+    // delete+insert pair and re-bucket it), never re-reading the
+    // table. Graded two ways: the oracle re-derives the final view
+    // directly from the original parquet, and a Spark-computed cert
+    // pins incremental ≡ direct aggregation of the final version.
+    "q_e2e_incremental" -> ((s, d) => {
+      import s.implicits._
+      val dir = "/tmp/graft_gate/e2e_incremental"
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(root, true)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+      graft.sources.SnapshotLog.write(
+        docs.filter(col("doc_id") % 2 === 0).repartition(4), dir,
+        statsCols = Seq("doc_id"))
+      graft.sources.SnapshotLog.append(
+        docs.filter(col("doc_id") % 2 === 1).repartition(2), dir,
+        statsCols = Seq("doc_id"))
+      graft.sources.SnapshotLog.deleteRange(s, dir, "doc_id", 10L, 40L)
+      graft.sources.SnapshotLog.updateRange(s, dir, "doc_id", 50L, 80L,
+        Map("lang" -> lit("xx"))) // moves rows BETWEEN lang buckets
+      val base = graft.sources.SnapshotLog.read(s, dir, 0L)
+        .groupBy("lang").agg(count(lit(1)).as("delta"))
+      val deltas = graft.sources.SnapshotLog.readChanges(s, dir, 0L, 3L)
+        .groupBy("lang")
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)).as("delta"))
+      val view = base.unionByName(deltas)
+        .groupBy("lang").agg(sum(col("delta")).cast("long").as("n_docs"))
+        .filter(col("n_docs") > 0)
+      val direct = graft.sources.SnapshotLog.read(s, dir)
+        .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+      val mismatches = view.exceptAll(direct)
+        .unionAll(direct.exceptAll(view)).count()
+      view.unionByName(Seq(("_cert_inc_eq_direct",
+          if (mismatches == 0) 1L else 0L)).toDF("lang", "n_docs"))
+        .orderBy("lang")
+    }),
+
     "q_e2e_lakehouse" -> ((s, d) => {
       import s.implicits._
       val dir = "/tmp/graft_gate/e2e_lakehouse"
@@ -7606,6 +7648,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_blocks_kept,
         |  array_to_string(ks, chr(10)) AS content
         |FROM kept ORDER BY doc_id""".stripMargin,
+
+    // e2e-13: the final per-lang view derived directly — all docs,
+    // minus the [10,40] deletes, with [50,80] re-bucketed to 'xx';
+    // an incremental view that dropped a delta, double-counted a
+    // carrier row, or missed the update's re-bucketing pair fails on
+    // count; the cert row pins incremental ≡ direct inside Spark too
+    "q_e2e_incremental" ->
+      """WITH fin AS (
+        |  SELECT CASE WHEN doc_id BETWEEN 50 AND 80 THEN 'xx'
+        |              ELSE lang END AS lang
+        |  FROM documents WHERE NOT (doc_id BETWEEN 10 AND 40))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM fin GROUP BY lang
+        |UNION ALL SELECT '_cert_inc_eq_direct', 1
+        |ORDER BY lang""".stripMargin,
 
     // e2e-12: the post-CDC table derived directly (the three change
     // classes are key-disjoint: updates on even store keys, deletes

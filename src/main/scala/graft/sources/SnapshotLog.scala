@@ -293,6 +293,43 @@ object SnapshotLog {
   /** The manifest meta key carrying the committed schema DDL. */
   val SchemaKey = "schemaDdl"
 
+  /** The manifest meta key carrying the commit's wall-clock time
+    * (ms) — stamped on EVERY commit, clamped monotone per table.
+    */
+  val CommitTimeKey = "commitTimeMs"
+
+  /** C35k (r16): TIMESTAMP time travel — the version current AS OF
+    * `tsMs` ("what did the table look like yesterday 09:00"), the
+    * companion to version time travel that humans and retention
+    * policies actually speak. Binary search over the committed
+    * versions on the monotone [[CommitTimeKey]] stamps — O(log n)
+    * manifest reads, no data IO. Pre-r16 manifests without a stamp
+    * order as time 0 (always visible). Requires `tsMs` at or after
+    * the first commit.
+    */
+  def versionAt(spark: SparkSession, dir: String, tsMs: Long): Long = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"[graft] SnapshotLog: no committed versions under $dir")
+    def timeOf(v: Long): Long = snapshot(spark, dir, v)
+      .meta.get(CommitTimeKey)
+      .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(0L)
+    require(timeOf(vs.head) <= tsMs,
+      s"[graft] SnapshotLog: $tsMs predates the first commit of $dir " +
+        s"(${timeOf(vs.head)})")
+    // rightmost committed version with commitTime <= tsMs
+    var lo = 0
+    var hi = vs.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (timeOf(vs(mid)) <= tsMs) lo = mid else hi = mid - 1
+    }
+    vs(lo)
+  }
+
+  /** [[read]] at the version current AS OF `tsMs`. */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    read(spark, dir, versionAt(spark, dir, tsMs))
+
   /** Write the version file for EXACTLY `next` — the one atomicity
     * primitive (exclusive create). Throws
     * `FileAlreadyExistsException`-shaped errors when a racer got
@@ -386,8 +423,17 @@ object SnapshotLog {
       val p = plan(latest)
       raceTestHook()
       val next = latest.map(_.version + 1L).getOrElse(0L)
+      // C35k (r16): every commit stamps its wall-clock time, clamped
+      // MONOTONE against the previous commit's stamp (a clock step
+      // backward must not break timestamp time travel's ordering) —
+      // stamped AFTER the plan's meta merge so a maintenance commit's
+      // meta carry can never smuggle an old time forward
+      val commitTime = math.max(System.currentTimeMillis(),
+        latest.flatMap(_.meta.get(CommitTimeKey))
+          .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(0L))
+      val meta = p.meta + (CommitTimeKey -> commitTime.toString)
       try {
-        writeVersionFileAt(spark, dir, next, p.rel, p.stats, p.meta, p.strStats)
+        writeVersionFileAt(spark, dir, next, p.rel, p.stats, meta, p.strStats)
         if (next % CheckpointInterval == 0L)
           writeCheckpointHint(fs(spark, dir), dir, next)
         return next

@@ -128,4 +128,34 @@ class R16LogSpec extends SparkSpec {
     // a window with only metadata-only/neutral commits yields zero rows
     assert(SnapshotLog.readChanges(spark, dir, 1L, 2L).count() == 0)
   }
+
+  test("timestamp time travel: readAsOf resolves the version current at a wall-clock instant") {
+    val dir = tmp("graft_asof")
+    SnapshotLog.write((1L to 10L).toDF("id"), dir)
+    Thread.sleep(15)
+    val t01 = System.currentTimeMillis() // between v0 and v1
+    Thread.sleep(15)
+    SnapshotLog.append((11L to 20L).toDF("id"), dir)
+    Thread.sleep(15)
+    val t12 = System.currentTimeMillis()
+    Thread.sleep(15)
+    SnapshotLog.deleteRange(spark, dir, "id", 1L, 1L) // statless: full overlap, fine
+    assert(SnapshotLog.versionAt(spark, dir, t01) == 0L)
+    assert(SnapshotLog.versionAt(spark, dir, t12) == 1L)
+    assert(SnapshotLog.versionAt(spark, dir, System.currentTimeMillis()) == 2L)
+    assert(SnapshotLog.readAsOf(spark, dir, t01).count() == 10)
+    assert(SnapshotLog.readAsOf(spark, dir, t12).count() == 20)
+    assert(SnapshotLog.readAsOf(spark, dir, System.currentTimeMillis()).count() == 19)
+    // a query predating the table is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.versionAt(spark, dir, 1000L)
+    }
+    assert(e.getMessage.contains("predates"))
+    // maintenance meta carry cannot smuggle an old stamp forward:
+    // commit times are strictly resolvable in version order
+    val times = SnapshotLog.versions(spark, dir).map(v =>
+      SnapshotLog.snapshot(spark, dir, v).meta(SnapshotLog.CommitTimeKey).toLong)
+    assert(times == times.sorted)
+    assert(times.distinct.size == times.size || times.sliding(2).forall(p => p(0) <= p(1)))
+  }
 }
