@@ -149,4 +149,23 @@ object MultiCommit {
     val (tdir, v) = pins(name)
     SnapshotLog.read(spark, tdir, v)
   }
+
+  /** Coordinator-log retention: drop all but the newest
+    * `keepGenerations` pin files (one accretes per publish — the
+    * same growth C35g bounds for the table logs). Pin files are
+    * metadata-only; the pinned TABLE versions are reclaimed by each
+    * table's own `SnapshotLog.vacuum`, which the caller must keep
+    * AT OR ABOVE the retention here — a kept generation whose table
+    * versions were vacuumed underneath it fails loudly at read time,
+    * never silently.
+    */
+  def vacuumPublishes(spark: SparkSession, dir: String,
+                      keepGenerations: Int = 1): Unit = {
+    require(keepGenerations >= 1,
+      s"keepGenerations must be >= 1, got $keepGenerations")
+    val gens = publishes(spark, dir)
+    val drop = gens.dropRight(keepGenerations)
+    val f = fsOf(spark, dir)
+    drop.foreach { g => f.delete(pinFile(dir, g), false); () }
+  }
 }

@@ -76,4 +76,22 @@ class R16MultiSpec extends SparkSpec {
     // footgun — the pin names versions, so keep pinned versions alive
     assert(MultiCommit.readTable(spark, coord, "a").count() == 1)
   }
+
+  test("publish retention drops old generations; the newest pins keep resolving") {
+    val coord = tmp("graft_mc3")
+    val aDir = tmp("graft_mc3_a")
+    SnapshotLog.write(Seq(1L).toDF("id"), aDir)
+    (0 until 6).foreach { i =>
+      SnapshotLog.write((0L to i.toLong).toDF("id"), aDir)
+      MultiCommit.publish(spark, coord, Map("a" -> (aDir, i.toLong + 1L)))
+    }
+    assert(MultiCommit.publishes(spark, coord).size == 6)
+    MultiCommit.vacuumPublishes(spark, coord, keepGenerations = 2)
+    assert(MultiCommit.publishes(spark, coord) == Seq(4L, 5L))
+    assert(MultiCommit.readTable(spark, coord, "a").count() == 6)
+    assert(MultiCommit.resolve(spark, coord, 4L)("a")._2 == 5L)
+    // the next publish continues the generation sequence
+    MultiCommit.publish(spark, coord, Map("a" -> (aDir, 6L)))
+    assert(MultiCommit.publishes(spark, coord) == Seq(4L, 5L, 6L))
+  }
 }
