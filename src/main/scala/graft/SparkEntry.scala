@@ -2474,7 +2474,11 @@ object SparkEntry {
     // the distinct surviving fingerprint set (sentinel-immune).
     "q_s8_file_stream_ingest" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val store = Dedup.fingerprints(docs.filter(col("doc_id") % 3 === 0), "text")
+      // PINNED (r16): the stream-static anti join replans — and
+      // recomputed — the static store EVERY micro-batch (3 batches =
+      // 3 full fingerprint passes); the pin computes it once
+      val store = graft.CacheScope.persist(
+        Dedup.fingerprints(docs.filter(col("doc_id") % 3 === 0), "text"))
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
         .withColumn("tsw",
           timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
@@ -2492,8 +2496,11 @@ object SparkEntry {
     // them ((id, span_pos) is unique in the batch result).
     "q_s9_file_stream_spans" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val storeFps = graft.dedup.Spans.storeFingerprints(
-        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", spanLen = 8)
+      // PINNED (r16): the per-batch stream-static join would re-run
+      // the store's 8-gram span fingerprinting every micro-batch
+      val storeFps = graft.CacheScope.persist(
+        graft.dedup.Spans.storeFingerprints(
+          docs.filter(col("doc_id") % 3 === 0), "text", "doc_id", spanLen = 8))
       val batch = docs.filter(col("doc_id") % 3 =!= 0)
         .withColumn("tsw",
           timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))

@@ -439,15 +439,21 @@ object Ann {
     import spark.implicits._
     val bankIds = bank.zipWithIndex
       .map { case ((bid, _), i) => (i, bid) }.toSeq.toDF("_bi", "bench_id")
+    // bench-side norms ride the broadcast (computed once per bench
+    // row, not once per corpus row — r16); the when() reproduces
+    // cosine()'s null-on-zero/null-norm bit-exactly
     val assigned = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("_cn"),
       nearestCentroid(col(vecCol), bank.map(_._2)).as("_bi"))
     val benchVecs = bench.select(col(benchIdCol).cast("long").as("bench_id"),
-      col(benchVecCol).as("_bv"))
+      col(benchVecCol).as("_bv"), norm(col(benchVecCol)).as("_bn"))
     assigned
       .join(broadcast(bankIds), Seq("_bi"))
       .join(broadcast(benchVecs), Seq("bench_id"))
       .select(col(idCol), col("bench_id"),
-        round(cosine(col(vecCol), col("_bv")), scale).as("max_cosine"))
+        round(when(col("_cn") * col("_bn") > 0,
+          dot(col(vecCol), col("_bv")) / (col("_cn") * col("_bn"))), scale)
+          .as("max_cosine"))
       .withColumn("contaminated", col("max_cosine") >= threshold)
   }
 
@@ -491,12 +497,19 @@ object Ann {
     // _salt = pmod(id, S), bench rows explode to all S salts, every
     // same-cell pair still meets exactly once (bit-identical results
     // for any S, spec-gated).
+    // per-side norms hoisted out of the pair space + zero/null-norm
+    // rows dropped per-side (the batchTopK r16 rule — bit-identical:
+    // those rows' pairs were exactly the ones the _sim.isNotNull
+    // filter dropped after a 3-dot-products-per-pair cosine)
     val ca = corpus.select(col(idCol), col(vecCol).as("_ev"),
+      norm(col(vecCol)).as("_en"),
       graft.functions.NearestCentroid(col(vecCol), centroids).as("_cell"),
       pmod(col(idCol).cast("long"), lit(saltBuckets.toLong)).as("_salt"))
+      .filter(col("_en") > 0)
     val ba = bench.select(col(benchIdCol).cast("long").as("bench_id"),
-      col(benchVecCol).as("_bv"),
+      col(benchVecCol).as("_bv"), norm(col(benchVecCol)).as("_bn"),
       graft.functions.NearestCentroid(col(benchVecCol), centroids).as("_cell"))
+      .filter(col("_bn") > 0)
       .withColumn("_salt", explode(lit((0L until saltBuckets.toLong).toArray)))
     // explicit partitioning on the (cell, salt) key (the semanticPairs
     // rule): tiny inputs fanning out into a heavy pair frame must not
@@ -506,8 +519,7 @@ object Ann {
       .join(ba.repartition(parts, col("_cell"), col("_salt")),
         Seq("_cell", "_salt"))
       .select(col(idCol), col("bench_id"),
-        cosine(col("_ev"), col("_bv")).as("_sim"))
-      .filter(col("_sim").isNotNull)
+        (dot(col("_ev"), col("_bv")) / (col("_en") * col("_bn"))).as("_sim"))
     val best = scored.groupBy(col(idCol))
       .agg(max(struct(col("_sim"), col("bench_id"))).as("_m"))
       .select(col(idCol), col("_m.bench_id").as("bench_id"),
@@ -542,13 +554,26 @@ object Ann {
                 queries: DataFrame, queryId: String, queryVec: String,
                 k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Norms are per-vector: hoist them out of the pair space (r16 —
+    // the cosinePairsExact rule). cosine() inside the join evaluated
+    // BOTH self-dot-products per pair, and the isNotNull filter
+    // pushed the whole expression into the join condition, where it
+    // was evaluated AGAIN — 6 dot products per pair where 1 suffices.
+    // Zero/null-norm rows (exactly the rows cosine() nulled out) now
+    // drop per-side BEFORE the join: d = n_c·n_q > 0 ⟺ n_c > 0 ∧
+    // n_q > 0 (norms are non-negative; a NaN norm fails both forms),
+    // and dot() is non-null on non-null arrays, so the kept-pair set
+    // and every score bit are unchanged.
     val q = queries.select(col(queryId).cast("long").as("_qid"),
-      col(queryVec).as("_qv"))
-    corpus.select(col(corpusId).cast("long").as("_cid"), col(corpusVec).as("_cv"))
+      col(queryVec).as("_qv"), norm(col(queryVec)).as("_qn"))
+      .filter(col("_qn") > 0)
+    corpus.select(col(corpusId).cast("long").as("_cid"),
+        col(corpusVec).as("_cv"), norm(col(corpusVec)).as("_cn"))
+      .filter(col("_cn") > 0)
       .crossJoin(broadcast(q))
       .select(col("_qid"), col("_cid"),
-        round(cosine(col("_cv"), col("_qv")) * 1e6).cast("long").as("_sm"))
-      .filter(col("_sm").isNotNull)
+        round(dot(col("_cv"), col("_qv")) / (col("_cn") * col("_qn")) * 1e6)
+          .cast("long").as("_sm"))
       .groupBy("_qid")
       .agg(graft.functions.TopKPairsAgg(col("_sm"), col("_cid"), k).as("_top"))
       .select(col("_qid").as("query_id"), posexplode(col("_top")))
@@ -672,13 +697,18 @@ object Ann {
     require(k >= 1, s"k must be >= 1, got $k")
     require(centroids.nonEmpty, "marginMiningBlocked: empty centroid bank")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    // per-side norms hoisted out of the pair space + zero/null-norm
+    // rows dropped per-side (the batchTopK r16 rule — bit-identical:
+    // those rows' pairs were exactly the ones cosine() nulled out)
     val sa = src.select(col(srcId).cast("long").as("src_id"),
-      col(srcVec).as("_sv"),
+      col(srcVec).as("_sv"), norm(col(srcVec)).as("_sn"),
       graft.functions.NearestCentroid(col(srcVec), centroids).as("_cell"),
       pmod(col(srcId).cast("long"), lit(saltBuckets.toLong)).as("_salt"))
+      .filter(col("_sn") > 0)
     val ta = tgt.select(col(tgtId).cast("long").as("tgt_id"),
-      col(tgtVec).as("_tv"),
+      col(tgtVec).as("_tv"), norm(col(tgtVec)).as("_tn"),
       graft.functions.NearestCentroid(col(tgtVec), centroids).as("_cell"))
+      .filter(col("_tn") > 0)
       .withColumn("_salt", explode(lit((0L until saltBuckets.toLong).toArray)))
     // explicit partitioning on the (cell, salt) key (the semanticPairs
     // rule): input-tiny, output-heavy join — AQE would coalesce the
@@ -689,8 +719,8 @@ object Ann {
         .join(ta.repartition(parts, col("_cell"), col("_salt")),
           Seq("_cell", "_salt"))
         .select(col("src_id"), col("tgt_id"),
-          round(cosine(col("_sv"), col("_tv")) * 1e6).cast("long").as("_sm"))
-        .filter(col("_sm").isNotNull))
+          round(dot(col("_sv"), col("_tv")) / (col("_sn") * col("_tn")) * 1e6)
+            .cast("long").as("_sm")))
     val fwd = pairs
       .groupBy(col("src_id"))
       .agg(graft.functions.TopKPairsAgg(col("_sm"), col("tgt_id"), k).as("_top"))

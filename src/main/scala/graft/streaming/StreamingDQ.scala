@@ -480,18 +480,7 @@ object StreamingDQ {
     }
     deleteRec(root)
     Files.createDirectories(root)
-    val tmp = Files.createTempDirectory("graft_replay_tmp")
-    val base = System.currentTimeMillis() - 3600000L
-    slices.zipWithIndex.foreach { case (slice, k) =>
-      val stage = s"$tmp/b$k"
-      slice.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dest = root.resolve(f"batch_$k%04d.parquet")
-      Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(base + k * 60000L)
-    }
-    deleteRec(tmp) // staging leftovers (_SUCCESS, .crc) — r12 review
+    writeArrivalFiles(slices, schema, root)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = ss.readStream.schema(schema)
@@ -723,6 +712,52 @@ object StreamingDQ {
     graft.sources.SnapshotLog.read(spark, tableDir)
   }
 
+  /** Write one parquet arrival file per slice (strictly increasing
+    * modification times = arrival order), submitting the per-slice
+    * single-file jobs CONCURRENTLY (r16, guide §2.6 "overlap
+    * independent jobs"): each slice is still its own
+    * scan-filter-coalesce(1) write — byte-identical files to the
+    * sequential loop this replaces — but the N tiny latency-dominated
+    * jobs now overlap, so the harness pays ~max(slice job) instead of
+    * the sum. The moves and modification-time stamps stay sequential
+    * in index order AFTER every write has finished. An empty slice
+    * still produces a schema-only parquet part (Spark writes the
+    * footer for an empty single-partition write), so the BATCH COUNT
+    * — which the watermark-advancement discipline depends on — is
+    * slice-list-shaped, never data-shaped (spec-gated).
+    */
+  private def writeArrivalFiles(slices: Seq[DataFrame],
+                                schema: org.apache.spark.sql.types.StructType,
+                                root: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_replay_tmp")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(slices.size)
+    val parts = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val futs = slices.zipWithIndex.map { case (slice, k) =>
+        scala.concurrent.Future {
+          val stage = s"$tmp/b$k"
+          slice.coalesce(1).write.mode("overwrite").parquet(stage)
+          new java.io.File(stage).listFiles()
+            .filter(f => f.getName.endsWith(".parquet")).head
+        }
+      }
+      futs.map(f => scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+    val base = System.currentTimeMillis() - 3600000L
+    parts.zipWithIndex.foreach { case (part, k) =>
+      val dest = root.resolve(f"batch_$k%04d.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(base + k * 60000L)
+    }
+    // staging leftovers (_SUCCESS, .crc) — r12 review
+    if (Files.exists(tmp))
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+  }
+
   /** [[replayArrivals]]' file-arrival discipline with a foreachBatch
     * SINK instead of the memory sink: one arrival file per slice,
     * maxFilesPerTrigger=1, AvailableNow, shuffle partitions pinned to
@@ -741,18 +776,7 @@ object StreamingDQ {
     }
     deleteRec(root)
     Files.createDirectories(root)
-    val tmp = Files.createTempDirectory("graft_replay_tmp")
-    val base = System.currentTimeMillis() - 3600000L
-    slices.zipWithIndex.foreach { case (slice, k) =>
-      val stage = s"$tmp/b$k"
-      slice.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .filter(f => f.getName.endsWith(".parquet")).head
-      val dest = root.resolve(f"batch_$k%04d.parquet")
-      Files.move(part.toPath, dest)
-      dest.toFile.setLastModified(base + k * 60000L)
-    }
-    deleteRec(tmp)
+    writeArrivalFiles(slices, schema, root)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = ss.readStream.schema(schema)

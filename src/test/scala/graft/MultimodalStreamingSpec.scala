@@ -524,6 +524,37 @@ class MultimodalStreamingSpec extends SparkSpec {
     }
   }
 
+  test("replayClosedWindows: an EMPTY time slice still gets its arrival file") {
+    // r16 (the one-pass arrival writer): a slice whose time range
+    // holds no rows must still produce a schema-only arrival file —
+    // the batch COUNT drives watermark advancement, so it has to be
+    // slice-list-shaped, never data-shaped. Data clustered at the two
+    // ends of the span leaves the middle third genuinely empty.
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      val sec = if (i % 2 == 0) i else 7200 - i
+      (new Timestamp(1767225600000L + sec * 1000L), if (i % 3 == 0) "click" else "view")
+    }
+    val df = rows.toDF("ts", "event_type")
+    val dir = "/tmp/graft_test/replay_empty_slice"
+    val want = StreamingDQ.windowedTypeCounts(df, "ts", "event_type",
+        "10 minutes", "5 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val got = StreamingDQ.replayClosedWindows(df, "ts", dir, 3,
+      3600L * 1000000L) { st =>
+      StreamingDQ.windowedTypeCounts(st, "ts", "event_type",
+        "10 minutes", "5 minutes")
+    }.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, "closed-window union != batch result with an empty slice")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4, s"expected 3 slices + sentinel, got ${files.length}")
+    // the middle slice is the empty one: its file must read as zero
+    // rows under the stream schema
+    val mid = spark.read.schema(df.schema).parquet(files(1).getPath)
+    assert(mid.count() == 0, "middle slice should be empty")
+  }
+
   test("replayClosedWindowsLate: below-watermark arrivals are DROPPED end-to-end") {
     // r13 (q_s10 harness): late rows re-deliver EXISTING event times
     // with different payloads AFTER the sentinel has advanced the
