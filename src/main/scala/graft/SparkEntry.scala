@@ -1745,28 +1745,53 @@ object SparkEntry {
     // own gated query, and the oracle nests the component oracles
     "q_e2e_dq" -> ((s, d) => {
       val q = SparkEntry.queries
-      val fk = q("q_b19_ref_integrity")(s, d)
+      def fk() = q("q_b19_ref_integrity")(s, d)
         .select(lit("fk").as("component"), col("relationship").as("metric"),
           col("coverage_pct").cast("double").as("value"))
-      val rules = q("q_b21_row_rules")(s, d)
+      def rules() = q("q_b21_row_rules")(s, d)
         .select(lit("rule").as("component"), col("rule").as("metric"),
           col("violation_pct").cast("double").as("value"))
-      val ben = q("q_b20_benford")(s, d)
+      def ben() = q("q_b20_benford")(s, d)
         .agg(max(col("dev_micro")).as("m"))
         .select(lit("benford").as("component"),
           lit("max_dev_micro").as("metric"), col("m").cast("double").as("value"))
-      val outl = q("q_a17_outliers")(s, d)
+      def outl() = q("q_a17_outliers")(s, d)
         .filter(col("column") === "l_quantity")
         .select(lit("outliers").as("component"),
           lit("l_quantity_iqr").as("metric"),
           col("iqr_outliers").cast("double").as("value"))
-      val vol = q("q_b22_volume_anomaly")(s, d)
+      def vol() = q("q_b22_volume_anomaly")(s, d)
         .agg(count(when(col("anomaly"), 1)).as("v"))
         .select(lit("volume").as("component"),
           lit("anomalous_buckets").as("metric"),
           col("v").cast("double").as("value"))
-      fk.unionByName(rules).unionByName(ben).unionByName(outl)
-        .unionByName(vol).orderBy("component", "metric")
+      // The five component pipelines are INDEPENDENT and each emits a
+      // report-sized frame (≈11 rows total) — submit them as
+      // CONCURRENT jobs (r16, guide §2.6 "overlap independent jobs":
+      // a union of multi-pass pipelines otherwise runs their
+      // broadcast-gated stages back to back) and assemble the rows on
+      // the driver. Row content is identical to the former
+      // unionByName; the orderBy key (component, metric) is unique
+      // per row, so the final order is deterministic either way.
+      val parts: Seq[() => DataFrame] =
+        Seq(() => fk(), () => rules(), () => ben(), () => outl(), () => vol())
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parts.size)
+      val collected = try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = parts.map(p => scala.concurrent.Future(p().collect()))
+        futs.flatMap(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+      s.createDataFrame(java.util.Arrays.asList(collected: _*), schema)
+        .orderBy("component", "metric")
     }),
     // volume-anomaly monitor: every 7th click 6h-bucket dropped
     // entirely — densification turns the missing buckets into zero

@@ -78,6 +78,36 @@ class Wave3Spec extends SparkSpec {
     assert(r.getAs[Long]("robust_outliers") == 1) // |100-6|*0.6745 > 10.5
   }
 
+  test("outlierProfile: sort-based quantiles ≡ the percentile aggregate, bit-exact") {
+    // r16 (the distributed-sort exact quantile): on a seeded random
+    // frame with duplicates, negatives and nulls, the profile's
+    // q1/median/q3/mad must equal the `percentile` aggregate's
+    // rounded values EXACTLY — interpolated positions included
+    // (n ≡ 1 mod 4 would dodge interpolation; 203 rows does not)
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vals = (0 until 203).map { i =>
+      if (i % 17 == 0) None
+      else Some(math.floor(rnd.nextGaussian() * 500) / 8 - 3.0)
+    }
+    val df = vals.toDF("v")
+    val r = Profiler.outlierProfile(df, Seq("v")).collect()(0)
+    val ref = df.agg(
+      round(element_at(percentile(col("v"),
+        array(lit(0.25), lit(0.5), lit(0.75))), 1), 4).as("q1"),
+      round(element_at(percentile(col("v"),
+        array(lit(0.25), lit(0.5), lit(0.75))), 2), 4).as("med"),
+      round(element_at(percentile(col("v"),
+        array(lit(0.25), lit(0.5), lit(0.75))), 3), 4).as("q3")).head()
+    assert(r.getAs[Double]("q1") == ref.getDouble(0))
+    assert(r.getAs[Double]("median") == ref.getDouble(1))
+    assert(r.getAs[Double]("q3") == ref.getDouble(2))
+    val refMad = df.crossJoin(broadcast(
+        spark.range(1).select(lit(ref.getDouble(1)).as("m"))))
+      .agg(round(percentile(abs(col("v") - col("m")), lit(0.5)), 4)).head()
+    assert(r.getAs[Double]("mad") == refMad.getDouble(0))
+  }
+
   test("outlierProfile: clean uniform data has no outliers; nulls ignored") {
     val df = (1 to 100).map(i => if (i % 10 == 0) None else Some(i.toDouble))
       .toDF("v")
