@@ -2752,7 +2752,14 @@ object SparkEntry {
       // means decoding every image twice, persists the NARROW
       // (id, features, nBytes) projection at this point instead.
       val resized = M.resize(ds, 16, 16)
-      val feats = M.extractFeatures(resized, M.StubCodec).toDF()
+      // PINNED at the NARROW (id, format, features) projection (r16):
+      // feats feeds cosinePairs AND both verify-join sides, so the
+      // unpinned plan re-ran withMeta->resize->featurize three times;
+      // this is exactly the "persist the narrow projection" choice the
+      // note above describes for real pipelines (the r8 A/B only
+      // measured pinning the payload-carrying `resized`, which lost)
+      val feats = graft.CacheScope.persist(
+        M.extractFeatures(resized, M.StubCodec).toDF())
       // exact-equality VERIFY on the LSH candidates: rounded cosine
       // 1.0 also admits proportional-but-unequal vectors (a ~1e-5
       // latent corpus-dependent mismatch vs the oracle's md5-prefix

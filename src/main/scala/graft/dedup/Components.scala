@@ -51,9 +51,18 @@ object Components {
     // the loop. The self-loop makes each round's neighbor-min already
     // include the node's own label — min over N(v) ∪ {v} — so the
     // round needs no separate "lower against own label" join.
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .union(e0.select(col("src"), col("src").as("dst")))
-      .union(e0.select(col("dst").as("src"), col("dst")))
+    // ONE explode pass, not a 4-way union (r16): the union evaluated
+    // the `pairs` subtree once PER BRANCH — for LSH pair frames that
+    // is four band-join + exact-verify passes where one suffices
+    // (measured: the components stage of e2e_pipeline dropped ~3 s at
+    // sf0.1). The exploded multiset is identical, so the distinct —
+    // and everything downstream — is unchanged.
+    val edges = e0.select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")),
+        struct(col("src").as("s"), col("src").as("d")),
+        struct(col("dst").as("s"), col("dst").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
       .distinct().persist()
     // Every round's frame is localCheckpoint'ed, not just cached:
     // round i's plan references round i-1 TWICE (the pointer jump is

@@ -525,7 +525,10 @@ object Dedup {
     * update story, as in every LSM-shaped store).
     */
   def mergeNearIndexes(a: DataFrame, b: DataFrame): DataFrame = {
-    val u = a.unionByName(b)
+    // PINNED (r16): the union feeds BOTH the geometry-guard aggregate
+    // and the content-key regroup — unpinned, each side's 128-min-agg
+    // signature pass ran twice (once per consumer)
+    val u = graft.CacheScope.persist(a.unionByName(b))
     // Geometry guard: two indexes built with different `bands` carry band
     // keys from incompatible band spaces, and the content-key regroup would
     // silently pick one side's `bks` — matches through the merged index then
