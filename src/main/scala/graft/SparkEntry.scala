@@ -3303,11 +3303,17 @@ object SparkEntry {
         .groupBy("lang")
         .agg(sum(when(col("_change_type") === "insert", 1L)
           .otherwise(-1L)).as("delta"))
-      val view = base.unionByName(deltas)
+      // PINNED (r16): both lang-count aggregates are read twice — by
+      // the ≡-cert's two exceptAll branches and by the final output —
+      // so unpinned, the v0-read + CDF-delta chain and the final-
+      // version read each ran twice; the pinned frames are lang-count
+      // sized (report rows)
+      val view = graft.CacheScope.persist(base.unionByName(deltas)
         .groupBy("lang").agg(sum(col("delta")).cast("long").as("n_docs"))
-        .filter(col("n_docs") > 0)
-      val direct = graft.sources.SnapshotLog.read(s, dir)
-        .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+        .filter(col("n_docs") > 0))
+      val direct = graft.CacheScope.persist(
+        graft.sources.SnapshotLog.read(s, dir)
+          .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs")))
       val mismatches = view.exceptAll(direct)
         .unionAll(direct.exceptAll(view)).count()
       view.unionByName(Seq(("_cert_inc_eq_direct",

@@ -901,9 +901,12 @@ object SnapshotLog {
           s"[graft] readChanges: no committed versions under $dir"))
     require(fromVersion >= 0 && to > fromVersion,
       s"[graft] readChanges: need 0 <= from < to, got [$fromVersion, $to]")
+    // resolve each version's snapshot ONCE (consecutive steps share a
+    // boundary; re-resolving re-read the version file — r16)
+    val snaps = (fromVersion to to).map(v => v -> snapshot(spark, dir, v)).toMap
     val steps = (fromVersion until to).flatMap { v =>
-      val a = snapshot(spark, dir, v)
-      val b = snapshot(spark, dir, v + 1)
+      val a = snaps(v)
+      val b = snaps(v + 1)
       val aSet = a.files.toSet
       val bSet = b.files.toSet
       val added = b.files.filterNot(aSet)
@@ -924,9 +927,23 @@ object SnapshotLog {
           }
         val insRaw = side(added, gone)
         val delRaw = side(gone, added)
-        val ins = insRaw.exceptAll(delRaw).withColumn("_change_type", lit("insert"))
-        val del = delRaw.exceptAll(insRaw).withColumn("_change_type", lit("delete"))
-        Some(ins.unionByName(del).withColumn("_commit_version", lit(v + 1L)))
+        // pure-insert (append) / pure-delete steps skip the rewrite
+        // anti-diff entirely (r16): exceptAll against an EMPTY side is
+        // the identity on one side and empty on the other, so the two
+        // full-shuffle exceptAll passes — each reading both sides —
+        // collapse to the raw scans. Rewrite steps (both sides
+        // non-empty) pin each side once: unpinned, every side was
+        // scanned TWICE (once per exceptAll direction).
+        val (ins, del) =
+          if (added.isEmpty || gone.isEmpty) (insRaw, delRaw)
+          else {
+            val insP = graft.CacheScope.persist(insRaw)
+            val delP = graft.CacheScope.persist(delRaw)
+            (insP.exceptAll(delP), delP.exceptAll(insP))
+          }
+        Some(ins.withColumn("_change_type", lit("insert"))
+          .unionByName(del.withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(v + 1L)))
       }
     }
     if (steps.isEmpty)
