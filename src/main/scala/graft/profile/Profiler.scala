@@ -383,6 +383,14 @@ object Profiler {
     import org.apache.spark.sql.expressions.Window
     val eps = 1.0 / accuracy
     val qs = Seq(0.25, 0.5, 0.75)
+    // r16 note: the unpartitioned window below is a DELIBERATE
+    // certification shape (PlanAuditSpec pins the production operator,
+    // numericStatsApprox, as sort-free; this gate certifies the
+    // sketch against exact rank bounds). A rankColumn/valuesAtRanks
+    // rewrite was measured SLOWER at gate scale (2.03 s vs 1.77 s at
+    // sf0.1 — ~10 small jobs of orchestration vs one fused sort of a
+    // 600k-value column) and reverted; at 100 TB this gate's exact
+    // certification is not what you run — the approx operator is.
     val perCol = cols.map { c =>
       val v = col(c).cast(DoubleType)
       // unrounded approx values, one GK sketch for all three quantiles
@@ -987,50 +995,13 @@ object Profiler {
     */
   private def sortedQuantiles(df: DataFrame, value: Column,
                               ps: Seq[Double]): (Long, Seq[Option[Double]]) = {
-    val spark = df.sparkSession
-    val nn = df.select(value.cast(DoubleType).as("v"))
-      .filter(col("v").isNotNull)
-    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    // no sortWithinPartitions: only the (few) partitions holding a
-    // target rank ever need sorting, and the row_number window below
-    // sorts exactly those
-    val sorted = graft.CacheScope.persist(
-      nn.repartitionByRange(parts, col("v"))
-        .select(spark_partition_id().as("_pid"), col("v")))
-    val cnts = sorted.groupBy("_pid").agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val n = cnts.map(_._2).sum
-    if (n == 0) return (0L, ps.map(_ => None))
-    val positions = ps.map(p => p * (n - 1))
+    val rc = rankColumn(df, value)
+    if (rc.n == 0) return (0L, ps.map(_ => None))
+    val positions = ps.map(p => p * (rc.n - 1))
     val ranks = positions
       .flatMap(pos => Seq(math.floor(pos).toLong, math.ceil(pos).toLong))
-      .distinct.sorted
-    // rank -> (pid, 0-indexed local offset) via cumulative counts
-    val located: Map[Long, (Int, Long)] = {
-      var acc = 0L
-      val bounds = cnts.map { case (pid, cn) =>
-        val lo = acc; acc += cn; (pid, lo, acc)
-      }
-      ranks.map { r =>
-        val (pid, lo, _) = bounds.find(b => r >= b._2 && r < b._3).getOrElse(
-          throw new IllegalStateException(s"rank $r outside 0..${n - 1}"))
-        r -> (pid, r - lo)
-      }.toMap
-    }
-    val wanted = located.values.toSeq
-    val pred = wanted.map { case (pid, off) =>
-      col("_pid") === pid && col("_rn") === off
-    }.reduce(_ || _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy("v")
-    val picked = sorted
-      .filter(col("_pid").isin(wanted.map(_._1).distinct: _*))
-      .withColumn("_rn", (row_number().over(w) - 1).cast("long"))
-      .filter(pred)
-      .select("_pid", "_rn", "v")
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    def at(rank: Long): Double = picked(located(rank))
+      .distinct
+    val at = valuesAtRanks(rc, ranks)
     val vals = positions.map { pos =>
       val lower = math.floor(pos).toLong
       val higher = math.ceil(pos).toLong
@@ -1038,7 +1009,64 @@ object Profiler {
       if (higher == lower) Some(lk)
       else Some((higher - pos) * lk + (pos - lower) * at(higher))
     }
-    (n, vals)
+    (rc.n, vals)
+  }
+
+  /** A column's non-null values range-partitioned and pinned, with the
+    * per-partition counts that turn a GLOBAL 0-indexed rank into a
+    * (partition, local offset) address — the shared machinery of
+    * [[sortedQuantiles]] and [[approxQuantileCheck]] (r16).
+    */
+  private case class RankedColumn(sorted: DataFrame, n: Long,
+                                  bounds: Seq[(Int, Long, Long)])
+
+  private def rankColumn(df: DataFrame, value: Column): RankedColumn = {
+    val spark = df.sparkSession
+    val nn = df.select(value.cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // no sortWithinPartitions: only the (few) partitions holding a
+    // target rank ever need sorting, and the row_number window in
+    // [[valuesAtRanks]] sorts exactly those
+    val sorted = graft.CacheScope.persist(
+      nn.repartitionByRange(parts, col("v"))
+        .select(spark_partition_id().as("_pid"), col("v")))
+    val cnts = sorted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bounds = cnts.map { case (pid, cn) =>
+      val lo = acc; acc += cn; (pid, lo, acc)
+    }.toSeq
+    RankedColumn(sorted, acc, bounds)
+  }
+
+  /** Values at the given GLOBAL 0-indexed ranks of the sorted column:
+    * locate each rank's partition from the count frame, sort only the
+    * partitions holding a target (a bounded per-partition window),
+    * and collect the ≤|ranks| hits.
+    */
+  private def valuesAtRanks(rc: RankedColumn,
+                            ranks: Seq[Long]): Map[Long, Double] = {
+    if (ranks.isEmpty) return Map.empty
+    val located: Map[Long, (Int, Long)] = ranks.distinct.map { r =>
+      val (pid, lo, _) = rc.bounds.find(b => r >= b._2 && r < b._3).getOrElse(
+        throw new IllegalStateException(s"rank $r outside 0..${rc.n - 1}"))
+      r -> (pid, r - lo)
+    }.toMap
+    val wanted = located.values.toSeq.distinct
+    val pred = wanted.map { case (pid, off) =>
+      col("_pid") === pid && col("_rn") === off
+    }.reduce(_ || _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy("v")
+    val picked = rc.sorted
+      .filter(col("_pid").isin(wanted.map(_._1).distinct: _*))
+      .withColumn("_rn", (row_number().over(w) - 1).cast("long"))
+      .filter(pred)
+      .select("_pid", "_rn", "v")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    located.map { case (r, addr) => r -> picked(addr) }
   }
 
   /** Functional-dependency violation profile (SURVEY §2 A18): for

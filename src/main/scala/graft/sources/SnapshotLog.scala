@@ -463,6 +463,115 @@ object SnapshotLog {
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, (String, String)]]) = {
     if (statsCols.isEmpty || relFiles.isEmpty) return (Map.empty, Map.empty)
+    // FOOTER FAST PATH (r16): plain INT64/INT32 columns take their
+    // per-file min/max from the parquet FOOTERS the write just
+    // produced — metadata-only, no second pass over the data (the
+    // post-write re-read was ~half of every commit's cost at gate
+    // scale, and a 2× ingest read amplification at 100 TB). Values
+    // are exactly the scan path's: parquet stats are untruncated for
+    // integers, and min(cast(long)) ≡ cast(min) (truncation toward
+    // zero is monotone; these are already integral). Any surprise —
+    // missing stats, unexpected physical/logical type, schema drift
+    // across files — bails the WHOLE call back to the scan path.
+    // String columns (and anything else) always use the scan path:
+    // its UTF-16 truncated bounds are manifest semantics the footer
+    // (UTF-8 truncation) does not reproduce.
+    val footered = footerNumStats(spark, dir, relFiles, statsCols)
+    val (numFromFooter, handled) =
+      footered.getOrElse((Map.empty[String, Map[String, (Long, Long)]],
+        Set.empty[String]))
+    val restCols = statsCols.filterNot(handled)
+    if (restCols.isEmpty) return (numFromFooter, Map.empty)
+    val (numScan, strScan) = scanStats(spark, dir, relFiles, restCols)
+    val numAll = (numFromFooter.keySet ++ numScan.keySet).map { rel =>
+      rel -> (numFromFooter.getOrElse(rel, Map.empty) ++
+        numScan.getOrElse(rel, Map.empty))
+    }.toMap
+    (numAll, strScan)
+  }
+
+  /** Per-file numeric bounds from parquet footers (r16): Some((stats,
+    * handledCols)) when every file's footer carries clean stats for
+    * the plain-integer subset of `statsCols`; None = caller must use
+    * the scan path for everything.
+    */
+  private def footerNumStats(spark: SparkSession, dir: String,
+                             relFiles: Seq[String], statsCols: Seq[String])
+      : Option[(Map[String, Map[String, (Long, Long)]], Set[String])] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val base = fs(spark, dir).makeQualified(new org.apache.hadoop.fs.Path(dir))
+    var eligible: Option[Set[String]] = None
+    val perFile = relFiles.map { rel =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(base, rel), conf)
+      val r = ParquetFileReader.open(in)
+      val md = try r.getFooter finally r.close()
+      val schema = md.getFileMetaData.getSchema
+      val elig = statsCols.filter { c =>
+        schema.containsField(c) && {
+          val t = schema.getType(Seq(c): _*)
+          t.isPrimitive && {
+            val pt = t.asPrimitiveType()
+            val name = pt.getPrimitiveTypeName
+            val ann = pt.getLogicalTypeAnnotation
+            (name == PrimitiveTypeName.INT64 || name == PrimitiveTypeName.INT32) &&
+            (ann == null || (ann match {
+              case ia: LogicalTypeAnnotation.IntLogicalTypeAnnotation => ia.isSigned
+              case _ => false
+            }))
+          }
+        }
+      }.toSet
+      eligible match {
+        case None => eligible = Some(elig)
+        case Some(e) if e != elig =>
+          throw new IllegalStateException("schema drift across files")
+        case _ => ()
+      }
+      val m = elig.flatMap { c =>
+        var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
+        md.getBlocks.asScala.foreach { blk =>
+          val cc = blk.getColumns.asScala.find(_.getPath.toDotString == c)
+            .getOrElse(throw new IllegalStateException(s"no chunk for $c"))
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty)
+            throw new IllegalStateException(s"no stats for $c")
+          if (st.hasNonNullValue) {
+            val (l, h) = (st.genericGetMin, st.genericGetMax) match {
+              case (l0: java.lang.Long, h0: java.lang.Long) =>
+                (l0.longValue, h0.longValue)
+              case (l0: java.lang.Integer, h0: java.lang.Integer) =>
+                (l0.longValue, h0.longValue)
+              case (other, _) => throw new IllegalStateException(
+                s"unexpected stats value type ${other.getClass.getName}")
+            }
+            if (l < lo) lo = l
+            if (h > hi) hi = h
+            seen = true
+          }
+        }
+        // all-null column in this file: no entry (= never pruned on
+        // it) — exactly the scan path's null handling
+        if (seen) Some(c -> (lo, hi)) else None
+      }.toMap
+      rel -> m
+    }.toMap
+    eligible.map(e => (perFile.filter(_._2.nonEmpty), e))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The original one-scan stats pass (column-pruned to `statsCols`),
+    * used for string columns and as the fallback when footers cannot
+    * serve (see [[footerNumStats]]).
+    */
+  private def scanStats(spark: SparkSession, dir: String,
+                        relFiles: Seq[String], statsCols: Seq[String])
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (String, String)]]) = {
     import org.apache.spark.sql.functions._
     val base = fs(spark, dir).makeQualified(new org.apache.hadoop.fs.Path(dir))
     val paths = relFiles.map(r => new org.apache.hadoop.fs.Path(base, r).toString)

@@ -122,4 +122,45 @@ class R16StrStatsSpec extends SparkSpec {
     val v = SnapshotLog.deleteRangeStr(spark, dir, "lang", "xx", "xy")
     assert(v == after2.version)
   }
+
+  test("footer-derived numeric stats ≡ the scan they replace (nulls, ints, strings mixed)") {
+    // r16: plain INT64/INT32 statsCols come from the parquet footers
+    // (metadata-only). The recorded bounds must equal the data's true
+    // per-file min/max; an all-null column carries no entry; a string
+    // statsCol rides the scan path alongside, unchanged.
+    val dir = tmp("graft_footer_stats")
+    val df = (1L to 100L).map { i =>
+      (i, i.toInt * 3, if (i % 2 == 0) None else Some(i * 7),
+        Option.empty[Long], langs((i % 5).toInt))
+    }.toDF("id", "k32", "half", "allnull", "lang")
+    SnapshotLog.write(df.repartition(4), dir,
+      statsCols = Seq("id", "k32", "half", "allnull", "lang"))
+    val sn = SnapshotLog.snapshot(spark, dir)
+    assert(sn.files.size == 4)
+    // reference bounds per file from the data itself
+    val ref = spark.read.parquet(
+        sn.files.map(f => f): _*)
+      .withColumn("_f", input_file_name())
+      .groupBy("_f")
+      .agg(min("id").as("idlo"), max("id").as("idhi"),
+        min("k32").cast("long").as("klo"), max("k32").cast("long").as("khi"),
+        min("half").as("hlo"), max("half").as("hhi"),
+        min("lang").as("llo"), max("lang").as("lhi"))
+      .collect()
+    val byName = sn.stats.map { case (k, v) => k.split('/').last -> v }
+    val strByName = sn.strStats.map { case (k, v) => k.split('/').last -> v }
+    ref.foreach { r =>
+      val name = r.getString(0).split('/').last
+      val m = byName.getOrElse(name, fail(s"no stats entry for $name"))
+      assert(m("id") == ((r.getLong(1), r.getLong(2))))
+      assert(m("k32") == ((r.getLong(3), r.getLong(4))))
+      assert(m("half") == ((r.getLong(5), r.getLong(6))))
+      assert(!m.contains("allnull"), "all-null column must carry no entry")
+      val sm = strByName.getOrElse(name, fail(s"no str stats entry for $name"))
+      assert(sm("lang") == ((r.getString(7), r.getString(8))))
+    }
+    // and the skipping behavior built on them still prunes correctly
+    val pruned = SnapshotLog.prunedFiles(sn, "id", 1L, 5L)
+    assert(pruned.nonEmpty && pruned.size < sn.files.size)
+  }
 }
