@@ -3079,10 +3079,16 @@ object SparkEntry {
       val rebuild = Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarse, cb)
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
-      val serveM = Pq.ivfPqTopKIndexed(merged, emb, "embedding", "vec_id",
-        coarse, cb, q, k = 10, nprobe = 2, rerank = 50)
-      val serveR = Pq.ivfPqTopKIndexed(rebuild, emb, "embedding", "vec_id",
-        coarse, cb, q, k = 10, nprobe = 2, rerank = 50)
+      // PINNED (r16): serveM feeds the ≡-cert's two exceptAll branches
+      // AND the final output, serveR both branches — unpinned, each
+      // read re-ran the full IVF-PQ serving pipeline; the pinned
+      // frames are k rows
+      val serveM = graft.CacheScope.persist(
+        Pq.ivfPqTopKIndexed(merged, emb, "embedding", "vec_id",
+          coarse, cb, q, k = 10, nprobe = 2, rerank = 50))
+      val serveR = graft.CacheScope.persist(
+        Pq.ivfPqTopKIndexed(rebuild, emb, "embedding", "vec_id",
+          coarse, cb, q, k = 10, nprobe = 2, rerank = 50))
       val mismatches = serveM.exceptAll(serveR)
         .unionAll(serveR.exceptAll(serveM)).count()
       import s.implicits._
@@ -3141,13 +3147,17 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
       val atRest = graft.sources.SnapshotLog.read(s, dir)
-      val serveNew = Pq.ivfPqTopKIndexed(
+      // PINNED (r16): serveNew feeds the ≡-cert's two exceptAll
+      // branches AND the final output, fresh both branches —
+      // unpinned, each read re-ran the full IVF-PQ serving pipeline;
+      // the pinned frames are k rows
+      val serveNew = graft.CacheScope.persist(Pq.ivfPqTopKIndexed(
         Pq.requireBankFp(atRest, coarseNew, cbNew), emb, "embedding", "vec_id",
-        coarseNew, cbNew, q, k = 10, nprobe = 2, rerank = 50)
-      val fresh = Pq.ivfPqTopKIndexed(
+        coarseNew, cbNew, q, k = 10, nprobe = 2, rerank = 50))
+      val fresh = graft.CacheScope.persist(Pq.ivfPqTopKIndexed(
         Pq.ivfPqIndexStamped(emb, "embedding", "vec_id", coarseNew, cbNew),
         emb, "embedding", "vec_id", coarseNew, cbNew, q,
-        k = 10, nprobe = 2, rerank = 50)
+        k = 10, nprobe = 2, rerank = 50))
       val mismatches = serveNew.exceptAll(fresh)
         .unionAll(fresh.exceptAll(serveNew)).count()
       val staleGuardTrips = scala.util.Try(
