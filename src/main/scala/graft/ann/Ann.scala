@@ -561,9 +561,17 @@ object Ann {
     // was evaluated AGAIN — 6 dot products per pair where 1 suffices.
     // Zero/null-norm rows (exactly the rows cosine() nulled out) now
     // drop per-side BEFORE the join: d = n_c·n_q > 0 ⟺ n_c > 0 ∧
-    // n_q > 0 (norms are non-negative; a NaN norm fails both forms),
-    // and dot() is non-null on non-null arrays, so the kept-pair set
-    // and every score bit are unchanged.
+    // n_q > 0 for real norms (non-negative), and dot() is non-null on
+    // non-null arrays, so the kept-pair set and every score bit are
+    // unchanged on NaN-free embeddings. NaN caveat (ADVICE r16): Spark
+    // SQL orders NaN above every number, so `_n > 0` KEEPS a NaN-norm
+    // row — in the mixed case (NaN norm one side, zero norm the other)
+    // the old in-join form kept the pair with a NaN score (which sorts
+    // greatest and could win top-k) while the per-side form drops the
+    // zero-norm side, never forming the pair. The per-side behavior is
+    // the saner one (a zero vector has no cosine neighbors); vectors
+    // with NaN components are out of contract for every ANN operator
+    // here.
     val q = queries.select(col(queryId).cast("long").as("_qid"),
       col(queryVec).as("_qv"), norm(col(queryVec)).as("_qn"))
       .filter(col("_qn") > 0)

@@ -900,9 +900,12 @@ object Profiler {
     // (evaluated in a 1-row plan, never re-implemented on the driver).
     // per-column quantile jobs are independent — run the columns
     // concurrently (guide §2.6), quartile phase then MAD phase
+    // pool capped at 8 (ADVICE r16): a wide profile must not launch one
+    // concurrent distributed sort per column — 8 keeps the scheduler
+    // back-filling stragglers without flooding it
     def inPool[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(xs.size, 1))
+        math.min(math.max(xs.size, 1), 8))
       try {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -996,12 +999,17 @@ object Profiler {
   private def sortedQuantiles(df: DataFrame, value: Column,
                               ps: Seq[Double]): (Long, Seq[Option[Double]]) = {
     val rc = rankColumn(df, value)
-    if (rc.n == 0) return (0L, ps.map(_ => None))
+    // the pinned column's useful life ends inside this call (ADVICE
+    // r16: with C columns the quartile+MAD phases otherwise leave 2C
+    // full-column frames pinned until the host's CacheScope.clear());
+    // unpersist eagerly, CacheScope stays the safety net
+    if (rc.n == 0) { rc.sorted.unpersist(false); return (0L, ps.map(_ => None)) }
     val positions = ps.map(p => p * (rc.n - 1))
     val ranks = positions
       .flatMap(pos => Seq(math.floor(pos).toLong, math.ceil(pos).toLong))
       .distinct
     val at = valuesAtRanks(rc, ranks)
+    rc.sorted.unpersist(false)
     val vals = positions.map { pos =>
       val lower = math.floor(pos).toLong
       val higher = math.ceil(pos).toLong
@@ -1014,8 +1022,10 @@ object Profiler {
 
   /** A column's non-null values range-partitioned and pinned, with the
     * per-partition counts that turn a GLOBAL 0-indexed rank into a
-    * (partition, local offset) address — the shared machinery of
-    * [[sortedQuantiles]] and [[approxQuantileCheck]] (r16).
+    * (partition, local offset) address — [[sortedQuantiles]]'s
+    * machinery (r16). (An approxQuantileCheck rewrite on top of it was
+    * measured slower at gate scale and reverted — see the comment at
+    * that operator.)
     */
   private case class RankedColumn(sorted: DataFrame, n: Long,
                                   bounds: Seq[(Int, Long, Long)])

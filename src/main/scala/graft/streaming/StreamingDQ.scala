@@ -480,7 +480,7 @@ object StreamingDQ {
     }
     deleteRec(root)
     Files.createDirectories(root)
-    writeArrivalFiles(slices, schema, root)
+    writeArrivalFiles(slices, root)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = ss.readStream.schema(schema)
@@ -727,11 +727,13 @@ object StreamingDQ {
     * slice-list-shaped, never data-shaped (spec-gated).
     */
   private def writeArrivalFiles(slices: Seq[DataFrame],
-                                schema: org.apache.spark.sql.types.StructType,
                                 root: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_replay_tmp")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(slices.size)
+    // max(.,1) so an empty slice list can't throw from the pool ctor
+    // (ADVICE r16); the schema param the old signature took was unused
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(slices.size, 1))
     val parts = try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
@@ -776,7 +778,7 @@ object StreamingDQ {
     }
     deleteRec(root)
     Files.createDirectories(root)
-    writeArrivalFiles(slices, schema, root)
+    writeArrivalFiles(slices, root)
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = ss.readStream.schema(schema)
