@@ -1037,22 +1037,39 @@ object SnapshotLog {
         val insRaw = side(added, gone)
         val delRaw = side(gone, added)
         // pure-insert (append) / pure-delete steps skip the rewrite
-        // anti-diff entirely (r16): exceptAll against an EMPTY side is
-        // the identity on one side and empty on the other, so the two
-        // full-shuffle exceptAll passes — each reading both sides —
-        // collapse to the raw scans. Rewrite steps (both sides
-        // non-empty) pin each side once: unpinned, every side was
-        // scanned TWICE (once per exceptAll direction).
-        val (ins, del) =
-          if (added.isEmpty || gone.isEmpty) (insRaw, delRaw)
+        // anti-diff entirely (r16): the multiset difference against an
+        // EMPTY side is the identity on one side and empty on the
+        // other, so the raw scans ARE the answer. Rewrite steps (both
+        // sides non-empty) compute BOTH diff directions in ONE
+        // groupBy-all-columns pass (r17, guide §2.4): the former
+        // exceptAll pair shuffled each side twice (once per
+        // direction); the NET per-row multiset count — Σ(+1 per added
+        // copy, −1 per removed copy) — shuffles each side once and
+        // carries exceptAll's exact surplus semantics: net > 0 ⇒ that
+        // many 'insert' copies, net < 0 ⇒ that many 'delete' copies,
+        // net = 0 ⇒ the row was carried along (a compaction cancels
+        // to zero rows). Grouping and exceptAll share SQL equality
+        // (null = null, NaN = NaN, −0.0 = 0.0), so the kept multiset
+        // is identical; only row order differs, which the CDF contract
+        // never promised.
+        val step =
+          if (gone.isEmpty) insRaw.withColumn("_change_type", lit("insert"))
+          else if (added.isEmpty) delRaw.withColumn("_change_type", lit("delete"))
           else {
-            val insP = graft.CacheScope.persist(insRaw)
-            val delP = graft.CacheScope.persist(delRaw)
-            (insP.exceptAll(delP), delP.exceptAll(insP))
+            import org.apache.spark.sql.functions.{abs, col, explode, sequence, sum, when}
+            val dataCols = insRaw.columns.toSeq
+            insRaw.withColumn("_cdf_side", lit(1L))
+              .unionByName(delRaw.withColumn("_cdf_side", lit(-1L)))
+              .groupBy(dataCols.map(col): _*)
+              .agg(sum(col("_cdf_side")).as("_cdf_net"))
+              .filter(col("_cdf_net") =!= 0L)
+              .withColumn("_change_type",
+                when(col("_cdf_net") > 0, lit("insert")).otherwise(lit("delete")))
+              .withColumn("_cdf_k",
+                explode(sequence(lit(1L), abs(col("_cdf_net")))))
+              .drop("_cdf_net", "_cdf_k")
           }
-        Some(ins.withColumn("_change_type", lit("insert"))
-          .unionByName(del.withColumn("_change_type", lit("delete")))
-          .withColumn("_commit_version", lit(v + 1L)))
+        Some(step.withColumn("_commit_version", lit(v + 1L)))
       }
     }
     if (steps.isEmpty)

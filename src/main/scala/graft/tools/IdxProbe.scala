@@ -203,3 +203,77 @@ object SizeBound {
     spark.stop()
   }
 }
+
+/** Streaming micro-batch duration breakdown for an s5-shaped replay. */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir0 = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.all.foreach(n => Tables.load(spark, dir0, n).count())
+    (1 to 2).foreach { round =>
+      val t0 = System.nanoTime()
+      val ev0 = Tables.load(spark, dir0, "events")
+      val ev = ev0.withColumn("tsw", Tables.asTimestamp(ev0, "ts"))
+        .filter(col("tsw").isNotNull)
+      // replicate replayArrivals but keep the query handle
+      import java.nio.file.{Files, Paths}
+      val dir = "/tmp/graft_gate/sprobe_arrivals"
+      val root = Paths.get(dir)
+      def deleteRec(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+      deleteRec(root); Files.createDirectories(root)
+      val mm = ev.agg(min(unix_micros(col("tsw"))).as("mn"),
+        max(unix_micros(col("tsw"))).as("mx")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = mx - mn + 1
+      val nBatches = 3
+      val slices = (0 until nBatches).map { k =>
+        val lo = mn + span * k / nBatches
+        val hi = if (k == nBatches - 1) mx + 1 else mn + span * (k + 1) / nBatches
+        ev.filter(unix_micros(col("tsw")) >= lo && unix_micros(col("tsw")) < hi)
+      } :+ ev.limit(1).withColumn("tsw", timestamp_micros(lit(mx + 86400000000L)))
+      val tw = System.nanoTime()
+      val tmp = Files.createTempDirectory("sprobe_tmp")
+      slices.zipWithIndex.foreach { case (s0, k) =>
+        s0.coalesce(1).write.mode("overwrite").parquet(s"$tmp/b$k")
+      }
+      val base = System.currentTimeMillis() - 3600000L
+      (0 until slices.size).foreach { k =>
+        val part = new java.io.File(s"$tmp/b$k").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = root.resolve(f"batch_$k%04d.parquet")
+        Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(base + k * 60000L)
+      }
+      println(f"PROBE arrival_writes ${(System.nanoTime() - tw) / 1e9}%.3f")
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = ss.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val ckpt = Files.createTempDirectory("sprobe_ckpt")
+      val out = graft.streaming.StreamingDQ.windowedFrequentItems(
+        stream, "tsw", "event_type", windowDur = "6 hours")
+      val q = out.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(s"sprobe_$round")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(f"PROBE stream_total ${(System.nanoTime() - t0) / 1e9}%.3f")
+      q.recentProgress.foreach { p =>
+        println(s"  batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}")
+      }
+      deleteRec(ckpt)
+    }
+    spark.stop()
+  }
+}
