@@ -490,10 +490,50 @@ object SnapshotLog {
     (numAll, strScan)
   }
 
+  /** Run `f` over `xs` on a bounded pool (footer reads are tiny
+    * driver-side metadata IO — independent, latency-dominated; a
+    * 75-file commit paid them sequentially before r17).
+    */
+  private def inFooterPool[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.size <= 1) return xs.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(xs.size, 8))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      xs.map(x => scala.concurrent.Future(f(x)))
+        .map(fu => scala.concurrent.Await.result(fu,
+          scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  /** Exact total row count of data files from parquet FOOTERS alone
+    * (r17): a compaction needs N only to choose its output file
+    * count — paying a full table scan for it is pure read
+    * amplification (at 100 TB, a full extra pass per maintenance
+    * commit). Block row counts are authoritative parquet metadata.
+    * None on any surprise → caller falls back to the scan count.
+    */
+  private def footerRowCount(spark: SparkSession,
+                             absFiles: Seq[String]): Option[Long] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val counts = inFooterPool(absFiles) { abs =>
+      val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(abs), conf)
+      val r = ParquetFileReader.open(in)
+      val md = try r.getFooter finally r.close()
+      md.getBlocks.asScala.map(_.getRowCount).sum
+    }
+    Some(counts.sum)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Per-file numeric bounds from parquet footers (r16): Some((stats,
     * handledCols)) when every file's footer carries clean stats for
     * the plain-integer subset of `statsCols`; None = caller must use
-    * the scan path for everything.
+    * the scan path for everything. Footers are read on a bounded pool
+    * (r17) — they are independent metadata fetches.
     */
   private def footerNumStats(spark: SparkSession, dir: String,
                              relFiles: Seq[String], statsCols: Seq[String])
@@ -505,8 +545,7 @@ object SnapshotLog {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val base = fs(spark, dir).makeQualified(new org.apache.hadoop.fs.Path(dir))
-    var eligible: Option[Set[String]] = None
-    val perFile = relFiles.map { rel =>
+    val perFileSeq = inFooterPool(relFiles) { rel =>
       val in = HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(base, rel), conf)
       val r = ParquetFileReader.open(in)
@@ -527,12 +566,6 @@ object SnapshotLog {
           }
         }
       }.toSet
-      eligible match {
-        case None => eligible = Some(elig)
-        case Some(e) if e != elig =>
-          throw new IllegalStateException("schema drift across files")
-        case _ => ()
-      }
       val m = elig.flatMap { c =>
         var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
         md.getBlocks.asScala.foreach { blk =>
@@ -559,8 +592,15 @@ object SnapshotLog {
         // it) — exactly the scan path's null handling
         if (seen) Some(c -> (lo, hi)) else None
       }.toMap
-      rel -> m
-    }.toMap
+      (rel, elig, m)
+    }
+    // eligibility must agree across every file (schema drift bails
+    // the whole call to the scan path) — checked after the parallel
+    // footer reads instead of mid-loop
+    val eligible = perFileSeq.headOption.map(_._2)
+    if (perFileSeq.exists(t => !eligible.contains(t._2)))
+      throw new IllegalStateException("schema drift across files")
+    val perFile = perFileSeq.map(t => t._1 -> t._3).toMap
     eligible.map(e => (perFile.filter(_._2.nonEmpty), e))
   } catch { case scala.util.control.NonFatal(_) => None }
 
